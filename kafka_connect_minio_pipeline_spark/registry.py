@@ -1,0 +1,64 @@
+"""Central query registry.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+query: a ``(spark, sf_dir) -> DataFrame`` builder plus (when expressible)
+the equivalent ANSI SQL for the DuckDB differential oracle. The driver's
+correctness gate compares the two at sf0.01 (row count + schema +
+order-insensitive value hash), so builder and oracle must agree on column
+NAMES and TYPES exactly — both sides alias computed columns identically.
+
+Modules are imported lazily so a bug in one operator family doesn't take
+down the whole registry surface.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    """One registered operator query."""
+
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → rows-only check (non-SQL op)
+    headline: bool = False  # include in bench.py's per-round measurement
+
+
+# modules expected to expose a module-level QUERIES: dict[str, Query]
+_QUERY_MODULES = (
+    "kafka_connect_minio_pipeline_spark.pipeline.queries",
+    "kafka_connect_minio_pipeline_spark.operators.joins",
+    "kafka_connect_minio_pipeline_spark.operators.aggregates",
+    "kafka_connect_minio_pipeline_spark.operators.windows",
+    "kafka_connect_minio_pipeline_spark.operators.setops",
+    "kafka_connect_minio_pipeline_spark.functions.scalar",
+    "kafka_connect_minio_pipeline_spark.operators.dedup",
+    "kafka_connect_minio_pipeline_spark.operators.similarity",
+    "kafka_connect_minio_pipeline_spark.operators.text",
+    "kafka_connect_minio_pipeline_spark.operators.multimodal",
+    "kafka_connect_minio_pipeline_spark.streaming.queries",
+)
+
+
+def all_queries(strict: bool = False) -> dict[str, Query]:
+    out: dict[str, Query] = {}
+    for mod_name in _QUERY_MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            if strict:
+                raise
+            continue
+        queries = getattr(mod, "QUERIES", {})
+        for name, q in queries.items():
+            if name in out:
+                raise ValueError(f"duplicate query name {name!r} from {mod_name}")
+            out[name] = q
+    return out

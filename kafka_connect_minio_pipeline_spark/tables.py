@@ -1,0 +1,71 @@
+"""Canonical loaders for the driver's test star schema.
+
+All engine queries go through :func:`load` so that quirks of the generated
+parquet (notably ``events.ts`` stored as TIMESTAMP(NANOS), which Spark only
+reads via ``spark.sql.legacy.parquet.nanosAsLong``) are handled in exactly
+one place and every downstream operator sees clean, documented types.
+
+Scale note: these are single-file tables locally; on a real deployment each
+would be a partitioned directory (or a Delta/Iceberg table). Nothing below
+assumes single-file layout — paths are passed straight to the parquet scan
+and Catalyst handles split planning, predicate pushdown and column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine relies on, applied idempotently.
+
+    The driver may hand us an arbitrary session; both confs below are safe
+    to set at runtime and required for deterministic results:
+    - UTC session tz → timestamp display/NTZ-strip is machine-independent;
+    - nanosAsLong → events.parquet (TIMESTAMP_NANOS) is readable at all.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table with normalized types."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as long nanoseconds (legacy conf above). Integer `div`
+        # is mandatory: 2024 epoch-nanos ≈ 1.7e18 > 2^53, so a double round
+        # trip would corrupt the value. DuckDB truncates nanos→micros the
+        # same way, keeping the oracle bit-identical.
+        df = df.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view (for the SQL-expressed operators:
+    grouping sets, asof emulation, ... Catalyst plans SQL and DataFrame code
+    identically, so this is a syntax choice, not an engine fork)."""
+    for name in TABLE_NAMES:
+        load(spark, sf_dir, name).createOrReplaceTempView(f"{prefix}{name}")
