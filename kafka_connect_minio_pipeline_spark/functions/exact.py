@@ -1,0 +1,62 @@
+"""Exactness helpers for oracle-comparable aggregates.
+
+The driver's correctness gate hashes cell values with no tolerance, but
+double-precision SUMs are order-dependent and Spark's partial (map-side)
+aggregation will never add values in the same order as DuckDB. Two rules
+make aggregates bit-comparable without giving up distributed execution:
+
+1. Money/quantity columns in the test data are cent-exact, so casting to
+   DECIMAL(18,2) per row loses nothing and decimal SUM is exact integer
+   arithmetic — associative, order-independent, and identical across
+   engines. (This is also the TPC-H-canonical treatment.)
+2. Where a float expression is unavoidable (avg, sqrt, ln), keep the
+   expression tree identical on both sides so IEEE-754 evaluation is
+   bit-identical, and round only at the end.
+
+At 100 TB nothing changes: decimal sums use Spark's built-in partial
+aggregation (map-side combine), so the shuffle carries one row per group
+per partition, not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec2(c: Column) -> Column:
+    """Per-row cast to DECIMAL(18,2) — exact for cent-denominated data."""
+    return c.cast("decimal(18,2)")
+
+
+def sum_dec2(c: Column) -> Column:
+    """Order-independent exact sum of a cent-exact column, emitted as double.
+
+    The sum itself is exact decimal arithmetic; the final cast to double is
+    deterministic (IEEE nearest of the exact value), giving a result that is
+    bit-identical across engines AND survives every client fetch path —
+    DuckDB's pandas conversion turns DECIMAL into float64, so decimal output
+    types would compare differently depending on how results are collected.
+    """
+    return F.sum(dec2(c)).cast("double")
+
+
+def revenue(extendedprice: Column, discount: Column) -> Column:
+    """TPC-H style discounted revenue term, exact decimal arithmetic.
+
+    (18,2) * (1 - (18,2)) → scale-4 decimal; summed exactly.
+    """
+    return dec2(extendedprice) * (F.lit(1) - dec2(discount))
+
+
+def sum_revenue(extendedprice: Column, discount: Column) -> Column:
+    return F.sum(revenue(extendedprice, discount)).cast("double")
+
+
+# SQL fragments mirroring the helpers above (DuckDB oracle side).
+SQL_SUM_DEC2 = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+SQL_SUM_REVENUE = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+SQL_COUNT = "CAST(COUNT(*) AS BIGINT)"

@@ -1,0 +1,197 @@
+"""Scalar function surface (SURVEY.md §2.4 scalar fns row).
+
+Generalizes the reference's per-record expressions (trim/concat from the
+SMT filter+derive, A9/A12) into the full string/date/math/JSON built-in
+surface. All JVM-side `pyspark.sql.functions` — these stay inside
+whole-stage codegen, so per-row cost is a fused loop, no Python boundary.
+
+Cross-engine gotchas encoded below (found the hard way, kept as law):
+- DuckDB regexp_replace is first-match unless the 'g' flag is passed;
+  Spark's is always global.
+- DuckDB DAYOFWEEK is 0-based Sunday, Spark's 1-based — avoided entirely.
+- math fns (sqrt/ln/exp) are per-row IEEE-identical, but their SUM is not
+  order-stable → emit per-row values, round at the end, never sum doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import sum_dec2
+from ..registry import Query
+from ..tables import load
+
+
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String kernel: case, trim/pad, substring, regex mask, split/size.
+
+    The regex digit-mask is the generalization of the reference's constant
+    email mask (UserProfileTransform.java:61-62) to pattern-based PII
+    masking.
+    """
+    customer = load(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return customer.select(
+        "c_custkey",
+        F.lower(name).alias("lower_name"),
+        F.upper(name).alias("upper_name"),
+        F.length(name).alias("name_len"),
+        F.substring(name, 1, 8).alias("name_prefix"),
+        F.regexp_replace(name, "[0-9]", "#").alias("masked_name"),
+        F.concat_ws("|", name, F.col("c_mktsegment")).alias("tagged"),
+        F.size(F.split(name, "#")).alias("n_parts"),
+        F.reverse(name).alias("rev_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+    )
+
+
+SQL_SCALAR_STRING = """
+    SELECT c_custkey,
+           LOWER(c_name) AS lower_name,
+           UPPER(c_name) AS upper_name,
+           CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+           SUBSTRING(c_name, 1, 8) AS name_prefix,
+           REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS masked_name,
+           c_name || '|' || c_mktsegment AS tagged,
+           CAST(LEN(STRING_SPLIT(c_name, '#')) AS INTEGER) AS n_parts,
+           REVERSE(c_name) AS rev_name,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key
+    FROM customer
+"""
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date kernel: truncation to month, field extraction, monthly aggs."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            F.year(F.col("o_orderdate")).alias("order_year"),
+            F.month(F.col("o_orderdate")).alias("order_m"),
+            F.dayofmonth(F.col("o_orderdate")).alias("order_d"),
+            F.quarter(F.col("o_orderdate")).alias("order_q"),
+            F.col("o_totalprice"),
+        )
+        .groupBy("order_month", "order_year", "order_m", "order_q")
+        .agg(
+            F.count("*").alias("n_orders"),
+            sum_dec2(F.col("o_totalprice")).alias("sum_price"),
+            F.min("order_d").alias("first_day"),
+            F.max("order_d").alias("last_day"),
+        )
+    )
+
+
+SQL_SCALAR_DATE = """
+    SELECT DATE_TRUNC('month', o_orderdate) AS order_month,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_m,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS order_q,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MIN(DAY(o_orderdate)) AS INTEGER) AS first_day,
+           CAST(MAX(DAY(o_orderdate)) AS INTEGER) AS last_day
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math kernel, per-row (sums of float fns are order-unstable — see
+    module docstring). round(…,6) absorbs any last-ulp libm difference."""
+    part = load(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return part.select(
+        "p_partkey",
+        F.round(F.sqrt(price), 6).alias("sqrt_price"),
+        F.round(F.log(price), 6).alias("ln_price"),
+        F.round(F.log10(price), 6).alias("log10_price"),
+        F.round(F.pow(F.col("p_size").cast("double"), F.lit(2.0)), 6).alias("size_sq"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.ceil(price).alias("ceil_price"),
+        F.floor(price).alias("floor_price"),
+        (F.col("p_partkey") % 7).alias("key_mod"),
+    )
+
+
+SQL_SCALAR_MATH = """
+    SELECT p_partkey,
+           ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+           ROUND(LN(p_retailprice), 6) AS ln_price,
+           ROUND(LOG10(p_retailprice), 6) AS log10_price,
+           ROUND(POW(CAST(p_size AS DOUBLE), 2.0), 6) AS size_sq,
+           CAST(ABS(p_size - 25) AS INTEGER) AS size_dev,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+           CAST(p_partkey % 7 AS BIGINT) AS key_mod
+    FROM part
+"""
+
+
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured kernel: get_json_object over events.props (the A22
+    existence-test generalized), grouped stats per extracted bucket."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.select(
+            (k % 10).alias("k_bucket"),
+            F.col("event_type"),
+            F.col("value"),
+        )
+        .groupBy("k_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_dec2(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+SQL_SCALAR_JSON = """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional kernel: CASE tiers, coalesce/nullif, greatest/least —
+    the 5-way CASE of the verifier (A20) generalized to expressions."""
+    customer = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        F.when(bal < 0, "debt")
+        .when(bal < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER"))
+        .alias("segment_or_other"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap1000"),
+    )
+
+
+SQL_SCALAR_CONDITIONAL = """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           GREATEST(c_acctbal, 0.0) AS bal_floor0,
+           LEAST(c_acctbal, 1000.0) AS bal_cap1000
+    FROM customer
+"""
+
+
+QUERIES = {
+    "scalar_string": Query(q_scalar_string, SQL_SCALAR_STRING),
+    "scalar_date": Query(q_scalar_date, SQL_SCALAR_DATE),
+    "scalar_math": Query(q_scalar_math, SQL_SCALAR_MATH),
+    "scalar_json": Query(q_scalar_json, SQL_SCALAR_JSON, headline=True),
+    "scalar_conditional": Query(q_scalar_conditional, SQL_SCALAR_CONDITIONAL),
+}

@@ -1,0 +1,235 @@
+"""Aggregation operators (SURVEY.md §2.4 aggregations row).
+
+Covers grouped aggregates (the reference's only aggregation is the
+verifier's count check, A21 — generalized here), multi-level grouping
+(rollup / cube / grouping sets), exact and approximate distinct counts,
+and deterministic variance/stddev.
+
+Exactness strategy (see functions/exact.py): decimal sums are
+order-independent so they hash-match DuckDB; averages/moments are computed
+from exact decimal sums with an IEEE-identical final expression instead of
+engine-native AVG/STDDEV (whose accumulation order differs per engine).
+All of these use built-in partial aggregation: the shuffle carries one
+accumulator row per (group × partition), never raw rows — the map-side
+combine that makes groupBy viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec2, sum_dec2, sum_revenue
+from ..registry import Query
+from ..tables import load, register_views
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan→filter→agg.
+
+    The shipdate filter is pushed into the parquet scan (PushedFilters),
+    sums are decimal-exact, averages derived from the exact sums.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_dec2(F.col("l_quantity")).alias("sum_qty"),
+            sum_dec2(F.col("l_extendedprice")).alias("sum_base_price"),
+            sum_revenue(F.col("l_extendedprice"), F.col("l_discount")).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty",
+            F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 6),
+        )
+        .withColumn(
+            "avg_price",
+            F.round(F.col("sum_base_price").cast("double") / F.col("count_order"), 6),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+    WITH base AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus)
+    SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+           count_order,
+           ROUND(CAST(sum_qty AS DOUBLE) / count_order, 6) AS avg_qty,
+           ROUND(CAST(sum_base_price AS DOUBLE) / count_order, 6) AS avg_price
+    FROM base
+"""
+
+
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (expands to two-phase agg plan)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        sum_dec2(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+SQL_AGG_COUNT_DISTINCT = """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag → linestatus → grand total) with GROUPING id to
+    disambiguate subtotal rows from genuine NULL groups."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            sum_dec2(F.col("l_quantity")).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("grp"),
+        )
+    )
+
+
+SQL_AGG_ROLLUP = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two order dimensions (all 4 grouping combinations)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            sum_dec2(F.col("o_totalprice")).alias("sum_price"),
+            F.count("*").alias("n_orders"),
+            F.grouping_id("o_orderstatus", "o_orderpriority").cast("long").alias("grp"),
+        )
+    )
+
+
+SQL_AGG_CUBE = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — SQL-only surface in Spark, planned by
+    Catalyst identically to rollup/cube (Expand + partial agg)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+SQL_AGG_GROUPING_SETS = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mean/variance/stddev from exact decimal sums.
+
+    Engine-native STDDEV accumulates in engine-specific order (Welford on
+    different partition orders), so it can never hash-match across engines.
+    Instead: exact SUM(x), SUM(x²) in decimal (x is cent-exact → x² is
+    scale-4-exact), then one IEEE-identical final expression. Same partial
+    aggregation profile as any sum at scale.
+    """
+    customer = load(spark, sf_dir, "customer")
+    base = customer.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        sum_dec2(F.col("c_acctbal")).alias("sum_bal"),
+        F.sum(dec2(F.col("c_acctbal")) * dec2(F.col("c_acctbal")))
+        .cast("double")
+        .alias("sum_bal_sq"),
+    )
+    sum_d = F.col("sum_bal").cast("double")
+    sumsq_d = F.col("sum_bal_sq").cast("double")
+    n = F.col("n")
+    var = (sumsq_d - sum_d * sum_d / n) / (n - F.lit(1))
+    return base.select(
+        "c_mktsegment",
+        "n",
+        F.round(sum_d / n, 6).alias("mean_bal"),
+        F.round(var, 6).alias("var_bal"),
+        F.round(F.sqrt(var), 6).alias("std_bal"),
+    )
+
+
+SQL_AGG_STATS = """
+    WITH base AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+                        * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal_sq
+        FROM customer GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n,
+           ROUND(CAST(sum_bal AS DOUBLE) / n, 6) AS mean_bal,
+           ROUND((CAST(sum_bal_sq AS DOUBLE)
+                  - CAST(sum_bal AS DOUBLE) * CAST(sum_bal AS DOUBLE) / n)
+                 / (n - 1), 6) AS var_bal,
+           ROUND(SQRT((CAST(sum_bal_sq AS DOUBLE)
+                  - CAST(sum_bal AS DOUBLE) * CAST(sum_bal AS DOUBLE) / n)
+                 / (n - 1)), 6) AS std_bal
+    FROM base
+"""
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate next to the exact count.
+
+    rows-only check: the estimate is engine-specific by design. At scale
+    this is the operator you actually run — fixed-size sketch vs. the
+    shuffle-heavy exact expansion.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+QUERIES = {
+    "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
+    "agg_count_distinct": Query(q_agg_count_distinct, SQL_AGG_COUNT_DISTINCT),
+    "agg_rollup": Query(q_agg_rollup, SQL_AGG_ROLLUP),
+    "agg_cube": Query(q_agg_cube, SQL_AGG_CUBE),
+    "agg_grouping_sets": Query(q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
+    "agg_stats": Query(q_agg_stats, SQL_AGG_STATS),
+    "agg_approx_distinct": Query(q_agg_approx_distinct, None),
+}

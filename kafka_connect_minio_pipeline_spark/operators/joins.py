@@ -1,0 +1,211 @@
+"""Join operators (SURVEY.md §2.4 joins row).
+
+The reference implements exactly one join — the verifier's full-outer
+reconciliation (covered in pipeline/profile.py). Everything here is the
+extension surface: equi-joins in all flavors, broadcast for dimension
+tables, a non-equi band join, and an as-of join built scale-first.
+
+Scale notes baked into each operator:
+- dimension tables (nation, bands) are broadcast explicitly → zero shuffle
+  of the fact side for those joins;
+- fact⨝fact equi-joins rely on Catalyst sort-merge + AQE (skew split);
+- the as-of join deliberately avoids the quadratic join-then-filter plan:
+  it's a union + single window pass, one shuffle on the partition key —
+  the only formulation that survives 100 TB of events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import SQL_SUM_REVENUE, sum_revenue
+from ..registry import Query
+from ..tables import load
+
+
+def q_join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⨝ nation(broadcast) ⨝ orders ⨝ lineitem → revenue by nation.
+
+    nation is tiny (25 rows) → explicit broadcast; orders⨝lineitem is the
+    big sort-merge pair and AQE handles skew/coalescing.
+    """
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            sum_revenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_INNER = f"""
+    SELECT n_name,
+           {SQL_SUM_REVENUE} AS revenue,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving order-less customers (COUNT of nullable key)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count(F.col("o_orderkey")).alias("n_orders"))
+    )
+
+
+SQL_JOIN_LEFT = """
+    SELECT c_custkey, c_mktsegment, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi: customers with ≥1 urgent open order.
+
+    Semi-join ships only the key column of the probe side — at scale this
+    beats inner-join+distinct by never materializing the match multiplicity.
+    """
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    )
+    return customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_JOIN_SEMI = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti: customers with no high-value (>300k) order.
+
+    (Anti against *all* orders would be trivially empty in this data —
+    every customer has orders — so the probe side is filtered to keep the
+    operator's semantics observable.)
+    """
+    customer = load(spark, sf_dir, "customer")
+    big = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_JOIN_ANTI = """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+_BANDS = [("small", 0, 10), ("medium", 10, 25), ("large", 25, 51)]
+
+
+def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: lineitem quantity classified into bands.
+
+    The band table is a literal → broadcast nested-loop join, which is the
+    right physical plan: the stream side is never shuffled, each task scans
+    its lineitem split once against the 3-row broadcast.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band string, lo int, hi int")
+    return (
+        lineitem.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+SQL_JOIN_RANGE = """
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0, 10), ('medium', 10, 25), ('large', 25, 51))
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the latest click by the same
+    user at-or-before the purchase timestamp.
+
+    Scale-first formulation: instead of purchase⨝click + ts filter (quadratic
+    per user, then a re-aggregation), tag both event kinds, union, and take
+    `last(click_ts, ignorenulls)` over a single (user_id, ts)-ordered window
+    — one shuffle, linear state, the classic streaming-friendly as-of plan.
+    Ties at identical ts sort 'click' before 'purchase' (event_type asc), so
+    a same-instant click counts as "at or before" — matching the oracle's
+    ASOF semantics (p.ts >= c.ts).
+    """
+    events = load(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+SQL_JOIN_ASOF = """
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+QUERIES = {
+    "join_inner_revenue": Query(q_join_inner_revenue, SQL_JOIN_INNER, headline=True),
+    "join_left_order_counts": Query(q_join_left_order_counts, SQL_JOIN_LEFT),
+    "join_semi": Query(q_join_semi, SQL_JOIN_SEMI),
+    "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
+    "join_range_band": Query(q_join_range_band, SQL_JOIN_RANGE),
+    "join_asof": Query(q_join_asof, SQL_JOIN_ASOF, headline=True),
+}

@@ -1,0 +1,172 @@
+"""Window-function operators (SURVEY.md §2.4 windows + sorts/top-k rows).
+
+Every ORDER BY inside a window carries a unique tiebreaker column
+(o_orderkey) — without it row_number/lag/running-sum are nondeterministic
+under ties and can never hash-match an oracle (or even a re-run of the
+same plan). rank/dense_rank are exercised over a deliberately coarse
+bucketed ordering so real ties exist.
+
+Scale: a window over partitionBy(k) is one hash shuffle on k plus a
+per-partition sort — same cost envelope as groupBy(k). The top-k-per-group
+pattern (row_number ≤ n) is the scalable replacement for per-group
+ORDER BY/LIMIT loops; global top-k uses orderBy().limit(k) which Spark
+executes as per-partition partial top-k + single-reduce (TakeOrdered),
+never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec2
+from ..registry import Query
+from ..tables import load
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number (unique ordering) + rank/dense_rank (bucketed, with ties)
+    per customer."""
+    orders = load(spark, sf_dir, "orders")
+    unique_order = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    bucket = F.floor(F.col("o_totalprice") / 10000)
+    bucketed = Window.partitionBy("o_custkey").orderBy(bucket.desc())
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(unique_order).alias("rn"),
+        F.rank().over(bucketed).alias("rnk"),
+        F.dense_rank().over(bucketed).alias("drnk"),
+    )
+
+
+SQL_WINDOW_RANK = """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+           CAST(RANK() OVER (PARTITION BY o_custkey
+                ORDER BY FLOOR(o_totalprice / 10000) DESC) AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                ORDER BY FLOOR(o_totalprice / 10000) DESC) AS INTEGER) AS drnk
+    FROM orders
+"""
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order history: previous order date, next order value,
+    inter-order gap in days."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        prev_date.alias("prev_order_date"),
+        F.lead(F.col("o_totalprice")).over(w).alias("next_total"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date.cast("date"))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+SQL_WINDOW_LAG_LEAD = """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           LAG(o_orderdate) OVER w AS prev_order_date,
+           LEAD(o_totalprice) OVER w AS next_total,
+           CAST(DATE_DIFF('day',
+                CAST(LAG(o_orderdate) OVER w AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving sum per customer (frame semantics).
+
+    Decimal accumulators keep the running values exact, so the window frame
+    results hash-match the oracle regardless of partition layout.
+    """
+    orders = load(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = base.rowsBetween(-2, Window.currentRow)
+    price = dec2(F.col("o_totalprice"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(price).over(running).cast("double").alias("running_total"),
+        F.sum(price).over(moving).cast("double").alias("moving_sum3"),
+        F.count("*").over(running).alias("order_seq"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS moving_sum3,
+           CAST(COUNT(*) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS order_seq
+    FROM orders
+"""
+
+
+def q_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the scalable per-group top-k idiom."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("price"), "rn")
+    )
+
+
+SQL_WINDOW_TOPN = """
+    SELECT o_custkey, o_orderkey, o_totalprice AS price,
+           CAST(rn AS INTEGER) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+"""
+
+
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders: orderBy+limit → TakeOrderedAndProject physical
+    plan (per-partition heap + driver merge, no global sort/shuffle)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("price"))
+    )
+
+
+SQL_TOPK_GLOBAL = """
+    SELECT o_orderkey, o_custkey, o_totalprice AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+QUERIES = {
+    "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
+    "window_lag_lead": Query(q_window_lag_lead, SQL_WINDOW_LAG_LEAD),
+    "window_running": Query(q_window_running, SQL_WINDOW_RUNNING, headline=True),
+    "window_topn_per_group": Query(q_window_topn_per_group, SQL_WINDOW_TOPN),
+    "topk_global": Query(q_topk_global, SQL_TOPK_GLOBAL),
+}
