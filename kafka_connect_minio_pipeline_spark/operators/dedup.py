@@ -1,0 +1,425 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables
+(SURVEY.md §2.4 dedup row; BASELINE.json north star).
+
+Four families, each with the scale story a 100 TB training-data pipeline
+needs:
+
+- exact (normalized-fingerprint): one md5 per doc + groupBy — linear, one
+  shuffle on the fingerprint; the canonical first pass of any dedup stack.
+- n-gram Jaccard: candidate pairs ONLY via shared-shingle inverted index
+  (docs sharing zero shingles can't have J > 0), then exact verification.
+  Never materializes the quadratic pair space.
+- MinHash-LSH: fixed-size signatures (16 perms) + banded candidate join +
+  exact verify. Sub-quadratic; the standard web-scale near-dup design
+  (candidate recall measured in tests against the exact Jaccard operator).
+- SimHash: 32-bit signature via per-bit majority vote, neighbor counting
+  with hd ≤ 1. The Spark plan uses pigeonhole banding (4 × 8-bit bands;
+  hd ≤ 1 pairs must agree on ≥ 3 bands), the oracle brute-forces — same
+  result set, so the scalable plan is verified against the quadratic spec.
+- embedding cosine near-dup: exact threshold pairs (double math shared
+  bit-for-bit with the oracle); the ANN/LSH scale path lives in
+  operators/similarity.py.
+
+Tokenization is canonical across every operator AND the oracle: lowercase,
+split on whitespace, drop empties.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_from_parts, dot, to_double
+from ..registry import Query
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# canonical tokenization / shingling (Spark + mirrored SQL)
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), "\\s+"), lambda x: x != "")
+
+
+SQL_TOKENS = "list_filter(string_split_regex(lower({col}), '\\s+'), x -> x <> '')"
+
+
+def shingles3(toks: Column) -> Column:
+    """Word 3-gram shingles. Guarded: Spark's sequence(0, n) is DESCENDING
+    for negative n, so short docs must short-circuit to an empty array."""
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    return F.when(F.size(toks) >= 3, make).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+SQL_SHINGLES_CTE = f"""
+    shingle AS (
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS w FROM documents),
+             UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     FOR i IN RANGE(1, GREATEST(LEN(w) - 1, 1))]) t(s)
+    )
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(shingles3(tokens(F.col("text")))).alias("s"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup via normalized fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate detection on the normalized token-set fingerprint
+    (md5 of sorted distinct tokens): doc → canonical representative.
+
+    Window-min over the fingerprint gives each doc its canonical id in one
+    shuffle; `is_dup` marks everything but the representative. Hash-groupBy
+    dedup generalizes to any scale (fingerprint is 16 bytes/doc).
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
+    )
+    with_fp = docs.select("doc_id", fp.alias("fingerprint"))
+    canon = with_fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    return (
+        with_fp.join(canon, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+            "group_size",
+        )
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+    WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   {SQL_TOKENS.format(col='text')})), ' ')) AS fingerprint
+        FROM documents),
+    canon AS (
+        SELECT fingerprint, MIN(doc_id) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM fp GROUP BY fingerprint)
+    SELECT doc_id, fp.fingerprint, canonical_id,
+           doc_id <> canonical_id AS is_dup, group_size
+    FROM fp JOIN canon USING (fingerprint)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. exact n-gram Jaccard near-dup pairs (inverted-index candidates)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.8
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with 3-gram-shingle Jaccard ≥ 0.8.
+
+    Candidates come from the shared-shingle inverted index (self-join on
+    shingle), never a cross join: at 100 TB the candidate count is bounded
+    by posting-list sizes, and a hot shingle can be capped/salted. The
+    exact Jaccard then filters candidates; output is (d1 < d2, jaccard).
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac.select("d1", "d2", "jaccard")
+
+
+SQL_DEDUP_NGRAM = f"""
+    WITH {SQL_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM shingle a JOIN shingle b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT d1, d2, ROUND(c * 1.0 / (s1.n + s2.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes s1 ON s1.doc_id = d1
+    JOIN sizes s2 ON s2.doc_id = d2
+    WHERE ROUND(c * 1.0 / (s1.n + s2.n - c), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH (sub-quadratic candidates, exact verify)
+# ---------------------------------------------------------------------------
+
+N_PERM = 16
+N_BANDS = 4  # 4 rows per band; P(candidate) = 1-(1-j^4)^4 → ~0.96 at j=0.8
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """16 min-hash values per doc, one aggregation pass (no row blowup:
+    the 16 mins are computed as 16 agg expressions over the shingle rows)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"sig{p}") for p in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: banded signature join → candidates → exact
+    Jaccard verify at the same 0.8 threshold.
+
+    Output columns match q_dedup_ngram_jaccard so tests can measure LSH
+    candidate recall directly against the exact operator. rows-only for the
+    driver (hash seeds are engine-specific), adversarially tested in
+    tests/test_dedup.py.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = minhash_signatures(sh)
+    r = N_PERM // N_BANDS
+    bands = F.array(
+        *[
+            F.hash(*[F.col(f"sig{b * r + i}") for i in range(r)])
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_val"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    common = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("d1"))
+        .join(sb, (F.col("sb.doc_id") == F.col("d2")) & (F.col("sa.s") == F.col("sb.s")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash near-dup neighborhood
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+HAMMING_MAX = 1
+
+
+def _simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash: per-bit majority vote over md5-derived token hashes.
+
+    Computed as 32 parallel SUM expressions over exploded distinct tokens —
+    vectorized, single shuffle, no per-bit row explosion. md5 (not xxhash)
+    so the oracle can reproduce the identical signature in SQL.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    tok = tok.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash + count of near-neighbors within Hamming ≤ 1.
+
+    Scalable plan: 4 × 8-bit pigeonhole bands — any pair with hd ≤ 1 agrees
+    on at least 3 bands, so the banded join finds exactly the brute-force
+    pair set (the oracle computes that quadratic spec directly). Candidate
+    pairs are deduped before the bit_count verify.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sig = _simhash(docs)
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255)).cast("long")
+            for k in range(4)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "simhash", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.doc_id").alias("nbr"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+        .filter(F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))) <= HAMMING_MAX)
+    )
+    near = pairs.groupBy("doc_id").agg(F.count("*").alias("n_near"))
+    return (
+        sig.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "simhash",
+            F.coalesce(F.col("n_near"), F.lit(0)).alias("n_near"),
+        )
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t
+        FROM documents, UNNEST({SQL_TOKENS.format(col='text')}) x(t)),
+    bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (('0x' || substr(md5(t), 1, 8))::BIGINT >> j) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM tok, UNNEST(RANGE(0, {SIMHASH_BITS})) r(j)
+        GROUP BY 1, 2),
+    sig AS (
+        -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas renders as
+        -- float64 — cast back so the type matches Spark's long
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM bits GROUP BY doc_id),
+    near AS (
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
+        FROM sig a JOIN sig b
+          ON a.doc_id <> b.doc_id
+         AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+        GROUP BY 1)
+    SELECT sig.doc_id, simhash, COALESCE(n_near, 0) AS n_near
+    FROM sig LEFT JOIN near ON sig.doc_id = near.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. embedding cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs over the embedding column.
+
+    Brute-force is the correctness spec (and fine at sf0.01); the
+    sub-quadratic path for 100 TB is the LSH-bucketed ANN in
+    operators/similarity.py. Norms are precomputed once per vector; the
+    double-precision fold matches DuckDB's list_dot_product bit-for-bit.
+    """
+    em = load(spark, sf_dir, "embeddings")
+    d = to_double(F.col("embedding"))
+    base = em.select("vec_id", F.col("embedding"), dot(d, d).alias("norm_sq"))
+    a = base.alias("a")
+    b = base.alias("b")
+    da = to_double(F.col("a.embedding"))
+    db = to_double(F.col("b.embedding"))
+    cos = cosine_from_parts(dot(da, db), F.col("a.norm_sq"), F.col("b.norm_sq"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+SQL_DEDUP_EMBEDDING = f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS norm_sq
+        FROM embeddings)
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (SQRT(a.norm_sq) * SQRT(b.norm_sq)), 6) AS cos_sim
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
+                / (SQRT(a.norm_sq) * SQRT(b.norm_sq)), 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
+    "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM, headline=True),
+    "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
+    "dedup_simhash": Query(q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
+}

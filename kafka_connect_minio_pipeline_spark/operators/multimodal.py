@@ -1,0 +1,146 @@
+"""Multimodal column plumbing (SURVEY.md §2.4; BASELINE.json north star).
+
+Design: image/audio/video payloads are opaque ``binary`` columns with typed
+metadata alongside (the lakehouse-standard layout — the engine shuffles and
+prunes bytes without interpreting them). Decode / feature-extraction runs as
+Arrow-batched ``mapInPandas`` so the Python boundary is paid once per batch,
+not per row, and the operator parallelizes like any other map.
+
+The decode kernels themselves are STUBS in this environment (no
+image/audio libraries in the container): ``decode_image``/``decode_audio``
+raise NotImplementedError, and the tested pipeline injects
+``fake_decode_features`` — a deterministic byte-statistics kernel with the
+exact signature a real (PIL/torchaudio) decoder would have. The Spark-side
+plumbing — binary column construction, schema, batch iteration,
+partition-parallel execution — is real and oracle-/test-covered.
+
+There is no binary test table, so ``documents.text`` is encoded to UTF-8
+bytes as the stand-in payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import Query
+from ..tables import load
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, mean_byte double, max_byte int, head_byte int"
+)
+
+
+def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, payload binary, typed metadata)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.col("source").alias("origin"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — not available in this container.
+
+    Reference deployments plug PIL/torchvision here; the pipeline contract
+    (bytes in → feature row out) is exercised via fake_decode_features.
+    """
+    raise NotImplementedError("image decoding requires an image library (PIL)")
+
+
+def decode_audio(payload: bytes) -> "object":
+    raise NotImplementedError("audio decoding requires an audio library")
+
+
+def fake_decode_features(payload: bytes) -> dict:
+    """Deterministic stand-in decoder: byte statistics as 'features'."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "mean_byte": (sum(payload) / n) if n else 0.0,
+        "max_byte": max(payload) if n else 0,
+        "head_byte": payload[0] if n else 0,
+    }
+
+
+def extract_features(binary_df: DataFrame, decoder=fake_decode_features) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas: one Python invocation per Arrow batch (not per row); the
+    decoder is applied to the raw bytes of each payload. Swap ``decoder``
+    for a real image/audio kernel in a full deployment — schema and batch
+    shape stay identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decoder)
+            out = pd.DataFrame(list(feats))
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata over opaque binary payloads, entirely JVM-side: byte
+    length, content hash, head bytes as hex — the operations a catalog
+    runs without decoding (oracle-checked)."""
+    b = binary_table(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        "mime",
+        "origin",
+        F.octet_length(F.col("payload")).alias("n_bytes"),
+        F.md5(F.col("payload")).alias("content_md5"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("head_hex"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+    SELECT doc_id,
+           'text/plain' AS mime,
+           source AS origin,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+           MD5(text) AS content_md5,
+           LOWER(HEX(ENCODE(SUBSTRING(text, 1, 4)))) AS head_hex
+    FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode pipeline with the deterministic fake kernel.
+
+    The byte statistics are integer-exact (mean emitted as an exact
+    ratio-of-ints double), so even this Python-side path is oracle-checked
+    against DuckDB computing the same statistics SQL-side.
+    """
+    return extract_features(binary_table(spark, sf_dir))
+
+
+SQL_MULTIMODAL_FEATURES = """
+    SELECT doc_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS INTEGER) AS n_bytes,
+           LIST_SUM(LIST_TRANSFORM(
+               RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1),
+               i -> ORD(SUBSTRING(text, i, 1)))) * 1.0
+               / OCTET_LENGTH(ENCODE(text)) AS mean_byte,
+           CAST(LIST_MAX(LIST_TRANSFORM(
+               RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1),
+               i -> ORD(SUBSTRING(text, i, 1)))) AS INTEGER) AS max_byte,
+           CAST(ORD(SUBSTRING(text, 1, 1)) AS INTEGER) AS head_byte
+    FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_binary_meta": Query(q_multimodal_binary_meta, SQL_MULTIMODAL_META),
+    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+}

@@ -1,0 +1,218 @@
+"""Similarity search over the embedding column (SURVEY.md §2.4 row;
+BASELINE.json north star).
+
+Three tiers:
+- brute-force top-k for one query vector — the correctness spec;
+- batch top-k (many queries at once) via broadcast + per-query window —
+  the shape a reranker / eval harness actually runs;
+- random-hyperplane LSH ANN — the 100 TB path: multi-table signatures
+  bucket the corpus so each query scores only its bucket union, not the
+  full corpus. Engine-specific hashes → rows-only for the driver; recall
+  vs. the brute-force operator is asserted in tests/test_similarity.py.
+
+All cosine math is the shared double-fold from functions/vectors.py
+(bit-identical to the DuckDB oracle's list_dot_product on DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_from_parts, dot, to_double
+from ..registry import Query
+from ..tables import load
+
+TOP_K = 5
+N_QUERIES = 8  # batch operator: vec_id < 8 are the query set
+
+
+def _with_norms(em: DataFrame) -> DataFrame:
+    d = to_double(F.col("embedding"))
+    return em.select("vec_id", "embedding", dot(d, d).alias("norm_sq"))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors of the vec_id=0 vector (brute force).
+
+    The query row is a 1-row broadcast against the corpus scan — no
+    shuffle of the corpus; orderBy+limit compiles to TakeOrdered.
+    """
+    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    q = em.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("norm_sq").alias("q_norm")
+    )
+    cos = cosine_from_parts(
+        dot(to_double(F.col("embedding")), to_double(F.col("q_emb"))),
+        F.col("norm_sq"),
+        F.col("q_norm"),
+    )
+    return (
+        em.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+SQL_SIMILARITY_TOPK = f"""
+    WITH q AS (
+        SELECT embedding AS q_emb,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS q_norm
+        FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[]))
+                 / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])))
+                    * SQRT(q_norm)), 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {TOP_K}
+"""
+
+
+def q_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for each of the first 8 vectors, one pass.
+
+    Queries are broadcast; ranking is a per-query window (row_number over
+    cosine desc) — the scalable many-query formulation: corpus scanned
+    once, k·|Q| rows out.
+    """
+    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    queries = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    cos = cosine_from_parts(
+        dot(to_double(F.col("embedding")), to_double(F.col("q_emb"))),
+        F.col("norm_sq"),
+        F.col("q_norm"),
+    )
+    scored = (
+        em.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+SQL_SIMILARITY_TOPK_BATCH = f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS norm_sq
+        FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[]))
+                     / (SQRT(c.norm_sq) * SQRT(q.norm_sq)), 6) AS cos_sim
+        FROM base c JOIN base q
+          ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id)
+    SELECT query_id, vec_id, cos_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+    WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN (scale path)
+# ---------------------------------------------------------------------------
+
+LSH_TABLES = 8
+LSH_BITS = 6
+EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side constants, broadcast
+    into the plan as literals — a few KB, no shuffle)."""
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((LSH_TABLES * LSH_BITS, EMB_DIM)).tolist()
+
+
+def lsh_signatures(em: DataFrame) -> DataFrame:
+    """Per (vector, table): an LSH_BITS-bit bucket id from hyperplane signs."""
+    planes = _hyperplanes()
+    emb = to_double(F.col("embedding"))
+    table_buckets = []
+    for t in range(LSH_TABLES):
+        bucket = F.lit(0)
+        for i in range(LSH_BITS):
+            plane = F.array(*[F.lit(v) for v in planes[t * LSH_BITS + i]])
+            bit = (dot(emb, plane) > 0).cast("int")
+            bucket = bucket + (bit * (1 << i))
+        table_buckets.append(bucket.cast("long"))
+    return em.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(F.array(*table_buckets)).alias("table_id", "bucket"),
+    )
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 for the first 8 queries via multi-table hyperplane LSH.
+
+    Candidates = union over 8 tables of same-bucket vectors (≈ a few % of
+    the corpus per query), then exact cosine rerank of candidates only.
+    At 100 TB the bucket join replaces the full-corpus scan per query —
+    the crossover that makes similarity search feasible at all.
+    """
+    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    sigs = lsh_signatures(load(spark, sf_dir, "embeddings"))
+    q_sigs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("table_id"),
+        F.col("bucket"),
+    )
+    cand = (
+        sigs.join(F.broadcast(q_sigs), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qn = em.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    cos = cosine_from_parts(
+        dot(to_double(F.col("embedding")), to_double(F.col("q_emb"))),
+        F.col("norm_sq"),
+        F.col("q_norm"),
+    )
+    scored = (
+        cand.join(em, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+QUERIES = {
+    "similarity_topk": Query(q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "similarity_topk_batch": Query(
+        q_similarity_topk_batch, SQL_SIMILARITY_TOPK_BATCH, headline=True
+    ),
+    "similarity_ann_lsh": Query(q_similarity_ann_lsh, None),
+}

@@ -1,0 +1,217 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.4 text row;
+BASELINE.json north star).
+
+Everything stays JVM-side (split / regexp / higher-order array functions)
+— token counting and quality scoring at 100 TB is a pure map, so the only
+thing that matters is staying inside whole-stage codegen and letting the
+parquet scan prune to (doc_id, text[, lang]).
+
+- quality scoring: length / punctuation / stopword-ratio features and a
+  deterministic composite score (oracle-checked).
+- token counting: whitespace tokens AND a BPE-ish regex pre-tokenization
+  (letters | digits | single non-space symbol), aggregated per language.
+- n-gram profile: global top-20 word bigrams — explode + count + top-k.
+- language-ID: corpus-trained character-bigram Naive-Bayes-ish scorer
+  (rows-only: float log-sum ordering is engine-specific; determinism and
+  self-consistency are asserted in tests/test_text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import Query
+from ..tables import load
+from .dedup import SQL_TOKENS, tokens
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+BPE_ISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (all deterministic)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_in = ",".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(
+        f"filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), t -> t IN ({stop_in}))"
+    ))
+    n_chars = F.length(F.col("text"))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    alpha_ratio = F.round(alpha_chars / n_chars, 6)
+    avg_tok_len = F.round(alpha_chars / n_tokens, 6)
+    score = F.round(
+        (alpha_chars / n_chars) * 0.5
+        + (n_stop / n_tokens) * 0.3
+        + F.least(n_tokens / F.lit(32.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+_STOP_SQL = ",".join(f"'{s}'" for s in STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               {SQL_TOKENS.format(col='text')} AS toks,
+               LENGTH(text) AS n_chars,
+               LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+        FROM documents)
+    SELECT doc_id, lang,
+           CAST(LEN(toks) AS INTEGER) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(LEN(LIST_FILTER(toks, t -> t IN ({_STOP_SQL}))) * 1.0
+                 / LEN(toks), 6) AS stopword_ratio,
+           ROUND(alpha_chars * 1.0 / n_chars, 6) AS alpha_ratio,
+           ROUND(alpha_chars * 1.0 / LEN(toks), 6) AS avg_token_len,
+           ROUND((alpha_chars * 1.0 / n_chars) * 0.5
+                 + (LEN(LIST_FILTER(toks, t -> t IN ({_STOP_SQL}))) * 1.0 / LEN(toks)) * 0.3
+                 + LEAST(LEN(toks) / 32.0, 1.0) * 0.2, 6) AS quality_score
+    FROM t
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language: docs, whitespace tokens,
+    BPE-ish regex tokens, distinct vocabulary, chars."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    # NB: not F.expr — Spark SQL string literals process backslash escapes,
+    # which silently turns \s into s inside an embedded regex.
+    bpe_count = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), F.lit(0)))
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_ws"),
+        bpe_count.alias("n_bpe"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+        toks.alias("toks"),
+    )
+    vocab = (
+        per_doc.select("lang", F.explode("toks").alias("t"))
+        .groupBy("lang")
+        .agg(F.countDistinct("t").alias("vocab_size"))
+    )
+    stats = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws").alias("total_ws_tokens"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_ws") / F.count("*"), 6).alias("avg_tokens_per_doc"),
+    )
+    return stats.join(vocab, "lang")
+
+
+SQL_TEXT_TOKEN_STATS = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               {SQL_TOKENS.format(col='text')} AS toks,
+               LEN(regexp_extract_all(text, '{BPE_ISH}')) AS n_bpe,
+               LENGTH(text) AS n_chars
+        FROM documents),
+    vocab AS (
+        SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+        FROM t, UNNEST(toks) x(tok) GROUP BY lang),
+    stats AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(toks)) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(SUM(LEN(toks)) * 1.0 / COUNT(*), 6) AS avg_tokens_per_doc
+        FROM t GROUP BY lang)
+    SELECT stats.*, vocab_size FROM stats JOIN vocab USING (lang)
+"""
+
+
+def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 word bigrams (tiebreak on the bigram string)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+SQL_TEXT_NGRAM_TOP = f"""
+    WITH bg AS (
+        SELECT w[i] || ' ' || w[i+1] AS bigram
+        FROM (SELECT {SQL_TOKENS.format(col='text')} AS w FROM documents),
+             UNNEST(RANGE(1, GREATEST(LEN(w), 1))) r(i))
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language scorer, trained on the corpus itself.
+
+    Profiles: P(char-bigram | lang) with add-one smoothing, computed from
+    the labeled corpus; each doc is scored per language by summed log
+    frequencies and assigned the argmax. This is the classic n-gram-profile
+    language-ID shape (Cavnar-Trenkle style) as joins + aggregations —
+    train and apply are both distributed; nothing driver-side.
+
+    rows-only: cross-engine float log-sum ties make hash equality
+    meaningless; tests assert determinism and exact self-consistency.
+    """
+    docs = load(spark, sf_dir, "documents")
+    chars2 = F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+    doc_bg = docs.select("doc_id", "lang", F.explode(chars2).alias("bg"))
+    # per-language bigram log-probabilities (add-one smoothed)
+    lang_counts = doc_bg.groupBy("lang", "bg").agg(F.count("*").alias("c"))
+    lang_totals = lang_counts.groupBy("lang").agg(F.sum("c").alias("total"))
+    profile = lang_counts.join(lang_totals, "lang").select(
+        F.col("lang").alias("p_lang"),
+        "bg",
+        F.log((F.col("c") + 1) / (F.col("total") + 1)).alias("logp"),
+    )
+    scored = (
+        doc_bg.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(profile), "bg")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.sum(F.col("n") * F.col("logp")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("p_lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("p_lang").alias("predicted_lang"))
+    )
+    return docs.select("doc_id", "lang").join(pred, "doc_id")
+
+
+QUERIES = {
+    "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, headline=True),
+    "text_token_stats": Query(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "text_ngram_top": Query(q_text_ngram_top, SQL_TEXT_NGRAM_TOP),
+    "text_langid": Query(q_text_langid, None),
+}
