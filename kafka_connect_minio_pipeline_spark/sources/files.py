@@ -1,0 +1,46 @@
+"""File-based sources, batch and streaming.
+
+The streaming readers mirror the reference's source side (a Kafka topic,
+SURVEY.md A1-A2) using the file-stream source: identical downstream plan,
+no broker dependency — the documented CI fallback (SURVEY.md §7 step 4).
+On a real deployment the same transformations attach to
+``spark.readStream.format("kafka")`` (see sources/registry_avro.py).
+
+The file source needs an explicit schema (no inference mid-stream) and a
+directory ``basePath`` when pointed at a bare file.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import TABLE_NAMES, _ensure_session_confs
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """The file-stream source wants a directory, and its per-batch reads
+    reject a bare-file basePath — so stage a symlink to the (read-only)
+    parquet file inside a throwaway directory and stream that."""
+    d = tempfile.mkdtemp(prefix=f"kcm_src_{name}_")
+    os.symlink(f"{sf_dir}/{name}.parquet", f"{d}/{name}.parquet")
+    return d
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming scan of one test table (file-stream source)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}")
+    _ensure_session_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    sdf = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, name))
+    if name == "events":
+        # same nanos→micros normalization as tables.load (see there for the
+        # integer-div rationale)
+        sdf = sdf.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+        )
+    return sdf

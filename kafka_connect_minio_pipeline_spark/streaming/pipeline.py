@@ -1,0 +1,45 @@
+"""The reference pipeline end-to-end as Structured Streaming
+(SURVEY.md §3.2: Kafka → SMT → JSON S3 sink, rebuilt as
+file-stream → profile transform → checkpointed JSON file sink).
+
+The sink stage maps the reference's operational knobs (SURVEY.md A5-A7):
+``flush.size=3`` → micro-batch trigger granularity, Connect offset topics
+→ the streaming checkpoint, at-least-once → exactly-once (file-sink commit
+log). The written files are read back with a pinned schema (never inferred
+— SURVEY.md §1.1 regime 3 is a reader hazard, not a feature).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..pipeline.profile import profile_transform, users_from_customer
+from ..sources.files import stream_table
+from .runner import run_to_files
+
+SINK_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("first_name", T.StringType()),
+        T.StructField("last_name", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("age", T.IntegerType()),
+        T.StructField("full_name", T.StringType()),
+        T.StructField("is_adult", T.BooleanType()),
+    ]
+)
+
+
+def streaming_profile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer-stream → users projection → SMT transform → JSON file sink
+    → read-back. Returns the sink contents (what the reference's verifier
+    audits, SURVEY.md §3.3)."""
+    src = stream_table(spark, sf_dir, "customer")
+    users = users_from_customer(src)
+    transformed = profile_transform(users)
+    out_dir = tempfile.mkdtemp(prefix="kcm_sink_")
+    run_to_files(transformed, out_dir, fmt="json")
+    return spark.read.schema(SINK_SCHEMA).json(out_dir)

@@ -1,0 +1,49 @@
+"""Registered streaming queries: each builder's streaming plan is executed
+with availableNow into a memory sink, producing the batch DataFrame the
+driver hashes. The oracle compares against batch-equivalent SQL — the
+point being that a correct streaming window/dedup/join must converge to
+exactly the batch answer once all data is processed."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline.profile import TRANSFORM_SQL
+from ..registry import Query
+from . import windows as W
+from .pipeline import streaming_profile_pipeline
+from .runner import run_to_memory
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(W.tumbling_counts(spark, sf_dir))
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(W.sliding_counts(spark, sf_dir))
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(W.session_counts(spark, sf_dir))
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(W.dedup_within_watermark(spark, sf_dir), output_mode="append")
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(W.stream_static_join(spark, sf_dir))
+
+
+def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_profile_pipeline(spark, sf_dir)
+
+
+QUERIES = {
+    "stream_tumbling": Query(q_stream_tumbling, W.SQL_TUMBLING, headline=True),
+    "stream_sliding": Query(q_stream_sliding, W.SQL_SLIDING),
+    "stream_session": Query(q_stream_session, W.SQL_SESSION),
+    "stream_dedup": Query(q_stream_dedup, W.SQL_DEDUP_STREAM),
+    "stream_static_join": Query(q_stream_static_join, W.SQL_STREAM_STATIC_JOIN),
+    "stream_pipeline": Query(q_stream_pipeline, TRANSFORM_SQL),
+}

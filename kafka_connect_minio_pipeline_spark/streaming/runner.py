@@ -1,0 +1,56 @@
+"""Run a streaming DataFrame to completion and hand back a batch result.
+
+``trigger(availableNow=True)`` processes everything currently in the
+source then stops — the deterministic-test execution mode for Structured
+Streaming. Results land in a memory sink (driver-side table); checkpoints
+go to a throwaway temp dir. Query names are uniquified so repeated runs in
+one session (the driver runs every query twice for hashing) never collide.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_counter = itertools.count()
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    name = f"kcm_stream_{next(_counter)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kcm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark: SparkSession = sdf.sparkSession
+    return spark.table(name)
+
+
+def run_to_files(
+    sdf: DataFrame,
+    path: str,
+    fmt: str = "json",
+    timeout_s: int = 300,
+) -> None:
+    """File sink with checkpointing — the engine's equivalent of the
+    reference's S3 sink task (SURVEY.md A5-A7): at-least-once upgraded to
+    exactly-once via the checkpoint + file-sink commit log."""
+    q = (
+        sdf.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kcm_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

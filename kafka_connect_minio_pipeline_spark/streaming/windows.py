@@ -1,0 +1,170 @@
+"""Streaming window / stateful operators over the events stream
+(SURVEY.md §2.4 streaming row).
+
+Each builder returns a *streaming* DataFrame; queries.py runs them with
+availableNow and compares against batch SQL oracles where the semantics
+are batch-equivalent (window aggregations, dedup, stream-static join).
+Watermark-driven late-data drop is inherently about multi-batch arrival
+order, so it is exercised in tests/test_streaming.py with a controlled
+two-file source instead of a driver oracle.
+
+Scale notes: windowed aggregation state is (group × open windows) — with
+watermarks the state is bounded and evicted; session windows merge in the
+state store; the stream-static join broadcasts the dimension per
+micro-batch (no stream-side shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec2
+from ..sources.files import stream_table
+from ..tables import load
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + exact value sum."""
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec2(F.col("value"))).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_TUMBLING = """
+    SELECT DATE_TRUNC('hour', ts) AS w_start,
+           DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS w_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event in 2 windows)."""
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_SLIDING = """
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - k * INTERVAL '30 minutes' AS w_start
+        FROM events, UNNEST([0, 1]) t(k))
+    SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM assigned GROUP BY 1, 2
+"""
+
+
+def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap.
+
+    session_window merges events whose gaps stay under 5 minutes; the
+    window end is last_event + gap. The oracle reproduces the same islands
+    with lag + cumulative sum (gaps-and-islands).
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION = """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '5 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, sid
+"""
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over an intentionally duplicated
+    stream (every event arrives twice) — state is evicted 10 minutes of
+    event-time after each key, which is what makes dedup viable on an
+    unbounded stream. Result must equal the distinct original events."""
+    ev = stream_table(spark, sf_dir, "events")
+    # watermarks require an instant TIMESTAMP column (not NTZ); session tz
+    # is pinned to UTC by the loader, so the cast is value-preserving
+    doubled = ev.union(ev).withColumn("ts_evt", F.col("ts").cast("timestamp"))
+    return (
+        doubled.withWatermark("ts_evt", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+
+
+SQL_DEDUP_STREAM = """
+    SELECT event_id, user_id, ts, event_type, value FROM events
+"""
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ⨝ static dimension: events enriched with the customer
+    segment, aggregated per segment/event_type. The static side is
+    broadcast per micro-batch — the stream is never shuffled for the join."""
+    ev = stream_table(spark, sf_dir, "events")
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    return (
+        ev.join(F.broadcast(customer), ev.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec2(F.col("value"))).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_STREAM_STATIC_JOIN = """
+    SELECT c_mktsegment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+"""

@@ -1,0 +1,100 @@
+"""Streaming semantics that need controlled multi-batch arrival order:
+watermark late-data drops and exactly-once file-sink restarts.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path: str, rows: list[tuple[int, str]]) -> None:
+    (
+        spark.createDataFrame(rows, "id long, ts_s string")
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows arriving a full hour behind the watermark must be dropped from
+    the windowed aggregation. Arrival order is forced by writing the late
+    file only after the first micro-batch has been processed."""
+    src = str(tmp_path / "src")
+    on_time = [(i, f"2024-01-01 12:{i:02d}:00") for i in range(10)]
+    late = [(100 + i, f"2024-01-01 11:{i:02d}:00") for i in range(5)]
+
+    def run(with_watermark: bool) -> dict:
+        path = src + f"_{with_watermark}"
+        _write_batch(spark, path, on_time)
+        sdf = spark.readStream.schema("id long, ts timestamp").parquet(path)
+        if with_watermark:
+            sdf = sdf.withWatermark("ts", "10 minutes")
+        agg = sdf.groupBy(F.window("ts", "30 minutes")).agg(F.count("*").alias("n"))
+        name = f"wm_{with_watermark}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 0: on-time rows, watermark -> 11:59
+            _write_batch(spark, path, late)
+            q.processAllAvailable()  # batch 1: late rows, subject to watermark
+        finally:
+            q.stop()
+        return {
+            r["window"]["start"].strftime("%H:%M"): r["n"]
+            for r in spark.table(name).collect()
+        }
+
+    without_wm = run(False)
+    assert any(k.startswith("11:") for k in without_wm), without_wm
+    with_wm = run(True)
+    assert not any(k.startswith("11:") for k in with_wm), with_wm
+    assert with_wm.get("12:00") == 10
+
+
+def test_file_sink_exactly_once_on_rerun(spark, sf_dir):
+    """Re-running the checkpointed pipeline over an unchanged source must
+    not duplicate sink rows (the commit-log upgrade over the reference's
+    at-least-once Connect sink, SURVEY.md A7)."""
+    from kafka_connect_minio_pipeline_spark.pipeline.profile import (
+        profile_transform,
+        users_from_customer,
+    )
+
+    # stable source dir: the checkpoint ties the query to one source path
+    src = tempfile.mkdtemp(prefix="eo_src_")
+    os.symlink(f"{sf_dir}/customer.parquet", f"{src}/customer.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/customer.parquet").schema
+    out = tempfile.mkdtemp(prefix="eo_sink_")
+    ckpt = tempfile.mkdtemp(prefix="eo_ckpt_")
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).parquet(src)
+        df = profile_transform(users_from_customer(sdf))
+        q = (
+            df.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.json(out).count()
+    run_once()  # same checkpoint: everything already committed
+    n2 = spark.read.json(out).count()
+    assert n1 > 0
+    assert n2 == n1, f"rerun duplicated rows: {n1} -> {n2}"
