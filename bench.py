@@ -1,0 +1,60 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (count() alone can
+skip column evaluation via pruning). Session startup and parquet footer
+reads are excluded from per-query timings by a tiny warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from kafka_connect_minio_pipeline_spark.registry import all_queries
+from kafka_connect_minio_pipeline_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench", cores=cpus, driver_memory="96g")
+
+    queries = {n: q for n, q in all_queries().items() if q.headline}
+    spark.range(1).count()  # JVM warmup; keeps timings about the queries
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        materialize(queries[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Plan-shape assertions: the efficiency half of the correctness contract.
+
+A query that returns the right rows through the wrong plan (no pushdown,
+shuffled dimension join, global sort for a top-k) would fall over at
+100 TB — these tests pin the plan properties the operators were designed
+around.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_minio_pipeline_spark.operators import joins, windows as w_ops
+from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+    q_agg_pricing_summary,
+)
+from kafka_connect_minio_pipeline_spark.pipeline.profile import (
+    profile_transform,
+    users_from_customer,
+)
+from kafka_connect_minio_pipeline_spark.plans.explain import (
+    assert_in_plan,
+    assert_not_in_plan,
+    formatted_plan,
+    pushed_filters,
+)
+from kafka_connect_minio_pipeline_spark.tables import load
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """The Q1 shipdate predicate must appear in PushedFilters, and the scan
+    must prune to only referenced columns."""
+    df = q_agg_pricing_summary(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, pf
+    plan = formatted_plan(df)
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_projection_pruning(spark, sf_dir):
+    """A 2-column projection must not read the other columns."""
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    read_schema = formatted_plan(df).split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    df = joins.q_join_inner_revenue(spark, sf_dir)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_band_join_is_broadcast_nested_loop(spark, sf_dir):
+    df = joins.q_join_range_band(spark, sf_dir)
+    assert_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_semi_anti_compile_to_semi_anti_joins(spark, sf_dir):
+    assert "LeftSemi" in formatted_plan(joins.q_join_semi(spark, sf_dir))
+    assert "LeftAnti" in formatted_plan(joins.q_join_anti(spark, sf_dir))
+
+
+def test_aggregation_has_partial_phase(spark, sf_dir):
+    """Map-side combine: two HashAggregate phases (partial + final) —
+    the property that bounds shuffle volume by groups, not rows."""
+    df = q_agg_pricing_summary(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_global_topk_avoids_global_sort(spark, sf_dir):
+    df = w_ops.q_topk_global(spark, sf_dir)
+    assert_in_plan(df, "TakeOrderedAndProject")
+    assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_profile_pipeline_is_shuffle_free(spark, sf_dir):
+    """The flagship per-record dataflow must stay narrow: zero exchanges
+    (SURVEY.md §3.2 — 'fully pipelined map/filter')."""
+    df = profile_transform(users_from_customer(load(spark, sf_dir, "customer")))
+    assert_not_in_plan(df, "Exchange")
+    assert_in_plan(df, "codegen id")  # fused into whole-stage codegen
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """The as-of join must be the union+window formulation: exactly one
+    hash exchange (on user_id) and one Window, no join node at all."""
+    df = joins.q_join_asof(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "Join" not in plan, plan
+    # one exchange node → exactly one hashpartitioning argument line
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
+    from kafka_connect_minio_pipeline_spark.streaming.windows import (
+        stream_static_join,
+    )
+
+    sdf = stream_static_join(spark, sf_dir)
+    # streaming plans can't be formatted pre-execution the same way; check
+    # the analyzed plan mentions the broadcast hint survived
+    assert "ResolvedHint" in sdf._jdf.queryExecution().analyzed().toString() or \
+        "broadcast" in sdf._jdf.queryExecution().analyzed().toString().lower()

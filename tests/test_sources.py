@@ -1,0 +1,100 @@
+"""Confluent-frame + Avro decode path (SURVEY.md §3.1, FIXTURES.md §4):
+the 9 golden users as registry-framed Avro bytes, decoded and pushed
+through the profile transform — the full Kafka value path minus the broker.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_connect_minio_pipeline_spark.pipeline.profile import profile_transform
+from kafka_connect_minio_pipeline_spark.sources import registry_avro as ra
+from kafka_connect_minio_pipeline_spark.sources.avro_codec import decode, encode
+
+GOLDEN = [
+    ("id_0", "User0", "Doe0", 20),
+    ("id_1", "User1", "Doe1", 21),
+    ("id_2", "", "Doe2", 22),
+    ("id_3", "User3", "Doe3", 23),
+    ("id_4", None, "Doe4", 30),
+    ("id_5", "User5", "   ", 17),
+    ("id_6", "User6", "Doe6", 17),
+    ("id_7", "User7", "Doe7", 18),
+    ("id_8", "User8", "Doe8", None),
+]
+
+
+def _user(uid, fn, ln, age) -> dict:
+    return {
+        "user_id": uid,
+        "first_name": fn,
+        "last_name": ln,
+        "email": f"{uid}@real.com",
+        "age": age,
+        "raw_password_hash": "secret123",
+        "internal_tracking_code": "TRACK_XYZ",
+        "address": {"street": "1 Main St", "city": "Springfield", "zip_code": "99999"},
+    }
+
+
+def test_codec_roundtrip():
+    for row in GOLDEN:
+        u = _user(*row)
+        buf = encode(ra.USERS_AVRO_SCHEMA, u)
+        back, pos = decode(ra.USERS_AVRO_SCHEMA, buf)
+        assert back == u
+        assert pos == len(buf)  # no trailing garbage tolerated silently
+
+
+def test_frame_layout():
+    payload = encode(ra.USERS_AVRO_SCHEMA, _user(*GOLDEN[0]))
+    framed = ra.frame(payload, schema_id=42)
+    assert framed[0] == 0  # magic byte
+    assert int.from_bytes(framed[1:5], "big") == 42
+    assert framed[5:] == payload
+
+
+@pytest.fixture(scope="module")
+def framed_df(spark):
+    rows = [(i, ra.encode_user(_user(*row), schema_id=7)) for i, row in enumerate(GOLDEN)]
+    return spark.createDataFrame(rows, "offset long, value binary")
+
+
+def test_frame_split_and_decode(spark, framed_df):
+    framed = ra.split_confluent_frame(framed_df)
+    decoded = ra.decode_avro(framed.select("offset", "schema_id", "payload"))
+    rows = {r["user_id"]: r for r in decoded.collect()}
+    assert len(rows) == 9
+    assert rows["id_4"]["first_name"] is None
+    assert rows["id_8"]["age"] is None
+    assert rows["id_0"]["address"]["city"] == "Springfield"
+    assert set(decoded.select("schema_id").distinct().toPandas()["schema_id"]) == {7}
+
+
+def test_corrupt_frames_dropped(spark, framed_df):
+    corrupt = spark.createDataFrame(
+        [(99, b"\x01garbage"), (100, b"")], "offset long, value binary"
+    )
+    mixed = framed_df.union(corrupt)
+    assert ra.split_confluent_frame(mixed).count() == 9
+
+
+def test_wire_path_feeds_profile_transform(spark, framed_df):
+    """End-to-end value path: framed bytes → decode → SMT semantics."""
+    decoded = ra.decode_avro(
+        ra.split_confluent_frame(framed_df).select("payload")
+    )
+    out = profile_transform(decoded)
+    kept = {r["user_id"] for r in out.select("user_id").collect()}
+    assert kept == {"id_0", "id_1", "id_3", "id_6", "id_7", "id_8"}
+    assert out.filter(F.col("email") != "redacted@email.com").count() == 0
+    assert "raw_password_hash" not in out.columns
+
+
+def test_kafka_stream_builder_requires_kafka_jar(spark):
+    """Without the kafka connector jar the builder must fail cleanly at
+    load(), not silently produce an empty plan."""
+    with pytest.raises(Exception, match="[Kk]afka|DATA_SOURCE"):
+        ra.kafka_avro_stream(spark, "localhost:9092", "users")
