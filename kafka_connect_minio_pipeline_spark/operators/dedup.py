@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_from_parts, dot, to_double
@@ -79,6 +79,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_shingle_arrays(sh: DataFrame) -> DataFrame:
+    """Per-doc sorted distinct shingle array + size (the verify-side
+    representation: set intersection as one array op, no second explode)."""
+    return sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("s")).alias("arr"),
+        F.count("*").alias("n_sh"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. exact dedup via normalized fingerprint
 # ---------------------------------------------------------------------------
@@ -88,27 +97,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate detection on the normalized token-set fingerprint
     (md5 of sorted distinct tokens): doc → canonical representative.
 
-    Window-min over the fingerprint gives each doc its canonical id in one
-    shuffle; `is_dup` marks everything but the representative. Hash-groupBy
-    dedup generalizes to any scale (fingerprint is 16 bytes/doc).
+    One shuffle total: min/count as window functions over the fingerprint
+    partition (no groupBy + join back — the reduced form and the original
+    rows share a single hash exchange). Fingerprint is 16 bytes/doc, so
+    this generalizes to any scale.
     """
     docs = load(spark, sf_dir, "documents")
     fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col("text")))))
     )
-    with_fp = docs.select("doc_id", fp.alias("fingerprint"))
-    canon = with_fp.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("canonical_id"), F.count("*").alias("group_size")
-    )
-    return (
-        with_fp.join(canon, "fingerprint")
-        .select(
-            "doc_id",
-            "fingerprint",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
-            "group_size",
-        )
+    w = Window.partitionBy("fingerprint")
+    return docs.select("doc_id", fp.alias("fingerprint")).select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+        F.count("*").over(w).alias("group_size"),
     )
 
 
@@ -229,19 +233,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # exact verification of candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    common = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("d1"))
-        .join(sb, (F.col("sb.doc_id") == F.col("d2")) & (F.col("sa.s") == F.col("sb.s")))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+    # exact verification of candidates only: join each side's shingle-set
+    # array (one row per doc, not per shingle) and intersect in-place —
+    # two hash joins on the small candidate set instead of re-exploding
+    # the full posting lists and re-aggregating.
+    arrs = _doc_shingle_arrays(sh)
+    verified = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("d1"),
+                F.col("arr").alias("arr1"),
+                F.col("n_sh").alias("n1"),
+            ),
+            "d1",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("d2"),
+                F.col("arr").alias("arr2"),
+                F.col("n_sh").alias("n2"),
+            ),
+            "d2",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("arr1", "arr2")))
         .withColumn(
             "jaccard",
             F.round(
@@ -249,8 +263,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("d1", "d2", "jaccard")
     )
+    return verified.select("d1", "d2", "jaccard")
 
 
 # ---------------------------------------------------------------------------
