@@ -142,23 +142,63 @@ JACCARD_THRESHOLD = 0.8
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with 3-gram-shingle Jaccard ≥ 0.8.
 
-    Candidates come from the shared-shingle inverted index (self-join on
-    shingle), never a cross join: at 100 TB the candidate count is bounded
-    by posting-list sizes, and a hot shingle can be capped/salted. The
-    exact Jaccard then filters candidates; output is (d1 < d2, jaccard).
+    Exactness-preserving candidate pruning (AllPairs/PPJoin prefix filter):
+    under a global shingle order (document frequency ascending, rarest
+    first), any pair with J ≥ t must share a shingle within each doc's
+    first ``|d| - ceil(t*|d|) + 1`` shingles — because J ≥ t forces an
+    overlap of at least ``ceil(t*|d|)`` on BOTH sides (size filter
+    ``|small| ≥ t*|large|`` is implied). So the inverted index holds only
+    that ~(1-t) prefix — and, decisively, the rarest shingles — which
+    collapses the hot-posting-list blowup that a full self-join suffers on
+    a low-vocabulary corpus. Candidates are then verified exactly via one
+    array-intersect join per side. At 100 TB this is the standard
+    distributed set-similarity-join design; the oracle remains the
+    quadratic inverted-index spec, so pruning is proven lossless at sf0.01.
     """
     sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("n_common"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(wdoc.orderBy("df", "s")).alias("rnk"),
+            F.count("*").over(wdoc).alias("n_sh"),
+        )
     )
-    jac = (
-        common.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: J >= t is impossible unless t*|larger| <= |smaller|
+            & (F.col("a.n_sh") >= JACCARD_THRESHOLD * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= JACCARD_THRESHOLD * F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    arrs = _doc_shingle_arrays(sh)
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"), F.col("n_sh").alias("n1")
+            ),
+            "d1",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("d2"), F.col("arr").alias("arr2"), F.col("n_sh").alias("n2")
+            ),
+            "d2",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("arr1", "arr2")))
         .withColumn(
             "jaccard",
             F.round(
@@ -166,8 +206,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
     )
-    return jac.select("d1", "d2", "jaccard")
 
 
 SQL_DEDUP_NGRAM = f"""

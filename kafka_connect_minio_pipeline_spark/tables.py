@@ -33,13 +33,21 @@ TABLE_NAMES = (
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Runtime-settable confs the engine relies on, applied idempotently.
 
-    The driver may hand us an arbitrary session; both confs below are safe
-    to set at runtime and required for deterministic results:
-    - UTC session tz → timestamp display/NTZ-strip is machine-independent;
-    - nanosAsLong → events.parquet (TIMESTAMP_NANOS) is readable at all.
+    The driver may hand us an arbitrary session; all confs below are safe
+    to set at runtime:
+    - UTC session tz → timestamp display/NTZ-strip is machine-independent
+      (determinism);
+    - nanosAsLong → events.parquet (TIMESTAMP_NANOS) is readable at all
+      (correctness);
+    - AQE + partition coalescing → a bare session defaults to 200 shuffle
+      partitions regardless of data size; AQE right-sizes every exchange at
+      runtime, which is also exactly the knob that keeps these plans sane
+      from sf0.01 up to 100 TB (skew-join splitting comes free with it).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
