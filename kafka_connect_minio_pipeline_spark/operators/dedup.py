@@ -47,18 +47,24 @@ def tokens(col: Column) -> Column:
 SQL_TOKENS = "list_filter(string_split_regex(lower({col}), '\\s+'), x -> x <> '')"
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams as zip_with over n shifted slices of the token
+    array. The obvious transform(sequence(...), i -> element_at(...)) form
+    is ~10x slower (one interpreted array index per gram element); zipping
+    whole slices stays vectorized. Short docs short-circuit to an empty
+    array (the slices would otherwise be ragged and zip_with null-pads)."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    acc = F.slice(toks, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(F.size(toks) >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
 def shingles3(toks: Column) -> Column:
-    """Word 3-gram shingles. Guarded: Spark's sequence(0, n) is DESCENDING
-    for negative n, so short docs must short-circuit to an empty array."""
-    make = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-        ),
-    )
-    return F.when(F.size(toks) >= 3, make).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Word 3-gram shingles (canonical near-dup unit across operators)."""
+    return word_ngrams(toks, 3)
 
 
 SQL_SHINGLES_CTE = f"""
@@ -157,18 +163,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _doc_shingles(spark, sf_dir)
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    wdoc = Window.partitionBy("doc_id")
-    ranked = (
+    # One rarity-sorted array per doc; prefix = slice, no window functions.
+    # Every downstream use (prefix explode ×2, verify join ×2) shares this
+    # exact subtree, so Spark's ReuseExchange materializes it once.
+    arrs = (
         sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"))
         .select(
             "doc_id",
-            "s",
-            F.row_number().over(wdoc.orderBy("df", "s")).alias("rnk"),
-            F.count("*").over(wdoc).alias("n_sh"),
+            F.col("ranked.s").alias("arr"),
+            F.size("ranked").alias("n_sh"),
         )
     )
-    prefix = ranked.filter(
-        F.col("rnk") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefix = arrs.select(
+        "doc_id", "n_sh", F.explode(F.slice("arr", F.lit(1), prefix_len)).alias("s")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -184,7 +196,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    arrs = _doc_shingle_arrays(sh)
     return (
         cand.join(
             arrs.select(

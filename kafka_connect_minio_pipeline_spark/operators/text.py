@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Query
 from ..tables import load
-from .dedup import SQL_TOKENS, tokens
+from .dedup import SQL_TOKENS, tokens, word_ngrams
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
 BPE_ISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
@@ -141,15 +141,7 @@ def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 word bigrams (tiebreak on the bigram string)."""
     docs = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = word_ngrams(toks, 2)
     return (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
