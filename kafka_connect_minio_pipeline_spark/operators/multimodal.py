@@ -20,6 +20,7 @@ bytes as the stand-in payload.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -140,7 +141,97 @@ SQL_MULTIMODAL_FEATURES = """
 """
 
 
+RESIZE_STRIDE = 4  # stand-in for an image resize's downsample factor
+RESIZE_SCHEMA = "doc_id long, n_bytes_in int, n_bytes_out int, out_md5 string"
+
+
+def resize_payload(binary_df: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
+    """'Resize' stub with real mapInPandas plumbing: keep every stride-th
+    byte of the payload (a real deployment swaps in PIL's Image.resize —
+    bytes in, smaller bytes out, same batch shape and schema contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(lambda p: bytes(p)[::stride])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes_in": pdf["payload"].map(len).astype("int32"),
+                    "n_bytes_out": out.map(len).astype("int32"),
+                    "out_md5": out.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_payload(binary_table(spark, sf_dir))
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+    WITH t AS (SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_bytes_in,
+           CAST((n + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS INTEGER) AS n_bytes_out,
+           MD5(array_to_string(
+               [SUBSTRING(text, i, 1) FOR i IN RANGE(1, n + 1)
+                IF (i - 1) % {RESIZE_STRIDE} = 0], '')) AS out_md5
+    FROM t
+"""
+
+
+FRAME_BYTES = 16  # stand-in frame size (a real video frame is ~MBs)
+FRAME_STRIDE = 4  # keep every 4th frame
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_len int, frame_md5 string"
+
+
+def sample_frames(
+    binary_df: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Frame-sampling stub with real plumbing: chunk the payload into
+    fixed-size 'frames' and keep every stride-th one — the shape of video
+    keyframe extraction (1 input row → N output rows, Arrow-batched)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                n_frames = (len(p) + frame_bytes - 1) // frame_bytes
+                for idx in range(0, n_frames, stride):
+                    fb = p[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows.append(
+                        (doc_id, idx, len(fb), hashlib.md5(fb).hexdigest())
+                    )
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_len", "frame_md5"]
+            )
+            yield out.astype(
+                {"doc_id": "int64", "frame_idx": "int32", "frame_len": "int32"}
+            )
+
+    return binary_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(binary_table(spark, sf_dir))
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+    WITH t AS (SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(idx AS INTEGER) AS frame_idx,
+           CAST(LEAST({FRAME_BYTES}, n - idx * {FRAME_BYTES}) AS INTEGER) AS frame_len,
+           MD5(SUBSTRING(text, idx * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+    FROM t, UNNEST([i FOR i IN RANGE(0, (n + {FRAME_BYTES - 1}) // {FRAME_BYTES})
+                    IF i % {FRAME_STRIDE} = 0]) r(idx)
+"""
+
+
 QUERIES = {
     "multimodal_binary_meta": Query(q_multimodal_binary_meta, SQL_MULTIMODAL_META),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_resize": Query(q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_frame_sample": Query(q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
 }

@@ -162,6 +162,67 @@ SQL_TEXT_NGRAM_TOP = f"""
 """
 
 
+FP_BASE = 131  # polynomial rolling-hash base
+FP_MOD = 1 << 20  # per-token hash domain; keeps 3-term polynomial < 2^35
+FP_WINDOW = 4  # fingerprints kept: min hash per window of 4 positions
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling polynomial hash + winnowing-style
+    selection (the MOSS/shingle-fingerprint design for plagiarism / near-dup
+    detection at corpus scale).
+
+    Per doc: token stream → per-token hash (md5-derived, engine-portable) →
+    degree-2 polynomial rolling hash over each 3-token window (the classic
+    Rabin-Karp form; in a columnar engine the "roll" is three shifted array
+    slices zipped, not an incremental update — same values, vectorized) →
+    keep the minimum hash per window of 4 consecutive positions. Output is
+    the fingerprint set (doc_id, bucket, fp): ~|doc|/4 values per doc, the
+    compact sketch two corpora are joined on to find overlapping passages.
+
+    Everything is exact integer math shared with the oracle: token hash
+    < 2^20, so v1*131^2 + v2*131 + v3 < 2^35 — no overflow in either engine.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    hv = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % FP_MOD,
+    )
+    m = F.greatest(F.size(hv) - 2, F.lit(1))
+    rolled = F.zip_with(
+        F.zip_with(
+            F.slice(hv, 1, m), F.slice(hv, 2, m), lambda a, b: a * FP_BASE + b
+        ),
+        F.slice(hv, 3, m),
+        lambda ab, c: ab * FP_BASE + c,
+    )
+    guarded = F.when(F.size(hv) >= 3, rolled).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return (
+        docs.select("doc_id", F.posexplode(guarded).alias("pos", "h"))
+        .groupBy("doc_id", F.expr(f"CAST(pos DIV {FP_WINDOW} AS BIGINT)").alias("bucket"))
+        .agg(F.min("h").alias("fp"))
+    )
+
+
+SQL_TEXT_FINGERPRINT = f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform({SQL_TOKENS.format(col='text')},
+                   tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT % {FP_MOD}) AS v
+        FROM documents),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               v[i] * {FP_BASE * FP_BASE} + v[i + 1] * {FP_BASE} + v[i + 2] AS h
+        FROM t, UNNEST(RANGE(1, GREATEST(LEN(v) - 1, 1))) r(i))
+    SELECT doc_id, CAST(pos // {FP_WINDOW} AS BIGINT) AS bucket, MIN(h) AS fp
+    FROM g GROUP BY 1, 2
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram language scorer, trained on the corpus itself.
 
@@ -205,5 +266,6 @@ QUERIES = {
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, headline=True),
     "text_token_stats": Query(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_ngram_top": Query(q_text_ngram_top, SQL_TEXT_NGRAM_TOP),
+    "text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_langid": Query(q_text_langid, None),
 }

@@ -31,6 +31,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(W.dedup_within_watermark(spark, sf_dir), output_mode="append")
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState tracker, collapsed to final per-key state.
+
+    Update mode emits one row per key per micro-batch; every tracked stat
+    is monotone, so max() over the emissions is the final state no matter
+    how the file source batched — which reduces this to the batch GROUP BY
+    the oracle runs. last_us goes back to a timestamp JVM-side (micros
+    round-trip through the state store is exact)."""
+    from pyspark.sql import functions as F
+
+    updates = run_to_memory(W.stateful_user_tracker(spark, sf_dir), "update")
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+        F.expr("timestamp_micros(max(last_us))").cast("timestamp_ntz").alias("last_ts"),
+    )
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(W.stream_static_join(spark, sf_dir))
 
@@ -44,6 +62,7 @@ QUERIES = {
     "stream_sliding": Query(q_stream_sliding, W.SQL_SLIDING),
     "stream_session": Query(q_stream_session, W.SQL_SESSION),
     "stream_dedup": Query(q_stream_dedup, W.SQL_DEDUP_STREAM),
+    "stream_stateful": Query(q_stream_stateful, W.SQL_STREAM_STATEFUL),
     "stream_static_join": Query(q_stream_static_join, W.SQL_STREAM_STATIC_JOIN),
     "stream_pipeline": Query(q_stream_pipeline, TRANSFORM_SQL),
 }

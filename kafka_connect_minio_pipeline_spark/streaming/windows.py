@@ -143,6 +143,68 @@ SQL_DEDUP_STREAM = """
 """
 
 
+STATEFUL_OUTPUT = "user_id bigint, n_events bigint, max_value double, last_us bigint"
+STATEFUL_STATE = "n bigint, mx double, last_us bigint"
+
+
+def stateful_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    lifetime tracker (event count, max value, last event time) maintained
+    in the state store across micro-batches — the escape hatch for
+    semantics the built-in windows can't express.
+
+    Every emitted statistic is monotone in processing order, so the final
+    state per key is the max over all update-mode emissions regardless of
+    how the source was split into batches; queries.py collapses on that,
+    which is what makes this stateful op *oracle-checkable* (batch GROUP BY
+    gives the same final state). State is O(keys) and bounded; a production
+    stream would add a state TTL via GroupStateTimeout."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+
+    def track(key, pdfs, state):
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        n, mx, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            batch_mx = float(pdf["value"].max())
+            mx = batch_mx if mx is None else max(mx, batch_mx)
+            batch_last = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
+            last_us = batch_last if last_us is None else max(last_us, batch_last)
+        state.update((n, mx, last_us))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "max_value": mx,
+                    "last_us": last_us,
+                }
+            ]
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=STATEFUL_OUTPUT,
+        stateStructType=STATEFUL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SQL_STREAM_STATEFUL = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(value) AS max_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+"""
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream ⨝ static dimension: events enriched with the customer
     segment, aggregated per segment/event_type. The static side is
