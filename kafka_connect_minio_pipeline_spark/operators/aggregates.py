@@ -224,6 +224,33 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (matches DuckDB's
+    quantile_cont; rounded to 4dp to absorb last-ulp interpolation
+    differences). Exact percentile buffers each group's values — fine per
+    group here; at 100 TB the drop-in is approx_percentile (fixed-size
+    KLL-style sketch, mergeable map-side) which trades ~0.01% rank error
+    for O(1) memory."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile(x, 0.25), 4).alias("p25"),
+        F.round(F.percentile(x, 0.5), 4).alias("median"),
+        F.round(F.percentile(x, 0.75), 4).alias("p75"),
+        F.round(F.percentile(x, 0.99), 4).alias("p99"),
+    )
+
+
+SQL_AGG_PERCENTILE = """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 4) AS p25,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50), 4) AS median,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 4) AS p75,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
     "agg_count_distinct": Query(q_agg_count_distinct, SQL_AGG_COUNT_DISTINCT),
@@ -232,4 +259,5 @@ QUERIES = {
     "agg_grouping_sets": Query(q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
     "agg_stats": Query(q_agg_stats, SQL_AGG_STATS),
     "agg_approx_distinct": Query(q_agg_approx_distinct, None),
+    "agg_percentile": Query(q_agg_percentile, SQL_AGG_PERCENTILE),
 }

@@ -209,10 +209,129 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN (the other scale path: coarse quantizer + cell-probe search)
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_PROBE = 2  # cells searched per query
+IVF_ITERS = 3  # Lloyd iterations (deterministic init → deterministic result)
+
+
+def _assign_cells(em: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Nearest-centroid assignment, Arrow-batched: one BLAS matmul per
+    batch against the broadcast centroid matrix (centroids always fit the
+    driver/executors — C×D doubles — regardless of corpus size)."""
+    sc = em.sparkSession.sparkContext
+    bc = sc.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
+
+    def run(batches):
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        M = bc.value
+        cn = (M * M).sum(axis=1)  # ||c||^2 per centroid
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            # argmin_c ||x - c||^2 == argmin_c (||c||^2 - 2 x·c); ||x||^2 constant
+            cell = (cn - 2.0 * (X @ M.T)).argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "cell": cell.astype("int32")}
+            )
+
+    return em.select("vec_id", "embedding").mapInPandas(run, "vec_id long, cell int")
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """Deterministic k-means coarse quantizer: seeded from the first
+    IVF_CELLS vectors, refined by IVF_ITERS distributed Lloyd steps.
+    Per step: assignment is a mapInPandas matmul; the new means reduce via
+    posexplode + groupBy(cell, pos) — only C×D aggregated doubles ever
+    reach the driver, so the loop costs IVF_ITERS corpus passes and
+    nothing else (this is how IVF training distributes at 100 TB)."""
+    em = load(spark, sf_dir, "embeddings")
+    seed = em.orderBy("vec_id").limit(IVF_CELLS).select("embedding").collect()
+    cent = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in seed])
+    for _ in range(IVF_ITERS):
+        assigned = _assign_cells(em, cent)
+        means = (
+            assigned.join(em, "vec_id")
+            .select("cell", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = cent.copy()  # empty cells keep their old centroid
+        for r in means:
+            nxt[r["cell"], r["pos"]] = r["m"]
+        cent = nxt
+    return cent
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 for the first 8 queries via IVF cell-probe search.
+
+    Train a 16-cell coarse quantizer, assign every vector to its nearest
+    cell (the inverted file), then score each query only against the
+    IVF_PROBE closest cells' vectors — at scale the inverted file is
+    partitioned BY cell, so a probe reads only its cells' partitions
+    instead of the corpus. Exact cosine rerank on the candidates; same
+    output shape as the LSH variant. Engine-specific float argmins →
+    rows-only for the driver; recall vs. brute force asserted in tests."""
+    cent = ivf_centroids(spark, sf_dir)
+    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    assigned = _assign_cells(load(spark, sf_dir, "embeddings"), cent)
+
+    # query → its IVF_PROBE nearest cells (8×64 doubles: driver-side math)
+    qrows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cn = (cent * cent).sum(axis=1)
+    probe_rows = []
+    for r in qrows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        order = np.argsort(cn - 2.0 * (cent @ x), kind="stable")[:IVF_PROBE]
+        probe_rows.extend((r["vec_id"], int(c)) for c in order)
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    qn = em.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    cos = cosine_from_parts(
+        dot(to_double(F.col("embedding")), to_double(F.col("q_emb"))),
+        F.col("norm_sq"),
+        F.col("q_norm"),
+    )
+    scored = (
+        cand.join(em, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
 QUERIES = {
     "similarity_topk": Query(q_similarity_topk, SQL_SIMILARITY_TOPK),
     "similarity_topk_batch": Query(
         q_similarity_topk_batch, SQL_SIMILARITY_TOPK_BATCH, headline=True
     ),
     "similarity_ann_lsh": Query(q_similarity_ann_lsh, None),
+    "similarity_ann_ivf": Query(q_similarity_ann_ivf, None),
 }

@@ -70,6 +70,34 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     )
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF cell-probe ANN vs exact top-3: recall well above the random
+    baseline, candidates bounded by the probed cells' population."""
+    exact = similarity.q_similarity_topk_batch(spark, sf_dir)
+    ann = similarity.q_similarity_ann_ivf(spark, sf_dir)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.3, f"IVF recall@3 {recall:.2f}"
+    # scale property: probing IVF_PROBE of IVF_CELLS cells must not score
+    # the whole corpus
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    cent = similarity.ivf_centroids(spark, sf_dir)
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    assigned = similarity._assign_cells(load(spark, sf_dir, "embeddings"), cent)
+    biggest = assigned.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+    assert similarity.IVF_PROBE * biggest < n_corpus, "cells do not partition corpus"
+
+
+def test_ann_ivf_deterministic(spark, sf_dir):
+    a = {(r["query_id"], r["vec_id"]) for r in
+         similarity.q_similarity_ann_ivf(spark, sf_dir).collect()}
+    b = {(r["query_id"], r["vec_id"]) for r in
+         similarity.q_similarity_ann_ivf(spark, sf_dir).collect()}
+    assert a == b
+
+
 def test_simhash_banding_equals_bruteforce(spark, sf_dir):
     """The pigeonhole-banded plan must find exactly the brute-force hd≤1
     neighbor counts (this is the scalable-plan-vs-spec equivalence)."""
