@@ -77,20 +77,28 @@ SQL_SHINGLES_CTE = f"""
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, arr: sorted distinct shingles, n_sh) — entirely NARROW.
+
+    The shingle set is deduplicated per row with array_distinct instead of
+    a global .distinct() shuffle (shingles never cross documents, so the
+    semantics are identical). Every near-dup operator consumes this
+    relation several times, and plan-level ReuseExchange cannot unify
+    subtrees under different join shapes — keeping the recompute
+    shuffle-free (scan → project) is what makes that affordable, and it
+    beats persist(): a cache boundary here measured 3× slower cold because
+    materialization blocks and AQE loses runtime stats through it."""
     docs = load(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.explode(shingles3(tokens(F.col("text")))).alias("s"))
-        .distinct()
+    arr = F.array_sort(F.array_distinct(shingles3(tokens(F.col("text")))))
+    return docs.select("doc_id", arr.alias("arr")).withColumn(
+        "n_sh", F.size("arr")
     )
 
 
-def _doc_shingle_arrays(sh: DataFrame) -> DataFrame:
-    """Per-doc sorted distinct shingle array + size (the verify-side
-    representation: set intersection as one array op, no second explode)."""
-    return sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("s")).alias("arr"),
-        F.count("*").alias("n_sh"),
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, s) distinct-shingle rows (inverted-index form)."""
+    return _doc_shingle_sets(spark, sf_dir).select(
+        "doc_id", F.explode("arr").alias("s")
     )
 
 
@@ -161,12 +169,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed set-similarity-join design; the oracle remains the
     quadratic inverted-index spec, so pruning is proven lossless at sf0.01.
     """
+    sets_ = _doc_shingle_sets(spark, sf_dir)
     sh = _doc_shingles(spark, sf_dir)
     dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
     # One rarity-sorted array per doc; prefix = slice, no window functions.
-    # Every downstream use (prefix explode ×2, verify join ×2) shares this
-    # exact subtree, so Spark's ReuseExchange materializes it once.
-    arrs = (
+    ranked = (
         sh.join(dfreq, "s")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"))
@@ -179,7 +186,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1
     ).cast("int")
-    prefix = arrs.select(
+    prefix = ranked.select(
         "doc_id", "n_sh", F.explode(F.slice("arr", F.lit(1), prefix_len)).alias("s")
     )
     a = prefix.alias("a")
@@ -196,15 +203,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+    # verify against the NARROW set relation (scan+project, no shuffle to
+    # rebuild — the rarity order matters only for the prefix, not here)
     return (
         cand.join(
-            arrs.select(
+            sets_.select(
                 F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"), F.col("n_sh").alias("n1")
             ),
             "d1",
         )
         .join(
-            arrs.select(
+            sets_.select(
                 F.col("doc_id").alias("d2"), F.col("arr").alias("arr2"), F.col("n_sh").alias("n2")
             ),
             "d2",
@@ -244,13 +253,22 @@ N_PERM = 16
 N_BANDS = 4  # 4 rows per band; P(candidate) = 1-(1-j^4)^4 → ~0.96 at j=0.8
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """16 min-hash values per doc, one aggregation pass (no row blowup:
-    the 16 mins are computed as 16 agg expressions over the shingle rows)."""
-    aggs = [
-        F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"sig{p}") for p in range(N_PERM)
+def minhash_signatures(sets_: DataFrame) -> DataFrame:
+    """16 min-hash values per doc, computed NARROW: array_min over a
+    hashed copy of the per-doc shingle array — no explode, no groupBy,
+    no shuffle. Empty docs are dropped (they have no signature; the old
+    explode+groupBy form dropped them implicitly)."""
+    # NB: the lambda must take exactly one parameter — PySpark binds a
+    # second parameter to the array INDEX (so `lambda x, p=p` would hash
+    # with the index, not the permutation seed). transform() evaluates the
+    # lambda eagerly, so closing over the loop variable is safe.
+    sigs = [
+        F.array_min(
+            F.transform("arr", (lambda p: lambda x: F.xxhash64(x, F.lit(p)))(p))
+        ).alias(f"sig{p}")
+        for p in range(N_PERM)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sets_.filter(F.col("n_sh") > 0).select("doc_id", *sigs)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,8 +280,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver (hash seeds are engine-specific), adversarially tested in
     tests/test_dedup.py.
     """
-    sh = _doc_shingles(spark, sf_dir)
-    sigs = minhash_signatures(sh)
+    sets_ = _doc_shingle_sets(spark, sf_dir)
+    sigs = minhash_signatures(sets_)
     r = N_PERM // N_BANDS
     bands = F.array(
         *[
@@ -288,10 +306,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array (one row per doc, not per shingle) and intersect in-place —
     # two hash joins on the small candidate set instead of re-exploding
     # the full posting lists and re-aggregating.
-    arrs = _doc_shingle_arrays(sh)
     verified = (
         cand.join(
-            arrs.select(
+            sets_.select(
                 F.col("doc_id").alias("d1"),
                 F.col("arr").alias("arr1"),
                 F.col("n_sh").alias("n1"),
@@ -299,7 +316,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d1",
         )
         .join(
-            arrs.select(
+            sets_.select(
                 F.col("doc_id").alias("d2"),
                 F.col("arr").alias("arr2"),
                 F.col("n_sh").alias("n2"),

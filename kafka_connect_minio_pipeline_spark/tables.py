@@ -42,12 +42,21 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     - AQE + partition coalescing → a bare session defaults to 200 shuffle
       partitions regardless of data size; AQE right-sizes every exchange at
       runtime, which is also exactly the knob that keeps these plans sane
-      from sf0.01 up to 100 TB (skew-join splitting comes free with it).
+      from sf0.01 up to 100 TB (skew-join splitting comes free with it);
+    - shuffle.partitions → AQE ignores it for batch, but Structured
+      Streaming disables AQE for stateful plans and allocates one state
+      store per shuffle partition, so the 200 default means 200 tiny
+      RocksDB/HDFS state handles per stateful op locally. Sized to the
+      executor thread count; a real cluster deployment sets it to the
+      cluster's core count before the first checkpoint pins it.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
