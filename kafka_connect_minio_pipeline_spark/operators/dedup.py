@@ -170,26 +170,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic inverted-index spec, so pruning is proven lossless at sf0.01.
     """
     sets_ = _doc_shingle_sets(spark, sf_dir)
-    sh = _doc_shingles(spark, sf_dir)
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    # One rarity-sorted array per doc; prefix = slice, no window functions.
-    ranked = (
-        sh.join(dfreq, "s")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ranked"))
-        .select(
-            "doc_id",
-            F.col("ranked.s").alias("arr"),
-            F.size("ranked").alias("n_sh"),
-        )
-    )
+    sh = sets_.select("doc_id", "n_sh", F.explode("arr").alias("s"))
+    # Document frequency as a window over s (not groupBy+join back: that
+    # computes the exploded relation twice — once for the agg, once for
+    # the probe side — and a broadcast of dfreq would kill the exchange
+    # reuse). Two windows, two shuffles, one derivation.
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1
     ).cast("int")
-    prefix = ranked.select(
-        "doc_id", "n_sh", F.explode(F.slice("arr", F.lit(1), prefix_len)).alias("s")
+    prefix = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+        )
+        .filter(F.col("rnk") <= prefix_len)
+        .select("doc_id", "n_sh", "s")
     )
-    a = prefix.alias("a")
+    # shuffle_hash: at scale neither side of the inverted-index self-join
+    # is broadcastable, and both sides being the same subtree means the
+    # shuffle is built once and reused (ReusedExchange) — a broadcast
+    # plan would compute the prefix twice instead.
+    a = prefix.alias("a").hint("shuffle_hash")
     b = prefix.alias("b")
     cand = (
         a.join(
