@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import SQL_SUM_REVENUE, sum_revenue
+from ..functions.exact import SQL_SUM_REVENUE, revenue
 from ..registry import Query
 from ..tables import load
 
@@ -27,21 +27,31 @@ from ..tables import load
 def q_join_inner_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⨝ nation(broadcast) ⨝ orders ⨝ lineitem → revenue by nation.
 
-    nation is tiny (25 rows) → explicit broadcast; orders⨝lineitem is the
-    big sort-merge pair and AQE handles skew/coalescing.
+    Partial aggregation is pushed BELOW the join (Catalyst won't do this
+    rewrite itself): lineitem collapses to one exact-decimal revenue row
+    per orderkey before touching orders, so the big join moves |orders|
+    rows instead of |lineitem| — at 100 TB that's the difference between
+    shuffling the fact table and shuffling its 4×-smaller rollup. It also
+    turns COUNT(DISTINCT o_orderkey) into a plain count (the expensive
+    two-phase distinct expansion disappears). Decimal sum of per-order
+    decimal sums is exact, so the oracle hash is unchanged. nation is
+    tiny → explicit broadcast; AQE handles the rest.
     """
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).alias("rev_ok")
+    )
     return (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            sum_revenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("rev_ok").cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
 
