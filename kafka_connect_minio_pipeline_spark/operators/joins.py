@@ -211,6 +211,57 @@ SQL_JOIN_ASOF = """
 """
 
 
+N_SALT = 8
+
+
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient fact⨝dim equi-join via explicit key salting.
+
+    A hot join key concentrates one reducer's input; AQE's skew-join split
+    fixes that for batch, but AQE is disabled in stateful streaming and
+    can't help a stream⨝stream join — explicit salting is the portable
+    answer. The fact side gets a deterministic per-row salt (hash of the
+    row's unique id mod N_SALT); the dim side is replicated N_SALT× with
+    an explode, so each fact row still matches exactly its one dim row and
+    the join output is bit-identical to the unsalted join (the oracle runs
+    the plain join). A hot key's rows now spread over N_SALT reducers at
+    the cost of a dim side N_SALT× larger — the right trade whenever
+    |dim| ≪ |fact| but dim is too big (or the plan too streaming) to
+    broadcast.
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "fact_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(N_SALT))
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(N_SALT)])).alias(
+            "dim_salt"
+        ),
+    )
+    return (
+        ev.join(
+            cust,
+            (F.col("user_id") == F.col("c_custkey"))
+            & (F.col("fact_salt") == F.col("dim_salt")),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_JOIN_SKEW = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "join_inner_revenue": Query(q_join_inner_revenue, SQL_JOIN_INNER, headline=True),
     "join_left_order_counts": Query(q_join_left_order_counts, SQL_JOIN_LEFT),
@@ -218,4 +269,5 @@ QUERIES = {
     "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
     "join_range_band": Query(q_join_range_band, SQL_JOIN_RANGE),
     "join_asof": Query(q_join_asof, SQL_JOIN_ASOF, headline=True),
+    "join_skew_salted": Query(q_join_skew_salted, SQL_JOIN_SKEW),
 }

@@ -93,6 +93,55 @@ def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     assert plan.count("hashpartitioning") == 1, plan
 
 
+def test_revenue_join_aggregates_below_join(spark, sf_dir):
+    """The per-orderkey rollup must happen BEFORE the orders join: the
+    first exchange out of lineitem is keyed on l_orderkey for an
+    aggregate, so the join moves |orders| rows, not |lineitem|."""
+    df = joins.q_join_inner_revenue(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(l_orderkey" in plan, plan
+    # countDistinct would show a second distinct-aggregate expansion on
+    # (n_name, o_orderkey); the rewrite removes it
+    assert "hashpartitioning(n_name" in plan and "o_orderkey" not in plan.split(
+        "hashpartitioning(n_name"
+    )[1].split(")")[0], plan
+
+
+def test_minhash_signatures_are_narrow(spark, sf_dir):
+    """Signature computation must be shuffle-free (array_min over the
+    per-doc array, no explode+groupBy)."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        _doc_shingle_sets,
+        minhash_signatures,
+    )
+
+    df = minhash_signatures(_doc_shingle_sets(spark, sf_dir))
+    assert_not_in_plan(df, "Exchange")
+
+
+def test_ngram_jaccard_reuses_prefix_exchange(spark, sf_dir):
+    """The inverted-index self-join must build its shuffle once: after
+    execution the adaptive plan contains ReusedExchange (both sides are
+    the same prefix subtree under a shuffle-hash join)."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        q_dedup_ngram_jaccard,
+    )
+
+    df = q_dedup_ngram_jaccard(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+
+
+def test_salted_join_spreads_keys(spark, sf_dir):
+    """Salted join: the join condition carries the salt equality, and the
+    result is identical to the plain join (oracle asserts values; here we
+    assert the salt actually reaches the join keys)."""
+    df = joins.q_join_skew_salted(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "fact_salt" in plan and "dim_salt" in plan, plan
+
+
 def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
     from kafka_connect_minio_pipeline_spark.streaming.windows import (
         stream_static_join,
