@@ -1,0 +1,63 @@
+"""Batch sinks with scale-aware file sizing.
+
+The reference's object-store sink flushes every ``flush.size=3`` records
+into one object (`connectors/s3-sink.json:11`) — fine for its 4-record
+demo, catastrophic at scale: record-count flushing yields millions of tiny
+objects (the small-files problem), which wrecks both the write path
+(per-object PUT overhead) and every later scan (footer/listing overhead,
+no column-chunk locality). The engine targets *bytes per file* instead.
+
+``write_compacted`` uses AQE's rebalance: the REBALANCE hint lets the
+adaptive engine split oversized and merge undersized output partitions to
+the advisory size at runtime — skew-proof, no extra count() pass, and the
+same mechanism works unchanged on a 1000-executor cluster. The advisory
+size is specified in shuffle bytes; parquet compresses further, so the
+on-disk files come out smaller by roughly the codec ratio (expose
+``shuffle_to_disk_ratio`` to compensate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+MB = 1024 * 1024
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    target_file_mb: float = 128,
+    shuffle_to_disk_ratio: float = 1.0,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` to ``path`` in files of roughly ``target_file_mb``.
+
+    Restores the session's advisory partition size afterwards so the
+    setting doesn't leak into unrelated queries.
+    """
+    spark = df.sparkSession
+    # parallelismFirst makes AQE stop merging at core-count parallelism —
+    # the right default for queries, wrong for compaction where the file
+    # size target IS the point.
+    overrides = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(
+            int(target_file_mb * shuffle_to_disk_ratio * MB)
+        ),
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    }
+    before = {}
+    for key, val in overrides.items():
+        try:
+            before[key] = spark.conf.get(key)
+        except Exception:
+            before[key] = None
+        spark.conf.set(key, val)
+    try:
+        df.hint("rebalance").write.mode(mode).format(fmt).save(path)
+    finally:
+        for key, old in before.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)

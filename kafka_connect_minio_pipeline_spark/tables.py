@@ -86,3 +86,11 @@ def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     identically, so this is a syntax choice, not an engine fork)."""
     for name in TABLE_NAMES:
         load(spark, sf_dir, name).createOrReplaceTempView(f"{prefix}{name}")
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str) -> DataFrame:
+    """The engine's ad-hoc SQL surface: every test table as a view, then
+    spark.sql — users of the reference's verifier queries run them here
+    verbatim. Same Catalyst planning as the DataFrame operators."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)
