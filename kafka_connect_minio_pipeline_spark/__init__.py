@@ -21,3 +21,18 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .registry import all_queries  # noqa: E402
+from .session import get_spark  # noqa: E402
+from .sinks import write_compacted  # noqa: E402
+from .tables import load, load_all, register_views, sql  # noqa: E402
+
+__all__ = [
+    "all_queries",
+    "get_spark",
+    "load",
+    "load_all",
+    "register_views",
+    "sql",
+    "write_compacted",
+]

@@ -292,7 +292,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_val"))
-    a = banded.alias("a")
+    # same rationale as the Jaccard prefix self-join: neither side of a
+    # banded signature join broadcasts at scale, and shuffle-hash lets the
+    # two identical subtrees share one exchange
+    a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b")
     cand = (
         a.join(
@@ -503,7 +506,7 @@ SQL_DEDUP_EMBEDDING = f"""
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM, headline=True),
-    "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None),
+    "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None, headline=True),
     "dedup_simhash": Query(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
 }

@@ -269,5 +269,5 @@ QUERIES = {
     "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
     "join_range_band": Query(q_join_range_band, SQL_JOIN_RANGE),
     "join_asof": Query(q_join_asof, SQL_JOIN_ASOF, headline=True),
-    "join_skew_salted": Query(q_join_skew_salted, SQL_JOIN_SKEW),
+    "join_skew_salted": Query(q_join_skew_salted, SQL_JOIN_SKEW, headline=True),
 }

@@ -231,7 +231,7 @@ SQL_MULTIMODAL_FRAMES = f"""
 
 QUERIES = {
     "multimodal_binary_meta": Query(q_multimodal_binary_meta, SQL_MULTIMODAL_META),
-    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, headline=True),
     "multimodal_resize": Query(q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frame_sample": Query(q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
 }

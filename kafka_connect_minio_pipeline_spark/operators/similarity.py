@@ -333,5 +333,5 @@ QUERIES = {
         q_similarity_topk_batch, SQL_SIMILARITY_TOPK_BATCH, headline=True
     ),
     "similarity_ann_lsh": Query(q_similarity_ann_lsh, None),
-    "similarity_ann_ivf": Query(q_similarity_ann_ivf, None),
+    "similarity_ann_ivf": Query(q_similarity_ann_ivf, None, headline=True),
 }

@@ -266,6 +266,6 @@ QUERIES = {
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, headline=True),
     "text_token_stats": Query(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_ngram_top": Query(q_text_ngram_top, SQL_TEXT_NGRAM_TOP),
-    "text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, headline=True),
     "text_langid": Query(q_text_langid, None),
 }

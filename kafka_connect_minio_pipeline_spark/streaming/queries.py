@@ -62,7 +62,7 @@ QUERIES = {
     "stream_sliding": Query(q_stream_sliding, W.SQL_SLIDING),
     "stream_session": Query(q_stream_session, W.SQL_SESSION),
     "stream_dedup": Query(q_stream_dedup, W.SQL_DEDUP_STREAM),
-    "stream_stateful": Query(q_stream_stateful, W.SQL_STREAM_STATEFUL),
+    "stream_stateful": Query(q_stream_stateful, W.SQL_STREAM_STATEFUL, headline=True),
     "stream_static_join": Query(q_stream_static_join, W.SQL_STREAM_STATIC_JOIN),
     "stream_pipeline": Query(q_stream_pipeline, TRANSFORM_SQL),
 }
