@@ -243,29 +243,31 @@ def _assign_cells(em: DataFrame, centroids: np.ndarray) -> DataFrame:
     return em.select("vec_id", "embedding").mapInPandas(run, "vec_id long, cell int")
 
 
+IVF_TRAIN_SAMPLE = 2048  # quantizer training sample (FAISS-style)
+
+
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
-    """Deterministic k-means coarse quantizer: seeded from the first
-    IVF_CELLS vectors, refined by IVF_ITERS distributed Lloyd steps.
-    Per step: assignment is a mapInPandas matmul; the new means reduce via
-    posexplode + groupBy(cell, pos) — only C×D aggregated doubles ever
-    reach the driver, so the loop costs IVF_ITERS corpus passes and
-    nothing else (this is how IVF training distributes at 100 TB)."""
+    """Deterministic k-means coarse quantizer trained on a bounded sample.
+
+    The quantizer needs O(cells) representative points, not the corpus —
+    the standard IVF design (FAISS trains on ~30-256 points per centroid)
+    — so training collects a deterministic ≤IVF_TRAIN_SAMPLE-vector sample
+    once and runs Lloyd driver-side in numpy. Corpus-scale work is then a
+    SINGLE distributed assignment pass, instead of IVF_ITERS passes + per-
+    iteration driver round-trips. At 100 TB the sample is still 2048 rows."""
     em = load(spark, sf_dir, "embeddings")
-    seed = em.orderBy("vec_id").limit(IVF_CELLS).select("embedding").collect()
-    cent = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in seed])
+    sample = (
+        em.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).select("embedding").collect()
+    )
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    cent = X[:IVF_CELLS].copy()
     for _ in range(IVF_ITERS):
-        assigned = _assign_cells(em, cent)
-        means = (
-            assigned.join(em, "vec_id")
-            .select("cell", F.posexplode(to_double(F.col("embedding"))).alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        nxt = cent.copy()  # empty cells keep their old centroid
-        for r in means:
-            nxt[r["cell"], r["pos"]] = r["m"]
-        cent = nxt
+        d = (cent * cent).sum(axis=1) - 2.0 * (X @ cent.T)  # ||x||² constant
+        cells = d.argmin(axis=1)
+        for c in range(IVF_CELLS):
+            members = X[cells == c]
+            if len(members):  # empty cells keep their old centroid
+                cent[c] = members.mean(axis=0)
     return cent
 
 
