@@ -71,8 +71,48 @@ SQL_SETOP_EXCEPT = """
 """
 
 
+def _status_multiset(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
+    """Per-order custkey rows (NOT distinct) — duplicates preserved so the
+    ALL-variants have observable multiset semantics."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == status)
+        .select("o_custkey")
+    )
+
+
+def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection: each custkey kept min(#open, #finished) times."""
+    return _status_multiset(spark, sf_dir, "O").intersectAll(
+        _status_multiset(spark, sf_dir, "F")
+    )
+
+
+SQL_SETOP_INTERSECT_ALL = """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference: each custkey kept max(#open − #finished, 0) times."""
+    return _status_multiset(spark, sf_dir, "O").exceptAll(
+        _status_multiset(spark, sf_dir, "F")
+    )
+
+
+SQL_SETOP_EXCEPT_ALL = """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 QUERIES = {
     "setop_union_all": Query(q_setop_union_all, SQL_SETOP_UNION_ALL),
     "setop_intersect": Query(q_setop_intersect, SQL_SETOP_INTERSECT),
     "setop_except": Query(q_setop_except, SQL_SETOP_EXCEPT),
+    "setop_intersect_all": Query(q_setop_intersect_all, SQL_SETOP_INTERSECT_ALL),
+    "setop_except_all": Query(q_setop_except_all, SQL_SETOP_EXCEPT_ALL),
 }

@@ -122,6 +122,67 @@ SQL_WINDOW_RUNNING = """
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist per customer (distribution family).
+
+    percent_rank and cume_dist are exact small-integer ratios — a single
+    IEEE division on identical operands in both engines, so no rounding
+    is needed for the hash. The ordering carries the unique o_orderkey
+    tiebreaker to make ntile deterministic.
+    """
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_WINDOW_DISTRIBUTION = """
+    SELECT o_orderkey, o_custkey,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): for each order, how many
+    of the same customer's orders fall within 10k price below it, and
+    their exact total. Demonstrates rangeBetween semantics — peers are
+    defined by the ORDER BY value, so ties aggregate together."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_within_10k"),
+        F.sum(dec2(F.col("o_totalprice"))).over(w).cast("double").alias("sum_within_10k"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+    SELECT o_orderkey, o_custkey,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_within_10k,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS sum_within_10k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer — the scalable per-group top-k idiom."""
     orders = load(spark, sf_dir, "orders")
@@ -168,5 +229,7 @@ QUERIES = {
     "window_lag_lead": Query(q_window_lag_lead, SQL_WINDOW_LAG_LEAD),
     "window_running": Query(q_window_running, SQL_WINDOW_RUNNING, headline=True),
     "window_topn_per_group": Query(q_window_topn_per_group, SQL_WINDOW_TOPN),
+    "window_distribution": Query(q_window_distribution, SQL_WINDOW_DISTRIBUTION),
+    "window_range_frame": Query(q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "topk_global": Query(q_topk_global, SQL_TOPK_GLOBAL),
 }
