@@ -31,7 +31,104 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconcile(users, profile_transform(users))
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data cleaning pipeline over ``documents``:
+    quality gate → exact dedup (keep canonical) → per-language funnel.
+
+    One declarative plan, entirely narrow until the final fingerprint
+    window + tiny groupBy — the shape a 100 TB corpus-cleaning job takes
+    (the operators compose; nothing materializes between stages):
+    - quality pass: composite score ≥ 0.5 and ≥ 5 tokens (same features
+      as text_quality);
+    - dedup among survivors only: canonical = min doc_id per normalized
+      token-set fingerprint, computed as a conditional window min so the
+      filter and dedup fuse into one pass;
+    - funnel counts per language: raw → quality-passing → kept.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    from ..operators.text import STOPWORDS
+
+    stop_in = ",".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(
+        F.expr(
+            f"filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), t -> t IN ({stop_in}))"
+        )
+    )
+    score = F.round(
+        (alpha_chars / n_chars) * 0.5
+        + (n_stop / n_tokens) * 0.3
+        + F.least(n_tokens / F.lit(32.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        ((score >= 0.5) & (n_tokens >= 5)).alias("q_pass"),
+        fp.alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    flagged = staged.select(
+        "lang",
+        "q_pass",
+        (
+            F.col("q_pass")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(w)
+            )
+        ).alias("kept"),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.col("q_pass").cast("long")).alias("n_quality"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+
+
+CORPUS_CLEAN_SQL = """
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks,
+               LENGTH(text) AS n_chars,
+               LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+        FROM documents),
+    staged AS (
+        SELECT doc_id, lang,
+               (ROUND((alpha_chars * 1.0 / n_chars) * 0.5
+                      + (LEN(LIST_FILTER(toks, s -> s IN
+                            ('the','a','of','to','and','in','is','it'))) * 1.0
+                         / LEN(toks)) * 0.3
+                      + LEAST(LEN(toks) / 32.0, 1.0) * 0.2, 6) >= 0.5
+                AND LEN(toks) >= 5) AS q_pass,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                   AS fingerprint
+        FROM t),
+    flagged AS (
+        SELECT lang, q_pass,
+               (q_pass AND doc_id = MIN(CASE WHEN q_pass THEN doc_id END)
+                    OVER (PARTITION BY fingerprint)) AS kept
+        FROM staged)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY lang
+"""
+
+
 QUERIES = {
     "profile_transform": Query(q_profile_transform, TRANSFORM_SQL, headline=True),
     "profile_reconciliation": Query(q_reconciliation, RECONCILE_SQL),
+    "pipeline_corpus_clean": Query(q_corpus_clean, CORPUS_CLEAN_SQL, headline=True),
 }
