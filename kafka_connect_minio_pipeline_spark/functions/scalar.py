@@ -188,10 +188,45 @@ SQL_SCALAR_CONDITIONAL = """
 """
 
 
+def q_scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read: from_json parses props into a TYPED struct once
+    (vs. scalar_json's per-path string extraction) — the pattern for
+    wide semi-structured columns where N path extractions would re-parse
+    the document N times. Malformed/missing fields become nulls, counted
+    explicitly."""
+    events = load(spark, sf_dir, "events")
+    p = F.from_json(F.col("props"), "k int")
+    return (
+        events.select(p.alias("p"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+            F.sum(F.col("p.k").isNull().cast("long")).alias("n_null_k"),
+        )
+    )
+
+
+SQL_SCALAR_JSON_TYPED = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+    FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "scalar_string": Query(q_scalar_string, SQL_SCALAR_STRING),
     "scalar_date": Query(q_scalar_date, SQL_SCALAR_DATE),
     "scalar_math": Query(q_scalar_math, SQL_SCALAR_MATH),
     "scalar_json": Query(q_scalar_json, SQL_SCALAR_JSON, headline=True),
     "scalar_conditional": Query(q_scalar_conditional, SQL_SCALAR_CONDITIONAL),
+    "scalar_json_typed": Query(q_scalar_json_typed, SQL_SCALAR_JSON_TYPED),
 }

@@ -209,6 +209,95 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label agreement over the labeled embeddings: for each query
+    vector, do its exact top-3 cosine neighbors share its label?
+
+    The standard embedding-quality eval (probe of cluster structure):
+    majority neighbor label with deterministic tie-break (higher count
+    first, then smaller label), compared against the query's own label.
+    Everything downstream of the (already oracle-stable) top-k is integer
+    arithmetic, so the whole eval hash-matches DuckDB.
+    """
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    top3 = q_similarity_topk_batch(spark, sf_dir)
+    j = (
+        top3.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select("vec_id", F.col("label").alias("nbr_label"))
+            ),
+            "vec_id",
+        )
+    )
+    counts = j.groupBy("query_id", "q_label", "nbr_label").agg(
+        F.count("*").alias("n")
+    )
+    wmaj = Window.partitionBy("query_id").orderBy(
+        F.col("n").desc(), F.col("nbr_label")
+    )
+    maj = (
+        counts.withColumn("rn", F.row_number().over(wmaj))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nbr_label").alias("majority_label"))
+    )
+    per_q = j.groupBy("query_id", "q_label").agg(
+        F.sum((F.col("nbr_label") == F.col("q_label")).cast("long")).alias(
+            "n_same_label"
+        )
+    )
+    return per_q.join(maj, "query_id").select(
+        "query_id",
+        "q_label",
+        "n_same_label",
+        "majority_label",
+        (F.col("majority_label") == F.col("q_label")).alias("label_match"),
+    )
+
+
+SQL_SIMILARITY_KNN_LABEL = f"""
+    WITH base AS (
+        SELECT vec_id, embedding, label,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS norm_sq
+        FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id, c.label AS nbr_label,
+               ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[]))
+                     / (SQRT(c.norm_sq) * SQRT(q.norm_sq)), 6) AS cos_sim
+        FROM base c JOIN base q
+          ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id),
+    top3 AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+        WHERE rank <= 3),
+    counts AS (
+        SELECT query_id, q_label, nbr_label, COUNT(*) AS n
+        FROM top3 GROUP BY 1, 2, 3),
+    maj AS (
+        SELECT query_id, nbr_label AS majority_label FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY n DESC, nbr_label) AS rn FROM counts)
+        WHERE rn = 1),
+    per_q AS (
+        SELECT query_id, q_label,
+               CAST(SUM(CASE WHEN nbr_label = q_label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_same_label
+        FROM top3 GROUP BY 1, 2)
+    SELECT per_q.query_id, q_label, n_same_label, majority_label,
+           majority_label = q_label AS label_match
+    FROM per_q JOIN maj ON per_q.query_id = maj.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (the other scale path: coarse quantizer + cell-probe search)
 # ---------------------------------------------------------------------------
@@ -336,4 +425,7 @@ QUERIES = {
     ),
     "similarity_ann_lsh": Query(q_similarity_ann_lsh, None),
     "similarity_ann_ivf": Query(q_similarity_ann_ivf, None, headline=True),
+    "similarity_knn_label_eval": Query(
+        q_similarity_knn_label_eval, SQL_SIMILARITY_KNN_LABEL
+    ),
 }
