@@ -89,8 +89,12 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     beats persist(): a cache boundary here measured 3× slower cold because
     materialization blocks and AQE loses runtime stats through it."""
     docs = load(spark, sf_dir, "documents")
-    arr = F.array_sort(F.array_distinct(shingles3(tokens(F.col("text")))))
-    return docs.select("doc_id", arr.alias("arr")).withColumn(
+    # tokenization staged behind a projection boundary — word_ngrams
+    # slices its input n times and there is no CSE across higher-order-
+    # function lambdas (same finding as text_fingerprint's hash array)
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    arr = F.array_sort(F.array_distinct(shingles3(F.col("toks"))))
+    return staged.select("doc_id", arr.alias("arr")).withColumn(
         "n_sh", F.size("arr")
     )
 

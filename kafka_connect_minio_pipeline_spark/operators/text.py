@@ -140,10 +140,10 @@ SQL_TEXT_TOKEN_STATS = f"""
 def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 word bigrams (tiebreak on the bigram string)."""
     docs = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    bigrams = word_ngrams(toks, 2)
+    staged = docs.select(tokens(F.col("text")).alias("toks"))
+    bigrams = word_ngrams(F.col("toks"), 2)
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        staged.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))
@@ -190,19 +190,24 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
         % FP_MOD,
     )
-    m = F.greatest(F.size(hv) - 2, F.lit(1))
+    # Materialize the token-hash array behind a projection boundary: the
+    # three slices below would otherwise each re-evaluate the md5 map
+    # (no CSE across higher-order-function lambdas; measured 3× slower).
+    staged = docs.select("doc_id", hv.alias("hv"))
+    c = F.col("hv")
+    m = F.greatest(F.size(c) - 2, F.lit(1))
     rolled = F.zip_with(
         F.zip_with(
-            F.slice(hv, 1, m), F.slice(hv, 2, m), lambda a, b: a * FP_BASE + b
+            F.slice(c, 1, m), F.slice(c, 2, m), lambda a, b: a * FP_BASE + b
         ),
-        F.slice(hv, 3, m),
-        lambda ab, c: ab * FP_BASE + c,
+        F.slice(c, 3, m),
+        lambda ab, x: ab * FP_BASE + x,
     )
-    guarded = F.when(F.size(hv) >= 3, rolled).otherwise(
+    guarded = F.when(F.size(c) >= 3, rolled).otherwise(
         F.array().cast("array<bigint>")
     )
     return (
-        docs.select("doc_id", F.posexplode(guarded).alias("pos", "h"))
+        staged.select("doc_id", F.posexplode(guarded).alias("pos", "h"))
         .groupBy("doc_id", F.expr(f"CAST(pos DIV {FP_WINDOW} AS BIGINT)").alias("bucket"))
         .agg(F.min("h").alias("fp"))
     )
