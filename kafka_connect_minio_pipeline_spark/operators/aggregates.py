@@ -251,6 +251,44 @@ SQL_AGG_PERCENTILE = """
 """
 
 
+def q_agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: hourly AND daily continuous
+    aggregates of the events stream in ONE pass via grouping sets (the
+    hour rows re-aggregate into day rows map-side; no second scan, no
+    self-union). `grain` labels the granularity, bucket is the truncated
+    timestamp. This is the batch form of the tiered-rollup pattern a
+    timeseries store maintains incrementally."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(DATE_TRUNC('HOUR', ts)) = 0
+                    THEN 'hour' ELSE 'day' END AS grain,
+               COALESCE(DATE_TRUNC('HOUR', ts), DATE_TRUNC('DAY', ts)) AS bucket,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS (
+            (DATE_TRUNC('HOUR', ts), DATE_TRUNC('DAY', ts), event_type),
+            (DATE_TRUNC('DAY', ts), event_type))
+        """
+    )
+
+
+SQL_AGG_TIME_ROLLUP = """
+    SELECT CASE WHEN GROUPING(DATE_TRUNC('hour', ts)) = 0
+                THEN 'hour' ELSE 'day' END AS grain,
+           COALESCE(DATE_TRUNC('hour', ts), DATE_TRUNC('day', ts)) AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (DATE_TRUNC('hour', ts), DATE_TRUNC('day', ts), event_type),
+        (DATE_TRUNC('day', ts), event_type))
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
     "agg_count_distinct": Query(q_agg_count_distinct, SQL_AGG_COUNT_DISTINCT),
@@ -260,4 +298,5 @@ QUERIES = {
     "agg_stats": Query(q_agg_stats, SQL_AGG_STATS),
     "agg_approx_distinct": Query(q_agg_approx_distinct, None),
     "agg_percentile": Query(q_agg_percentile, SQL_AGG_PERCENTILE),
+    "agg_time_rollup": Query(q_agg_time_rollup, SQL_AGG_TIME_ROLLUP),
 }
