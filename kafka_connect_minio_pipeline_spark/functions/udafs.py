@@ -1,0 +1,65 @@
+"""User-defined aggregate surface (SURVEY.md §2.4 UDF/UDAF row).
+
+The reference has zero UDFs — its one SMT decomposes into built-ins
+(SURVEY A8-A16) — so this module exists to prove the escape hatch: a
+GROUPED_AGG pandas UDF (Arrow-batched, whole group per call, no partial
+aggregation) for aggregation logic Spark's built-ins can't express.
+
+Exactness design: float sums are order-dependent and group row order is
+not deterministic across shuffles, so the kernel does its arithmetic on
+exact integers (cents × weight) and divides once at the end — the same
+value DuckDB computes, bit-for-bit, regardless of row order. This is the
+pattern for ANY oracle-comparable custom aggregate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..registry import Query
+from ..tables import load
+
+
+@pandas_udf("double")
+def weighted_value_cents(cents: pd.Series, weight: pd.Series) -> float:
+    """Weight-averaged value from exact integer cents (order-independent)."""
+    w = weight.astype("int64")
+    num = int((cents.astype("int64") * w).sum())
+    den = int(w.sum())
+    return float("nan") if den == 0 else num / den / 100.0
+
+
+def q_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: value-weighted mean (weight = props.k) via a
+    GROUPED_AGG pandas UDF. The cents conversion happens JVM-side so the
+    Python kernel only sees exact integers."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select("event_type", cents.alias("cents"), k.alias("k"))
+        .groupBy("event_type")
+        # NB: a GROUPED_AGG pandas UDF cannot share agg() with built-in
+        # aggregate functions (INVALID_PANDAS_UDF_PLACEMENT) — one UDAF
+        # per aggregation, or join two aggregations.
+        .agg(weighted_value_cents(F.col("cents"), F.col("k")).alias("weighted_value"))
+    )
+
+
+SQL_UDAF_WEIGHTED = """
+    SELECT event_type,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)
+               * CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0
+           / SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) / 100.0
+               AS weighted_value
+    FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "udaf_weighted_value": Query(q_udaf_weighted_value, SQL_UDAF_WEIGHTED),
+}

@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.operators.windows",
     "kafka_connect_minio_pipeline_spark.operators.setops",
     "kafka_connect_minio_pipeline_spark.functions.scalar",
+    "kafka_connect_minio_pipeline_spark.functions.udafs",
     "kafka_connect_minio_pipeline_spark.operators.dedup",
     "kafka_connect_minio_pipeline_spark.operators.similarity",
     "kafka_connect_minio_pipeline_spark.operators.text",
