@@ -24,19 +24,29 @@ from ..registry import Query
 from ..tables import load
 
 
-@pandas_udf("double")
-def weighted_value_cents(cents: pd.Series, weight: pd.Series) -> float:
-    """Weight-averaged value from exact integer cents (order-independent)."""
-    w = weight.astype("int64")
-    num = int((cents.astype("int64") * w).sum())
-    den = int(w.sum())
-    return float("nan") if den == 0 else num / den / 100.0
+def weighted_value_cents_udaf():
+    """Weight-averaged value from exact integer cents (order-independent).
+
+    Built lazily: @pandas_udf parses its return type through the active
+    SparkSession, so decorating at module import would require a session
+    before the registry can even be listed.
+    """
+
+    @pandas_udf("double")
+    def weighted_value_cents(cents: pd.Series, weight: pd.Series) -> float:
+        w = weight.astype("int64")
+        num = int((cents.astype("int64") * w).sum())
+        den = int(w.sum())
+        return float("nan") if den == 0 else num / den / 100.0
+
+    return weighted_value_cents
 
 
 def q_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event_type: value-weighted mean (weight = props.k) via a
     GROUPED_AGG pandas UDF. The cents conversion happens JVM-side so the
     Python kernel only sees exact integers."""
+    weighted_value_cents = weighted_value_cents_udaf()
     events = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     cents = F.round(F.col("value") * 100).cast("long")
