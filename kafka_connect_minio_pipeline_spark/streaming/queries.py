@@ -53,6 +53,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(W.stream_static_join(spark, sf_dir))
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(W.stream_stream_join(spark, sf_dir), output_mode="append")
+
+
 def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_profile_pipeline(spark, sf_dir)
 
@@ -64,5 +68,6 @@ QUERIES = {
     "stream_dedup": Query(q_stream_dedup, W.SQL_DEDUP_STREAM),
     "stream_stateful": Query(q_stream_stateful, W.SQL_STREAM_STATEFUL, headline=True),
     "stream_static_join": Query(q_stream_static_join, W.SQL_STREAM_STATIC_JOIN),
+    "stream_stream_join": Query(q_stream_stream_join, W.SQL_STREAM_STREAM_JOIN),
     "stream_pipeline": Query(q_stream_pipeline, TRANSFORM_SQL),
 }

@@ -205,6 +205,66 @@ SQL_STREAM_STATEFUL = """
 """
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⨝stream interval join: each purchase matched to the same
+    user's clicks in the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends — exactly what lets Structured Streaming evict join
+    state (a click older than max(purchase watermark) + 1h can never
+    match again). State is O(events within the interval), not O(stream).
+    The batch oracle is the same interval join; with availableNow over a
+    static file the streaming answer must converge to it exactly.
+    """
+    ev = stream_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        # exact integer micros (unix_timestamp truncates sub-second parts
+        # per-operand, which disagrees with the oracle's difference by ±1s)
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) DIV 1000000"
+        ).alias("gap_seconds"),
+    )
+
+
+SQL_STREAM_STREAM_JOIN = """
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_seconds
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream ⨝ static dimension: events enriched with the customer
     segment, aggregated per segment/event_type. The static side is
