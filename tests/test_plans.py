@@ -142,6 +142,18 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     assert "fact_salt" in plan and "dim_salt" in plan, plan
 
 
+def test_corpus_clean_stays_narrow_until_dedup_window(spark, sf_dir):
+    """The composed cleaning pipeline must shuffle exactly twice: once
+    for the fingerprint dedup window, once for the tiny per-language
+    aggregate — quality features and fingerprints are all narrow."""
+    from kafka_connect_minio_pipeline_spark.pipeline.queries import q_corpus_clean
+
+    df = q_corpus_clean(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert plan.count("hashpartitioning") <= 2, plan
+
+
 def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
     from kafka_connect_minio_pipeline_spark.streaming.windows import (
         stream_static_join,
