@@ -31,6 +31,59 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconcile(users, profile_transform(users))
 
 
+_CITIES = ("Springfield", "Riverton", "Lakeside", "Hillview", "Brookfield")
+
+
+def q_profile_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-record passthrough (SURVEY §1.1: the Avro ``Address``
+    sub-record, reference ``producer/producer.py:24-35``): a StructType
+    ``address`` column is attached to the users projection, rides through
+    the whole SMT dataflow untouched (the reference copies non-dropped
+    fields as-is, ``UserProfileTransform.java:59-65``), and is read back
+    by field access. Flattened in the final select only because the
+    cross-engine hash compares scalars; the plan carries the struct."""
+    from pyspark.sql import functions as F
+
+    from .profile import profile_transform, users_from_customer
+
+    users = users_from_customer(load(spark, sf_dir, "customer"))
+    key = F.col("user_id").cast("long")
+    city = F.element_at(
+        F.array(*[F.lit(c) for c in _CITIES]), (key % 5 + 1).cast("int")
+    )
+    users = users.withColumn(
+        "address",
+        F.struct(
+            F.concat(F.col("user_id"), F.lit(" Main St")).alias("street"),
+            city.alias("city"),
+            F.lpad((key % 100000).cast("string"), 5, "0").alias("zip_code"),
+        ),
+    )
+    out = profile_transform(users)
+    return out.select(
+        "user_id",
+        "full_name",
+        "is_adult",
+        F.col("address.street").alias("street"),
+        F.col("address.city").alias("city"),
+        F.col("address.zip_code").alias("zip_code"),
+    )
+
+
+NESTED_SQL = f"""
+    WITH t AS ({TRANSFORM_SQL})
+    SELECT user_id, full_name, is_adult,
+           user_id || ' Main St' AS street,
+           CASE CAST(user_id AS BIGINT) % 5
+                WHEN 0 THEN 'Springfield' WHEN 1 THEN 'Riverton'
+                WHEN 2 THEN 'Lakeside' WHEN 3 THEN 'Hillview'
+                ELSE 'Brookfield' END AS city,
+           LPAD(CAST(CAST(user_id AS BIGINT) % 100000 AS VARCHAR), 5, '0')
+               AS zip_code
+    FROM t
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data cleaning pipeline over ``documents``:
     quality gate → exact dedup (keep canonical) → per-language funnel.
@@ -130,5 +183,6 @@ CORPUS_CLEAN_SQL = """
 QUERIES = {
     "profile_transform": Query(q_profile_transform, TRANSFORM_SQL, headline=True),
     "profile_reconciliation": Query(q_reconciliation, RECONCILE_SQL),
+    "profile_nested": Query(q_profile_nested, NESTED_SQL),
     "pipeline_corpus_clean": Query(q_corpus_clean, CORPUS_CLEAN_SQL, headline=True),
 }
