@@ -289,6 +289,31 @@ SQL_AGG_TIME_ROLLUP = """
 """
 
 
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (bin = floor(value/10)).
+
+    The classic distributed histogram: binning is a narrow map, counting
+    is one partial-aggregated groupBy — shuffle volume is O(bins), never
+    O(rows). IEEE division + floor on identical operands is bit-identical
+    across engines, so bin assignment hash-matches exactly."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type", F.floor(F.col("value") / 10).alias("bin")
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_AGG_HISTOGRAM = """
+    SELECT event_type,
+           CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
     "agg_count_distinct": Query(q_agg_count_distinct, SQL_AGG_COUNT_DISTINCT),
@@ -299,4 +324,5 @@ QUERIES = {
     "agg_approx_distinct": Query(q_agg_approx_distinct, None),
     "agg_percentile": Query(q_agg_percentile, SQL_AGG_PERCENTILE),
     "agg_time_rollup": Query(q_agg_time_rollup, SQL_AGG_TIME_ROLLUP),
+    "agg_histogram": Query(q_agg_histogram, SQL_AGG_HISTOGRAM),
 }

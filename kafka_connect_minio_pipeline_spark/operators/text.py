@@ -228,6 +228,36 @@ SQL_TEXT_FINGERPRINT = f"""
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the pre-tokenization cleanup pass of
+    a corpus pipeline): lowercase → non-alphanumerics to spaces →
+    whitespace collapse → trim. Emitted as md5 + length so the oracle
+    compares compact digests instead of full documents."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+    SELECT doc_id,
+           MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+               '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+           CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+               '[^a-z0-9]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram language scorer, trained on the corpus itself.
 
@@ -272,5 +302,6 @@ QUERIES = {
     "text_token_stats": Query(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_ngram_top": Query(q_text_ngram_top, SQL_TEXT_NGRAM_TOP),
     "text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, headline=True),
+    "text_normalize": Query(q_text_normalize, SQL_TEXT_NORMALIZE),
     "text_langid": Query(q_text_langid, None),
 }
