@@ -70,6 +70,43 @@ SQL_UDAF_WEIGHTED = """
 """
 
 
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input doc → N sentence rows via
+    a LATERAL call. The split logic itself is trivially expressible in
+    SQL (the oracle proves it); the point is the UDTF plumbing — arrow
+    batches in, iterator of rows out, composable in the FROM clause.
+    Built lazily for the same session-dependency reason as the UDAF."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SentenceSplitter:
+        def eval(self, doc_id, text):
+            for i, s in enumerate(text.split(". ")):
+                if s != "":
+                    yield doc_id, i, s
+
+    spark.udtf.register("kcm_split_sentences", SentenceSplitter)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("kcm_docs_udtf")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.sent_idx, s.sentence
+        FROM kcm_docs_udtf d,
+             LATERAL kcm_split_sentences(d.doc_id, d.text) s
+        """
+    )
+
+
+SQL_UDTF_SENTENCES = """
+    WITH t AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)
+    SELECT doc_id,
+           CAST(i - 1 AS INTEGER) AS sent_idx,
+           parts[i] AS sentence
+    FROM t, UNNEST(RANGE(1, GREATEST(LEN(parts) + 1, 1))) r(i)
+    WHERE parts[i] <> ''
+"""
+
+
 QUERIES = {
     "udaf_weighted_value": Query(q_udaf_weighted_value, SQL_UDAF_WEIGHTED),
+    "udtf_sentences": Query(q_udtf_sentences, SQL_UDTF_SENTENCES),
 }

@@ -142,6 +142,48 @@ def test_salted_join_spreads_keys(spark, sf_dir):
     assert "fact_salt" in plan and "dim_salt" in plan, plan
 
 
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Bucketing co-locates the join: both sides pre-hashed into the same
+    bucket layout at write time → sort-merge join with ZERO exchanges.
+    This is the 100 TB answer for a fact⨝fact join that recurs on the
+    same key — pay the shuffle once at ingest, never again per query."""
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    spark.sql("DROP TABLE IF EXISTS kcm_orders_b")
+    spark.sql("DROP TABLE IF EXISTS kcm_lineitem_b")
+    load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("kcm_orders_b")
+    load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity").write.mode(
+        "overwrite"
+    ).bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("kcm_lineitem_b")
+    try:
+        j = (
+            spark.table("kcm_orders_b")
+            .hint("merge")
+            .join(
+                spark.table("kcm_lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+        )
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # sanity: result matches the plain (shuffled) join
+        n_plain = (
+            load(spark, sf_dir, "orders")
+            .join(
+                load(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .count()
+        )
+        assert j.count() == n_plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS kcm_orders_b")
+        spark.sql("DROP TABLE IF EXISTS kcm_lineitem_b")
+
+
 def test_corpus_clean_stays_narrow_until_dedup_window(spark, sf_dir):
     """The composed cleaning pipeline must shuffle exactly twice: once
     for the fingerprint dedup window, once for the tiny per-language
