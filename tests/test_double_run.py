@@ -1,0 +1,27 @@
+"""Double-run determinism: the driver executes every query twice in one
+session to hash it — any hidden state (streaming memory-sink name reuse,
+UDF registration clashes, temp-view collisions, cached nondeterminism)
+shows up as a run-to-run mismatch. Guard the stateful/side-effectful
+families explicitly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_minio_pipeline_spark.registry import all_queries
+
+_QUERIES = all_queries(strict=False)
+_STATEFUL = sorted(
+    n
+    for n in _QUERIES
+    if n.startswith("stream_") or n.startswith("udtf_") or n.startswith("udaf_")
+)
+
+
+@pytest.mark.parametrize("name", _STATEFUL)
+def test_query_is_stable_across_reruns(spark, sf_dir, name):
+    fn = _QUERIES[name].fn
+    a = sorted(map(str, fn(spark, sf_dir).collect()))
+    b = sorted(map(str, fn(spark, sf_dir).collect()))
+    assert a == b
