@@ -75,7 +75,12 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     a LATERAL call. The split logic itself is trivially expressible in
     SQL (the oracle proves it); the point is the UDTF plumbing — arrow
     batches in, iterator of rows out, composable in the FROM clause.
-    Built lazily for the same session-dependency reason as the UDAF."""
+    Built lazily for the same session-dependency reason as the UDAF.
+
+    NOT the recommended path: this is the escape-hatch demo. The built-in
+    twin :func:`q_sentences_builtin` computes the identical result with
+    ``posexplode(split(...))`` — pure JVM, whole-stage codegen, no Python
+    boundary — and is what production code should use."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
@@ -106,7 +111,25 @@ SQL_UDTF_SENTENCES = """
 """
 
 
+def q_sentences_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recommended built-in twin of :func:`q_udtf_sentences`: the same
+    doc → sentence-rows expansion as ``posexplode(split(text, '\\. '))`` —
+    stays in whole-stage codegen, no Python row boundary. Registered next
+    to the UDTF demo (same oracle) so the registry shows the built-in path
+    and the escape hatch side-by-side."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\. ")).alias("sent_idx", "sentence"),
+        )
+        .filter(F.col("sentence") != "")
+        .select("doc_id", "sent_idx", "sentence")
+    )
+
+
 QUERIES = {
     "udaf_weighted_value": Query(q_udaf_weighted_value, SQL_UDAF_WEIGHTED),
     "udtf_sentences": Query(q_udtf_sentences, SQL_UDTF_SENTENCES),
+    "udtf_sentences_builtin": Query(q_sentences_builtin, SQL_UDTF_SENTENCES),
 }

@@ -16,6 +16,14 @@ partition-parallel execution — is real and oracle-/test-covered.
 
 There is no binary test table, so ``documents.text`` is encoded to UTF-8
 bytes as the stand-in payload.
+
+ORACLE CAVEAT (ASCII-only): the DuckDB oracles for features/resize/
+frame_sample slice CHARACTERS (``ORD(SUBSTRING(text, i, 1))``) while the
+Spark side operates on the UTF-8 BYTES of ``encode(text,'utf-8')``; the
+two agree iff every document is pure ASCII (1 char == 1 byte). The
+synthetic corpus is ASCII by construction and
+``tests/test_oracle_parity.py::test_documents_are_ascii`` asserts it, so
+a future non-ASCII regeneration fails loudly instead of hash-mismatching.
 """
 
 from __future__ import annotations

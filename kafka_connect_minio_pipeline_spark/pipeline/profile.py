@@ -94,10 +94,19 @@ USERS_SQL = """
 # the transform itself (A8-A16)
 # ---------------------------------------------------------------------------
 
+# Java String.trim() (the reference SMT's blank test,
+# UserProfileTransform.java:30-34) strips every char <= U+0020 — not just
+# ASCII space. "non-blank after trim" is therefore "contains any char
+# > U+0020", which both Java regex and DuckDB's RE2 express identically
+# (F.trim / DuckDB TRIM would strip only ' ' and keep a "\t" name the
+# reference drops).
+_NONBLANK_RE = "[^\\x00-\\x20]"
+
+
 def _name_present(c: Column) -> Column:
-    """Reference null/blank test: non-null AND non-empty after trim
+    """Reference null/blank test: non-null AND non-empty after Java trim
     (UserProfileTransform.java:30-34)."""
-    return c.isNotNull() & (F.trim(c) != "")
+    return c.isNotNull() & c.rlike(_NONBLANK_RE)
 
 
 def profile_transform(users: DataFrame, include_processed_ts: bool = False) -> DataFrame:
@@ -136,6 +145,37 @@ def profile_transform(users: DataFrame, include_processed_ts: bool = False) -> D
     return out
 
 
+def profile_transform_records(records: DataFrame) -> DataFrame:
+    """Record-level transform with tombstone passthrough (A8).
+
+    Input mirrors a decoded Kafka topic: ``key`` plus a NULLABLE ``value``
+    struct of user fields. The reference SMT forwards a record whose value
+    is null unchanged (``UserProfileTransform.java:25`` — Kafka tombstones
+    must reach the sink so downstream compaction deletes the key); here a
+    tombstone survives as a key-only row (all value fields null, flagged
+    ``is_tombstone``) while live records get the A9-A13 dataflow. One
+    narrow single-scan projection — the conditional transform stays in
+    whole-stage codegen, no union of two scans.
+    """
+    v = F.col("value")
+    is_tomb = v.isNull()
+    live = ~is_tomb
+    keep = is_tomb | (_name_present(v["first_name"]) & _name_present(v["last_name"]))
+    return records.filter(keep).select(
+        F.col("key"),
+        is_tomb.alias("is_tombstone"),
+        v["user_id"].alias("user_id"),
+        v["first_name"].alias("first_name"),
+        v["last_name"].alias("last_name"),
+        F.when(live, F.lit(REDACTED_EMAIL)).alias("email"),
+        v["age"].alias("age"),
+        F.when(live, F.concat(v["first_name"], F.lit(" "), v["last_name"])).alias(
+            "full_name"
+        ),
+        F.when(live, F.coalesce(v["age"] >= 18, F.lit(False))).alias("is_adult"),
+    )
+
+
 TRANSFORM_SQL_BODY = """
     SELECT
         user_id,
@@ -146,8 +186,8 @@ TRANSFORM_SQL_BODY = """
         first_name || ' ' || last_name AS full_name,
         COALESCE(age >= 18, FALSE) AS is_adult
     FROM users
-    WHERE first_name IS NOT NULL AND TRIM(first_name) <> ''
-      AND last_name  IS NOT NULL AND TRIM(last_name)  <> ''
+    WHERE first_name IS NOT NULL AND regexp_matches(first_name, '[^\\x00-\\x20]')
+      AND last_name  IS NOT NULL AND regexp_matches(last_name,  '[^\\x00-\\x20]')
 """
 
 TRANSFORM_SQL = f"WITH users AS ({USERS_SQL}) {TRANSFORM_SQL_BODY}"
@@ -162,8 +202,12 @@ def reconcile(source: DataFrame, sink: DataFrame) -> DataFrame:
     (``producer/verifier_ui.py:101-138``) as one full-outer join + CASE.
 
     The verifier builds two dicts and walks the union of key sets in Python;
-    here the same key-space union IS the full-outer join, and the 5-way
-    classification is a ``when`` chain. Scale: both sides hash-partition on
+    here the same key-space union IS the full-outer join, and the 6-way
+    classification is a ``when`` chain — including the reference's
+    sensitive-field arm (``verifier_ui.py:126``: a sink record that still
+    carries ``raw_password_hash`` is ``FAILED_HASH_SURVIVED``). A correct
+    sink never has that column (A10 drops it), so the arm is tested by
+    seeding a corrupted sink. Scale: both sides hash-partition on
     user_id; at 100 TB this is one co-partitioned shuffle, no driver state.
     """
     src = source.select(
@@ -171,16 +215,25 @@ def reconcile(source: DataFrame, sink: DataFrame) -> DataFrame:
         F.col("first_name").alias("src_first_name"),
         F.col("last_name").alias("src_last_name"),
     )
+    # verifier_ui.py:126 tests dict-key presence; the columnar equivalent is
+    # "column exists AND value non-null". A sink written by the correct
+    # pipeline lacks the column entirely → constant-folds to false.
+    sink_raw_hash = (
+        F.col("raw_password_hash")
+        if "raw_password_hash" in sink.columns
+        else F.lit(None).cast("string")
+    )
     snk = sink.select(
         F.col("user_id"),
         F.col("email").alias("sink_email"),
+        sink_raw_hash.alias("sink_raw_hash"),
         F.lit(True).alias("sink_present"),
     )
     name_blank = (
         F.col("src_first_name").isNull()
-        | (F.trim(F.col("src_first_name")) == "")
+        | ~F.col("src_first_name").rlike(_NONBLANK_RE)
         | F.col("src_last_name").isNull()
-        | (F.trim(F.col("src_last_name")) == "")
+        | ~F.col("src_last_name").rlike(_NONBLANK_RE)
     )
     src = src.withColumn("_src_present", F.lit(True))
     joined = src.join(snk, "user_id", "full_outer")
@@ -188,6 +241,7 @@ def reconcile(source: DataFrame, sink: DataFrame) -> DataFrame:
         F.when(F.col("_src_present").isNull(), F.lit("ORPHAN_IN_SINK"))
         .when(F.col("sink_present").isNull() & name_blank, F.lit("FILTERED_AS_EXPECTED"))
         .when(F.col("sink_present").isNull(), F.lit("MISSING_IN_SINK"))
+        .when(F.col("sink_raw_hash").isNotNull(), F.lit("FAILED_HASH_SURVIVED"))
         .when(F.col("sink_email") != REDACTED_EMAIL, F.lit("FAILED_EMAIL_NOT_MASKED"))
         .otherwise(F.lit("OK"))
     )
@@ -203,17 +257,23 @@ RECONCILE_SQL = f"""
         FROM users
     ),
     snk AS (
-        SELECT user_id, email AS sink_email, TRUE AS sink_present FROM sink
+        SELECT user_id, email AS sink_email,
+               CAST(NULL AS VARCHAR) AS sink_raw_hash,  -- A10 dropped it
+               TRUE AS sink_present
+        FROM sink
     )
     SELECT
         COALESCE(src.user_id, snk.user_id) AS user_id,
         CASE
             WHEN src._src_present IS NULL THEN 'ORPHAN_IN_SINK'
             WHEN snk.sink_present IS NULL AND (
-                 src.src_first_name IS NULL OR TRIM(src.src_first_name) = ''
-                 OR src.src_last_name IS NULL OR TRIM(src.src_last_name) = '')
+                 src.src_first_name IS NULL
+                 OR NOT regexp_matches(src.src_first_name, '[^\\x00-\\x20]')
+                 OR src.src_last_name IS NULL
+                 OR NOT regexp_matches(src.src_last_name, '[^\\x00-\\x20]'))
                 THEN 'FILTERED_AS_EXPECTED'
             WHEN snk.sink_present IS NULL THEN 'MISSING_IN_SINK'
+            WHEN snk.sink_raw_hash IS NOT NULL THEN 'FAILED_HASH_SURVIVED'
             WHEN snk.sink_email <> 'redacted@email.com'
                 THEN 'FAILED_EMAIL_NOT_MASKED'
             ELSE 'OK'

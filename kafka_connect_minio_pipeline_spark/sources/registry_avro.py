@@ -90,6 +90,36 @@ USERS_SPARK_SCHEMA = T.StructType(
 )
 
 
+def fetch_schema(
+    subject: str,
+    registry_url: str,
+    timeout_s: float = 5.0,
+    fallback: dict[str, Any] | None = USERS_AVRO_SCHEMA,
+) -> dict[str, Any]:
+    """Plan-time Schema Registry lookup (A3): GET
+    ``{registry_url}/subjects/{subject}-value/versions/latest`` (the
+    public Confluent REST path the reference verifier hits,
+    ``producer/verifier_ui.py:22-29``) and parse the ``schema`` field —
+    a JSON-stringified Avro schema — into a dict.
+
+    Called ONCE when the plan is built, never per record. On any network/
+    parse failure the pinned ``fallback`` schema keeps offline runs (CI,
+    this container) working; pass ``fallback=None`` to make failures loud
+    in deployments where schema evolution must not be papered over.
+    """
+    import urllib.request
+
+    url = f"{registry_url.rstrip('/')}/subjects/{subject}-value/versions/latest"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout_s) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+        return json.loads(body["schema"])
+    except Exception:
+        if fallback is None:
+            raise
+        return fallback
+
+
 def frame(payload: bytes, schema_id: int) -> bytes:
     """Wrap an Avro payload in the Confluent wire format (test fixtures +
     produce-side symmetry)."""
@@ -108,8 +138,11 @@ def split_confluent_frame(df: DataFrame, value_col: str = "value") -> DataFrame:
     return (
         df.filter(F.expr(f"substring({value_col}, 1, 1)") == bytes([MAGIC_BYTE]))
         .withColumn(
+            # Confluent schema ids are UNSIGNED 32-bit; conv() returns the
+            # unsigned value, so cast to long (an int cast would wrap ids
+            # >= 2^31 negative).
             "schema_id",
-            F.conv(F.hex(F.expr(f"substring({value_col}, 2, 4)")), 16, 10).cast("int"),
+            F.conv(F.hex(F.expr(f"substring({value_col}, 2, 4)")), 16, 10).cast("long"),
         )
         .withColumn("payload", F.expr(f"substring({value_col}, 6, length({value_col}) - 5)"))
     )
@@ -169,10 +202,18 @@ def kafka_avro_stream(
     avro_schema: dict[str, Any] = USERS_AVRO_SCHEMA,
     spark_schema: T.StructType = USERS_SPARK_SCHEMA,
     starting_offsets: str = "earliest",
+    registry_url: str | None = None,
 ) -> DataFrame:
     """The deployment source (SURVEY.md A1-A2): Kafka topic → frame split
     → Avro decode, keeping Kafka metadata columns (A16) alongside the
-    payload. Needs the spark-sql-kafka package on the classpath."""
+    payload. Needs the spark-sql-kafka package on the classpath.
+
+    With ``registry_url`` set, the latest schema for ``{topic}-value`` is
+    fetched at plan time (A3, :func:`fetch_schema`) instead of using the
+    pinned constant — schema evolution then reaches the decoder without a
+    code change."""
+    if registry_url is not None:
+        avro_schema = fetch_schema(topic, registry_url)
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -33,6 +33,42 @@ SINK_SCHEMA = T.StructType(
 )
 
 
+def read_json_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Sink read-back with malformed-line tolerance (A6): the reference
+    verifier silently skips unparseable sink lines
+    (``producer/verifier_ui.py:94-96``); ``mode=DROPMALFORMED`` under the
+    pinned schema is the same contract — a corrupt object never poisons
+    the audit."""
+    return (
+        spark.read.schema(SINK_SCHEMA)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+
+
+def sink_corruption_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(clean_rows, corrupt_rows) for a JSON sink directory — the
+    observability counterpart of :func:`read_json_sink`: PERMISSIVE mode
+    with ``columnNameOfCorruptRecord`` keeps the bad line text so it can
+    be counted (and at scale, quarantined) instead of vanishing."""
+    schema = T.StructType(list(SINK_SCHEMA.fields) + [
+        T.StructField("_corrupt_record", T.StringType())
+    ])
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        # caching before splitting on the corrupt column is the documented
+        # Spark requirement for referencing _corrupt_record
+        .cache()
+    )
+    corrupt = df.filter(df["_corrupt_record"].isNotNull()).count()
+    clean = df.filter(df["_corrupt_record"].isNull()).count()
+    df.unpersist()
+    return clean, corrupt
+
+
 def streaming_profile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer-stream → users projection → SMT transform → JSON file sink
     → read-back. Returns the sink contents (what the reference's verifier
@@ -42,4 +78,4 @@ def streaming_profile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformed = profile_transform(users)
     out_dir = tempfile.mkdtemp(prefix="kcm_sink_")
     run_to_files(transformed, out_dir, fmt="json")
-    return spark.read.schema(SINK_SCHEMA).json(out_dir)
+    return read_json_sink(spark, out_dir)

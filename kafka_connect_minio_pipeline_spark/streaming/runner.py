@@ -17,6 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 _counter = itertools.count()
 
 
+def _await_or_raise(q, timeout_s: int) -> None:
+    """awaitTermination(timeout) returns False on timeout — a silently
+    part-filled sink would be WRONG results, so stop the query and fail."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish within {timeout_s}s"
+        )
+
+
 def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "complete",
@@ -31,7 +41,7 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)
     spark: SparkSession = sdf.sparkSession
     return spark.table(name)
 
@@ -53,4 +63,4 @@ def run_to_files(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    _await_or_raise(q, timeout_s)

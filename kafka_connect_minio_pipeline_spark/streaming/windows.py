@@ -215,6 +215,12 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     match again). State is O(events within the interval), not O(stream).
     The batch oracle is the same interval join; with availableNow over a
     static file the streaming answer must converge to it exactly.
+
+    Watermark sizing: the click side's delay must be >= the 1 h join
+    interval PLUS the purchase side's lateness allowance, else a click
+    could be evicted before a late purchase it still matches arrives —
+    batch-equality would then only hold for single-batch/ordered sources.
+    90 min = 60 min interval + the 30 min purchase watermark.
     """
     ev = stream_table(spark, sf_dir, "events")
     clicks = (
@@ -224,7 +230,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("c_user"),
             F.col("ts").cast("timestamp").alias("click_ts"),
         )
-        .withWatermark("click_ts", "30 minutes")
+        .withWatermark("click_ts", "90 minutes")
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")

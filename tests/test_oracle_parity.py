@@ -29,3 +29,16 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_documents_are_ascii(spark, sf_dir):
+    """The multimodal oracles slice characters (DuckDB) vs UTF-8 bytes
+    (Spark) and agree only on pure-ASCII text (see operators/multimodal.py
+    module docstring). Fail loudly if the corpus ever stops being ASCII."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    non_ascii = docs.filter(
+        F.length(F.col("text")) != F.octet_length(F.col("text"))
+    ).count()
+    assert non_ascii == 0

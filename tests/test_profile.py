@@ -116,6 +116,95 @@ def test_reconcile_classification(spark, users):
     assert out.count() == 9
 
 
+def test_java_trim_blank_fidelity(spark):
+    """The reference's blank test is Java String.trim(), which strips every
+    char <= U+0020 — a "\\t" or "\\n" name must be dropped exactly like
+    "   " (ADVICE r1). DuckDB's regexp_matches mirror must agree."""
+    rows = [
+        Row(user_id="tab", first_name="\t", last_name="Doe"),
+        Row(user_id="newline", first_name="\n \t", last_name="Doe"),
+        Row(user_id="kept", first_name="a", last_name="Doe"),
+        Row(user_id="inner", first_name=" a ", last_name="Doe"),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "user_id", "first_name", "last_name",
+        F.lit("e@x.com").alias("email"), F.lit(20).alias("age"),
+        F.lit("h").alias("raw_password_hash"),
+        F.lit("t").alias("internal_tracking_code"),
+    )
+    kept = {r["user_id"] for r in profile_transform(df).collect()}
+    assert kept == {"kept", "inner"}
+
+    import duckdb
+
+    # the oracle-side pattern must classify identically
+    dres = duckdb.sql(
+        r"""SELECT s, regexp_matches(s, '[^\x00-\x20]') FROM
+            (VALUES (chr(9)), (chr(10) || ' '), ('a'), (' a ')) t(s)"""
+    ).fetchall()
+    assert {s: m for s, m in dres} == {"\t": False, "\n ": False, "a": True, " a ": True}
+
+
+def test_reconcile_hash_survival_arm(spark, users):
+    """A22: a sink record that still carries raw_password_hash must be
+    flagged FAILED_HASH_SURVIVED (reference verifier_ui.py:126). Seed the
+    violation by re-attaching the column for one key."""
+    good = profile_transform(users)
+    corrupted = good.withColumn(
+        "raw_password_hash",
+        F.when(F.col("user_id") == "id_1", F.lit("secret123")),
+    )
+    out = {r["user_id"]: r["status"] for r in reconcile(users, corrupted).collect()}
+    assert out["id_1"] == "FAILED_HASH_SURVIVED"
+    assert out["id_0"] == "OK"
+    # severity order: hash survival outranks a bad email mask
+    both = good.withColumn("raw_password_hash", F.lit("secret123")).withColumn(
+        "email", F.lit("leak@real.com")
+    )
+    out2 = {r["user_id"]: r["status"] for r in reconcile(users, both).collect()}
+    assert set(out2[u] for u in ("id_0", "id_1")) == {"FAILED_HASH_SURVIVED"}
+
+
+def test_tombstone_passthrough(spark):
+    """A8: a record with a null value (Kafka tombstone) must be forwarded
+    as a key-only row, not dropped (UserProfileTransform.java:25)."""
+    from kafka_connect_minio_pipeline_spark.pipeline.profile import (
+        profile_transform_records,
+    )
+
+    value_t = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("first_name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("value", value_t, True)]
+    )
+    rows = [
+        ("k_live", ("u1", "Ann", "Lee", "a@x.com", 30)),
+        ("k_tomb", None),                                  # tombstone
+        ("k_blank", ("u2", "  ", "Lee", "b@x.com", 40)),   # filtered
+    ]
+    out = profile_transform_records(spark.createDataFrame(rows, schema))
+    got = {r["key"]: r.asDict() for r in out.collect()}
+    assert set(got) == {"k_live", "k_tomb"}  # blank filtered, tombstone kept
+    tomb = got["k_tomb"]
+    assert tomb["is_tombstone"] is True
+    assert all(
+        tomb[c] is None
+        for c in ("user_id", "first_name", "email", "age", "full_name", "is_adult")
+    )
+    live = got["k_live"]
+    assert live["is_tombstone"] is False
+    assert live["email"] == REDACTED_EMAIL
+    assert live["full_name"] == "Ann Lee"
+    assert live["is_adult"] is True
+
+
 def test_users_projection_covers_all_branches(spark, sf_dir):
     from kafka_connect_minio_pipeline_spark.tables import load
 

@@ -1,0 +1,46 @@
+"""Registry contract tests: driver-facing strictness and grading-window
+ordering (VERDICT r1 items 1-2).
+
+The driver's correctness gate hashes only the FIRST 50 registry entries in
+iteration order, and ``__spark_entry__`` builds its dicts via
+``all_queries()`` — so (a) a module that fails to import must be a loud
+error there, never a silently vanished query family, and (b) the families
+left ungraded in round 1 must now sit inside the graded window.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_minio_pipeline_spark import registry
+
+
+def test_strict_import_failure_is_loud(monkeypatch):
+    broken = registry._QUERY_MODULES + ("kafka_connect_minio_pipeline_spark.no_such_module",)
+    monkeypatch.setattr(registry, "_QUERY_MODULES", broken)
+    with pytest.raises(ImportError):
+        registry.all_queries()  # strict=True is the default
+    # lenient mode keeps exploratory tooling alive
+    assert len(registry.all_queries(strict=False)) > 0
+
+
+def test_driver_entrypoints_use_strict_default():
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    assert set(entry.oracle_sql()) <= set(names)
+    assert len(names) >= 69
+
+
+def test_round1_ungraded_families_in_graded_window():
+    """CORRECTNESS_r01 graded exactly entries 1-50; text_*, multimodal_*,
+    stream_*, and similarity_knn_label_eval had no driver row. The round-2
+    module order must place every one of them within the first 50."""
+    names = list(registry.all_queries())
+    window = set(names[:50])
+    must_grade = {n for n in names if n.startswith(("text_", "multimodal_", "stream_"))}
+    must_grade.add("similarity_knn_label_eval")
+    # new queries added this round should be graded too
+    must_grade.add("udtf_sentences_builtin")
+    missing = must_grade - window
+    assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"

@@ -93,6 +93,69 @@ def test_wire_path_feeds_profile_transform(spark, framed_df):
     assert "raw_password_hash" not in out.columns
 
 
+def test_fetch_schema_parses_registry_response(monkeypatch):
+    """A3: plan-time Schema Registry lookup against a stubbed HTTP layer —
+    the Confluent response wraps the Avro schema as a JSON string."""
+    import io
+    import json
+    import urllib.request
+
+    evolved = dict(ra.USERS_AVRO_SCHEMA)
+    evolved["fields"] = ra.USERS_AVRO_SCHEMA["fields"] + [
+        {"name": "loyalty_tier", "type": ["null", "string"], "default": None}
+    ]
+    seen_urls = []
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, timeout=None):
+        seen_urls.append(url)
+        body = json.dumps(
+            {"subject": "users-value", "version": 3, "id": 17,
+             "schema": json.dumps(evolved)}
+        )
+        return _Resp(body.encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    got = ra.fetch_schema("users", "http://registry:8081/")
+    assert got == evolved
+    assert seen_urls == [
+        "http://registry:8081/subjects/users-value/versions/latest"
+    ]
+
+
+def test_fetch_schema_offline_fallback(monkeypatch):
+    import urllib.request
+
+    def boom(url, timeout=None):
+        raise OSError("no network in this container")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    # pinned fallback keeps offline/CI runs working
+    assert ra.fetch_schema("users", "http://registry:8081") == ra.USERS_AVRO_SCHEMA
+    # fallback=None makes failures loud for deployments
+    with pytest.raises(OSError):
+        ra.fetch_schema("users", "http://registry:8081", fallback=None)
+
+
+def test_schema_id_is_unsigned_long(spark):
+    """Confluent schema ids are unsigned 32-bit: an id >= 2^31 must come
+    back positive (long), not wrapped negative (ADVICE r1)."""
+    big_id = 2**31 + 5
+    payload = encode(ra.USERS_AVRO_SCHEMA, _user(*GOLDEN[0]))
+    df = spark.createDataFrame(
+        [(0, ra.frame(payload, schema_id=big_id))], "offset long, value binary"
+    )
+    out = ra.split_confluent_frame(df).select("schema_id").collect()
+    assert out[0]["schema_id"] == big_id
+    assert dict(ra.split_confluent_frame(df).dtypes)["schema_id"] == "bigint"
+
+
 def test_kafka_stream_builder_requires_kafka_jar(spark):
     """Without the kafka connector jar the builder must fail cleanly at
     load(), not silently produce an empty plan."""

@@ -63,6 +63,32 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert with_wm.get("12:00") == 10
 
 
+def test_sink_malformed_lines_skipped_and_counted(spark, tmp_path):
+    """A6: the reference verifier skips unparseable sink lines
+    (verifier_ui.py:94-96). read_json_sink must drop them under the pinned
+    schema, and sink_corruption_stats must count them."""
+    from kafka_connect_minio_pipeline_spark.streaming.pipeline import (
+        read_json_sink,
+        sink_corruption_stats,
+    )
+
+    d = tmp_path / "sink"
+    d.mkdir()
+    clean = (
+        '{"user_id":"1","first_name":"A","last_name":"B","email":"redacted@email.com",'
+        '"age":20,"full_name":"A B","is_adult":true}'
+    )
+    (d / "part-0.json").write_text(clean + "\n" + clean + "\n")
+    (d / "part-1.json").write_text('{"user_id": CORRUPT!!\n' + clean + "\n{broken\n")
+
+    out = read_json_sink(spark, str(d))
+    assert out.count() == 3
+    assert out.filter(F.col("user_id").isNull()).count() == 0
+
+    n_clean, n_corrupt = sink_corruption_stats(spark, str(d))
+    assert (n_clean, n_corrupt) == (3, 2)
+
+
 def test_file_sink_exactly_once_on_rerun(spark, sf_dir):
     """Re-running the checkpointed pipeline over an unchanged source must
     not duplicate sink rows (the commit-log upgrade over the reference's
