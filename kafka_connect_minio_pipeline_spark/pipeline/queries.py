@@ -9,6 +9,7 @@ from ..tables import load
 from .profile import (
     RECONCILE_SQL,
     TRANSFORM_SQL,
+    USERS_SQL,
     profile_transform,
     reconcile,
     users_from_customer,
@@ -29,6 +30,59 @@ def q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verifier analytics A17-A23: source-vs-sink classification."""
     users = _users(spark, sf_dir)
     return reconcile(users, profile_transform(users))
+
+
+def q_profile_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 as a driver-graded query: the record stream with seeded Kafka
+    tombstones (every 10th key carries a null value) pushed through
+    :func:`profile_transform_records` — tombstones pass through as
+    key-only rows (reference ``UserProfileTransform.java:25``), live
+    records get the SMT dataflow."""
+    from pyspark.sql import functions as F
+
+    from .profile import profile_transform_records
+
+    users = _users(spark, sf_dir)
+    is_tomb = (F.col("user_id").cast("long") % 10) == 0
+    records = users.select(
+        F.col("user_id").alias("key"),
+        F.when(
+            ~is_tomb,
+            F.struct(
+                F.col("user_id"),
+                F.col("first_name"),
+                F.col("last_name"),
+                F.col("email"),
+                F.col("age"),
+            ),
+        ).alias("value"),
+    )
+    return profile_transform_records(records)
+
+
+TOMBSTONES_SQL = f"""
+    WITH users AS ({USERS_SQL}),
+    recs AS (
+        SELECT user_id AS key,
+               CAST(user_id AS BIGINT) % 10 = 0 AS is_tombstone,
+               user_id, first_name, last_name, email, age
+        FROM users)
+    SELECT key, is_tombstone,
+        CASE WHEN is_tombstone THEN NULL ELSE user_id END AS user_id,
+        CASE WHEN is_tombstone THEN NULL ELSE first_name END AS first_name,
+        CASE WHEN is_tombstone THEN NULL ELSE last_name END AS last_name,
+        CASE WHEN is_tombstone THEN NULL
+             ELSE 'redacted@email.com' END AS email,
+        CASE WHEN is_tombstone THEN NULL ELSE age END AS age,
+        CASE WHEN is_tombstone THEN NULL
+             ELSE first_name || ' ' || last_name END AS full_name,
+        CASE WHEN is_tombstone THEN NULL
+             ELSE COALESCE(age >= 18, FALSE) END AS is_adult
+    FROM recs
+    WHERE is_tombstone OR (
+        first_name IS NOT NULL AND regexp_matches(first_name, '[^\\x00-\\x20]')
+        AND last_name IS NOT NULL AND regexp_matches(last_name, '[^\\x00-\\x20]'))
+"""
 
 
 _CITIES = ("Springfield", "Riverton", "Lakeside", "Hillview", "Brookfield")
@@ -184,5 +238,6 @@ QUERIES = {
     "profile_transform": Query(q_profile_transform, TRANSFORM_SQL, headline=True),
     "profile_reconciliation": Query(q_reconciliation, RECONCILE_SQL),
     "profile_nested": Query(q_profile_nested, NESTED_SQL),
+    "profile_tombstones": Query(q_profile_tombstones, TOMBSTONES_SQL),
     "pipeline_corpus_clean": Query(q_corpus_clean, CORPUS_CLEAN_SQL, headline=True),
 }
