@@ -63,6 +63,46 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert with_wm.get("12:00") == 10
 
 
+def test_tombstone_passthrough_streaming_e2e(spark, tmp_path):
+    """A8 under a real stream: a null-value record entering the streaming
+    pipeline must reach the sink as a key-only row (golden fixture,
+    reference UserProfileTransform.java:25)."""
+    from pyspark.sql import types as T
+
+    from kafka_connect_minio_pipeline_spark.pipeline.profile import (
+        profile_transform_records,
+    )
+    from kafka_connect_minio_pipeline_spark.streaming.runner import run_to_memory
+
+    value_t = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("first_name", T.StringType()),
+            T.StructField("last_name", T.StringType()),
+            T.StructField("email", T.StringType()),
+            T.StructField("age", T.IntegerType()),
+        ]
+    )
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("value", value_t, True)]
+    )
+    src = str(tmp_path / "records")
+    spark.createDataFrame(
+        [
+            ("k1", ("u1", "Ann", "Lee", "a@x.com", 30)),
+            ("k2", None),
+            ("k3", ("u3", "", "Lee", "c@x.com", 20)),
+        ],
+        schema,
+    ).write.parquet(src)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = run_to_memory(profile_transform_records(sdf), output_mode="append")
+    got = {r["key"]: r for r in out.collect()}
+    assert set(got) == {"k1", "k2"}
+    assert got["k2"]["is_tombstone"] is True and got["k2"]["user_id"] is None
+    assert got["k1"]["email"] == "redacted@email.com"
+
+
 def test_sink_malformed_lines_skipped_and_counted(spark, tmp_path):
     """A6: the reference verifier skips unparseable sink lines
     (verifier_ui.py:94-96). read_json_sink must drop them under the pinned
