@@ -11,10 +11,42 @@ from __future__ import annotations
 
 import itertools
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 _counter = itertools.count()
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession):
+    """Run streaming queries with the RocksDB state store.
+
+    The default HDFS-backed provider keeps every state-store key in
+    executor heap; at 100 TB-pipeline state sizes (billions of keys for
+    stream dedup / sessionization) the standard deployment choice is
+    RocksDB — state lives on local SSD with a block-cache, heap stays
+    bounded. The provider class is read when a query STARTS, so this is a
+    session-conf scope: queries started inside the block use RocksDB,
+    previously-running queries are untouched. Results must be identical
+    to the default provider (asserted in tests/test_streaming.py)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _await_or_raise(q, timeout_s: int) -> None:

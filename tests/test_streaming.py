@@ -63,6 +63,35 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert with_wm.get("12:00") == 10
 
 
+def test_rocksdb_state_store_matches_default(spark, sf_dir):
+    """The RocksDB provider (the large-state deployment choice) must
+    produce bit-identical results to the default in-heap provider for a
+    stateful windowed aggregation."""
+    from kafka_connect_minio_pipeline_spark.streaming import windows as W
+    from kafka_connect_minio_pipeline_spark.streaming.runner import (
+        ROCKSDB_PROVIDER,
+        rocksdb_state,
+        run_to_memory,
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    default = rows(run_to_memory(W.tumbling_counts(spark, sf_dir)))
+    with rocksdb_state(spark):
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        rocks = rows(run_to_memory(W.tumbling_counts(spark, sf_dir)))
+    assert rocks == default and len(rocks) > 0
+    # conf restored after the block (back to the default provider)
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        != ROCKSDB_PROVIDER
+    )
+
+
 def test_tombstone_passthrough_streaming_e2e(spark, tmp_path):
     """A8 under a real stream: a null-value record entering the streaming
     pipeline must reach the sink as a key-only row (golden fixture,
