@@ -206,3 +206,48 @@ def test_stream_static_join_broadcasts_static_side(spark, sf_dir):
     # the analyzed plan mentions the broadcast hint survived
     assert "ResolvedHint" in sdf._jdf.queryExecution().analyzed().toString() or \
         "broadcast" in sdf._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_llm_sample_prunes_text_column(spark, sf_dir):
+    """Stratified sampling touches only doc_id/lang — the (large) text
+    column must never be read from parquet, and the single shuffle is the
+    per-language window partition."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_sample_stratified,
+    )
+
+    df = q_llm_sample_stratified(spark, sf_dir)
+    plan = formatted_plan(df)
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" not in read_schema, read_schema
+    assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_llm_pii_scrub_is_narrow(spark, sf_dir):
+    """PII scrubbing is a pure projection: zero exchanges of any kind."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import q_llm_pii_scrub
+
+    assert_not_in_plan(q_llm_pii_scrub(spark, sf_dir), "Exchange")
+
+
+def test_llm_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set (tiny vs the corpus) must broadcast; the
+    corpus side must stay shuffle-free up to the per-doc count."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_decontaminate,
+    )
+
+    df = q_llm_decontaminate(spark, sf_dir)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_llm_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing is one running-sum window per language: exactly one hash
+    exchange, no global sort."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_pack_sequences,
+    )
+
+    plan = formatted_plan(q_llm_pack_sequences(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
