@@ -40,35 +40,45 @@ def _portable_hash(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
 
-def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language 20% sample, deterministic under a portable hash order.
+def sample_stratified(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    frac: float = SAMPLE_FRAC,
+) -> DataFrame:
+    """Exact, deterministic per-stratum sample of any DataFrame.
 
     Sampling by ``row_number() <= ceil(frac * n)`` over an md5-derived
     order gives an EXACT per-stratum count (sample() would be
     approximate and engine-specific) and is reproducible across engines
     and runs — what a training-mix builder needs. One shuffle
-    (hash-partition by lang); each stratum sorts independently, so skewed
-    strata parallelize across their own partitions at 100 TB (row_number
-    within a stratum is a single-partition op per lang — for a 100 TB
-    corpus with few langs, swap the global row_number for a two-level
-    rank: per-partition top-up then merge; noted, not needed at bench SF).
+    (hash-partition by stratum); each stratum sorts independently, so
+    skewed strata parallelize across their own partitions at 100 TB
+    (row_number within a stratum is a single-partition op per stratum —
+    for a 100 TB corpus with few strata, swap the global row_number for
+    a two-level rank: per-partition top-up then merge; noted, not needed
+    at bench SF).
     """
-    docs = load(spark, sf_dir, "documents")
-    staged = docs.select(
-        "doc_id", "lang", _portable_hash(F.col("doc_id")).alias("h")
+    staged = df.select(
+        id_col, stratum_col, _portable_hash(F.col(id_col)).alias("h")
     )
-    w = Window.partitionBy("lang").orderBy("h", "doc_id")
-    n = Window.partitionBy("lang")
+    w = Window.partitionBy(stratum_col).orderBy("h", id_col)
+    n = Window.partitionBy(stratum_col)
     return (
         staged.select(
-            "doc_id",
-            "lang",
+            id_col,
+            stratum_col,
             F.row_number().over(w).alias("sample_rank"),
-            F.count("*").over(n).alias("n_lang"),
+            F.count("*").over(n).alias("n_stratum"),
         )
-        .filter(F.col("sample_rank") <= F.ceil(F.lit(SAMPLE_FRAC) * F.col("n_lang")))
-        .select("doc_id", "lang", "sample_rank")
+        .filter(F.col("sample_rank") <= F.ceil(F.lit(frac) * F.col("n_stratum")))
+        .select(id_col, stratum_col, "sample_rank")
     )
+
+
+def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: 20% per-language sample of ``documents``."""
+    return sample_stratified(load(spark, sf_dir, "documents"))
 
 
 SQL_SAMPLE_STRATIFIED = f"""
@@ -94,36 +104,46 @@ SQL_SAMPLE_STRATIFIED = f"""
 CTX_BUDGET = 256
 
 
-def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concatenation-offset packing: assign each doc its start bin and
-    offset when the per-language token stream is concatenated into
-    fixed-size context windows (budget 256, docs clipped to the budget,
-    doc_id order).
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    order_col: str = "doc_id",
+    budget: int = CTX_BUDGET,
+) -> DataFrame:
+    """Concatenation-offset packing over any corpus DataFrame: assign
+    each doc its start bin and offset when the per-group token stream is
+    concatenated into fixed-size context windows (docs clipped to the
+    budget, ``order_col`` order).
 
-    Pure prefix-sum packing — one running-sum window per language, no
+    Pure prefix-sum packing — one running-sum window per group, no
     state machine — which is what production packers (GPT-style document
     packing with cross-doc attention masks) actually do: documents
     straddle window boundaries and the bin/offset pair is derived from
-    the exclusive prefix sum. Partitioned by lang, so at 100 TB each
-    language's stream packs independently (and a per-shard key can be
+    the exclusive prefix sum. Partitioned by group, so at 100 TB each
+    group's stream packs independently (and a per-shard key can be
     added to the partition spec without changing the math).
     """
-    docs = load(spark, sf_dir, "documents")
-    n_tok = F.least(F.size(tokens(F.col("text"))), F.lit(CTX_BUDGET))
-    staged = docs.select("doc_id", "lang", n_tok.alias("n_tok"))
+    n_tok = F.least(F.size(tokens(F.col(text_col))), F.lit(budget))
+    staged = df.select(order_col, group_col, n_tok.alias("n_tok"))
     w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
     return staged.select(
-        "doc_id",
-        "lang",
+        order_col,
+        group_col,
         "n_tok",
-        (prefix / CTX_BUDGET).cast("long").alias("bin_id"),
-        (prefix % CTX_BUDGET).cast("int").alias("offset_in_bin"),
+        (prefix / budget).cast("long").alias("bin_id"),
+        (prefix % budget).cast("int").alias("offset_in_bin"),
     )
+
+
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: pack ``documents`` into 256-token windows."""
+    return pack_sequences(load(spark, sf_dir, "documents"))
 
 
 SQL_PACK_SEQUENCES = f"""
@@ -177,26 +197,44 @@ def _seeded_text() -> Column:
     )
 
 
-def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex PII redaction with accounting: emails → ``<EMAIL>``, phones →
-    ``<PHONE>``, plus per-doc match counts. The reference's constant email
-    mask (A11) generalized to in-text pattern scrubbing. Entirely
-    JVM-side regex in one narrow projection — embarrassingly parallel at
-    any scale; the scrubbed text is returned as md5 so the oracle compares
-    content without hauling full documents through the hash."""
-    docs = load(spark, sf_dir, "documents")
-    seeded = _seeded_text()
-    staged = docs.select("doc_id", seeded.alias("t"))
-    n_emails = F.size(F.regexp_extract_all(F.col("t"), F.lit(EMAIL_RE), F.lit(0)))
-    n_phones = F.size(F.regexp_extract_all(F.col("t"), F.lit(PHONE_RE), F.lit(0)))
-    clean = F.regexp_replace(
-        F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+def pii_scrub(df: DataFrame, text_col: str = "t") -> DataFrame:
+    """Regex PII redaction with accounting over any DataFrame: emails →
+    ``<EMAIL>``, phones → ``<PHONE>``, plus per-doc match counts in
+    ``n_emails``/``n_phones`` and the redacted text in ``clean_text``.
+    The reference's constant email mask (A11) generalized to in-text
+    pattern scrubbing. Entirely JVM-side regex in one narrow projection —
+    embarrassingly parallel at any scale."""
+    n_emails = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), F.lit(0))
     )
-    return staged.select(
+    n_phones = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(PHONE_RE), F.lit(0))
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": n_emails,
+            "n_phones": n_phones,
+            "clean_text": clean,
+        }
+    )
+
+
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: scrub the seeded corpus; the scrubbed text is
+    hashed to md5 so the oracle compares content without hauling full
+    documents through the value hash."""
+    docs = load(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _seeded_text().alias("t"))
+    return pii_scrub(staged).select(
         "doc_id",
-        n_emails.alias("n_emails"),
-        n_phones.alias("n_phones"),
-        F.md5(clean).alias("clean_md5"),
+        "n_emails",
+        "n_phones",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
     )
 
 
@@ -229,10 +267,17 @@ BENCH_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark set
 DECON_N = 8
 
 
-def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Test-set contamination gate: flag every corpus doc that shares at
-    least one 8-gram with the benchmark subset (doc_id % 97 == 0), with
-    the count of distinct shared 8-grams.
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = DECON_N,
+    keep_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Test-set contamination gate over any (corpus, benchmark) pair:
+    flag every corpus doc that shares at least one word n-gram with any
+    benchmark doc, with the count of distinct shared n-grams.
 
     The benchmark n-gram set is tiny relative to the corpus (benchmarks
     are KBs-to-MBs vs 100 TB), so it is built once and BROADCAST — the
@@ -240,31 +285,35 @@ def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the join; only the per-doc count aggregates (one shuffle). This
     is the shape n-gram decontamination takes at scale.
     """
-    docs = load(spark, sf_dir, "documents")
-    grams = F.array_distinct(word_ngrams(tokens(F.col("text")), DECON_N))
-    is_bench = F.col("doc_id") % BENCH_MOD == 0
-    corpus = docs.filter(~is_bench).select("doc_id", "lang", grams.alias("g"))
-    bench_grams = (
-        docs.filter(is_bench)
-        .select(F.explode(grams).alias("s"))
-        .distinct()
-    )
+    grams = F.array_distinct(word_ngrams(tokens(F.col(text_col)), n))
+    staged = corpus.select(id_col, *keep_cols, grams.alias("g"))
+    bench_grams = benchmark.select(F.explode(grams).alias("s")).distinct()
     hits = (
-        corpus.select("doc_id", F.explode("g").alias("s"))
+        staged.select(id_col, F.explode("g").alias("s"))
         .join(F.broadcast(bench_grams), "s")
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(F.count_distinct("s").alias("n_shared"))
     )
     return (
-        corpus.select("doc_id", "lang")
-        .join(hits, "doc_id", "left")
+        staged.select(id_col, *keep_cols)
+        .join(hits, id_col, "left")
         .select(
-            "doc_id",
-            "lang",
+            id_col,
+            *keep_cols,
             F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
-            (F.coalesce("n_shared", F.lit(0).cast("long")) > 0).alias("contaminated"),
+            (F.coalesce("n_shared", F.lit(0).cast("long")) > 0).alias(
+                "contaminated"
+            ),
         )
     )
+
+
+def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: ``doc_id % 97 == 0`` plays the held-out
+    benchmark set against the rest of ``documents``."""
+    docs = load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    return decontaminate(docs.filter(~is_bench), docs.filter(is_bench))
 
 
 SQL_DECONTAMINATE = f"""

@@ -78,6 +78,36 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_foreach_batch(
+    sdf: DataFrame,
+    path: str,
+    timeout_s: int = 300,
+) -> None:
+    """The escape-hatch sink: ``foreachBatch`` hands each micro-batch to
+    arbitrary batch-writer logic (the generalization of the reference's
+    S3 sink task for targets Spark has no native sink for — JDBC upserts,
+    MERGE INTO, multi-table writes).
+
+    Exactly-once contract: after a failure Structured Streaming may
+    RE-DELIVER a batch with the SAME ``batch_id``, so the writer must be
+    idempotent per batch_id. Here every batch overwrites its own
+    ``batch_id=N`` partition directory — re-delivery rewrites identical
+    data instead of appending duplicates. On a lakehouse table the same
+    contract is a MERGE keyed on primary key, or a batch_id ledger.
+    """
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="kcm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, timeout_s)
+
+
 def run_to_files(
     sdf: DataFrame,
     path: str,

@@ -63,6 +63,42 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert with_wm.get("12:00") == 10
 
 
+def test_foreach_batch_sink_idempotent_per_batch(spark, sf_dir, tmp_path):
+    """foreachBatch writer keyed on batch_id: the streamed result equals
+    the batch result, and a simulated batch re-delivery (same batch_id)
+    leaves the sink unchanged instead of duplicating rows."""
+    from kafka_connect_minio_pipeline_spark.pipeline.profile import (
+        profile_transform,
+        users_from_customer,
+    )
+    from kafka_connect_minio_pipeline_spark.sources.files import stream_table
+    from kafka_connect_minio_pipeline_spark.streaming.runner import (
+        run_foreach_batch,
+    )
+
+    out = str(tmp_path / "fb_sink")
+    sdf = profile_transform(users_from_customer(stream_table(spark, sf_dir, "customer")))
+    run_foreach_batch(sdf, out)
+    batch_expected = profile_transform(
+        users_from_customer(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    ).count()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == batch_expected > 0
+
+    # simulate Structured Streaming re-delivering batch 0 after a failure:
+    # same data, same batch_id -> overwrite, not append
+    import glob
+
+    batch_dirs = glob.glob(f"{out}/batch_id=*")
+    assert batch_dirs
+    bid = batch_dirs[0].rsplit("=", 1)[1]
+    redelivered = profile_transform(
+        users_from_customer(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    )
+    redelivered.write.mode("overwrite").parquet(f"{out}/batch_id={bid}")
+    assert spark.read.parquet(out).count() == n1
+
+
 def test_rocksdb_state_store_matches_default(spark, sf_dir):
     """The RocksDB provider (the large-state deployment choice) must
     produce bit-identical results to the default in-heap provider for a
