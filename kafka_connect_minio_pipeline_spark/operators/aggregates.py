@@ -314,8 +314,48 @@ SQL_AGG_HISTOGRAM = """
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per event
+    type. The pivot values are EXPLICIT — Spark then skips the extra
+    distinct-values job and the output schema is deterministic (at 100 TB
+    an implicit pivot first scans the data to discover columns; never do
+    that). Under the hood this is one hash aggregate over (user_id) with
+    5 conditional counts — same partial-aggregation scaling as any
+    groupBy. Absent combinations pivot to null, coalesced to 0 to match
+    the SQL FILTER semantics."""
+    events = load(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        # count(lit(1)): Spark disallows the star inside a pivot aggregate
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0).cast("long")).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+SQL_AGG_PIVOT = """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click')    AS BIGINT) AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'error')    AS BIGINT) AS n_error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup')   AS BIGINT) AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'view')     AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
+    "agg_pivot": Query(q_agg_pivot, SQL_AGG_PIVOT),
     "agg_count_distinct": Query(q_agg_count_distinct, SQL_AGG_COUNT_DISTINCT),
     "agg_rollup": Query(q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": Query(q_agg_cube, SQL_AGG_CUBE),
