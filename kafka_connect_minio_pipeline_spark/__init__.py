@@ -27,6 +27,32 @@ from .session import get_spark  # noqa: E402
 from .sinks import write_compacted  # noqa: E402
 from .tables import load, load_all, register_views, sql  # noqa: E402
 
+
+def __getattr__(name: str):
+    """Lazy re-exports of the df-level operator API (importing the
+    operator modules eagerly would drag pandas/pyarrow into every
+    `import kafka_connect_minio_pipeline_spark`)."""
+    lazy = {
+        "profile_transform": "pipeline.profile",
+        "profile_transform_records": "pipeline.profile",
+        "reconcile": "pipeline.profile",
+        "sample_stratified": "operators.llmdata",
+        "pack_sequences": "operators.llmdata",
+        "pii_scrub": "operators.llmdata",
+        "decontaminate": "operators.llmdata",
+        "fetch_schema": "sources.registry_avro",
+        "kafka_avro_stream": "sources.registry_avro",
+        "rocksdb_state": "streaming.runner",
+        "run_foreach_batch": "streaming.runner",
+        "read_json_sink": "streaming.pipeline",
+    }
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(f".{lazy[name]}", __name__), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
     "all_queries",
     "get_spark",
@@ -35,4 +61,17 @@ __all__ = [
     "register_views",
     "sql",
     "write_compacted",
+    # lazy df-level API (see __getattr__)
+    "profile_transform",
+    "profile_transform_records",
+    "reconcile",
+    "sample_stratified",
+    "pack_sequences",
+    "pii_scrub",
+    "decontaminate",
+    "fetch_schema",
+    "kafka_avro_stream",
+    "rocksdb_state",
+    "run_foreach_batch",
+    "read_json_sink",
 ]

@@ -325,7 +325,14 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     that). Under the hood this is one hash aggregate over (user_id) with
     5 conditional counts — same partial-aggregation scaling as any
     groupBy. Absent combinations pivot to null, coalesced to 0 to match
-    the SQL FILTER semantics."""
+    the SQL FILTER semantics.
+
+    Plan shape: two exchanges (count by (user, type), pivotfirst by
+    user), both carrying partial aggregates — ≤ |types| rows per user
+    after phase 1. When the pivot values are known, the one-shuffle
+    alternative is plain conditional aggregation (the oracle's shape:
+    ``count(when(type == t, 1))`` per type); the pivot API is registered
+    because it's the surface users reach for."""
     events = load(spark, sf_dir, "events")
     pivoted = (
         events.groupBy("user_id")

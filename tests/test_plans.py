@@ -251,3 +251,16 @@ def test_llm_pack_sequences_single_shuffle(spark, sf_dir):
     plan = formatted_plan(q_llm_pack_sequences(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_pivot_has_partial_aggregation(spark, sf_dir):
+    """Pivot with explicit values compiles to Spark's two-phase pivot
+    plan: partial count by (user_id, event_type), then partial_pivotfirst
+    by user_id — two exchanges, but BOTH carry map-side-combined
+    accumulators (≤ 5 rows per user after phase 1), never raw rows, and
+    there is no distinct-values discovery job."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_pivot
+
+    plan = formatted_plan(q_agg_pivot(spark, sf_dir))
+    assert "partial_pivotfirst" in plan, plan
+    assert plan.count("hashpartitioning") == 2, plan
