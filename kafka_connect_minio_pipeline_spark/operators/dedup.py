@@ -367,6 +367,81 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3b. near-dup clusters (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by min-label propagation: every node ends up
+    labeled with the smallest doc_id reachable from it.
+
+    Pair generation (Jaccard/LSH) gives near-dup EDGES; deduplication
+    needs CLUSTERS (pick one canonical doc per component), and
+    transitivity means components can chain beyond direct pairs. This is
+    the alternating-join algorithm GraphX/GraphFrames use for CC: each
+    round every node takes the min label in its closed neighborhood; the
+    driver loop only checks a converged COUNT per round (no data through
+    the driver) and near-dup components are shallow cliques, so rounds ≈
+    graph diameter (1-2 in practice, capped at ``max_iter``). Each round
+    is one join + one groupBy on the (tiny vs corpus) edge set — at
+    100 TB the edge relation is the near-dup pairs, orders of magnitude
+    smaller than the corpus.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # closed neighborhood: each node is its own neighbor
+    nodes = sym.select(F.col("a")).distinct()
+    sym = sym.union(nodes.select("a", F.col("a").alias("b"))).cache()
+    labels = nodes.select("a", F.col("a").alias("label"))
+    for _ in range(max_iter):
+        # new label = min over neighbors' current labels
+        new_labels = (
+            sym.join(labels.withColumnRenamed("a", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("label"))
+        ).cache()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "a")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster membership: connected components over the exact
+    Jaccard pair graph, cluster id = min doc_id in the component. The
+    oracle computes the same fixpoint with a recursive CTE (reachability
+    + MIN), proving the iterative Spark loop converged to the true
+    components."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    return connected_components(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS ({SQL_DEDUP_NGRAM}),
+    edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2, d1 FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+# ---------------------------------------------------------------------------
 # 4. SimHash near-dup neighborhood
 # ---------------------------------------------------------------------------
 
@@ -538,6 +613,7 @@ SQL_DEDUP_EMBEDDING = f"""
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM, headline=True),
+    "dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None, headline=True),
     "dedup_simhash": Query(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),

@@ -161,3 +161,21 @@ def test_multimodal_custom_decoder_injection(spark, sf_dir):
     feats = extract_features(binary_table(spark, sf_dir), decoder=fake)
     out = feats.agg(F.min("mean_byte"), F.max("max_byte")).first()
     assert (out[0], out[1]) == (1.0, 2)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A chain a-b, b-c must collapse into ONE cluster labeled min(a,b,c)
+    even though (a,c) is not a direct pair — the property pair output
+    alone cannot give. Two separate components must stay separate."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21)], "d1 long, d2 long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
