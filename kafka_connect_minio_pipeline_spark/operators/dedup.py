@@ -397,7 +397,8 @@ def connected_components(
     sym = sym.union(nodes.select("a", F.col("a").alias("b"))).cache()
     labels = nodes.select("a", F.col("a").alias("label"))
     for _ in range(max_iter):
-        # new label = min over neighbors' current labels
+        # new label = min over neighbors' current labels; cache breaks the
+        # growing lineage (iterative plans re-expand otherwise)
         new_labels = (
             sym.join(labels.withColumnRenamed("a", "b"), "b")
             .groupBy("a")
@@ -408,6 +409,8 @@ def connected_components(
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        if labels.is_cached:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -91,16 +91,18 @@ USERS_SPARK_SCHEMA = T.StructType(
 
 
 def fetch_schema(
-    subject: str,
+    topic: str,
     registry_url: str,
     timeout_s: float = 5.0,
     fallback: dict[str, Any] | None = USERS_AVRO_SCHEMA,
 ) -> dict[str, Any]:
     """Plan-time Schema Registry lookup (A3): GET
-    ``{registry_url}/subjects/{subject}-value/versions/latest`` (the
+    ``{registry_url}/subjects/{topic}-value/versions/latest`` (the
     public Confluent REST path the reference verifier hits,
-    ``producer/verifier_ui.py:22-29``) and parse the ``schema`` field —
-    a JSON-stringified Avro schema — into a dict.
+    ``producer/verifier_ui.py:22-29``; the registry "subject" for a
+    topic's value schema is ``{topic}-value`` by the default
+    TopicNameStrategy) and parse the ``schema`` field — a
+    JSON-stringified Avro schema — into a dict.
 
     Called ONCE when the plan is built, never per record. On any network/
     parse failure the pinned ``fallback`` schema keeps offline runs (CI,
@@ -109,7 +111,7 @@ def fetch_schema(
     """
     import urllib.request
 
-    url = f"{registry_url.rstrip('/')}/subjects/{subject}-value/versions/latest"
+    url = f"{registry_url.rstrip('/')}/subjects/{topic}-value/versions/latest"
     try:
         with urllib.request.urlopen(url, timeout=timeout_s) as resp:
             body = json.loads(resp.read().decode("utf-8"))
