@@ -110,6 +110,7 @@ def pack_sequences(
     group_col: str = "lang",
     order_col: str = "doc_id",
     budget: int = CTX_BUDGET,
+    shard_mod: int | None = None,
 ) -> DataFrame:
     """Concatenation-offset packing over any corpus DataFrame: assign
     each doc its start bin and offset when the per-group token stream is
@@ -120,14 +121,30 @@ def pack_sequences(
     state machine — which is what production packers (GPT-style document
     packing with cross-doc attention masks) actually do: documents
     straddle window boundaries and the bin/offset pair is derived from
-    the exclusive prefix sum. Partitioned by group, so at 100 TB each
-    group's stream packs independently (and a per-shard key can be
-    added to the partition spec without changing the math).
+    the exclusive prefix sum.
+
+    Parallelism: a window partition is a single sort unit, so with few
+    groups (5 languages) the scale ceiling is 5-way. ``shard_mod=N``
+    lifts it by packing each ``(group, order_col % N)`` shard as its own
+    independent stream (disjoint ``(group, shard, bin_id)`` spaces — the
+    shard id is part of the output identity, exactly how production
+    packers shard: each output shard is a self-contained sequence file).
+    The registry query keeps ``shard_mod=None`` so the oracle's simple
+    per-group prefix sum stays equivalent.
     """
     n_tok = F.least(F.size(tokens(F.col(text_col))), F.lit(budget))
     staged = df.select(order_col, group_col, n_tok.alias("n_tok"))
+    if shard_mod is None:
+        part_cols = [group_col]
+        out_extra: list[str] = []
+    else:
+        staged = staged.withColumn(
+            "shard", (F.col(order_col) % shard_mod).cast("int")
+        )
+        part_cols = [group_col, "shard"]
+        out_extra = ["shard"]
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*part_cols)
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -135,6 +152,7 @@ def pack_sequences(
     return staged.select(
         order_col,
         group_col,
+        *out_extra,
         "n_tok",
         (prefix / budget).cast("long").alias("bin_id"),
         (prefix % budget).cast("int").alias("offset_in_bin"),

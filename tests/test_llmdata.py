@@ -52,6 +52,31 @@ def test_pack_sequences_invariants(spark, sf_dir):
             prefix += r["n_tok"]
 
 
+def test_pack_sequences_sharded_variant(spark, sf_dir):
+    """shard_mod=N packs each (lang, doc_id % N) stream independently:
+    same invariants per shard, and shard token totals partition the
+    unsharded totals."""
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = L.pack_sequences(docs, shard_mod=4)
+    rows = out.collect()
+    assert all(0 <= r["shard"] < 4 for r in rows)
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault((r["lang"], r["shard"]), []).append(r)
+    for (lang, shard), rs in by_key.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        prefix = 0
+        for r in rs:
+            assert r["bin_id"] == prefix // L.CTX_BUDGET, (lang, shard, r)
+            assert r["offset_in_bin"] == prefix % L.CTX_BUDGET, (lang, shard, r)
+            prefix += r["n_tok"]
+    # token accounting matches the unsharded packer
+    unsharded = L.pack_sequences(docs).collect()
+    assert sum(r["n_tok"] for r in rows) == sum(r["n_tok"] for r in unsharded)
+
+
 def test_pii_scrub_seeded_counts(spark, sf_dir):
     out = L.q_llm_pii_scrub(spark, sf_dir)
     rows = {r["doc_id"]: r for r in out.collect()}
