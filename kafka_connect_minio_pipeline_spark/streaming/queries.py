@@ -61,6 +61,26 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_profile_pipeline(spark, sf_dir)
 
 
+def q_stream_pipeline_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same end-to-end pipeline through the foreachBatch sink (the
+    arbitrary-target escape hatch, idempotent per batch_id) instead of
+    the native file sink — both must converge to the identical batch
+    answer, so both share TRANSFORM_SQL as oracle."""
+    import tempfile
+
+    from ..pipeline.profile import profile_transform, users_from_customer
+    from ..sources.files import stream_table
+    from .pipeline import SINK_SCHEMA
+    from .runner import run_foreach_batch
+
+    src = stream_table(spark, sf_dir, "customer")
+    transformed = profile_transform(users_from_customer(src))
+    out = tempfile.mkdtemp(prefix="kcm_fb_sink_")
+    run_foreach_batch(transformed, out)
+    cols = [f.name for f in SINK_SCHEMA.fields]
+    return spark.read.parquet(out).select(*cols)
+
+
 QUERIES = {
     "stream_tumbling": Query(q_stream_tumbling, W.SQL_TUMBLING, headline=True),
     "stream_sliding": Query(q_stream_sliding, W.SQL_SLIDING),
@@ -70,4 +90,5 @@ QUERIES = {
     "stream_static_join": Query(q_stream_static_join, W.SQL_STREAM_STATIC_JOIN),
     "stream_stream_join": Query(q_stream_stream_join, W.SQL_STREAM_STREAM_JOIN),
     "stream_pipeline": Query(q_stream_pipeline, TRANSFORM_SQL),
+    "stream_pipeline_foreach": Query(q_stream_pipeline_foreach, TRANSFORM_SQL),
 }
