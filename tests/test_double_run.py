@@ -15,7 +15,12 @@ _QUERIES = all_queries(strict=False)
 _STATEFUL = sorted(
     n
     for n in _QUERIES
-    if n.startswith("stream_") or n.startswith("udtf_") or n.startswith("udaf_")
+    if n.startswith("stream_")
+    or n.startswith("udtf_")
+    or n.startswith("udaf_")
+    # iterative driver loop (cache/unpersist churn) and temp-parquet
+    # staging are side-effectful paths — guard them too
+    or n in ("dedup_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard")
 )
 
 
