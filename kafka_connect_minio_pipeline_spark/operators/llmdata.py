@@ -359,9 +359,127 @@ SQL_DECONTAMINATE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. end-to-end curation pipeline (compose the df-level API)
+# ---------------------------------------------------------------------------
+
+
+def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain as ONE declarative plan: quality gate →
+    exact dedup (canonical per fingerprint) → 20% stratified sample →
+    context-window packing. Composes the same df-level functions users
+    would (:func:`sample_stratified`, :func:`pack_sequences`) on top of
+    the corpus-clean gate — nothing materializes between stages, Catalyst
+    fuses the narrow parts, and the only shuffles are the dedup window,
+    the two per-language windows, and the (broadcast-sized) sample join.
+    The quality/dedup expressions are the hash-verified ones from
+    ``pipeline_corpus_clean``.
+    """
+    from ..operators.text import STOPWORDS
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    stop_in = ",".join(f"'{s}'" for s in STOPWORDS)
+    n_stop = F.size(
+        F.expr(
+            f"filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), t -> t IN ({stop_in}))"
+        )
+    )
+    score = F.round(
+        (alpha_chars / n_chars) * 0.5
+        + (n_stop / n_tokens) * 0.3
+        + F.least(n_tokens / F.lit(32.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        ((score >= 0.5) & (n_tokens >= 5)).alias("q_pass"),
+        fp.alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint")
+    flagged = staged.select(
+        "doc_id",
+        "lang",
+        "text",
+        (
+            F.col("q_pass")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("q_pass"), F.col("doc_id"))).over(w)
+            )
+        ).alias("kept"),
+    )
+    cleaned = flagged.filter("kept").select("doc_id", "lang", "text")
+    sampled = sample_stratified(cleaned)
+    sampled_docs = cleaned.join(sampled.select("doc_id", "sample_rank"), "doc_id")
+    packed = pack_sequences(sampled_docs)
+    return packed.join(sampled.select("doc_id", "sample_rank"), "doc_id").select(
+        "doc_id", "lang", "sample_rank", "n_tok", "bin_id", "offset_in_bin"
+    )
+
+
+SQL_CORPUS_PIPELINE = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks,
+               LENGTH(text) AS n_chars,
+               LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars
+        FROM documents),
+    staged AS (
+        SELECT doc_id, lang, toks,
+               (ROUND((alpha_chars * 1.0 / n_chars) * 0.5
+                      + (LEN(LIST_FILTER(toks, s -> s IN
+                            ('the','a','of','to','and','in','is','it'))) * 1.0
+                         / LEN(toks)) * 0.3
+                      + LEAST(LEN(toks) / 32.0, 1.0) * 0.2, 6) >= 0.5
+                AND LEN(toks) >= 5) AS q_pass,
+               md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+                   AS fingerprint
+        FROM t),
+    cleaned AS (
+        SELECT doc_id, lang, toks FROM (
+            SELECT *, (q_pass AND doc_id = MIN(CASE WHEN q_pass THEN doc_id END)
+                           OVER (PARTITION BY fingerprint)) AS kept
+            FROM staged) WHERE kept),
+    sampled AS (
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                        AS INTEGER) AS sample_rank,
+                   COUNT(*) OVER (PARTITION BY lang) AS n_stratum
+            FROM (SELECT doc_id, lang,
+                         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                  FROM cleaned))
+        WHERE sample_rank <= CEIL({SAMPLE_FRAC} * n_stratum)),
+    sdocs AS (
+        SELECT c.doc_id, c.lang, s.sample_rank,
+               CAST(LEAST(LEN(c.toks), {CTX_BUDGET}) AS INTEGER) AS n_tok
+        FROM cleaned c JOIN sampled s ON c.doc_id = s.doc_id),
+    pre AS (
+        SELECT doc_id, lang, sample_rank, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prefix
+        FROM sdocs)
+    SELECT doc_id, lang, sample_rank, n_tok,
+           prefix // {CTX_BUDGET} AS bin_id,
+           CAST(prefix % {CTX_BUDGET} AS INTEGER) AS offset_in_bin
+    FROM pre
+"""
+
+
 QUERIES = {
     "llm_sample_stratified": Query(q_llm_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "llm_pack_sequences": Query(q_llm_pack_sequences, SQL_PACK_SEQUENCES),
     "llm_pii_scrub": Query(q_llm_pii_scrub, SQL_PII_SCRUB),
     "llm_decontaminate": Query(q_llm_decontaminate, SQL_DECONTAMINATE),
+    "llm_corpus_pipeline": Query(q_llm_corpus_pipeline, SQL_CORPUS_PIPELINE),
 }
