@@ -94,6 +94,56 @@ def test_pii_scrub_seeded_counts(spark, sf_dir):
             assert r["clean_md5"] == docs[doc_id]
 
 
+def test_pack_and_sample_match_python_reference_on_random_frame(spark):
+    """Seeded random corpus with edge cases the real corpus lacks (empty
+    docs, one-doc strata, over-budget docs): pack_sequences and
+    sample_stratified must equal the obvious Python reference."""
+    import math
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (
+            i,
+            rng.choice(["xx", "yy"]),
+            " ".join("w%d" % rng.randint(0, 5) for _ in range(rng.choice([0, 1, 3, 300]))),
+        )
+        for i in range(200)
+    ] + [(1000, "solo", "one doc stratum")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    got_pack = {
+        r["doc_id"]: (r["n_tok"], r["bin_id"], r["offset_in_bin"])
+        for r in L.pack_sequences(df).collect()
+    }
+    by_lang: dict[str, list] = {}
+    for i, lang, text in rows:
+        by_lang.setdefault(lang, []).append((i, min(len(text.split()), L.CTX_BUDGET)))
+    for lang, docs in by_lang.items():
+        prefix = 0
+        for i, n_tok in sorted(docs):
+            assert got_pack[i] == (n_tok, prefix // L.CTX_BUDGET, prefix % L.CTX_BUDGET)
+            prefix += n_tok
+
+    got_sample = {
+        r["doc_id"]: r["sample_rank"]
+        for r in L.sample_stratified(df).collect()
+    }
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    for lang, docs in by_lang.items():
+        ids = [i for i, _ in docs]
+        want_n = math.ceil(L.SAMPLE_FRAC * len(ids))
+        want = sorted(ids, key=lambda i: (h(i), i))[:want_n]
+        got = sorted(
+            (i for i in ids if i in got_sample), key=lambda i: got_sample[i]
+        )
+        assert got == want, (lang, got, want)
+
+
 def test_decontaminate_ground_truth(spark, sf_dir):
     """Benchmark docs never appear in the output, and a doc that IS an
     exact duplicate of a benchmark doc must be flagged."""
