@@ -81,6 +81,38 @@ def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(load(spark, sf_dir, "documents"))
 
 
+_HASH_SPACE = 1 << 60  # _portable_hash is 15 hex chars = 60 bits
+
+
+def sample_hash_threshold(
+    df: DataFrame, id_col: str = "doc_id", frac: float = SAMPLE_FRAC
+) -> DataFrame:
+    """The 100 TB sampling path: keep rows whose portable hash falls
+    below ``frac`` of the hash space — deterministic, reproducible,
+    ZERO shuffles (a pure filter that fuses into the scan), at the cost
+    of per-stratum counts being binomial-approximate rather than exact.
+    Pair with :func:`sample_stratified` (the exact spec — one shuffle,
+    per-stratum row_number) the way the ANN operators pair with the
+    brute-force similarity spec: exact when counts must be exact,
+    hash-threshold when the corpus is huge and ±sqrt(n) is fine.
+    """
+    return df.filter(_portable_hash(F.col(id_col)) < int(frac * _HASH_SPACE))
+
+
+def q_llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: hash-threshold 20% sample (scale path)."""
+    return sample_hash_threshold(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_SAMPLE_HASH = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < CAST({SAMPLE_FRAC} * {1 << 60} AS BIGINT)
+"""
+
+
 SQL_SAMPLE_STRATIFIED = f"""
     WITH staged AS (
         SELECT doc_id, lang,
@@ -371,9 +403,11 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     would (:func:`sample_stratified`, :func:`pack_sequences`) on top of
     the corpus-clean gate — nothing materializes between stages, Catalyst
     fuses the narrow parts, and the only shuffles are the dedup window,
-    the two per-language windows, and the (broadcast-sized) sample join.
-    The quality/dedup expressions are the hash-verified ones from
-    ``pipeline_corpus_clean``.
+    the two per-language windows, and the sample joins on doc_id (AQE
+    broadcasts them at test scale; at 100 TB the sample is ~20% of the
+    corpus, so they become co-partitioned shuffle joins — the correct
+    shape either way, chosen at runtime). The quality/dedup expressions
+    are the hash-verified ones from ``pipeline_corpus_clean``.
     """
     from ..operators.text import STOPWORDS
 
@@ -478,6 +512,7 @@ SQL_CORPUS_PIPELINE = f"""
 
 QUERIES = {
     "llm_sample_stratified": Query(q_llm_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "llm_sample_hash": Query(q_llm_sample_hash, SQL_SAMPLE_HASH),
     "llm_pack_sequences": Query(q_llm_pack_sequences, SQL_PACK_SEQUENCES),
     "llm_pii_scrub": Query(q_llm_pii_scrub, SQL_PII_SCRUB),
     "llm_decontaminate": Query(q_llm_decontaminate, SQL_DECONTAMINATE),
