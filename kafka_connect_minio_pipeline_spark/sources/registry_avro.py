@@ -164,20 +164,35 @@ def decode_avro(
     avro_schema: dict[str, Any] = USERS_AVRO_SCHEMA,
     spark_schema: T.StructType = USERS_SPARK_SCHEMA,
     payload_col: str = "payload",
+    on_error: str = "fail",
 ) -> DataFrame:
     """payload binary → typed user columns.
 
     Prefers JVM ``from_avro`` when the spark-avro jar is on the classpath;
     otherwise Arrow-batched Python decode (one UDF call per batch). Either
     way the output schema is identical, so downstream plans don't care.
+
+    ``on_error``: ``"fail"`` (default) poisons the task on an undecodable
+    payload — right for pipelines where a bad frame means a broken
+    producer; ``"skip"`` drops undecodable records (the A6 sink-side
+    skip semantics applied to the source side — one corrupt message on a
+    100 TB topic must not kill the job). With the jar, ``from_avro``'s
+    PERMISSIVE mode nulls bad records instead; the explicit filter keeps
+    the two paths row-equivalent.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
     spark = df.sparkSession
     if _spark_avro_available(spark):
         from pyspark.sql.avro.functions import from_avro
 
-        return df.select(
-            from_avro(F.col(payload_col), json.dumps(avro_schema)).alias("r")
-        ).select("r.*")
+        options = {"mode": "PERMISSIVE"} if on_error == "skip" else {}
+        out = df.select(
+            from_avro(F.col(payload_col), json.dumps(avro_schema), options).alias("r")
+        )
+        if on_error == "skip":
+            out = out.filter(F.col("r").isNotNull())
+        return out.select("r.*")
 
     passthrough = [f for f in df.schema.fieldNames() if f != payload_col]
     out_schema = T.StructType(
@@ -187,11 +202,23 @@ def decode_avro(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         names = [f["name"] for f in avro_schema["fields"]]
         for pdf in batches:
-            recs = [avro_decode(avro_schema, b)[0] for b in pdf[payload_col]]
+            recs = []
+            keep_idx = []
+            for i, b in enumerate(pdf[payload_col]):
+                try:
+                    recs.append(avro_decode(avro_schema, b)[0])
+                    keep_idx.append(i)
+                except Exception:
+                    if on_error == "fail":
+                        raise
+            if not recs:
+                # yielding a 0-row object-dtype frame breaks Arrow's
+                # struct-column inference; yield nothing instead
+                continue
             cols = {n: [r[n] for r in recs] for n in names}
             out = pd.DataFrame(cols)
             for f in reversed(passthrough):
-                out.insert(0, f, pdf[f].values)
+                out.insert(0, f, pdf[f].values[keep_idx])
             yield out
 
     return df.mapInPandas(run, schema=out_schema)

@@ -93,6 +93,25 @@ def test_wire_path_feeds_profile_transform(spark, framed_df):
     assert "raw_password_hash" not in out.columns
 
 
+def test_decode_tolerates_corrupt_payload_when_asked(spark, framed_df):
+    """A truncated Avro payload (valid frame, garbage body) must poison
+    the job under on_error='fail' and be skipped under on_error='skip' —
+    the A6 skip semantics applied to the source side."""
+    corrupt = spark.createDataFrame(
+        [(999, ra.frame(b"\x02", schema_id=7))], "offset long, value binary"
+    )
+    mixed = ra.split_confluent_frame(framed_df.union(corrupt)).select(
+        "offset", "schema_id", "payload"
+    )
+    with pytest.raises(Exception):
+        ra.decode_avro(mixed).count()
+    out = ra.decode_avro(mixed, on_error="skip")
+    assert out.count() == 9
+    assert {r["user_id"] for r in out.collect()} == {f"id_{i}" for i in range(9)}
+    with pytest.raises(ValueError):
+        ra.decode_avro(mixed, on_error="typo")
+
+
 def test_fetch_schema_parses_registry_response(monkeypatch):
     """A3: plan-time Schema Registry lookup against a stubbed HTTP layer —
     the Confluent response wraps the Avro schema as a JSON string."""
