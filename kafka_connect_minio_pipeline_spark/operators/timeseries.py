@@ -1,0 +1,292 @@
+"""Event-stream time-series operators over ``events`` (SURVEY.md §2.4
+extension surface): the batch analytics a clickstream/telemetry user of the
+reference pipeline runs once events land in object storage.
+
+Three operators, each DuckDB-oracle-checked:
+
+- sessionization: gap-based session assignment (a new session starts when
+  a user is idle longer than the gap) plus per-session stats — the batch
+  twin of the streaming session window (``stream_session``);
+- gap-fill / resample: regularize each user's event stream onto an hourly
+  grid and forward-fill the last observed value — the standard time-series
+  densification step before joins against regular series;
+- funnel: staged conversion analysis (signup → click → purchase, each
+  step strictly after the previous one) — the classic event-sequence query.
+
+All three are pure DataFrame plans: window functions + joins, no Python
+boundary, whole-stage codegen end to end. Scale notes per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import Query
+from ..tables import load
+
+# ---------------------------------------------------------------------------
+# 1. gap-based sessionization
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def _micros(c: Column) -> Column:
+    """Epoch micros of an NTZ timestamp (session tz is pinned to UTC, so
+    the NTZ→instant reinterpretation is engine-portable; DuckDB twin is
+    ``epoch_us(ts)``)."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_min: int = SESSION_GAP_MIN,
+) -> DataFrame:
+    """Assign gap-based sessions and aggregate per-session stats.
+
+    A session is a maximal run of a user's events where consecutive gaps
+    are <= ``gap_min`` minutes — computed as a running sum of new-session
+    flags (lag + cumulative sum share one partition/order, so Catalyst
+    plans ONE exchange + one sort for both window passes). The per-session
+    rollup is the second and last shuffle. No state machine, no Python:
+    this is the distributed form of sessionization, and each user's
+    timeline sorts independently so skew is bounded by the busiest user
+    (at 100 TB, salt the rollup only if single-user timelines outgrow a
+    partition — they don't for human-scale activity).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.col(ts_col) - prev_ts > F.expr(f"interval {gap_min} minutes"))
+    ).cast("int")
+    # two selects: a window function can't nest inside another window's
+    # aggregate. Same partition/order spec → Catalyst stacks both Window
+    # operators behind ONE exchange + sort.
+    flagged = df.select(user_col, ts_col, tiebreak_col, is_new.alias("new_sess"))
+    seq = flagged.withColumn(
+        "session_seq",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return seq.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        (
+            (_micros(F.max(ts_col)) - _micros(F.min(ts_col)))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: 30-minute-gap sessions over ``events``."""
+    return sessionize(load(spark, sf_dir, "events"))
+
+
+SQL_SESSIONIZE = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    assigned AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+        FROM flagged)
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+    FROM assigned
+    GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. hourly gap-fill / resample with forward fill
+# ---------------------------------------------------------------------------
+
+
+def gapfill_hourly(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Resample each user's stream onto an hourly grid, carrying the last
+    observed value forward across empty buckets.
+
+    Three pieces, all relational: (1) per-(user, hour) last observation
+    (row_number window — one shuffle); (2) each user's dense hour grid
+    via ``sequence(min_hour, max_hour, 1 hour)`` + explode — the grid is
+    GENERATED, never stored, so a sparse 100 TB stream densifies without
+    a cross join against a calendar table; (3) left join + a forward-fill
+    window (``last(value, ignorenulls=True)`` over rows-unbounded-
+    preceding). Buckets-per-user is bounded by the time range, so the
+    explode fans out proportionally to wall-clock coverage, not event
+    count — the right shape when events are heavily skewed per user.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    wobs = Window.partitionBy(user_col, "bucket").orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    obs = (
+        df.select(user_col, bucket.alias("bucket"), ts_col, tiebreak_col, value_col)
+        .withColumn("rn", F.row_number().over(wobs))
+        .filter(F.col("rn") == 1)
+        .select(user_col, "bucket", F.col(value_col).alias("obs_value"))
+    )
+    grid = (
+        df.groupBy(user_col)
+        .agg(
+            F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+            F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+        )
+        .select(
+            user_col,
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket"),
+        )
+    )
+    wff = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.join(obs, [user_col, "bucket"], "left").select(
+        user_col,
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        F.last("obs_value", ignorenulls=True).over(wff).alias("value_ffill"),
+        F.col("obs_value").isNotNull().alias("observed"),
+    )
+
+
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: hourly forward-filled grid over ``events``."""
+    return gapfill_hourly(load(spark, sf_dir, "events"))
+
+
+SQL_GAPFILL = """
+    WITH obs AS (
+        SELECT user_id, bucket, value AS obs_value FROM (
+            SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1),
+    bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events GROUP BY user_id),
+    grid AS (
+        SELECT user_id,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds)
+    SELECT g.user_id, g.bucket,
+           LAST_VALUE(o.obs_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS UNBOUNDED PRECEDING) AS value_ffill,
+           o.obs_value IS NOT NULL AS observed
+    FROM grid g
+    LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. staged conversion funnel
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def funnel(
+    df: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user staged funnel: the earliest time each step completed,
+    where step k counts only at-or-after step k-1's completion time.
+
+    One aggregation per step, each keyed on ``user_col`` — Catalyst
+    plans every stage join co-partitioned on the same key, so after the
+    first exchange the later stages reuse the partitioning (and the
+    per-step relations only shrink). At 100 TB this is k passes over an
+    ever-smaller survivor set, not a per-user sort of the full history.
+    """
+    base = df.select(user_col, type_col, ts_col)
+    users = base.select(user_col).distinct()
+    out = users
+    prev_col: str | None = None
+    for step in steps:
+        step_ts = f"ts_{step}"
+        cand = base.filter(F.col(type_col) == step)
+        if prev_col is not None:
+            cand = cand.join(
+                out.filter(F.col(prev_col).isNotNull()).select(user_col, prev_col),
+                user_col,
+            ).filter(F.col(ts_col) >= F.col(prev_col))
+        reached = cand.groupBy(user_col).agg(F.min(ts_col).alias(step_ts))
+        out = out.join(reached, user_col, "left")
+        prev_col = step_ts
+    stage = F.lit(0)
+    for i, step in enumerate(steps):
+        stage = F.when(F.col(f"ts_{step}").isNotNull(), i + 1).otherwise(stage)
+    return out.select(
+        user_col, *[f"ts_{s}" for s in steps], stage.cast("int").alias("stage")
+    )
+
+
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: signup → click → purchase funnel over ``events``."""
+    return funnel(load(spark, sf_dir, "events"))
+
+
+SQL_FUNNEL = """
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+        SELECT user_id, MIN(ts) AS ts_signup FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.ts_signup
+        GROUP BY e.user_id),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.ts_click
+        GROUP BY e.user_id)
+    SELECT u.user_id, s1.ts_signup, s2.ts_click, s3.ts_purchase,
+           CAST(CASE WHEN s3.ts_purchase IS NOT NULL THEN 3
+                     WHEN s2.ts_click IS NOT NULL THEN 2
+                     WHEN s1.ts_signup IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS stage
+    FROM users u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
+QUERIES = {
+    "ts_sessionize": Query(q_ts_sessionize, SQL_SESSIONIZE),
+    "ts_gapfill": Query(q_ts_gapfill, SQL_GAPFILL),
+    "ts_funnel": Query(q_ts_funnel, SQL_FUNNEL),
+}

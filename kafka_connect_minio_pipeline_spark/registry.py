@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.functions.udafs",
     "kafka_connect_minio_pipeline_spark.pipeline.queries",
     "kafka_connect_minio_pipeline_spark.operators.llmdata",
+    "kafka_connect_minio_pipeline_spark.operators.timeseries",
     "kafka_connect_minio_pipeline_spark.operators.aggregates",
     "kafka_connect_minio_pipeline_spark.operators.windows",
     "kafka_connect_minio_pipeline_spark.operators.joins",

@@ -1,0 +1,125 @@
+"""Semantic property tests for the time-series operators (beyond the
+auto-discovered oracle parity): session gap invariants, grid density and
+forward-fill correctness, and funnel stage monotonicity."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import functions as F
+
+from kafka_connect_minio_pipeline_spark.operators import timeseries as T
+from kafka_connect_minio_pipeline_spark.tables import load
+
+
+def test_sessionize_invariants(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    sess = T.q_ts_sessionize(spark, sf_dir).collect()
+    # total events conserved
+    assert sum(r["n_events"] for r in sess) == ev.count()
+    # per user: session_seq contiguous from 1, sessions ordered and
+    # separated by more than the gap
+    by_user: dict[int, list] = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gap = timedelta(minutes=T.SESSION_GAP_MIN)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["session_seq"])
+        assert [r["session_seq"] for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert b["session_start"] - a["session_end"] > gap, (user, a, b)
+        for r in rs:
+            assert r["session_end"] >= r["session_start"]
+            assert r["duration_s"] == int(
+                (r["session_end"] - r["session_start"]).total_seconds()
+            )
+
+
+def test_sessionize_groups_within_gap(spark, sf_dir):
+    """A hand-built frame: 3 events 10 min apart = one session; an event
+    40 min later starts session 2."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1),
+        (1, datetime(2024, 1, 1, 0, 10), 2),
+        (1, datetime(2024, 1, 1, 0, 20), 3),
+        (1, datetime(2024, 1, 1, 1, 0), 4),
+        (2, datetime(2024, 1, 1, 0, 5), 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_s"])
+        for r in T.sessionize(df).collect()
+    }
+    assert got == {(1, 1): (3, 1200), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_gapfill_grid_and_ffill(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    out = T.q_ts_gapfill(spark, sf_dir).collect()
+    # dense hourly grid per user, first bucket always observed
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user) == ev.select("user_id").distinct().count()
+    hour = timedelta(hours=1)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["bucket"])
+        assert rs[0]["observed"], user
+        for a, b in zip(rs, rs[1:]):
+            assert b["bucket"] - a["bucket"] == hour, (user, a, b)
+        # forward fill: value never null, and constant across unobserved runs
+        last = None
+        for r in rs:
+            assert r["value_ffill"] is not None
+            if not r["observed"]:
+                assert r["value_ffill"] == last, (user, r)
+            last = r["value_ffill"]
+
+
+def test_gapfill_observed_matches_last_event_in_hour(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    want = {
+        (r["user_id"], r["bucket"]): r["value"]
+        for r in ev.withColumn("bucket", F.date_trunc("hour", "ts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id", "bucket")
+                .orderBy(F.desc("ts"), F.desc("event_id"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    }
+    got = {
+        (r["user_id"], r["bucket"]): r["value_ffill"]
+        for r in T.q_ts_gapfill(spark, sf_dir).filter("observed").collect()
+    }
+    assert got == want
+
+
+def test_funnel_stage_monotone(spark, sf_dir):
+    out = T.q_ts_funnel(spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    assert len(out) == ev.select("user_id").distinct().count()
+    stage_counts = [0, 0, 0, 0]
+    for r in out:
+        ts = [r["ts_signup"], r["ts_click"], r["ts_purchase"]]
+        # stage = deepest non-null prefix; steps strictly ordered in time
+        depth = 0
+        for t in ts:
+            if t is None:
+                break
+            depth += 1
+        assert r["stage"] == depth, r
+        assert all(t is None for t in ts[depth:]), r
+        for a, b in zip(ts, ts[1:]):
+            if b is not None:
+                assert b >= a, r
+        stage_counts[depth] += 1
+    # funnel narrows (weakly) at each stage
+    reached = [sum(stage_counts[k:]) for k in range(4)]
+    assert reached[0] >= reached[1] >= reached[2] >= reached[3]
