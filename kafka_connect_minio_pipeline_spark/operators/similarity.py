@@ -418,6 +418,58 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# per-label centroids (the embedding-space class profile / quantizer seed)
+# ---------------------------------------------------------------------------
+
+
+def class_centroids(
+    em: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise per-label mean of the embedding column, exactly.
+
+    posexplode → groupBy(label, pos) → decimal sum is the distributed
+    shape: one shuffle keyed on (label, dim-index), so a 100 TB corpus
+    with L labels and D dims spreads over L×D reducers (no per-label
+    hotspot, unlike collect_list-style folds), and partial aggregation
+    combines map-side. Cross-engine exactness: float→DOUBLE (exact
+    widening) → DECIMAL(16,6) — via double, NOT float-direct, because
+    DuckDB's float→decimal cast rounds in float precision and diverges
+    ~1-in-5 groups — then the order-free decimal sum is cast back to
+    double for ONE correctly-rounded IEEE division by the count.
+    """
+    ex = em.select(
+        label_col, F.posexplode(vec_col).alias("pos0", "e")
+    ).select(label_col, (F.col("pos0") + 1).alias("pos"), "e")
+    return (
+        ex.groupBy(label_col, "pos")
+        .agg(
+            F.sum(F.col("e").cast("double").cast("decimal(16,6)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            label_col,
+            "pos",
+            "n",
+            (F.col("s").cast("double") / F.col("n")).alias("centroid"),
+        )
+    )
+
+
+def q_similarity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: per-label centroids of ``embeddings``."""
+    return class_centroids(load(spark, sf_dir, "embeddings"))
+
+
+SQL_SIMILARITY_CENTROIDS = """
+    SELECT label, CAST(i AS INTEGER) AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(16,6)))
+                AS DOUBLE) / COUNT(*) AS centroid
+    FROM embeddings, LATERAL UNNEST(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+"""
+
+
 QUERIES = {
     "similarity_topk": Query(q_similarity_topk, SQL_SIMILARITY_TOPK),
     "similarity_topk_batch": Query(
@@ -428,4 +480,5 @@ QUERIES = {
     "similarity_knn_label_eval": Query(
         q_similarity_knn_label_eval, SQL_SIMILARITY_KNN_LABEL
     ),
+    "similarity_centroids": Query(q_similarity_centroids, SQL_SIMILARITY_CENTROIDS),
 }

@@ -179,3 +179,31 @@ def test_connected_components_transitive_chain(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_class_centroids_match_numpy(spark, sf_dir):
+    """Distributed centroid equals the numpy per-label mean to within the
+    decimal(…,6) quantization the operator applies per element."""
+    import numpy as np
+
+    from kafka_connect_minio_pipeline_spark.operators.similarity import (
+        class_centroids,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    em = load(spark, sf_dir, "embeddings")
+    rows = em.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    got = class_centroids(em).collect()
+    dim = len(rows[0]["embedding"])
+    assert {(r["label"], r["pos"]) for r in got} == {
+        (lb, p) for lb in by_label for p in range(1, dim + 1)
+    }
+    for r in got:
+        want = np.mean(
+            [v[r["pos"] - 1] for v in by_label[r["label"]]], dtype=np.float64
+        )
+        assert abs(r["centroid"] - want) <= 5e-7, r
+        assert r["n"] == len(by_label[r["label"]])
