@@ -29,9 +29,12 @@ STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
 BPE_ISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality features + composite score (all deterministic)."""
-    docs = load(spark, sf_dir, "documents")
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + composite score (all deterministic).
+
+    Stateless narrow projection — the same expression tree applies to a
+    batch scan or a streaming source unchanged (see
+    ``streaming.queries.q_stream_quality``)."""
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     stop_in = ",".join(f"'{s}'" for s in STOPWORDS)
@@ -59,6 +62,11 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_tok_len.alias("avg_token_len"),
         score.alias("quality_score"),
     )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: quality features over ``documents``."""
+    return quality_features(load(spark, sf_dir, "documents"))
 
 
 _STOP_SQL = ",".join(f"'{s}'" for s in STOPWORDS)

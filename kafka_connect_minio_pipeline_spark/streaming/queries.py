@@ -7,7 +7,9 @@ exactly the batch answer once all data is processed."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators.text import SQL_TEXT_QUALITY
 from ..pipeline.profile import TRANSFORM_SQL
 from ..registry import Query
 from . import windows as W
@@ -81,6 +83,31 @@ def q_stream_pipeline_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(*cols)
 
 
+QUALITY_THRESHOLD = 0.5
+
+
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-curation quality gate as a STREAM: documents arrive as
+    files (standing in for a Kafka topic), the stateless feature/score
+    projection from ``operators.text.quality_features`` applies unchanged
+    to the streaming frame, and only passing docs reach the sink — the
+    continuous-ingest form of corpus cleaning. Append mode, no state, so
+    the converged result is exactly the batch filter the oracle runs."""
+    from ..operators.text import quality_features
+    from ..sources.files import stream_table
+
+    src = stream_table(spark, sf_dir, "documents")
+    gated = quality_features(src).filter(
+        F.col("quality_score") >= QUALITY_THRESHOLD
+    )
+    return run_to_memory(gated, output_mode="append")
+
+
+SQL_STREAM_QUALITY = f"""
+    SELECT * FROM ({SQL_TEXT_QUALITY}) WHERE quality_score >= {QUALITY_THRESHOLD}
+"""
+
+
 QUERIES = {
     "stream_tumbling": Query(q_stream_tumbling, W.SQL_TUMBLING, headline=True),
     "stream_sliding": Query(q_stream_sliding, W.SQL_SLIDING),
@@ -91,4 +118,5 @@ QUERIES = {
     "stream_stream_join": Query(q_stream_stream_join, W.SQL_STREAM_STREAM_JOIN),
     "stream_pipeline": Query(q_stream_pipeline, TRANSFORM_SQL),
     "stream_pipeline_foreach": Query(q_stream_pipeline_foreach, TRANSFORM_SQL),
+    "stream_quality": Query(q_stream_quality, SQL_STREAM_QUALITY),
 }

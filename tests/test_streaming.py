@@ -229,3 +229,28 @@ def test_file_sink_exactly_once_on_rerun(spark, sf_dir):
     n2 = spark.read.json(out).count()
     assert n1 > 0
     assert n2 == n1, f"rerun duplicated rows: {n1} -> {n2}"
+
+
+def test_stream_quality_equals_batch_filter(spark, sf_dir):
+    """The streaming quality gate (stateless, append mode) must converge
+    to exactly the batch quality_features + filter result."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        quality_features,
+    )
+    from kafka_connect_minio_pipeline_spark.streaming.queries import (
+        QUALITY_THRESHOLD,
+        q_stream_quality,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    got = {
+        r["doc_id"]: r["quality_score"]
+        for r in q_stream_quality(spark, sf_dir).collect()
+    }
+    want = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_features(load(spark, sf_dir, "documents"))
+        .filter(f"quality_score >= {QUALITY_THRESHOLD}")
+        .collect()
+    }
+    assert got == want and len(got) > 0
