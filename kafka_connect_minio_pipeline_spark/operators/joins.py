@@ -262,6 +262,70 @@ SQL_JOIN_SKEW = """
 """
 
 
+N_BUCKETS = 8
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⨝fact join over BUCKETED tables: revenue by order priority.
+
+    The recurring-join answer at 100 TB: both sides are written
+    ``bucketBy(N, key).sortBy(key)`` once at ingest, so every subsequent
+    join on that key is a sort-merge join with ZERO exchanges — the
+    shuffle is paid once at write time, never per query (verified in
+    tests/test_plans.py: the only exchange left in this plan is the final
+    tiny group-by). Locally N_BUCKETS=8; a real deployment sizes buckets
+    so each holds a few hundred MB and uses the same layout for every
+    orderkey-keyed join. The oracle is the plain (shuffled) join — the
+    bucketed layout must change the plan, never the result.
+    """
+    import tempfile
+
+    def write_bucketed(df: DataFrame, key: str, table: str) -> None:
+        # external table at a fresh temp location: re-invocations (the
+        # driver runs every query twice) replace the catalog entry without
+        # ever colliding with a stale managed-table directory left by a
+        # previous session's metastore.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        df.write.mode("overwrite").option(
+            "path", tempfile.mkdtemp(prefix=f"{table}_")
+        ).bucketBy(N_BUCKETS, key).sortBy(key).saveAsTable(table)
+
+    write_bucketed(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey",
+        "kcm_bucketed_orders",
+    )
+    write_bucketed(
+        load(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            revenue(F.col("l_extendedprice"), F.col("l_discount")).alias("rev"),
+        ),
+        "l_orderkey",
+        "kcm_bucketed_lineitem",
+    )
+    j = (
+        spark.table("kcm_bucketed_orders")
+        .hint("merge")
+        .join(
+            spark.table("kcm_bucketed_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.sum("rev").cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_JOIN_BUCKETED = f"""
+    SELECT o_orderpriority,
+           {SQL_SUM_REVENUE} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "join_inner_revenue": Query(q_join_inner_revenue, SQL_JOIN_INNER, headline=True),
     "join_left_order_counts": Query(q_join_left_order_counts, SQL_JOIN_LEFT),
@@ -270,4 +334,5 @@ QUERIES = {
     "join_range_band": Query(q_join_range_band, SQL_JOIN_RANGE),
     "join_asof": Query(q_join_asof, SQL_JOIN_ASOF, headline=True),
     "join_skew_salted": Query(q_join_skew_salted, SQL_JOIN_SKEW, headline=True),
+    "join_bucketed": Query(q_join_bucketed, SQL_JOIN_BUCKETED),
 }

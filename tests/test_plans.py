@@ -264,3 +264,37 @@ def test_pivot_has_partial_aggregation(spark, sf_dir):
     plan = formatted_plan(q_agg_pivot(spark, sf_dir))
     assert "partial_pivotfirst" in plan, plan
     assert plan.count("hashpartitioning") == 2, plan
+
+
+def test_join_bucketed_query_plan_and_parity(spark, sf_dir):
+    """The registered bucketed-join query: sort-merge join with NO
+    exchange below the final rollup, and the same result as the plain
+    shuffled join."""
+    df = joins.q_join_bucketed(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    want = {
+        (r["o_orderpriority"], r["revenue"], r["n_items"])
+        for r in joins.QUERIES["join_bucketed"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    from kafka_connect_minio_pipeline_spark.functions.exact import revenue
+
+    plain = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    got = {(r["o_orderpriority"], r["revenue"], r["n_items"]) for r in plain.collect()}
+    assert want == got
