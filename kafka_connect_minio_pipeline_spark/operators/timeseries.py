@@ -285,8 +285,82 @@ SQL_FUNNEL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. per-user z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+Z_THRESHOLD = 2.5
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    threshold: float = Z_THRESHOLD,
+) -> DataFrame:
+    """Flag events whose value is a per-user z-score outlier.
+
+    Per-key moments come from exact decimal sums (the ``agg_stats``
+    recipe: engine-native STDDEV accumulates in engine-specific order
+    and can never hash-match; SUM(x), SUM(x²) over per-row
+    decimal(18,6)-quantized values is order-free and exact — quantizing
+    through DOUBLE, which both engines round identically). The join
+    back to events is co-partitioned on the aggregation key (broadcast
+    at test scale via AQE; co-located shuffle join at 100 TB — both
+    correct, chosen at runtime), then the z expression is one
+    IEEE-identical double tree so even ROUND agrees bit-for-bit.
+    """
+    v6 = F.col(value_col).cast("double").cast("decimal(18,6)")
+    stats = df.groupBy(key_col).agg(
+        F.count("*").alias("n"),
+        F.sum(v6).alias("s"),
+        F.sum(v6 * v6).alias("sq"),
+    )
+    s_d, sq_d, n = F.col("s").cast("double"), F.col("sq").cast("double"), F.col("n")
+    mean = s_d / n
+    var = (sq_d - s_d * s_d / n) / (n - F.lit(1))
+    z = (F.col(value_col) - mean) / F.sqrt(var)
+    return (
+        df.select(id_col, key_col, value_col)
+        .join(stats.filter(F.col("n") > 1), key_col)
+        .select(
+            id_col,
+            key_col,
+            value_col,
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= threshold)
+    )
+
+
+def q_ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: per-user value outliers over ``events``."""
+    return zscore_outliers(load(spark, sf_dir, "events"))
+
+
+SQL_TS_ZSCORE = f"""
+    WITH stats AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS s,
+               SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))
+                   * CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS sq
+        FROM events GROUP BY user_id),
+    scored AS (
+        SELECT e.event_id, e.user_id, e.value,
+               ROUND((e.value - CAST(s AS DOUBLE) / n)
+                     / SQRT((CAST(sq AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                            / (n - 1)), 6) AS zscore
+        FROM events e JOIN stats USING (user_id)
+        WHERE n > 1)
+    SELECT * FROM scored WHERE ABS(zscore) >= {Z_THRESHOLD}
+"""
+
+
 QUERIES = {
     "ts_sessionize": Query(q_ts_sessionize, SQL_SESSIONIZE),
     "ts_gapfill": Query(q_ts_gapfill, SQL_GAPFILL),
     "ts_funnel": Query(q_ts_funnel, SQL_FUNNEL),
+    "ts_zscore": Query(q_ts_zscore, SQL_TS_ZSCORE),
 }

@@ -123,3 +123,34 @@ def test_funnel_stage_monotone(spark, sf_dir):
     # funnel narrows (weakly) at each stage
     reached = [sum(stage_counts[k:]) for k in range(4)]
     assert reached[0] >= reached[1] >= reached[2] >= reached[3]
+
+
+def test_zscore_outliers_match_numpy(spark, sf_dir):
+    """Distributed z-scores equal the numpy per-user z-scores (to the
+    decimal(…,6) quantization of the moments), and the flagged set is
+    exactly the |z| >= threshold set."""
+    import numpy as np
+
+    ev = load(spark, sf_dir, "events")
+    vals: dict[int, list] = {}
+    for r in ev.select("user_id", "event_id", "value").collect():
+        vals.setdefault(r["user_id"], []).append((r["event_id"], r["value"]))
+    want = {}
+    for user, evs in vals.items():
+        if len(evs) < 2:
+            continue
+        arr = np.array([v for _, v in evs])
+        m, sd = arr.mean(), arr.std(ddof=1)
+        for eid, v in evs:
+            z = (v - m) / sd
+            if abs(z) >= T.Z_THRESHOLD - 1e-4:
+                want[eid] = z
+    got = {r["event_id"]: r["zscore"] for r in T.q_ts_zscore(spark, sf_dir).collect()}
+    # boundary rows within quantization noise of the threshold may differ;
+    # everything else must agree
+    for eid, z in got.items():
+        assert abs(z) >= T.Z_THRESHOLD
+        assert eid in want and abs(want[eid] - z) < 1e-4, (eid, z, want.get(eid))
+    missing = {e: z for e, z in want.items() if abs(z) >= T.Z_THRESHOLD + 1e-4 and e not in got}
+    assert not missing
+    assert len(got) > 0
