@@ -392,7 +392,108 @@ SQL_DECONTAMINATE = f"""
 
 
 # ---------------------------------------------------------------------------
-# 5. end-to-end curation pipeline (compose the df-level API)
+# 5. target-mix resampling (training-mix construction)
+# ---------------------------------------------------------------------------
+
+# the training mix the corpus should be downsampled to (shares sum to 1)
+TARGET_MIX = {"en": 0.40, "zh": 0.15, "es": 0.15, "de": 0.15, "fr": 0.15}
+
+
+def target_mix_rates(
+    df: DataFrame, stratum_col: str = "lang", mix: dict[str, float] = TARGET_MIX
+) -> DataFrame:
+    """Per-stratum keep-rates that hit a target corpus mix by only
+    DOWN-sampling: the binding stratum (largest target/current share
+    ratio) keeps rate 1.0 and every other stratum keeps
+    ``(target_j / current_j) / max_k(target_k / current_k)`` — the
+    largest corpus achievable at exactly the target mix without
+    upsampling. Two tiny aggregations (per-stratum counts, then a global
+    max over |strata| rows) — the stats side is negligible at any corpus
+    size. All arithmetic is integer counts through one IEEE double tree,
+    so the emitted rates hash-match the oracle bit-for-bit.
+    """
+    target = F.create_map(
+        *[F.lit(x) for kv in mix.items() for x in kv]
+    )[F.col(stratum_col)]
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("target_share", target)
+    )
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    ratio = F.col("target_share") * F.col("n_total") / F.col("n_docs")
+    with_ratio = counts.crossJoin(F.broadcast(total)).withColumn("ratio", ratio)
+    max_ratio = with_ratio.agg(F.max("ratio").alias("max_ratio"))
+    return (
+        with_ratio.crossJoin(F.broadcast(max_ratio))
+        .select(
+            stratum_col,
+            "n_docs",
+            "target_share",
+            F.round(F.col("ratio") / F.col("max_ratio"), 6).alias("keep_rate"),
+        )
+    )
+
+
+def apply_mix(
+    df: DataFrame,
+    rates: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the mix: keep rows whose portable hash falls under
+    their stratum's rate. The rates relation is |strata| rows →
+    broadcast; the corpus side stays a narrow scan+filter (the
+    :func:`sample_hash_threshold` scale path, now with a per-stratum
+    threshold), so resampling 100 TB to a target mix is shuffle-free."""
+    return (
+        df.join(F.broadcast(rates.select(stratum_col, "keep_rate")), stratum_col)
+        # floor() on both engines: a bare double→bigint cast truncates in
+        # Spark but ROUNDS in DuckDB, so the thresholds would disagree
+        .filter(
+            _portable_hash(F.col(id_col))
+            < F.floor(F.col("keep_rate") * _HASH_SPACE)
+        )
+        .select(id_col, stratum_col)
+    )
+
+
+def q_llm_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: resample ``documents`` to TARGET_MIX; emits the
+    kept (doc_id, lang) pairs joined with their stratum's keep_rate so
+    both the rate computation and its application are hash-verified."""
+    docs = load(spark, sf_dir, "documents")
+    rates = target_mix_rates(docs)
+    return apply_mix(docs, rates).join(F.broadcast(rates), "lang").select(
+        "doc_id", "lang", "n_docs", "target_share", "keep_rate"
+    )
+
+
+_MIX_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in TARGET_MIX.items())
+
+SQL_TARGET_MIX = f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               -- DOUBLE, not DuckDB's default DECIMAL literal typing, so
+               -- the ratio arithmetic is the same IEEE tree as Spark's
+               CAST(CASE lang {_MIX_CASE} END AS DOUBLE) AS target_share
+        FROM documents GROUP BY lang),
+    with_ratio AS (
+        SELECT *, target_share * (SELECT SUM(n_docs) FROM counts) / n_docs AS ratio
+        FROM counts),
+    rates AS (
+        SELECT lang, n_docs, target_share,
+               ROUND(ratio / (SELECT MAX(ratio) FROM with_ratio), 6) AS keep_rate
+        FROM with_ratio)
+    SELECT d.doc_id, d.lang, r.n_docs, r.target_share, r.keep_rate
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          < CAST(FLOOR(r.keep_rate * {_HASH_SPACE}) AS BIGINT)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. end-to-end curation pipeline (compose the df-level API)
 # ---------------------------------------------------------------------------
 
 
@@ -516,5 +617,6 @@ QUERIES = {
     "llm_pack_sequences": Query(q_llm_pack_sequences, SQL_PACK_SEQUENCES),
     "llm_pii_scrub": Query(q_llm_pii_scrub, SQL_PII_SCRUB),
     "llm_decontaminate": Query(q_llm_decontaminate, SQL_DECONTAMINATE),
+    "llm_target_mix": Query(q_llm_target_mix, SQL_TARGET_MIX),
     "llm_corpus_pipeline": Query(q_llm_corpus_pipeline, SQL_CORPUS_PIPELINE),
 }

@@ -172,3 +172,33 @@ def test_decontaminate_ground_truth(spark, sf_dir):
         r["doc_id"] for r in out.filter(F.col("contaminated")).collect()
     }
     assert dup_ids <= flagged
+
+
+def test_target_mix_rates_and_application(spark, sf_dir):
+    """The binding stratum keeps rate 1.0, every rate is in (0, 1], and
+    the hash-sampled output hits the target mix to within binomial noise
+    (3·sqrt(n) per stratum)."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        TARGET_MIX,
+        apply_mix,
+        target_mix_rates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rates = {r["lang"]: r for r in target_mix_rates(docs).collect()}
+    assert set(rates) == set(TARGET_MIX)
+    assert all(0 < r["keep_rate"] <= 1.0 for r in rates.values())
+    binding = max(
+        rates.values(),
+        key=lambda r: TARGET_MIX[r["lang"]] / r["n_docs"],
+    )
+    assert binding["keep_rate"] == 1.0
+    kept = apply_mix(docs, target_mix_rates(docs)).groupBy("lang").count().collect()
+    kept = {r["lang"]: r["count"] for r in kept}
+    n_kept = sum(kept.values())
+    for lang, share in TARGET_MIX.items():
+        want = share * n_kept
+        assert abs(kept[lang] - want) <= 3 * (want**0.5) + 1, (lang, kept, want)
+    # deterministic: same hash threshold, same sample
+    again = apply_mix(docs, target_mix_rates(docs)).groupBy("lang").count().collect()
+    assert kept == {r["lang"]: r["count"] for r in again}
