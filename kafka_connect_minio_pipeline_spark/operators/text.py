@@ -305,11 +305,84 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang").join(pred, "doc_id")
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF.
+
+    Plan shape (the one that survives 100 TB): explode + groupBy(doc,
+    term) is the only big shuffle; document frequency is an aggregation
+    of that SAME relation down to |vocab| rows (identical subtree →
+    ReusedExchange feeds both sides of the join, and AQE broadcasts the
+    df side when the vocabulary fits — at web scale it degrades to a
+    co-partitioned shuffle join on term, never a recompute of the
+    corpus scan). The final top-k is a row_number window per doc —
+    bounded partitions (a doc's distinct terms), no skew risk. idf uses
+    the classic smoothed form ln((N+1)/(df+1)) + 1; the score is rounded
+    through one IEEE double tree so both engines agree (ln is not
+    required correctly-rounded, but a 1-ulp wobble dies in round(…, 6)).
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(df_rel, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: top-3 TF-IDF terms per document."""
+    return tfidf_top_terms(load(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TFIDF = f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, UNNEST({SQL_TOKENS.format(col='text')}) AS term
+              FROM documents)
+        GROUP BY doc_id, term),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               ROUND(tf.tf * (LN((n.n_docs + 1) * 1.0 / (dfreq.df + 1)) + 1), 6)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        FROM scored)
+    WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, headline=True),
     "text_token_stats": Query(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_ngram_top": Query(q_text_ngram_top, SQL_TEXT_NGRAM_TOP),
     "text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, headline=True),
     "text_normalize": Query(q_text_normalize, SQL_TEXT_NORMALIZE),
+    "text_tfidf": Query(q_text_tfidf, SQL_TEXT_TFIDF),
     "text_langid": Query(q_text_langid, None),
 }

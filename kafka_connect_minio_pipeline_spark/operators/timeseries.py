@@ -358,9 +358,75 @@ SQL_TS_ZSCORE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. SCD2 dimension build from a change stream
+# ---------------------------------------------------------------------------
+
+
+def scd2(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an event stream:
+    per key, the validity intervals of each attribute value, consecutive
+    duplicates collapsed (CDC compaction), ``valid_to`` open on the
+    current version.
+
+    ONE shuffle total: the change-detection lag, the ``valid_to`` lead,
+    and the version row_number all share the same (key, ts, tiebreak)
+    partition/order spec, and the duplicate-collapse filter between them
+    preserves both partitioning and sort order — Catalyst plans a single
+    exchange + sort feeding all three Window operators. Per-key state is
+    the key's change history, so 100 TB of events with human-scale keys
+    partitions evenly; no join, no second pass over the raw stream.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        df.select(key_col, attr_col, ts_col, tiebreak_col)
+        .withColumn("prev_attr", F.lag(attr_col).over(w))
+        .filter(F.col("prev_attr").isNull() | (F.col("prev_attr") != F.col(attr_col)))
+    )
+    return changes.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("int").alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )
+
+
+def q_ts_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: SCD2 history of each user's event_type."""
+    return scd2(load(spark, sf_dir, "events"))
+
+
+SQL_SCD2 = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        FROM events),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_attr IS NULL OR prev_attr <> event_type)
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "ts_sessionize": Query(q_ts_sessionize, SQL_SESSIONIZE),
     "ts_gapfill": Query(q_ts_gapfill, SQL_GAPFILL),
     "ts_funnel": Query(q_ts_funnel, SQL_FUNNEL),
     "ts_zscore": Query(q_ts_zscore, SQL_TS_ZSCORE),
+    "ts_scd2": Query(q_ts_scd2, SQL_SCD2),
 }

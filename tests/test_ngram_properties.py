@@ -67,3 +67,45 @@ def test_ppjoin_prefix_theorem(a, b):
     j = len(a & b) / len(a | b)
     if j >= t:
         assert set(_prefix(a, t)) & set(_prefix(b, t)), (sorted(a), sorted(b), j)
+
+
+def test_tfidf_against_python_reference(spark, sf_dir):
+    """Recompute TF-IDF in plain Python over the whole corpus and check
+    the engine's per-doc top-3 (scores and rank order) match."""
+    import math
+
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        TFIDF_TOP_K,
+        q_text_tfidf,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load as _load
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].lower().split() if t]
+        for r in _load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    n = len(docs)
+    df_counts: dict[str, int] = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df_counts[t] = df_counts.get(t, 0) + 1
+    expected = {}
+    for doc_id, toks in docs.items():
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        scored = sorted(
+            (
+                (round(c * (math.log((n + 1) / (df_counts[t] + 1)) + 1), 6), t, c)
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:TFIDF_TOP_K]
+        expected[doc_id] = [(t, c, s) for s, t, c in scored]
+    got: dict[int, list] = {}
+    for r in sorted(
+        q_text_tfidf(spark, sf_dir).collect(), key=lambda r: (r["doc_id"], r["rank"])
+    ):
+        got.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["tfidf"]))
+        assert r["df"] == df_counts[r["term"]]
+    assert got == expected

@@ -154,3 +154,38 @@ def test_zscore_outliers_match_numpy(spark, sf_dir):
     missing = {e: z for e, z in want.items() if abs(z) >= T.Z_THRESHOLD + 1e-4 and e not in got}
     assert not missing
     assert len(got) > 0
+
+
+def test_scd2_invariants(spark, sf_dir):
+    """Per user: versions contiguous from 1, intervals chain exactly
+    (valid_to == next valid_from), no consecutive equal attribute values,
+    exactly one open current row, and history starts at the user's first
+    event."""
+    ev = load(spark, sf_dir, "events")
+    first_ts = {
+        r["user_id"]: r["lo"]
+        for r in ev.groupBy("user_id").agg(F.min("ts").alias("lo")).collect()
+    }
+    rows = T.q_ts_scd2(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(first_ts)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0]["valid_from"] == first_ts[user]
+        assert sum(r["is_current"] for r in rs) == 1 and rs[-1]["is_current"]
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"], (user, a, b)
+            assert a["event_type"] != b["event_type"], (user, a, b)
+        assert rs[-1]["valid_to"] is None
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """The lag filter preserves partitioning+ordering, so all three
+    window passes ride ONE exchange."""
+    plan = T.q_ts_scd2(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
