@@ -360,8 +360,89 @@ SQL_AGG_PIVOT = """
 """
 
 
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates per nation: the customer holding the max
+    balance (argmax) and the most common market segment (mode).
+
+    The argmax is ``max(struct(value, key))`` — ONE partial-aggregatable
+    hash aggregate, the skew-immune alternative to the row_number-window
+    form (a window must co-locate and sort every row of a group; the
+    struct-max keeps map-side combine, so a 100 TB fact table reduces to
+    |groups| rows before the shuffle). Struct comparison is
+    lexicographic, so the trailing key is a deterministic tiebreaker —
+    exactly max_by with ties broken toward the larger key. The mode uses
+    a row_number instead — its input is the already-aggregated (nation,
+    segment) count relation of ≤ |nations| × |segments| rows, where a
+    window costs nothing and keeps the smallest-segment tiebreak
+    readable. Both sides join back to ``nation`` broadcast."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    top = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.max(F.struct(F.col("c_acctbal"), F.col("c_custkey"))).alias("m"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            "c_nationkey",
+            F.col("m.c_custkey").alias("top_custkey"),
+            F.col("m.c_acctbal").alias("top_acctbal"),
+            "n_customers",
+        )
+    )
+    from pyspark.sql import Window
+
+    seg_counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("cnt").desc(), F.col("c_mktsegment")
+    )
+    mode = (
+        seg_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"))
+    )
+    return (
+        top.join(mode, "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "top_custkey",
+            "top_acctbal",
+            "n_customers",
+            "mode_segment",
+        )
+    )
+
+
+SQL_AGG_ARGMAX = """
+    WITH top AS (
+        SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+              FROM customer) WHERE rn = 1),
+    counts AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer GROUP BY c_nationkey),
+    seg AS (
+        SELECT c_nationkey, c_mktsegment AS mode_segment
+        FROM (SELECT c_nationkey, c_mktsegment, ROW_NUMBER() OVER (
+                  PARTITION BY c_nationkey
+                  ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+              FROM customer GROUP BY c_nationkey, c_mktsegment) WHERE rn = 1)
+    SELECT n.n_name AS nation, top_custkey, top_acctbal, n_customers, mode_segment
+    FROM top
+    JOIN counts USING (c_nationkey)
+    JOIN seg USING (c_nationkey)
+    JOIN nation n ON c_nationkey = n.n_nationkey
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
+    "agg_argmax": Query(q_agg_argmax, SQL_AGG_ARGMAX),
     "agg_pivot": Query(q_agg_pivot, SQL_AGG_PIVOT),
     "agg_count_distinct": Query(q_agg_count_distinct, SQL_AGG_COUNT_DISTINCT),
     "agg_rollup": Query(q_agg_rollup, SQL_AGG_ROLLUP),

@@ -23,6 +23,34 @@ from pyspark.sql import DataFrame
 MB = 1024 * 1024
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned write: directory layout ``col=value/`` so
+    later scans with a predicate on ``partition_cols`` prune whole
+    directories at plan time (``PartitionFilters`` in the scan node —
+    asserted in tests/test_sinks_and_sql.py) instead of reading and
+    filtering 100 TB.
+
+    Without a pre-shuffle, every input task writes one file into EVERY
+    partition directory it has rows for — tasks × partitions small files.
+    The REBALANCE-on-keys hint routes each partition's rows together
+    first (AQE splits oversized partition values, so one hot day doesn't
+    become one hot task), which is the standard fix.
+    """
+    (
+        df.hint("rebalance", *partition_cols)
+        .write.mode(mode)
+        .format(fmt)
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
+
+
 def write_compacted(
     df: DataFrame,
     path: str,

@@ -57,3 +57,30 @@ def test_sql_surface_matches_dataframe(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     assert got["n"] == li.count()
     assert got["n_ok"] == li.select("l_orderkey").distinct().count()
+
+
+def test_write_partitioned_prunes_and_compacts(spark, sf_dir):
+    """Partitioned layout: hive dirs per value, few files per dir (the
+    rebalance routed each partition's rows together), and a read-back
+    filter prunes at plan time (PartitionFilters, not a post-scan
+    Filter over all partitions)."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.sinks import write_partitioned
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    out = os.path.join(tempfile.mkdtemp(), "by_date")
+    write_partitioned(ev, out, ["event_date"])
+    dirs = sorted(glob.glob(os.path.join(out, "event_date=*")))
+    assert len(dirs) == ev.select("event_date").distinct().count()
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) <= 2, d
+    back = spark.read.parquet(out)
+    one_day = dirs[0].rsplit("=", 1)[1]
+    q = back.filter(F.col("event_date") == one_day)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan, plan
+    # row parity with a full-scan filter on the original frame
+    assert q.count() == ev.filter(F.col("event_date") == one_day).count()
