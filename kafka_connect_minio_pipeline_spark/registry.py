@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     # driver's 50-entry graded window so every genuinely-new r2 operator
     # (ts_*, llm_*, stream_quality, similarity_centroids) gets a hard row.
     "kafka_connect_minio_pipeline_spark.functions.udafs",
+    "kafka_connect_minio_pipeline_spark.operators.corpus",
     "kafka_connect_minio_pipeline_spark.operators.windows",
     "kafka_connect_minio_pipeline_spark.operators.joins",
     "kafka_connect_minio_pipeline_spark.operators.setops",

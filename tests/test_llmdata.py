@@ -202,3 +202,36 @@ def test_target_mix_rates_and_application(spark, sf_dir):
     # deterministic: same hash threshold, same sample
     again = apply_mix(docs, target_mix_rates(docs)).groupBy("lang").count().collect()
     assert kept == {r["lang"]: r["count"] for r in again}
+
+
+def test_corpus_shuffle_split_properties(spark, sf_dir):
+    """Every doc appears once with a contiguous per-shard position;
+    shards are balanced to binomial noise; split fractions near
+    90/5/5; and the train order is decorrelated from doc_id order."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        N_SHARDS,
+        q_corpus_shuffle_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    rows = q_corpus_shuffle_split(spark, sf_dir).collect()
+    assert len(rows) == n
+    assert len({r["doc_id"] for r in rows}) == n
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == set(range(N_SHARDS))
+    for shard, rs in by_shard.items():
+        assert sorted(r["position"] for r in rs) == list(range(1, len(rs) + 1))
+        assert abs(len(rs) - n / N_SHARDS) <= 4 * (n / N_SHARDS) ** 0.5, shard
+    splits = {s: sum(1 for r in rows if r["split"] == s) for s in ("train", "val", "test")}
+    assert sum(splits.values()) == n
+    assert abs(splits["train"] - 0.90 * n) <= 4 * (0.90 * n) ** 0.5
+    # shuffle actually shuffles: shard-0 read order is not doc_id order
+    order0 = [r["doc_id"] for r in sorted(by_shard[0], key=lambda r: r["position"])]
+    assert order0 != sorted(order0)
+    # deterministic across runs
+    again = {(r["doc_id"], r["split"], r["shard"], r["position"])
+             for r in q_corpus_shuffle_split(spark, sf_dir).collect()}
+    assert again == {(r["doc_id"], r["split"], r["shard"], r["position"]) for r in rows}
