@@ -298,3 +298,33 @@ def test_join_bucketed_query_plan_and_parity(spark, sf_dir):
     )
     got = {(r["o_orderpriority"], r["revenue"], r["n_items"]) for r in plain.collect()}
     assert want == got
+
+
+def test_partitioned_layout_gets_dynamic_partition_pruning(spark, sf_dir):
+    """A fact table written with sinks.write_partitioned and joined to a
+    selectively-filtered dim table prunes fact partitions at RUNTIME
+    (dynamicpruning subquery in the scan's PartitionFilters) — a
+    date-partitioned 100 TB fact scan touches only the dim-selected
+    dates. The dim must be a materialized table with a real predicate:
+    a filter on a literal column constant-folds away and DPP sees no
+    selective predicate to reuse."""
+    import os
+    import tempfile
+
+    from kafka_connect_minio_pipeline_spark.sinks import write_partitioned
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    base = tempfile.mkdtemp()
+    write_partitioned(ev, os.path.join(base, "fact"), ["event_date"])
+    ev.select("event_date").distinct().write.parquet(os.path.join(base, "dim"))
+    fact = spark.read.parquet(os.path.join(base, "fact"))
+    dim = spark.read.parquet(os.path.join(base, "dim")).withColumn(
+        "event_date", F.col("event_date").cast("date")
+    )
+    cutoff = F.lit("2024-01-03").cast("date")
+    joined = fact.join(dim.filter(F.col("event_date") <= cutoff), "event_date")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert joined.count() == ev.filter(F.col("event_date") <= "2024-01-03").count()
