@@ -328,3 +328,37 @@ def test_partitioned_layout_gets_dynamic_partition_pruning(spark, sf_dir):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert joined.count() == ev.filter(F.col("event_date") <= "2024-01-03").count()
+
+
+def test_selective_shuffle_join_gets_runtime_bloom_filter(spark, sf_dir):
+    """When a shuffle join's build side carries a selective predicate,
+    Spark injects a runtime bloom filter (might_contain) on the probe
+    side — at 100 TB the fact scan drops non-matching rows before the
+    exchange instead of shuffling them. Local data is below the
+    application-side threshold, so the test lowers it (creation side
+    must stay under ITS threshold — that one is a maximum)."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp()
+    load(spark, sf_dir, "lineitem").write.parquet(os.path.join(base, "li"))
+    load(spark, sf_dir, "orders").write.parquet(os.path.join(base, "od"))
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(os.path.join(base, "li"))
+        od = spark.read.parquet(os.path.join(base, "od"))
+        j = li.join(
+            od.filter(F.col("o_orderpriority") == "1-URGENT"),
+            li.l_orderkey == od.o_orderkey,
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
