@@ -1,0 +1,152 @@
+"""Graph centrality over relational data: fixed-iteration PageRank on
+the customer–supplier interaction graph (SURVEY.md §2.4 extension
+surface; tail registry position, verified by the local DuckDB parity net).
+
+The reference has no graph operators; this is the second iterative
+DataFrame algorithm in the engine (with ``dedup_clusters``' label
+propagation): rank vectors and edge lists as plain relations, one
+join + one aggregation per iteration, the loop unrolled in the driver
+while every pass stays fully distributed. The cross-engine exactness
+trick is the usual one — per-edge contributions are quantized to
+``decimal(28,18)`` before the SUM, making the only order-sensitive step
+(float addition) order-free and bit-identical in Spark and DuckDB, so
+even a 5-deep iterated float computation hash-matches the unrolled
+recursive SQL oracle exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import Query
+from ..tables import load
+
+DAMPING = 0.85
+N_ITER = 5
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric customer↔supplier edges from lineitem facts, staged to
+    temp parquet ONCE — the loop consumes the edge relation every
+    iteration, and a narrow re-derivation would re-join lineitem⋈orders
+    ``N_ITER`` times (the same measured trade as ``_staged_shingle_sets``:
+    staging beats both recompute and a persist() cache boundary). Node
+    ids are prefixed strings so the bipartite sides share one id space."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    sym = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
+        pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    d = tempfile.mkdtemp(prefix="kcm_graph_edges_")
+    sym.write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
+
+
+def pagerank(
+    edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING
+) -> DataFrame:
+    """Fixed-iteration PageRank on a directed edge relation (src, dst).
+
+    Per iteration: rank/out-degree contributions flow along edges (one
+    co-partitioned join on ``src``), are quantized to decimal(28,18),
+    and SUM per ``dst`` (one partial-aggregated shuffle); the damped
+    update is a scalar double tree. Every node here has out-edges (the
+    builder symmetrizes), so no dangling-mass term. The driver only
+    unrolls the loop — each pass is a distributed join+agg whose shuffle
+    keys never change, so at 100 TB the per-iteration cost is two
+    exchanges over |edges| and |nodes| rows; for many more iterations,
+    checkpoint every few passes to cap plan depth."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # one scalar job; bounds every later literal
+    rank = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(rank, edges.src == rank.node)
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("outdeg"))
+                .cast("decimal(28,18)")
+                .alias("contrib"),
+            )
+        )
+        inflow = contribs.groupBy("dst").agg(F.sum("contrib").alias("inflow"))
+        rank = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("inflow").cast("double"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return rank.select("node", F.round("rank", 9).alias("rank"))
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: 5-iteration PageRank, customer↔supplier graph."""
+    return pagerank(_edges(spark, sf_dir))
+
+
+def _oracle_sql() -> str:
+    """Unrolled fixed-iteration oracle mirroring the Spark loop exactly
+    (same decimal quantization, same double expression tree)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        iters.append(f"""
+    inflow{i} AS (
+        SELECT e.dst, SUM(CAST(({prev}.rank / outdeg.outdeg) AS DECIMAL(28,18))) AS s
+        FROM edges e
+        JOIN outdeg ON e.src = outdeg.src
+        JOIN {prev} ON e.src = {prev}.node
+        GROUP BY e.dst),
+    r{i} AS (
+        -- CAST(… AS DOUBLE) everywhere: DuckDB numeric literals are
+        -- DECIMAL, and a decimal expression tree would diverge from
+        -- Spark's IEEE doubles
+        SELECT nodes.node,
+               (CAST(1.0 AS DOUBLE) - {DAMPING}) / n.n_nodes
+                   + {DAMPING} * COALESCE(CAST(inflow{i}.s AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE)) AS rank
+        FROM nodes CROSS JOIN n
+        LEFT JOIN inflow{i} ON nodes.node = inflow{i}.dst)""")
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+                        's' || CAST(l_suppkey AS VARCHAR) AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM pairs),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n.n_nodes AS rank
+           FROM nodes CROSS JOIN n),{",".join(iters)}
+    SELECT node, ROUND(rank, 9) AS rank FROM {prev}
+"""
+
+
+SQL_GRAPH_PAGERANK = _oracle_sql()
+
+
+QUERIES = {
+    "graph_pagerank": Query(q_graph_pagerank, SQL_GRAPH_PAGERANK),
+}

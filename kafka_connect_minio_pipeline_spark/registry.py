@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     # (ts_*, llm_*, stream_quality, similarity_centroids) gets a hard row.
     "kafka_connect_minio_pipeline_spark.functions.udafs",
     "kafka_connect_minio_pipeline_spark.operators.corpus",
+    "kafka_connect_minio_pipeline_spark.operators.graph",
     "kafka_connect_minio_pipeline_spark.operators.windows",
     "kafka_connect_minio_pipeline_spark.operators.joins",
     "kafka_connect_minio_pipeline_spark.operators.setops",
