@@ -20,7 +20,8 @@ _STATEFUL = sorted(
     or n.startswith("udaf_")
     # iterative driver loop (cache/unpersist churn) and temp-parquet
     # staging are side-effectful paths — guard them too
-    or n in ("dedup_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard")
+    or n in ("dedup_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+             "graph_pagerank", "corpus_shuffle_split")
 )
 
 
