@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..registry import Query
-from ..tables import load
+from ..tables import load, spread
 
 
 def weighted_value_cents_udaf():
@@ -91,7 +91,9 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     yield doc_id, i, s
 
     spark.udtf.register("kcm_split_sentences", SentenceSplitter)
-    load(spark, sf_dir, "documents").createOrReplaceTempView("kcm_docs_udtf")
+    spread(load(spark, sf_dir, "documents"), "doc_id").createOrReplaceTempView(
+        "kcm_docs_udtf"
+    )
     return spark.sql(
         """
         SELECT s.doc_id, s.sent_idx, s.sentence
@@ -117,7 +119,7 @@ def q_sentences_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays in whole-stage codegen, no Python row boundary. Registered next
     to the UDTF demo (same oracle) so the registry shows the built-in path
     and the escape hatch side-by-side."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select(
             "doc_id",

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_from_parts, dot, to_double
 from ..registry import Query
-from ..tables import load
+from ..tables import load, spread
 
 # ---------------------------------------------------------------------------
 # canonical tokenization / shingling (Spark + mirrored SQL)
@@ -89,7 +89,11 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free (scan → project) is what makes that affordable, and it
     beats persist(): a cache boundary here measured 3× slower cold because
     materialization blocks and AQE loses runtime stats through it."""
-    docs = load(spark, sf_dir, "documents")
+    # spread first: the single-row-group documents file is ONE scan
+    # partition, which would run the whole tokenize+shingle stage on one
+    # core (see tables.spread); the staged files inherit the fan-out so
+    # every downstream consumer reads in parallel too.
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     # tokenization staged behind a projection boundary — word_ngrams
     # slices its input n times and there is no CSE across higher-order-
     # function lambdas (same finding as text_fingerprint's hash array)

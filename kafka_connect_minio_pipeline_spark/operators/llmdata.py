@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import Query
-from ..tables import load
+from ..tables import load, spread
 from .dedup import SQL_TOKENS, tokens, word_ngrams
 
 # ---------------------------------------------------------------------------
@@ -193,7 +193,7 @@ def pack_sequences(
 
 def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: pack ``documents`` into 256-token windows."""
-    return pack_sequences(load(spark, sf_dir, "documents"))
+    return pack_sequences(spread(load(spark, sf_dir, "documents"), "doc_id"))
 
 
 SQL_PACK_SEQUENCES = f"""
@@ -278,7 +278,7 @@ def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: scrub the seeded corpus; the scrubbed text is
     hashed to md5 so the oracle compares content without hauling full
     documents through the value hash."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     staged = docs.select("doc_id", _seeded_text().alias("t"))
     return pii_scrub(staged).select(
         "doc_id",
@@ -361,7 +361,7 @@ def decontaminate(
 def q_llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: ``doc_id % 97 == 0`` plays the held-out
     benchmark set against the rest of ``documents``."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     return decontaminate(docs.filter(~is_bench), docs.filter(is_bench))
 
@@ -512,7 +512,7 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.text import STOPWORDS
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_chars = F.length(F.col("text"))

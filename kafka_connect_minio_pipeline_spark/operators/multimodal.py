@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import Query
-from ..tables import load
+from ..tables import load, spread
 
 FEATURE_SCHEMA = (
     "doc_id long, n_bytes int, mean_byte double, max_byte int, head_byte int"
@@ -46,7 +46,7 @@ FEATURE_SCHEMA = (
 
 def binary_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, payload binary, typed metadata)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("payload"),

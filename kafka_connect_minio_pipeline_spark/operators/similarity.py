@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_from_parts, dot, to_double
 from ..registry import Query
-from ..tables import load
+from ..tables import load, spread
 
 TOP_K = 5
 N_QUERIES = 8  # batch operator: vec_id < 8 are the query set
@@ -40,7 +40,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The query row is a 1-row broadcast against the corpus scan — no
     shuffle of the corpus; orderBy+limit compiles to TakeOrdered.
     """
-    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    em = _with_norms(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
     q = em.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_emb"), F.col("norm_sq").alias("q_norm")
     )
@@ -83,7 +83,7 @@ def q_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine desc) — the scalable many-query formulation: corpus scanned
     once, k·|Q| rows out.
     """
-    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    em = _with_norms(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
     queries = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -172,8 +172,8 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the bucket join replaces the full-corpus scan per query —
     the crossover that makes similarity search feasible at all.
     """
-    em = _with_norms(load(spark, sf_dir, "embeddings"))
-    sigs = lsh_signatures(load(spark, sf_dir, "embeddings"))
+    em = _with_norms(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
+    sigs = lsh_signatures(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
     q_sigs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("table_id"),
@@ -372,7 +372,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only for the driver; recall vs. brute force asserted in tests."""
     cent = ivf_centroids(spark, sf_dir)
     em = _with_norms(load(spark, sf_dir, "embeddings"))
-    assigned = _assign_cells(load(spark, sf_dir, "embeddings"), cent)
+    assigned = _assign_cells(spread(load(spark, sf_dir, "embeddings"), "vec_id"), cent)
 
     # query → its IVF_PROBE nearest cells (8×64 doubles: driver-side math)
     qrows = (
@@ -458,7 +458,7 @@ def class_centroids(
 
 def q_similarity_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: per-label centroids of ``embeddings``."""
-    return class_centroids(load(spark, sf_dir, "embeddings"))
+    return class_centroids(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
 
 
 SQL_SIMILARITY_CENTROIDS = """

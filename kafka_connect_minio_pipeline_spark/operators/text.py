@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import Query
-from ..tables import load
+from ..tables import load, spread
 from .dedup import SQL_TOKENS, tokens, word_ngrams
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
@@ -66,7 +66,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: quality features over ``documents``."""
-    return quality_features(load(spark, sf_dir, "documents"))
+    return quality_features(spread(load(spark, sf_dir, "documents"), "doc_id"))
 
 
 _STOP_SQL = ",".join(f"'{s}'" for s in STOPWORDS)
@@ -95,7 +95,7 @@ SQL_TEXT_QUALITY = f"""
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per language: docs, whitespace tokens,
     BPE-ish regex tokens, distinct vocabulary, chars."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     # NB: not F.expr — Spark SQL string literals process backslash escapes,
     # which silently turns \s into s inside an embedded regex.
@@ -147,7 +147,7 @@ SQL_TEXT_TOKEN_STATS = f"""
 
 def q_text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 word bigrams (tiebreak on the bigram string)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     staged = docs.select(tokens(F.col("text")).alias("toks"))
     bigrams = word_ngrams(F.col("toks"), 2)
     return (
@@ -191,7 +191,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is exact integer math shared with the oracle: token hash
     < 2^20, so v1*131^2 + v2*131 + v3 < 2^35 — no overflow in either engine.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     hv = F.transform(
         toks,
@@ -241,7 +241,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus pipeline): lowercase → non-alphanumerics to spaces →
     whitespace collapse → trim. Emitted as md5 + length so the oracle
     compares compact digests instead of full documents."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", " "),
@@ -278,7 +278,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only: cross-engine float log-sum ties make hash equality
     meaningless; tests assert determinism and exact self-consistency.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     chars2 = F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
     doc_bg = docs.select("doc_id", "lang", F.explode(chars2).alias("bg"))
     # per-language bigram log-probabilities (add-one smoothed)
@@ -352,7 +352,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
 
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: top-3 TF-IDF terms per document."""
-    return tfidf_top_terms(load(spark, sf_dir, "documents"))
+    return tfidf_top_terms(spread(load(spark, sf_dir, "documents"), "doc_id"))
 
 
 SQL_TEXT_TFIDF = f"""

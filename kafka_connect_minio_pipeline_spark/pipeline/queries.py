@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import Query
-from ..tables import load
+from ..tables import load, spread
 from .profile import (
     RECONCILE_SQL,
     TRANSFORM_SQL,
@@ -157,7 +157,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import tokens
 
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_chars = F.length(F.col("text"))

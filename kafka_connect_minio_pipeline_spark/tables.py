@@ -59,6 +59,25 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     )
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Fan a compressed-small, compute-heavy relation across the cluster
+    before a narrow CPU-bound stage (tokenize / shingle / regex / hash /
+    vector math).
+
+    Compressed text and embeddings pack ~100-1000x smaller than the CPU
+    they cost: a 0.6 MB single-row-group parquet is ONE scan partition,
+    so without this the whole stage runs on one core. The hash
+    repartition moves the raw bytes once (trivial next to the compute it
+    unlocks) and pins partition count against AQE's compressed-bytes
+    coalescing. The same call is what you want at 100 TB too — it bounds
+    the skew of oversized files and decouples compute parallelism from
+    file layout; for scan->shuffle-agg plans with light per-row work,
+    do NOT spread (the extra exchange outweighs it).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table with normalized types."""
     if name not in TABLE_NAMES:
