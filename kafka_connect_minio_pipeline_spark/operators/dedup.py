@@ -285,22 +285,46 @@ N_PERM = 16
 N_BANDS = 4  # 4 rows per band; P(candidate) = 1-(1-j^4)^4 → ~0.96 at j=0.8
 
 
+# portable universal-hash family over a prime field: base hash is the
+# md5-prefix integer (identical in Spark and DuckDB), permutations are
+# affine maps (a*h + b) mod P with fixed constants — a*h < P² < 2^62
+# stays inside BIGINT on both engines, so the WHOLE MinHash pipeline is
+# cross-engine exact and the LSH query gets a real value-hash oracle.
+MH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MH_A = [(1_103_515_245 + 12_345 * p) % MH_P for p in range(N_PERM)]
+MH_B = [(12_345 + 1_103 * p) % MH_P for p in range(N_PERM)]
+
+
 def minhash_signatures(sets_: DataFrame) -> DataFrame:
-    """16 min-hash values per doc, computed NARROW: array_min over a
-    hashed copy of the per-doc shingle array — no explode, no groupBy,
-    no shuffle. Empty docs are dropped (they have no signature; the old
-    explode+groupBy form dropped them implicitly)."""
+    """16 min-hash values per doc, computed NARROW: array_min over affine
+    permutations of the per-doc hashed-shingle array — no explode, no
+    groupBy, no shuffle. Empty docs are dropped (they have no signature).
+
+    The base hash is computed ONCE per shingle behind a projection
+    boundary (no CSE across higher-order-function lambdas — the 16
+    permutation transforms each reference it), then each permutation is
+    two integer ops per element. Portable: the oracle recomputes the
+    identical signatures in DuckDB."""
     # NB: the lambda must take exactly one parameter — PySpark binds a
-    # second parameter to the array INDEX (so `lambda x, p=p` would hash
-    # with the index, not the permutation seed). transform() evaluates the
+    # second parameter to the array INDEX. transform() evaluates the
     # lambda eagerly, so closing over the loop variable is safe.
+    hashed = sets_.filter(F.col("n_sh") > 0).select(
+        "doc_id",
+        F.transform(
+            "arr",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % F.lit(MH_P),
+        ).alias("hs"),
+    )
     sigs = [
         F.array_min(
-            F.transform("arr", (lambda p: lambda x: F.xxhash64(x, F.lit(p)))(p))
+            F.transform(
+                "hs", (lambda a, b: lambda h: (a * h + b) % F.lit(MH_P))(a, b)
+            )
         ).alias(f"sig{p}")
-        for p in range(N_PERM)
+        for p, (a, b) in enumerate(zip(MH_A, MH_B))
     ]
-    return sets_.filter(F.col("n_sh") > 0).select("doc_id", *sigs)
+    return hashed.select("doc_id", *sigs)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,16 +332,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard verify at the same 0.8 threshold.
 
     Output columns match q_dedup_ngram_jaccard so tests can measure LSH
-    candidate recall directly against the exact operator. rows-only for the
-    driver (hash seeds are engine-specific), adversarially tested in
-    tests/test_dedup.py.
+    candidate recall directly against the exact operator. Oracle-checked
+    (r2): the portable hash family means DuckDB reproduces the identical
+    signatures, bands, candidate set, and verified pairs — the oracle
+    simulates the same LSH rather than comparing against the exact
+    operator (whose output LSH only approaches at recall < 1).
     """
     sets_ = _staged_shingle_sets(spark, sf_dir)
     sigs = minhash_signatures(sets_)
     r = N_PERM // N_BANDS
+    # band key = the r signature values joined as a string — portable
+    # across engines, unlike hashing the tuple
     bands = F.array(
         *[
-            F.hash(*[F.col(f"sig{b * r + i}") for i in range(r)])
+            F.concat_ws(",", *[F.col(f"sig{b * r + i}") for i in range(r)])
             for b in range(N_BANDS)
         ]
     )
@@ -368,6 +396,59 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     return verified.select("d1", "d2", "jaccard")
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of the full LSH pipeline: identical base hash, affine
+    permutations, band keys, candidate OR-join (quadratic is fine at
+    oracle scale), and exact verify."""
+    r = N_PERM // N_BANDS
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MH_P})) AS sig{p}"
+        for p, (a, b) in enumerate(zip(MH_A, MH_B))
+    )
+    band_exprs = ",\n               ".join(
+        "("
+        + " || ',' || ".join(
+            f"CAST(sig{band * r + i} AS VARCHAR)" for i in range(r)
+        )
+        + f") AS b{band}"
+        for band in range(N_BANDS)
+    )
+    band_match = " OR ".join(f"a.b{k} = b.b{k}" for k in range(N_BANDS))
+    return f"""
+    WITH {SQL_SHINGLES_CTE},
+    sets AS (
+        SELECT doc_id, LIST(s) AS arr, COUNT(*) AS n
+        FROM shingle GROUP BY doc_id),
+    hashed AS (
+        SELECT doc_id, arr, n,
+               list_transform(arr,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MH_P}) AS hs
+        FROM sets WHERE n > 0),
+    sigs AS (
+        SELECT doc_id, arr, n,
+               {sig_exprs}
+        FROM hashed),
+    banded AS (
+        SELECT doc_id, arr, n,
+               {band_exprs}
+        FROM sigs),
+    cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2,
+               a.arr AS arr1, a.n AS n1, b.arr AS arr2, b.n AS n2
+        FROM banded a JOIN banded b
+          ON a.doc_id < b.doc_id AND ({band_match}))
+    SELECT d1, d2,
+           ROUND(LEN(list_intersect(arr1, arr2)) * 1.0
+                 / (n1 + n2 - LEN(list_intersect(arr1, arr2))), 6) AS jaccard
+    FROM cand
+    WHERE LEN(list_intersect(arr1, arr2)) * 1.0
+          / (n1 + n2 - LEN(list_intersect(arr1, arr2))) >= {JACCARD_THRESHOLD}
+"""
+
+
+SQL_DEDUP_MINHASH = _minhash_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -625,7 +706,7 @@ QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM, headline=True),
     "dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
-    "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, None, headline=True),
+    "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH, headline=True),
     "dedup_simhash": Query(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
 }
