@@ -209,6 +209,58 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB twin of the full hyperplane-LSH pipeline. Portable because
+    (a) the planes are fixed literals (repr round-trips doubles exactly),
+    (b) DuckDB's list_dot_product matches Spark's sequential aggregate
+    fold bit-for-bit (the property every similarity oracle here relies
+    on), so bucket SIGNS — and therefore the candidate set — are
+    identical, and (c) the rerank is the already-portable exact cosine."""
+    planes = _hyperplanes()
+    branches = []
+    for t in range(LSH_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, CAST({planes[t * LSH_BITS + i]!r}"
+            f" AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BITS)
+        )
+        branches.append(
+            f"SELECT vec_id, CAST({t} AS INTEGER) AS table_id,"
+            f" CAST({bits} AS BIGINT) AS bucket FROM emb"
+        )
+    sigs = "\n        UNION ALL ".join(branches)
+    return f"""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sigs AS (
+        {sigs}),
+    qs AS (
+        SELECT vec_id AS query_id, table_id, bucket FROM sigs
+        WHERE vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT qs.query_id, s.vec_id
+        FROM sigs s JOIN qs USING (table_id, bucket)
+        WHERE s.vec_id <> qs.query_id),
+    norms AS (SELECT vec_id, e, list_dot_product(e, e) AS norm_sq FROM emb),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               ROUND(list_dot_product(v.e, q.e)
+                     / (SQRT(v.norm_sq) * SQRT(q.norm_sq)), 6) AS cos_sim
+        FROM cand c
+        JOIN norms v ON c.vec_id = v.vec_id
+        JOIN norms q ON c.query_id = q.vec_id)
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+            AS rank
+        FROM scored)
+    WHERE rank <= 3
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_oracle_sql()
+
+
 def q_similarity_knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label agreement over the labeled embeddings: for each query
     vector, do its exact top-3 cosine neighbors share its label?
@@ -475,7 +527,7 @@ QUERIES = {
     "similarity_topk_batch": Query(
         q_similarity_topk_batch, SQL_SIMILARITY_TOPK_BATCH, headline=True
     ),
-    "similarity_ann_lsh": Query(q_similarity_ann_lsh, None),
+    "similarity_ann_lsh": Query(q_similarity_ann_lsh, SQL_ANN_LSH),
     "similarity_ann_ivf": Query(q_similarity_ann_ivf, None, headline=True),
     "similarity_knn_label_eval": Query(
         q_similarity_knn_label_eval, SQL_SIMILARITY_KNN_LABEL
