@@ -254,3 +254,50 @@ def test_stream_quality_equals_batch_filter(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_file_sink_incremental_restart_processes_only_new_files(spark, sf_dir):
+    """The stronger A7 property: files landing BETWEEN runs are picked up
+    by the checkpoint-restarted query exactly once — run 2 emits only the
+    new file's survivors, run 3 (nothing new) emits nothing."""
+    from kafka_connect_minio_pipeline_spark.pipeline.profile import (
+        profile_transform,
+        users_from_customer,
+    )
+
+    src = tempfile.mkdtemp(prefix="eo_inc_src_")
+    schema = spark.read.parquet(f"{sf_dir}/customer.parquet").schema
+    half = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = half.filter("c_custkey % 2 = 0")
+    b = half.filter("c_custkey % 2 = 1")
+    a.write.parquet(f"{src}/batch_a")
+    out = tempfile.mkdtemp(prefix="eo_inc_sink_")
+    ckpt = tempfile.mkdtemp(prefix="eo_inc_ckpt_")
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src)
+        df = profile_transform(users_from_customer(sdf))
+        q = (
+            df.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def expected(frame):
+        return profile_transform(users_from_customer(frame)).count()
+
+    run_once()
+    n1 = spark.read.json(out).count()
+    assert n1 == expected(a) > 0
+    b.write.parquet(f"{src}/batch_b")   # lands between runs
+    run_once()
+    n2 = spark.read.json(out).count()
+    assert n2 == expected(a) + expected(b), (n1, n2)
+    run_once()                          # nothing new
+    assert spark.read.json(out).count() == n2
