@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import Query
-from ..tables import load
+from ..tables import load, spread
+from .dedup import SQL_TOKENS, tokens
 from .llmdata import _HASH_SPACE, _portable_hash
 
 N_SHARDS = 8
@@ -97,6 +98,75 @@ SQL_CORPUS_SHUFFLE_SPLIT = f"""
 """
 
 
+VOCAB_TOP_N = 200
+
+
+def vocab_top(docs: DataFrame, n: int = VOCAB_TOP_N) -> DataFrame:
+    """Top-N vocabulary with cumulative corpus coverage (the seed list a
+    BPE/WordPiece trainer starts from).
+
+    Token counting is explode + one partial-aggregated groupBy (shuffle
+    volume O(|vocab|)); the top-N is orderBy+limit — TakeOrdered, never a
+    global sort; the cumulative-coverage running sum is a window over the
+    N surviving rows only (any partitioning works on N rows), with the
+    corpus-total token count broadcast from a second tiny aggregate. At
+    100 TB nothing here materializes more than |vocab| rows after the
+    scan."""
+    toks = (
+        spread(docs, "doc_id")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("n_occur"))
+    total = counts.agg(F.sum("n_occur").alias("n_total"))
+    top = counts.orderBy(F.col("n_occur").desc(), "token").limit(n)
+    w = (
+        Window.orderBy(F.col("n_occur").desc(), "token")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("n_occur").desc(), "token"))
+            .cast("int")
+            .alias("rank"),
+            "token",
+            "n_occur",
+            F.round(
+                F.sum("n_occur").over(w).cast("double") / F.col("n_total"), 6
+            ).alias("cum_coverage"),
+        )
+    )
+
+
+def q_corpus_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: top-200 vocabulary over ``documents``."""
+    return vocab_top(load(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_VOCAB_TOP = f"""
+    WITH counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occur
+        FROM (SELECT UNNEST({{toks}}) AS token FROM documents)
+        GROUP BY token),
+    total AS (SELECT SUM(n_occur) AS n_total FROM counts),
+    top AS (
+        SELECT * FROM counts ORDER BY n_occur DESC, token LIMIT {VOCAB_TOP_N})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occur DESC, token) AS INTEGER)
+               AS rank,
+           token, n_occur,
+           ROUND(CAST(SUM(n_occur) OVER (
+                     ORDER BY n_occur DESC, token
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_total, 6)
+               AS cum_coverage
+    FROM top CROSS JOIN total
+"""
+
+
 QUERIES = {
     "corpus_shuffle_split": Query(q_corpus_shuffle_split, SQL_CORPUS_SHUFFLE_SPLIT),
+    "corpus_vocab_top": Query(
+        q_corpus_vocab_top,
+        SQL_CORPUS_VOCAB_TOP.format(toks=SQL_TOKENS.format(col="text")),
+    ),
 }
