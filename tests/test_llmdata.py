@@ -235,3 +235,39 @@ def test_corpus_shuffle_split_properties(spark, sf_dir):
     again = {(r["doc_id"], r["split"], r["shard"], r["position"])
              for r in q_corpus_shuffle_split(spark, sf_dir).collect()}
     assert again == {(r["doc_id"], r["split"], r["shard"], r["position"]) for r in rows}
+
+
+def test_shuffle_split_matches_python_md5_reference(spark):
+    """The portable-hash contract, end to end: split, shard, and in-shard
+    position recomputed in pure Python from md5 prefixes must equal the
+    engine's output exactly — on adversarial ids (0, huge, dense runs)."""
+    import hashlib
+
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        N_SHARDS,
+        SPLIT_BOUNDS,
+        shuffle_split,
+    )
+
+    def h(salt, i):
+        return int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:15], 16)
+
+    ids = sorted({0, 1, 2, 3, 2**40, 2**40 + 1, 999_999_999_999} | set(range(100, 180)))
+    space = 1 << 60
+    lo, hi = (int(b * space) for b in SPLIT_BOUNDS)
+    expected = {}
+    by_shard: dict[int, list] = {}
+    for i in ids:
+        hs, ho = h("split:", i), h("order:", i)
+        split = "train" if hs < lo else ("val" if hs < hi else "test")
+        by_shard.setdefault(ho % N_SHARDS, []).append((ho, i, split))
+    for shard, rows in by_shard.items():
+        for pos, (_, i, split) in enumerate(sorted(rows), start=1):
+            expected[i] = (split, shard, pos)
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: (r["split"], r["shard"], r["position"])
+        for r in shuffle_split(df).collect()
+    }
+    assert got == expected
