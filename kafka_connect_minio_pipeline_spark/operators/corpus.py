@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Query
 from ..tables import load, spread
-from .dedup import SQL_TOKENS, tokens
+from .dedup import SQL_TOKENS, tokens, word_ngrams
 from .llmdata import _HASH_SPACE, _portable_hash
 
 N_SHARDS = 8
@@ -163,10 +163,93 @@ SQL_CORPUS_VOCAB_TOP = f"""
 """
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText-style
+    quality rules): duplicate-token fraction and the fraction of all
+    bigrams taken by the single most frequent bigram. High values flag
+    boilerplate/spam that perplexity filters miss.
+
+    Entirely narrow — per-row array algebra after a compute-spread, no
+    aggregation at all, so it composes into any quality gate as a free
+    projection. The most-frequent-bigram count is computed per row with
+    aggregate() over the bigram array (count occurrences of each
+    distinct bigram via filter+size under a max fold would be O(n²) per
+    doc — instead sort the bigram array and take the longest run, which
+    is O(n log n) per doc and vectorized)."""
+    toks = tokens(F.col("text"))
+    bigrams = word_ngrams(toks, 2)
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    sorted_bg = F.array_sort(bigrams)
+    # longest run of equal neighbors in the sorted bigram array:
+    # fold with state (best_run, cur_run, prev) encoded as a struct
+    run = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit(0).alias("best"), F.lit(0).alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.when(n_tok > 0, (n_tok - n_uniq) / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("dup_token_frac"),
+        F.when(F.size(bigrams) > 0, F.round(run / F.size(bigrams), 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+def q_corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: repetition quality signals over ``documents``."""
+    return repetition_stats(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+SQL_CORPUS_REPETITION = """
+    WITH t AS (
+        SELECT doc_id, {toks} AS toks FROM documents),
+    b AS (
+        SELECT doc_id, toks,
+               list_sort([toks[i] || ' ' || toks[i+1]
+                          FOR i IN RANGE(1, GREATEST(LEN(toks), 1))]) AS bg
+        FROM t),
+    runs AS (
+        SELECT doc_id, bg, LEN(toks) AS n_tok,
+               LEN(list_distinct(toks)) AS n_uniq,
+               COALESCE((SELECT MAX(c) FROM (
+                   SELECT COUNT(*) AS c FROM UNNEST(bg) u(s) GROUP BY s)), 0)
+                   AS top_run
+        FROM b)
+    SELECT doc_id,
+           CAST(n_tok AS INTEGER) AS n_tokens,
+           ROUND(CASE WHEN n_tok > 0
+                      THEN (n_tok - n_uniq) * 1.0 / n_tok ELSE 0.0 END, 6)
+               AS dup_token_frac,
+           CASE WHEN LEN(bg) > 0 THEN ROUND(top_run * 1.0 / LEN(bg), 6)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM runs
+"""
+
+
 QUERIES = {
     "corpus_shuffle_split": Query(q_corpus_shuffle_split, SQL_CORPUS_SHUFFLE_SPLIT),
     "corpus_vocab_top": Query(
         q_corpus_vocab_top,
         SQL_CORPUS_VOCAB_TOP.format(toks=SQL_TOKENS.format(col="text")),
+    ),
+    "corpus_repetition": Query(
+        q_corpus_repetition,
+        SQL_CORPUS_REPETITION.format(toks=SQL_TOKENS.format(col="text")),
     ),
 }

@@ -271,3 +271,26 @@ def test_shuffle_split_matches_python_md5_reference(spark):
         for r in shuffle_split(df).collect()
     }
     assert got == expected
+
+
+def test_repetition_stats_edge_and_known_values(spark):
+    """Hand-checkable docs: empty-ish, single-token, all-repeated, and a
+    half-duplicated text — including the longest-run fold's correctness."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, "a a a a"),          # 4 tokens, 1 unique; bigrams all "a a"
+            (3, "x y x y z"),        # top bigram "x y" twice of 4
+            (4, "all distinct words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_token_frac"] == 0.0 and got[1]["top_bigram_frac"] == 0.0
+    assert got[2]["dup_token_frac"] == 0.75 and got[2]["top_bigram_frac"] == 1.0
+    assert got[3]["dup_token_frac"] == round(2 / 5, 6)
+    assert got[3]["top_bigram_frac"] == 0.5
+    # 4 distinct tokens -> 3 distinct bigrams, longest run 1 of 3
+    assert got[4]["dup_token_frac"] == 0.0 and got[4]["top_bigram_frac"] == round(1 / 3, 6)
