@@ -24,8 +24,8 @@ __version__ = "0.1.0"
 
 from .registry import all_queries  # noqa: E402
 from .session import get_spark  # noqa: E402
-from .sinks import write_compacted  # noqa: E402
-from .tables import load, load_all, register_views, sql  # noqa: E402
+from .sinks import write_compacted, write_partitioned  # noqa: E402
+from .tables import load, load_all, register_views, spread, sql  # noqa: E402
 
 
 def __getattr__(name: str):
@@ -37,6 +37,21 @@ def __getattr__(name: str):
         "profile_transform_records": "pipeline.profile",
         "reconcile": "pipeline.profile",
         "sample_stratified": "operators.llmdata",
+        "sample_hash_threshold": "operators.llmdata",
+        "target_mix_rates": "operators.llmdata",
+        "apply_mix": "operators.llmdata",
+        "quality_features": "operators.text",
+        "tfidf_top_terms": "operators.text",
+        "sessionize": "operators.timeseries",
+        "gapfill_hourly": "operators.timeseries",
+        "funnel": "operators.timeseries",
+        "zscore_outliers": "operators.timeseries",
+        "scd2": "operators.timeseries",
+        "shuffle_split": "operators.corpus",
+        "vocab_top": "operators.corpus",
+        "repetition_stats": "operators.corpus",
+        "pagerank": "operators.graph",
+        "connected_components": "operators.dedup",
         "pack_sequences": "operators.llmdata",
         "pii_scrub": "operators.llmdata",
         "decontaminate": "operators.llmdata",
@@ -61,11 +76,28 @@ __all__ = [
     "register_views",
     "sql",
     "write_compacted",
+    "write_partitioned",
+    "spread",
     # lazy df-level API (see __getattr__)
     "profile_transform",
     "profile_transform_records",
     "reconcile",
     "sample_stratified",
+    "sample_hash_threshold",
+    "target_mix_rates",
+    "apply_mix",
+    "quality_features",
+    "tfidf_top_terms",
+    "sessionize",
+    "gapfill_hourly",
+    "funnel",
+    "zscore_outliers",
+    "scd2",
+    "shuffle_split",
+    "vocab_top",
+    "repetition_stats",
+    "pagerank",
+    "connected_components",
     "pack_sequences",
     "pii_scrub",
     "decontaminate",
