@@ -60,3 +60,12 @@ def test_survey_lists_every_registered_query():
     text = pathlib.Path(__file__).resolve().parent.parent.joinpath("SURVEY.md").read_text()
     missing = [n for n in registry.all_queries(strict=False) if f"`{n}`" not in text]
     assert not missing, f"registry queries absent from SURVEY.md: {missing}"
+
+
+def test_package_root_exports_all_resolve():
+    """Every name in the package's __all__ must import — a typo in the
+    lazy re-export map would otherwise only fail at first use."""
+    import kafka_connect_minio_pipeline_spark as K
+
+    for name in K.__all__:
+        assert getattr(K, name) is not None, name
