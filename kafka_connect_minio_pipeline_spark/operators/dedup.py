@@ -702,6 +702,123 @@ SQL_DEDUP_EMBEDDING = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# 5b. embedding near-dup pairs, bucketed (the scale path for #5)
+# ---------------------------------------------------------------------------
+
+# Wider-recall plane family than the ANN search tables: FEWER bits per
+# table (coarser buckets → higher per-table collision probability) and
+# MORE tables. At the 0.45 cosine threshold (angle ≈ 63°) a single bit
+# agrees with p = 1 - θ/π ≈ 0.65, so a 4-bit band matches with ~0.18 and
+# 16 tables give ~1-(1-0.18)^16 ≈ 0.96 expected candidate recall — the
+# classic bits/tables trade: recall is bought with tables (union of
+# buckets), precision with bits (bucket size), and the exact verify step
+# makes precision a pure cost knob, never a correctness one.
+EMB_LSH_TABLES = 16
+EMB_LSH_BITS = 4
+
+
+def _emb_dedup_planes() -> list[list[float]]:
+    from .similarity import _hyperplanes
+
+    return _hyperplanes(seed=7, tables=EMB_LSH_TABLES, bits=EMB_LSH_BITS)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the 100 TB path for #5.
+
+    Candidates = vector pairs sharing a hyperplane-LSH bucket in ANY of
+    16 tables (sub-quadratic: the banded self-join touches only same-
+    bucket pairs, never the full pair space), then exact cosine verify at
+    the same 0.45 threshold as the quadratic spec operator. Output shape
+    matches q_dedup_embedding_cosine so tests measure pair recall
+    directly against the exact spec. Oracle-checked: the planes are fixed
+    literals and DuckDB's list_dot_product matches Spark's fold
+    bit-for-bit, so buckets — hence candidates, hence verified pairs —
+    are engine-identical.
+    """
+    from .similarity import lsh_signatures
+
+    em = load(spark, sf_dir, "embeddings")
+    d = to_double(F.col("embedding"))
+    base = spread(em, "vec_id").select(
+        "vec_id", "embedding", dot(d, d).alias("norm_sq")
+    )
+    sigs = lsh_signatures(
+        spread(em, "vec_id"),
+        planes=_emb_dedup_planes(),
+        tables=EMB_LSH_TABLES,
+        bits=EMB_LSH_BITS,
+    )
+    # same shuffle-hash/self-join rationale as the MinHash banded join:
+    # neither side broadcasts at scale, identical subtrees share one
+    # exchange
+    a = sigs.select("vec_id", "table_id", "bucket").alias("a").hint("shuffle_hash")
+    b = sigs.select("vec_id", "table_id", "bucket").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("v1"), F.col("b.vec_id").alias("v2"))
+        .distinct()
+    )
+    cos = cosine_from_parts(
+        dot(to_double(F.col("e1")), to_double(F.col("e2"))),
+        F.col("n1"),
+        F.col("n2"),
+    )
+    return (
+        cand.join(
+            base.select(
+                F.col("vec_id").alias("v1"),
+                F.col("embedding").alias("e1"),
+                F.col("norm_sq").alias("n1"),
+            ),
+            "v1",
+        )
+        .join(
+            base.select(
+                F.col("vec_id").alias("v2"),
+                F.col("embedding").alias("e2"),
+                F.col("norm_sq").alias("n2"),
+            ),
+            "v2",
+        )
+        .select("v1", "v2", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+def _emb_lsh_oracle_sql() -> str:
+    from .similarity import lsh_sigs_sql_cte
+
+    cte = lsh_sigs_sql_cte(_emb_dedup_planes(), EMB_LSH_TABLES, EMB_LSH_BITS)
+    return f"""
+    WITH {cte},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+        FROM sigs a JOIN sigs b
+          ON a.table_id = b.table_id AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id),
+    norms AS (SELECT vec_id, e, list_dot_product(e, e) AS norm_sq FROM emb)
+    SELECT v1, v2,
+           ROUND(list_dot_product(x.e, y.e)
+                 / (SQRT(x.norm_sq) * SQRT(y.norm_sq)), 6) AS cos_sim
+    FROM cand
+    JOIN norms x ON v1 = x.vec_id
+    JOIN norms y ON v2 = y.vec_id
+    WHERE ROUND(list_dot_product(x.e, y.e)
+                / (SQRT(x.norm_sq) * SQRT(y.norm_sq)), 6)
+          >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+SQL_DEDUP_EMBEDDING_LSH = _emb_lsh_oracle_sql()
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM, headline=True),
@@ -709,4 +826,5 @@ QUERIES = {
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH, headline=True),
     "dedup_simhash": Query(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
+    "dedup_embedding_lsh": Query(q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
 }

@@ -138,22 +138,30 @@ LSH_BITS = 6
 EMB_DIM = 64
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(
+    seed: int = 42, tables: int = LSH_TABLES, bits: int = LSH_BITS
+) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side constants, broadcast
     into the plan as literals — a few KB, no shuffle)."""
-    rng = np.random.default_rng(42)
-    return rng.standard_normal((LSH_TABLES * LSH_BITS, EMB_DIM)).tolist()
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables * bits, EMB_DIM)).tolist()
 
 
-def lsh_signatures(em: DataFrame) -> DataFrame:
-    """Per (vector, table): an LSH_BITS-bit bucket id from hyperplane signs."""
-    planes = _hyperplanes()
+def lsh_signatures(
+    em: DataFrame, planes: list[list[float]] | None = None,
+    tables: int = LSH_TABLES, bits: int = LSH_BITS,
+) -> DataFrame:
+    """Per (vector, table): a ``bits``-bit bucket id from hyperplane signs.
+
+    Parameterized so the near-dup pair operator (operators/dedup.py) can
+    run the same signature plan under its own (wider-recall) plane family."""
+    planes = _hyperplanes() if planes is None else planes
     emb = to_double(F.col("embedding"))
     table_buckets = []
-    for t in range(LSH_TABLES):
+    for t in range(tables):
         bucket = F.lit(0)
-        for i in range(LSH_BITS):
-            plane = F.array(*[F.lit(v) for v in planes[t * LSH_BITS + i]])
+        for i in range(bits):
+            plane = F.array(*[F.lit(v) for v in planes[t * bits + i]])
             bit = (dot(emb, plane) > 0).cast("int")
             bucket = bucket + (bit * (1 << i))
         table_buckets.append(bucket.cast("long"))
@@ -162,6 +170,32 @@ def lsh_signatures(em: DataFrame) -> DataFrame:
         "embedding",
         F.posexplode(F.array(*table_buckets)).alias("table_id", "bucket"),
     )
+
+
+def lsh_sigs_sql_cte(
+    planes: list[list[float]], tables: int, bits: int
+) -> str:
+    """DuckDB CTE fragment ``emb AS (...), sigs AS (...)`` reproducing
+    :func:`lsh_signatures` exactly (fixed-literal planes + fold-exact
+    list_dot_product — see _ann_lsh_oracle_sql for why this is portable).
+    Shared by the ANN oracle here and the embedding near-dup oracle in
+    operators/dedup.py."""
+    branches = []
+    for t in range(tables):
+        bit_sum = " + ".join(
+            f"(CASE WHEN list_dot_product(e, CAST({planes[t * bits + i]!r}"
+            f" AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
+        branches.append(
+            f"SELECT vec_id, CAST({t} AS INTEGER) AS table_id,"
+            f" CAST({bit_sum} AS BIGINT) AS bucket FROM emb"
+        )
+    sigs = "\n        UNION ALL ".join(branches)
+    return f"""emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sigs AS (
+        {sigs})"""
 
 
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,24 +250,8 @@ def _ann_lsh_oracle_sql() -> str:
     fold bit-for-bit (the property every similarity oracle here relies
     on), so bucket SIGNS — and therefore the candidate set — are
     identical, and (c) the rerank is the already-portable exact cosine."""
-    planes = _hyperplanes()
-    branches = []
-    for t in range(LSH_TABLES):
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product(e, CAST({planes[t * LSH_BITS + i]!r}"
-            f" AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(LSH_BITS)
-        )
-        branches.append(
-            f"SELECT vec_id, CAST({t} AS INTEGER) AS table_id,"
-            f" CAST({bits} AS BIGINT) AS bucket FROM emb"
-        )
-    sigs = "\n        UNION ALL ".join(branches)
     return f"""
-    WITH emb AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-    sigs AS (
-        {sigs}),
+    WITH {lsh_sigs_sql_cte(_hyperplanes(), LSH_TABLES, LSH_BITS)},
     qs AS (
         SELECT vec_id AS query_id, table_id, bucket FROM sigs
         WHERE vec_id < {N_QUERIES}),

@@ -32,6 +32,27 @@ def test_minhash_lsh_vs_exact_jaccard(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low ({len(lsh)}/{len(exact)})"
 
 
+def test_embedding_lsh_vs_exact_cosine(spark, sf_dir):
+    """Bucketed embedding near-dup ⊆ exact pairs (verify step guarantees
+    precision 1.0) with high recall — 16 coarse tables give ~96% expected
+    per-pair candidate probability at the 0.45 threshold, and every found
+    pair must carry the identical verified cosine."""
+    exact = {
+        (r.v1, r.v2): r.cos_sim
+        for r in dedup.q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.v1, r.v2): r.cos_sim
+        for r in dedup.q_dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact), f"non-duplicate pairs: {sorted(set(lsh) - set(exact))[:5]}"
+    assert len(exact) > 0, "fixture has no embedding near-dup pairs; vacuous"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.7, f"embedding-LSH recall {recall:.2f} ({len(lsh)}/{len(exact)})"
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+
+
 def test_minhash_lsh_deterministic(spark, sf_dir):
     a = _pairs(dedup.q_dedup_minhash_lsh(spark, sf_dir))
     b = _pairs(dedup.q_dedup_minhash_lsh(spark, sf_dir))
