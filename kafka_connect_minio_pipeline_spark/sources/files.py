@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import TABLE_NAMES, _ensure_session_confs
+from ..tables import TABLE_NAMES, _ensure_session_confs, _normalize_ts
 
 
 def _stream_dir(sf_dir: str, name: str) -> str:
@@ -38,9 +38,6 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
     sdf = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, name))
     if name == "events":
-        # same nanos→micros normalization as tables.load (see there for the
-        # integer-div rationale)
-        sdf = sdf.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
-        )
+        # same nanos-or-micros→NTZ normalization as tables.load
+        sdf = sdf.withColumn("ts", _normalize_ts(schema["ts"].dataType))
     return sdf

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -78,6 +79,20 @@ def spread(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
+def _normalize_ts(dtype: T.DataType) -> F.Column:
+    """events.ts → TIMESTAMP_NTZ(micros), whatever the file stored.
+
+    Generated data has shipped both TIMESTAMP(NANOS) (read as long nanos
+    under the legacy conf; integer ``div`` is mandatory — 2024 epoch-nanos
+    ≈ 1.7e18 > 2^53, a double round trip would corrupt the value; DuckDB
+    truncates nanos→micros the same way, keeping the oracle bit-identical)
+    and plain TIMESTAMP(MICROS). Dispatch on the actual read type so the
+    engine accepts either layout."""
+    if isinstance(dtype, T.LongType):
+        return F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+    return F.col("ts").cast("timestamp_ntz")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table with normalized types."""
     if name not in TABLE_NAMES:
@@ -85,13 +100,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as long nanoseconds (legacy conf above). Integer `div`
-        # is mandatory: 2024 epoch-nanos ≈ 1.7e18 > 2^53, so a double round
-        # trip would corrupt the value. DuckDB truncates nanos→micros the
-        # same way, keeping the oracle bit-identical.
-        df = df.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
-        )
+        df = df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
     return df
 
 
