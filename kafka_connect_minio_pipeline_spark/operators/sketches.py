@@ -1,0 +1,370 @@
+"""Probabilistic sketch operators: Bloom-filter semi-join, count-min
+heavy hitters, and a portable HyperLogLog (SURVEY.md §2.4 extension
+surface; no reference citation — the reference implements none of this).
+
+Sketches are THE 100 TB workhorse: they replace wide shuffles with tiny
+mergeable state. The engine already exercises Spark's built-in runtime
+bloom-filter injection (tests/test_plans.py); the operators here are the
+*explicit* versions a pipeline author reaches for when the filter must
+cross job or system boundaries (ship a Bloom filter to a different
+cluster, keep an HLL per partition-file, merge count-min sketches across
+days). Every hash is the portable md5-derived family the dedup/LSH
+operators use, so each sketch is deterministic and cross-engine exact —
+the DuckDB oracle reproduces the sketch bit-for-bit, not just its
+approximate answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import Query
+from ..tables import load
+from .llmdata import _portable_hash
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 13  # bits in the filter
+BLOOM_K = 4  # hash functions
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_positions(key: Column) -> list[Column]:
+    """The k salted bit positions of a key (portable md5 family)."""
+    return [
+        F.pmod(_portable_hash(F.concat(F.lit(f"bloom{i}:"), key)), F.lit(BLOOM_M))
+        for i in range(BLOOM_K)
+    ]
+
+
+def bloom_semi_join_stats(
+    members: DataFrame, member_key: str, probe: DataFrame, probe_key: str
+) -> DataFrame:
+    """Build a Bloom filter over ``members`` and probe it with ``probe``;
+    return the exact confusion matrix (bloom_pass × is_member → count).
+
+    Scale shape: the filter is m bits regardless of member count — built
+    with one distinct-aggregate over the (small) member side, broadcast
+    to the probe side as a single array row, and the probe is a NARROW
+    filter (no shuffle touches the big side; the only exchange is the
+    final tiny groupBy). This is exactly what Spark's AQE runtime filter
+    does implicitly; the explicit operator exists for filters that must
+    outlive the job. False positives are part of the contract — the
+    matrix makes the rate visible instead of averaging it away.
+    """
+    bits = (
+        members.select(
+            F.explode(F.array(*_bloom_positions(F.col(member_key)))).alias("pos")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+    )
+    member_set = members.select(F.col(member_key).alias("mk")).distinct()
+    probed = (
+        probe.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "bloom_pass",
+            _all_true(
+                [
+                    F.array_contains(F.col("bits"), p)
+                    for p in _bloom_positions(F.col(probe_key))
+                ]
+            ),
+        )
+        .join(
+            F.broadcast(member_set),
+            F.col(probe_key) == F.col("mk"),
+            "left",
+        )
+        .withColumn("is_member", F.col("mk").isNotNull())
+    )
+    return (
+        probed.groupBy("bloom_pass", "is_member")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("bloom_pass", "is_member")
+    )
+
+
+def _all_true(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def q_sketch_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: Bloom filter of BUILDING-segment customers
+    probed by orders — a pre-filter for the classic orders⨝customer
+    semi-join (compare ``join_semi``, which computes the exact answer)."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == BLOOM_SEGMENT
+    )
+    return bloom_semi_join_stats(
+        cust, "c_custkey", load(spark, sf_dir, "orders"), "o_custkey"
+    )
+
+
+_SQL_MD5_POS = (
+    "CAST(('0x' || substr(md5('bloom{i}:' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {BLOOM_M} AS BIGINT)"
+)
+
+SQL_SKETCH_BLOOM = f"""
+    WITH members AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'),
+    bits AS (
+        SELECT DISTINCT pos FROM members, UNNEST([
+            {", ".join(_SQL_MD5_POS.format(i=i, key="c_custkey") for i in range(BLOOM_K))}
+        ]) AS t(pos)),
+    probed AS (
+        SELECT o_custkey,
+               {" AND ".join(
+                   _SQL_MD5_POS.format(i=i, key="o_custkey") + " IN (SELECT pos FROM bits)"
+                   for i in range(BLOOM_K))} AS bloom_pass,
+               o_custkey IN (SELECT c_custkey FROM members) AS is_member
+        FROM orders)
+    SELECT bloom_pass, is_member, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM probed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+CMS_TOP = 20
+
+
+def countmin_estimates(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Build a d×w count-min sketch over ``key`` occurrences and report
+    the sketch estimate next to the true count for the top keys.
+
+    The sketch build is ONE partially-aggregated groupBy on (row, idx) —
+    shuffle volume is bounded by d·w counters per map partition, never by
+    the data (this is why count-min works on a 100 TB stream: the merge
+    of two sketches is elementwise add, which IS Spark's map-side
+    combine). Estimation joins each key's d positions against the tiny
+    sketch (broadcast) and takes the row-minimum; estimate ≥ truth always
+    (asserted in tests), with overestimate driven by collisions in w.
+    """
+    hashed = events.select(
+        F.col(key),
+        *[
+            F.pmod(
+                _portable_hash(F.concat(F.lit(f"cms{i}:"), F.col(key))), F.lit(CMS_W)
+            ).alias(f"idx{i}")
+            for i in range(CMS_D)
+        ],
+    )
+    sketch = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"), F.col(f"idx{i}").alias("idx")
+                        )
+                        for i in range(CMS_D)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.row").alias("row"), F.col("cell.idx").alias("idx"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    truth = hashed.groupBy(key, *[f"idx{i}" for i in range(CMS_D)]).agg(
+        F.count("*").alias("n_true")
+    )
+    est = truth
+    for i in range(CMS_D):
+        est = est.join(
+            F.broadcast(
+                sketch.filter(F.col("row") == i).select(
+                    F.col("idx").alias(f"idx{i}"), F.col("cnt").alias(f"cnt{i}")
+                )
+            ),
+            f"idx{i}",
+        )
+    return (
+        est.select(
+            key,
+            "n_true",
+            F.least(*[F.col(f"cnt{i}") for i in range(CMS_D)]).alias("n_cms"),
+        )
+        .orderBy(F.col("n_true").desc(), key)
+        .limit(CMS_TOP)
+    )
+
+
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: count-min heavy hitters over events.user_id."""
+    return countmin_estimates(load(spark, sf_dir, "events"))
+
+
+_SQL_CMS_IDX = (
+    "CAST(('0x' || substr(md5('cms{i}:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {CMS_W} AS BIGINT)"
+)
+
+SQL_SKETCH_COUNTMIN = f"""
+    WITH hashed AS (
+        SELECT user_id,
+               {", ".join(_SQL_CMS_IDX.format(i=i) + f" AS idx{i}" for i in range(CMS_D))}
+        FROM events),
+    sketch AS (
+        SELECT row, idx, COUNT(*) AS cnt FROM hashed, UNNEST([
+            {", ".join(f"{{'row': {i}, 'idx': idx{i}}}" for i in range(CMS_D))}
+        ]) AS t(cell), LATERAL (SELECT cell.row AS row, cell.idx AS idx)
+        GROUP BY row, idx),
+    truth AS (
+        SELECT user_id, {", ".join(f"idx{i}" for i in range(CMS_D))},
+               COUNT(*) AS n_true
+        FROM hashed GROUP BY ALL)
+    SELECT user_id, n_true,
+           LEAST({", ".join(
+               f"(SELECT cnt FROM sketch WHERE row = {i} AND idx = idx{i})"
+               for i in range(CMS_D))}) AS n_cms
+    FROM truth
+    ORDER BY n_true DESC, user_id LIMIT {CMS_TOP}
+"""
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_P = 9  # 2^9 = 512 registers
+HLL_M = 1 << HLL_P
+# remaining hash bits after the register index is divided out of the
+# 60-bit portable hash space
+HLL_REST_BITS = 60 - HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# numerator of the raw estimate, precomputed in Python so BOTH engines
+# receive the identical double (DuckDB types a bare long decimal literal
+# as DECIMAL, which overflows when multiplied out — and would round
+# differently anyway)
+_HLL_RAW_NUM = _HLL_ALPHA * HLL_M * HLL_M
+
+
+def _hll_register_ranks(keys: DataFrame, key: str) -> DataFrame:
+    """(register, max rank-of-first-set-bit) pairs for a key column.
+
+    rank = leading zeros in the remaining hash bits + 1, computed EXACTLY
+    via the binary-string length (floor(log2) on floats is off-by-one at
+    powers of two); this is the per-register state a real deployment
+    persists per file/partition and merges with MAX.
+    """
+    h = _portable_hash(F.concat(F.lit("hll:"), F.col(key)))
+    reg = F.pmod(h, F.lit(HLL_M))
+    rest = F.floor(h / F.lit(HLL_M)).cast("long")
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rank = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
+        F.lit(HLL_REST_BITS + 1) - bitlen
+    )
+    return (
+        keys.select(reg.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(keys: DataFrame, key: str, label: str) -> DataFrame:
+    """One-row HLL cardinality estimate vs exact distinct count.
+
+    The indicator sum Σ 2^-M_j is computed in EXACT integer arithmetic
+    (each term scaled by 2^rest_bits is an integer, summed as decimal) so
+    the estimate is order-independent and engine-identical — the one
+    float rounding happens once, at the end. Includes the standard
+    small-range linear-counting correction. At 100 TB the register
+    relation is 512 rows per sketch; merging day-files is max-per-register
+    — this is why HLL columns belong in every partition manifest.
+    """
+    regs = _hll_register_ranks(keys, key)
+    scale = F.lit(1 << HLL_REST_BITS).cast("decimal(38,0)")
+    agg = regs.agg(
+        F.sum(
+            (scale / F.pow(F.lit(2.0), F.col("max_rank")).cast("decimal(38,0)")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("scaled_sum"),
+        F.count("*").alias("n_regs"),
+    )
+    exact = keys.agg(F.count_distinct(F.col(key)).alias("n_exact"))
+    est = agg.crossJoin(exact).select(
+        F.lit(label).alias("col_label"),
+        "n_exact",
+        (
+            (F.col("scaled_sum").cast("double") / F.lit(float(1 << HLL_REST_BITS)))
+            + (F.lit(HLL_M) - F.col("n_regs")).cast("double")
+        ).alias("indicator"),
+        (F.lit(HLL_M) - F.col("n_regs")).cast("double").alias("n_zero"),
+    )
+    raw = F.lit(_HLL_RAW_NUM) / F.col("indicator")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return est.select(
+        "col_label",
+        "n_exact",
+        F.round(corrected, 4).alias("n_hll"),
+    )
+
+
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: HLL vs exact distinct for two key columns."""
+    ev = load(spark, sf_dir, "events").select(F.col("user_id").cast("string").alias("k"))
+    oc = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    return hll_estimate(ev, "k", "events.user_id").unionByName(
+        hll_estimate(oc, "k", "orders.o_custkey")
+    ).orderBy("col_label")
+
+
+def _hll_sql(table: str, key: str, label: str) -> str:
+    rest_one = 1 << HLL_REST_BITS
+    return f"""
+    SELECT '{label}' AS col_label,
+           (SELECT CAST(COUNT(DISTINCT CAST({key} AS VARCHAR)) AS BIGINT)
+            FROM {table}) AS n_exact,
+           ROUND(CASE WHEN CAST({_HLL_RAW_NUM!r} AS DOUBLE) / indicator
+                           <= {2.5 * HLL_M}
+                      AND n_zero > 0
+                 THEN CAST({HLL_M} AS DOUBLE) * LN(CAST({HLL_M} AS DOUBLE) / n_zero)
+                 ELSE CAST({_HLL_RAW_NUM!r} AS DOUBLE) / indicator END, 4) AS n_hll
+    FROM (
+        SELECT CAST(SUM(CAST({rest_one} / POW(2.0, max_rank) AS DECIMAL(38,0)))
+                    AS DOUBLE) / {float(rest_one)}
+               + CAST({HLL_M} - COUNT(*) AS DOUBLE) AS indicator,
+               CAST({HLL_M} - COUNT(*) AS DOUBLE) AS n_zero
+        FROM (
+            SELECT register, MAX(rank) AS max_rank FROM (
+                SELECT h % {HLL_M} AS register,
+                       CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+                            ELSE {HLL_REST_BITS + 1}
+                                 - LENGTH(format('{{:b}}', h // {HLL_M})) END AS rank
+                FROM (
+                    SELECT ('0x' || substr(md5('hll:' || CAST({key} AS VARCHAR)),
+                                           1, 15))::BIGINT AS h
+                    FROM {table})
+            ) GROUP BY register)
+    )"""
+
+
+SQL_SKETCH_HLL = f"""
+    SELECT * FROM ({_hll_sql("events", "user_id", "events.user_id")})
+    UNION ALL
+    SELECT * FROM ({_hll_sql("orders", "o_custkey", "orders.o_custkey")})
+    ORDER BY col_label
+"""
+
+
+QUERIES = {
+    "sketch_bloom_join": Query(q_sketch_bloom_join, SQL_SKETCH_BLOOM),
+    "sketch_countmin": Query(q_sketch_countmin, SQL_SKETCH_COUNTMIN),
+    "sketch_hll": Query(q_sketch_hll, SQL_SKETCH_HLL),
+}

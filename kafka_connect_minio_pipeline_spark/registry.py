@@ -40,6 +40,7 @@ class Query:
 # therefore lead; the long-driver-green joins / setops / scalar families
 # take the tail positions and rotate back in a later round.
 _QUERY_MODULES = (
+    "kafka_connect_minio_pipeline_spark.operators.sketches",
     "kafka_connect_minio_pipeline_spark.operators.text",
     "kafka_connect_minio_pipeline_spark.operators.multimodal",
     "kafka_connect_minio_pipeline_spark.streaming.queries",
