@@ -540,7 +540,92 @@ SQL_SIMILARITY_CENTROIDS = """
 """
 
 
+QUANT_LEVELS = 127  # symmetric int8
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of each embedding vector with exact
+    reconstruction-error reporting — the storage/bandwidth workhorse of a
+    large similarity index (4x smaller vectors, SIMD-friendly int8 dot
+    products at query time).
+
+    Per vector: scale = max|v| / 127, code_i = clamp(round(v_i / scale)).
+    Entirely narrow per-row array algebra (zero shuffles — fuses into the
+    scan); codes are verified by an integer checksum (position-weighted
+    sum, exact in both engines) and the RMS reconstruction error is a
+    deterministic left fold, so the whole output is hash-comparable
+    without tolerance.
+    """
+    v = to_double(F.col("embedding"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = amax / F.lit(float(QUANT_LEVELS))
+    codes = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-QUANT_LEVELS),
+            F.least(F.lit(QUANT_LEVELS), F.round(x / scale).cast("int")),
+        ),
+    )
+    def _sq(c):
+        return c * c
+
+    err_terms = F.zip_with(
+        v, codes, lambda x, q: _sq(x - q.cast("double") * scale)
+    )
+    sse = F.aggregate(err_terms, F.lit(0.0), lambda acc, x: acc + x)
+    checksum = F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(1), F.size(codes)),
+            lambda q, i: q.cast("long") * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.col("embedding")).cast("int").alias("n_dims"),
+        scale.alias("scale"),
+        checksum.alias("code_checksum"),
+        F.sqrt(sse / F.size(F.col("embedding"))).alias("rms_error"),
+    )
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: int8 quantization of ``embeddings``."""
+    return quantize_embeddings(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
+
+
+_SQL_QV = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_SQL_QSCALE = f"list_max(list_transform({_SQL_QV}, x -> abs(x))) / {float(QUANT_LEVELS)}"
+
+SQL_EMBEDDING_QUANTIZE = f"""
+    WITH q AS (
+        SELECT vec_id, len(embedding) AS n_dims,
+               {_SQL_QV} AS v, {_SQL_QSCALE} AS scale
+        FROM embeddings),
+    c AS (
+        SELECT vec_id, n_dims, v, scale,
+               list_transform(v, x -> GREATEST(-{QUANT_LEVELS},
+                   LEAST({QUANT_LEVELS}, CAST(ROUND(x / scale) AS INTEGER))))
+                   AS codes
+        FROM q)
+    SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, scale,
+           list_reduce(
+               list_transform(list_zip(codes, range(1, n_dims + 1)),
+                              p -> CAST(p[1] AS BIGINT) * p[2]),
+               (acc, x) -> acc + x) AS code_checksum,
+           SQRT(list_reduce(
+               list_transform(list_zip(v, codes),
+                              p -> (p[1] - CAST(p[2] AS DOUBLE) * scale)
+                                   * (p[1] - CAST(p[2] AS DOUBLE) * scale)),
+               (acc, x) -> acc + x) / n_dims) AS rms_error
+    FROM c
+"""
+
+
 QUERIES = {
+    "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "similarity_topk": Query(q_similarity_topk, SQL_SIMILARITY_TOPK),
     "similarity_topk_batch": Query(
         q_similarity_topk_batch, SQL_SIMILARITY_TOPK_BATCH, headline=True

@@ -377,7 +377,67 @@ SQL_TEXT_TFIDF = f"""
 """
 
 
+# GPT-2-style pretokenizer classes: space-prefixed letter runs, digit
+# runs, punctuation runs. Kept to constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): literal classes, no lookaround.
+PRETOKEN_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def pretokenize_stats(docs: DataFrame) -> DataFrame:
+    """Per-document BPE-pretokenization statistics — the unit a tokenizer
+    trainer consumes (pretoken counts feed BPE merges; per-class counts
+    feed corpus-mix dashboards; the distinct ratio is a cheap boilerplate
+    flag).
+
+    Narrow per-row regex + array algebra after a compute-spread: no
+    shuffle, no Python. At 100 TB the same projection runs ahead of the
+    tokenizer-training aggregation (see ``corpus_vocab_top``) so the
+    expensive regex pass happens exactly once.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(PRETOKEN_RE), 0)
+    n_class = {
+        "n_word": " ?[a-z]+",
+        "n_num": " ?[0-9]+",
+        "n_punct": " ?[^a-z0-9 ]+",
+    }
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_pretok"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_distinct"),
+        *[
+            F.size(
+                F.filter(toks, lambda t: t.rlike(f"^({pat})$"))
+            ).cast("int").alias(name)
+            for name, pat in n_class.items()
+        ],
+    )
+
+
+def q_text_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: pretokenizer stats over ``documents``."""
+    return pretokenize_stats(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+SQL_TEXT_PRETOKENIZE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{PRETOKEN_RE}') AS toks
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_pretok,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+           CAST(len(list_filter(toks,
+               x -> regexp_full_match(x, ' ?[a-z]+'))) AS INTEGER) AS n_word,
+           CAST(len(list_filter(toks,
+               x -> regexp_full_match(x, ' ?[0-9]+'))) AS INTEGER) AS n_num,
+           CAST(len(list_filter(toks,
+               x -> regexp_full_match(x, ' ?[^a-z0-9 ]+'))) AS INTEGER) AS n_punct
+    FROM t
+"""
+
+
 QUERIES = {
+    "text_pretokenize": Query(q_text_pretokenize, SQL_TEXT_PRETOKENIZE),
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, headline=True),
     "text_token_stats": Query(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_ngram_top": Query(q_text_ngram_top, SQL_TEXT_NGRAM_TOP),

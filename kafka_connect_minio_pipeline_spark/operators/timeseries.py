@@ -423,7 +423,60 @@ SQL_SCD2 = """
 """
 
 
+EWMA_ALPHA = 0.3
+EWMA_LOOKBACK = 32  # frame length; (1-α)^32 ≈ 1e-5 — the dropped tail
+
+
+def ewma(events: DataFrame, alpha: float = EWMA_ALPHA) -> DataFrame:
+    """Truncated exponentially-weighted moving average of ``value`` per
+    user (the streaming-metrics smoother: anomaly baselines, rate
+    trends).
+
+    True EWMA is a sequential recurrence — hostile to distributed
+    execution. The standard scale trick: truncate to the last
+    ``EWMA_LOOKBACK`` observations, where the dropped tail's weight,
+    (1-α)^32 ≈ 1e-5, is below observable noise. That turns the
+    recurrence into a bounded window frame: collect the frame into an
+    array and fold it left-to-right (α·x + (1-α)·acc, seeded with the
+    oldest element). ONE shuffle on user_id; frame state is O(32)
+    per row; the fold is a JVM higher-order function evaluated in a
+    deterministic order, so results are bit-identical to the oracle's
+    ``list_reduce`` with the same expression shape — no rounding needed.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_LOOKBACK - 1), 0)
+    )
+    lst = F.collect_list(F.col("value").cast("double")).over(w)
+    smoothed = F.aggregate(
+        F.slice(lst, 2, EWMA_LOOKBACK - 1),
+        F.element_at(lst, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return events.select(
+        "event_id", "user_id", "ts", "value", smoothed.alias("ewma")
+    )
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: per-user EWMA over events."""
+    return ewma(load(spark, sf_dir, "events"))
+
+
+SQL_TS_EWMA = f"""
+    SELECT event_id, user_id, ts, value,
+           list_reduce(
+               list(CAST(value AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING AND CURRENT ROW),
+               (acc, x) -> {EWMA_ALPHA} * x + {1.0 - EWMA_ALPHA} * acc) AS ewma
+    FROM events
+"""
+
+
 QUERIES = {
+    "ts_ewma": Query(q_ts_ewma, SQL_TS_EWMA),
     "ts_sessionize": Query(q_ts_sessionize, SQL_SESSIONIZE),
     "ts_gapfill": Query(q_ts_gapfill, SQL_GAPFILL),
     "ts_funnel": Query(q_ts_funnel, SQL_FUNNEL),

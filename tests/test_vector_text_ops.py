@@ -1,0 +1,76 @@
+"""Property tests for the r3 vector/text/time-series operators (their
+cross-engine exactness is covered by the DuckDB parity net; these pin
+the mathematical contracts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_minio_pipeline_spark.operators.similarity import (
+    q_embedding_quantize,
+)
+from kafka_connect_minio_pipeline_spark.operators.text import q_text_pretokenize
+from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+    EWMA_ALPHA,
+    q_ts_ewma,
+)
+from kafka_connect_minio_pipeline_spark.tables import load
+
+
+def test_ewma_stays_within_window_envelope(spark, sf_dir):
+    """EWMA is a convex combination of frame values — never outside
+    [min, max] of the window, and equal to value on a user's first event."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-31, 0)
+    first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    got = (
+        q_ts_ewma(spark, sf_dir)
+        .withColumn("lo", F.min("value").over(w))
+        .withColumn("hi", F.max("value").over(w))
+        .withColumn("rn", F.row_number().over(first))
+    )
+    eps = 1e-9
+    assert got.filter((F.col("ewma") < F.col("lo") - eps) | (F.col("ewma") > F.col("hi") + eps)).count() == 0
+    firsts = got.filter(F.col("rn") == 1)
+    assert firsts.filter(F.abs(F.col("ewma") - F.col("value")) > eps).count() == 0
+    assert 0 < EWMA_ALPHA < 1
+
+
+def test_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Unclamped symmetric quantization has per-dim error ≤ scale/2, so
+    RMS error ≤ scale/2 (+ float slack)."""
+    rows = q_embedding_quantize(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_dims == 64
+        assert r.scale > 0
+        assert r.rms_error <= r.scale / 2 + 1e-12, (r.vec_id, r.scale, r.rms_error)
+
+
+def test_quantize_checksum_roundtrip(spark, sf_dir):
+    """The checksum is position-weighted; re-deriving codes in pure
+    Python from the collected embeddings must reproduce it."""
+    emb = {r.vec_id: r.embedding for r in load(spark, sf_dir, "embeddings").collect()}
+    for r in q_embedding_quantize(spark, sf_dir).limit(20).collect():
+        v = [float(x) for x in emb[r.vec_id]]
+        scale = max(abs(x) for x in v) / 127.0
+        # Python round is banker's; use half-away-from-zero like the engines
+        import math
+
+        def haz(y):
+            return int(math.floor(y + 0.5)) if y >= 0 else int(math.ceil(y - 0.5))
+
+        codes = [max(-127, min(127, haz(x / scale))) for x in v]
+        assert sum(c * (i + 1) for i, c in enumerate(codes)) == r.code_checksum
+
+
+def test_pretokenize_classes_partition_tokens(spark, sf_dir):
+    """Every pretoken falls in exactly one class: counts must add up."""
+    got = q_text_pretokenize(spark, sf_dir)
+    bad = got.filter(
+        F.col("n_word") + F.col("n_num") + F.col("n_punct") != F.col("n_pretok")
+    )
+    assert bad.count() == 0
+    assert got.filter(F.col("n_distinct") > F.col("n_pretok")).count() == 0
+    assert got.count() == load(spark, sf_dir, "documents").count()
