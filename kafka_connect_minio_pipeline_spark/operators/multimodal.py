@@ -237,7 +237,150 @@ SQL_MULTIMODAL_FRAMES = f"""
 """
 
 
+PHASH_SEGMENTS = 60  # bits in the perceptual hash (bit 59 max: stays
+# positive in signed 64-bit on every engine — DuckDB errors on 1<<63)
+PHASH_BANDS = 4  # LSH bands over the hash (15 bits each)
+PHASH_BAND_BITS = PHASH_SEGMENTS // PHASH_BANDS
+PHASH_HAM_T = 14  # max hamming for a pair: unrelated docs average 30±4
+# bits apart on a 60-bit hash, so ≤14 is >4σ of genuine similarity
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def phash64(payload: bytes) -> int:
+    """Average-hash (aHash) of a payload: 60 contiguous segments, bit k
+    set iff segment k's mean byte exceeds the global mean — compared in
+    EXACT integer arithmetic (seg_sum·n > total·seg_len), so the hash is
+    reproducible anywhere. On decoded images this is the classic 8×8
+    aHash; on opaque bytes it is a locality-sensitive content signature
+    with the same bit layout."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    total = sum(payload)
+    bits = 0
+    for k in range(PHASH_SEGMENTS):
+        lo = k * n // PHASH_SEGMENTS
+        hi = (k + 1) * n // PHASH_SEGMENTS
+        if hi == lo:
+            continue
+        if sum(payload[lo:hi]) * n > total * (hi - lo):
+            bits |= 1 << k
+    return bits
+
+
+def compute_phash(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing (numpy segment sums per batch)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                p = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = len(p)
+                if n == 0:
+                    hashes.append(0)
+                    continue
+                bounds = [k * n // PHASH_SEGMENTS for k in range(PHASH_SEGMENTS + 1)]
+                total = int(p.sum())
+                bits = 0
+                for k in range(PHASH_SEGMENTS):
+                    lo, hi = bounds[k], bounds[k + 1]
+                    if hi > lo and int(p[lo:hi].sum()) * n > total * (hi - lo):
+                        bits |= 1 << k
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return binary_df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(ph: DataFrame) -> DataFrame:
+    """Near-dup pairs from banded perceptual hashes.
+
+    Standard LSH shape: two hashes within hamming distance t must agree
+    on at least one of the 4 15-bit bands whenever t < 4·(bits-per-band
+    gap) — candidates come from an equi-join on (band, value), never an
+    all-pairs scan, then an exact bit_count(xor) verify. Band value
+    space is 2^15 per band, so bucket sizes stay tiny and the join is
+    sub-quadratic at any corpus size (same scale argument as the
+    MinHash/SimHash band joins)."""
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), j * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                        .alias("val"),
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_HAM_T)
+    )
+    return pairs.orderBy("a_id", "b_id")
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: perceptual-hash near-dup pairs over payloads."""
+    return phash_near_dup_pairs(compute_phash(binary_table(spark, sf_dir)))
+
+
+SQL_MULTIMODAL_PHASH = f"""
+    WITH t AS (
+        SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) AS n,
+               LIST_TRANSFORM(RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1),
+                              i -> ORD(SUBSTRING(text, i, 1))) AS bytes
+        FROM documents),
+    h AS (
+        SELECT doc_id,
+               COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(0, {PHASH_SEGMENTS}), k ->
+                   CASE WHEN (k + 1) * n // {PHASH_SEGMENTS} > k * n // {PHASH_SEGMENTS}
+                             AND LIST_SUM(bytes[k * n // {PHASH_SEGMENTS} + 1
+                                                : (k + 1) * n // {PHASH_SEGMENTS}]) * n
+                                 > LIST_SUM(bytes)
+                                   * ((k + 1) * n // {PHASH_SEGMENTS}
+                                      - k * n // {PHASH_SEGMENTS})
+                        THEN (1::BIGINT << k) ELSE 0 END)), 0) AS phash
+        FROM t),
+    bands AS (
+        SELECT doc_id, phash, j AS band,
+               (phash >> (j * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1} AS val
+        FROM h, UNNEST(RANGE(0, {PHASH_BANDS})) r(j))
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_T}
+    ORDER BY a_id, b_id
+"""
+
+
 QUERIES = {
+    "multimodal_phash_pairs": Query(q_multimodal_phash_pairs, SQL_MULTIMODAL_PHASH),
     "multimodal_binary_meta": Query(q_multimodal_binary_meta, SQL_MULTIMODAL_META),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, headline=True),
     "multimodal_resize": Query(q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

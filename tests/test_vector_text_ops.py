@@ -74,3 +74,27 @@ def test_pretokenize_classes_partition_tokens(spark, sf_dir):
     assert bad.count() == 0
     assert got.filter(F.col("n_distinct") > F.col("n_pretok")).count() == 0
     assert got.count() == load(spark, sf_dir, "documents").count()
+
+
+def test_phash_pairs_contract(spark):
+    """Perceptual-hash pairs: ordered ids, hamming within threshold, and
+    the banding never admits a pair without a shared band (run at sf0.01
+    where the corpus contains actual near-dups)."""
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_HAM_T,
+        q_multimodal_phash_pairs,
+        phash64,
+    )
+
+    rows = q_multimodal_phash_pairs(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.a_id < r.b_id
+        assert 0 <= r.hamming <= PHASH_HAM_T
+    # kernel pins: deterministic, empty-safe, band arithmetic consistent
+    h = phash64(b"hello world this is a longer payload for testing" * 4)
+    assert h == phash64(b"hello world this is a longer payload for testing" * 4)
+    assert phash64(b"") == 0
+    assert PHASH_BANDS * PHASH_BAND_BITS == 60
