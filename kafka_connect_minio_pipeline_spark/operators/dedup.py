@@ -26,7 +26,6 @@ split on whitespace, drop empties.
 
 from __future__ import annotations
 
-import tempfile
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -34,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_from_parts, dot, to_double
 from ..registry import Query
+from ..scratch import scratch_dir
 from ..tables import load, spread
 
 # ---------------------------------------------------------------------------
@@ -120,7 +120,7 @@ def _staged_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel (no shuffle — sets is a narrow projection of the scan).
     A fresh temp dir per invocation keeps bench timings honest (no state
     reuse across the driver's double runs)."""
-    d = tempfile.mkdtemp(prefix="kcm_shingle_sets_")
+    d = scratch_dir("kcm_shingle_sets_")
     _doc_shingle_sets(spark, sf_dir).write.mode("overwrite").parquet(d)
     return spark.read.parquet(d)
 

@@ -16,12 +16,11 @@ recursive SQL oracle exactly.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import Query
+from ..scratch import scratch_dir
 from ..tables import load
 
 DAMPING = 0.85
@@ -48,7 +47,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).union(
         pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
     )
-    d = tempfile.mkdtemp(prefix="kcm_graph_edges_")
+    d = scratch_dir("kcm_graph_edges_")
     sym.write.mode("overwrite").parquet(d)
     return spark.read.parquet(d)
 

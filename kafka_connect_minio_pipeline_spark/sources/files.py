@@ -13,11 +13,11 @@ directory ``basePath`` when pointed at a bare file.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from ..tables import TABLE_NAMES, _ensure_session_confs, _normalize_ts
 
 
@@ -25,7 +25,7 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     """The file-stream source wants a directory, and its per-batch reads
     reject a bare-file basePath — so stage a symlink to the (read-only)
     parquet file inside a throwaway directory and stream that."""
-    d = tempfile.mkdtemp(prefix=f"kcm_src_{name}_")
+    d = scratch_dir(f"kcm_src_{name}_")
     os.symlink(f"{sf_dir}/{name}.parquet", f"{d}/{name}.parquet")
     return d
 

@@ -11,14 +11,13 @@ log). The written files are read back with a pinned schema (never inferred
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..pipeline.profile import profile_transform, users_from_customer
 from ..sources.files import stream_table
 from .runner import run_to_files
+from ..scratch import scratch_dir
 
 SINK_SCHEMA = T.StructType(
     [
@@ -76,6 +75,6 @@ def streaming_profile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = stream_table(spark, sf_dir, "customer")
     users = users_from_customer(src)
     transformed = profile_transform(users)
-    out_dir = tempfile.mkdtemp(prefix="kcm_sink_")
+    out_dir = scratch_dir("kcm_sink_")
     run_to_files(transformed, out_dir, fmt="json")
     return read_json_sink(spark, out_dir)

@@ -15,6 +15,7 @@ from ..registry import Query
 from . import windows as W
 from .pipeline import streaming_profile_pipeline
 from .runner import run_to_memory
+from ..scratch import scratch_dir
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,8 +69,6 @@ def q_stream_pipeline_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary-target escape hatch, idempotent per batch_id) instead of
     the native file sink — both must converge to the identical batch
     answer, so both share TRANSFORM_SQL as oracle."""
-    import tempfile
-
     from ..pipeline.profile import profile_transform, users_from_customer
     from ..sources.files import stream_table
     from .pipeline import SINK_SCHEMA
@@ -77,7 +76,7 @@ def q_stream_pipeline_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = stream_table(spark, sf_dir, "customer")
     transformed = profile_transform(users_from_customer(src))
-    out = tempfile.mkdtemp(prefix="kcm_fb_sink_")
+    out = scratch_dir("kcm_fb_sink_")
     run_foreach_batch(transformed, out)
     cols = [f.name for f in SINK_SCHEMA.fields]
     return spark.read.parquet(out).select(*cols)

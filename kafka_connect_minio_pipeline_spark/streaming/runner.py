@@ -10,12 +10,22 @@ one session (the driver runs every query twice for hashing) never collide.
 from __future__ import annotations
 
 import itertools
-import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..scratch import scratch_dir
+
 _counter = itertools.count()
+
+
+def _ckpt_dir() -> str:
+    """Throwaway checkpoint dir for availableNow runs — these satisfy the
+    streaming commit protocol within one deterministic run and are never
+    restarted from, so RAM-backed scratch is strictly better (see
+    scratch.py; durable-checkpoint restart safety is tested separately
+    with on-disk dirs)."""
+    return scratch_dir("kcm_ckpt_")
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -69,7 +79,7 @@ def run_to_memory(
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kcm_ckpt_"))
+        .option("checkpointLocation", _ckpt_dir())
         .trigger(availableNow=True)
         .start()
     )
@@ -101,7 +111,7 @@ def run_foreach_batch(
 
     q = (
         sdf.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kcm_ckpt_"))
+        .option("checkpointLocation", _ckpt_dir())
         .trigger(availableNow=True)
         .start()
     )
@@ -120,7 +130,7 @@ def run_to_files(
     q = (
         sdf.writeStream.format(fmt)
         .option("path", path)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="kcm_ckpt_"))
+        .option("checkpointLocation", _ckpt_dir())
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

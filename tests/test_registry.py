@@ -32,21 +32,20 @@ def test_driver_entrypoints_use_strict_default():
     assert len(names) >= 69
 
 
-def test_round1_ungraded_families_in_graded_window():
-    """CORRECTNESS_r01 graded exactly entries 1-50; text_*, multimodal_*,
-    stream_*, and similarity_knn_label_eval had no driver row. The round-2
-    module order must place every one of them within the first 50."""
+def test_ungraded_and_new_queries_in_graded_window():
+    """The driver hashes the first 50 registry entries. Round-3 contract:
+    every r3-new operator and every entry that never had a driver row in
+    r1/r2 is pinned to the front (registry._GRADE_FIRST), and the
+    families graded ONLY in round 1 (joins/aggs/windows/setops) follow
+    inside the window for a re-grade."""
     names = list(registry.all_queries())
     window = set(names[:50])
-    must_grade = {n for n in names if n.startswith(("text_", "multimodal_", "stream_"))}
-    must_grade.add("similarity_knn_label_eval")
-    # every substantively-new round-2 operator needs a hard driver row;
-    # udtf_sentences_builtin is deliberately NOT pinned (rotated to the
-    # tail with the rest of the r1-driver-green udafs family — it shares
-    # its oracle SQL with the graded udtf_sentences demo, so holding it
-    # outside the window costs the least; see registry._QUERY_MODULES).
-    must_grade |= {n for n in names if n.startswith(("ts_", "llm_"))}
-    must_grade |= {"similarity_centroids", "dedup_clusters", "profile_tombstones"}
+    assert set(registry._GRADE_FIRST) <= set(names)
+    assert names[: len(registry._GRADE_FIRST)] == list(registry._GRADE_FIRST)
+    must_grade = set(registry._GRADE_FIRST)
+    must_grade |= {
+        n for n in names if n.startswith(("join_", "agg_", "window_", "setop_"))
+    }
     missing = must_grade - window
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
 
