@@ -378,3 +378,66 @@ def test_selective_shuffle_join_gets_runtime_bloom_filter(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bloom_join_never_shuffles_probe_side(spark, sf_dir):
+    """The Bloom pre-join: bits relation is a 1-row broadcast, the member
+    set a broadcast hash join — the probe (big) side must see no
+    SortMergeJoin and no exchange besides the final tiny groupBy."""
+    from kafka_connect_minio_pipeline_spark.operators.sketches import (
+        q_sketch_bloom_join,
+    )
+
+    df = q_sketch_bloom_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_countmin_sketch_joins_broadcast(spark, sf_dir):
+    """The d sketch-row lookups must broadcast the (≤ d·w row) sketch —
+    a shuffled join on the key side would defeat the sketch's purpose."""
+    from kafka_connect_minio_pipeline_spark.operators.sketches import (
+        q_sketch_countmin,
+    )
+
+    plan = formatted_plan(q_sketch_countmin(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_phash_band_join_is_equi_not_cartesian(spark, sf_dir):
+    """Candidate generation must be an equi-join on (band, value) — a
+    BroadcastNestedLoopJoin here would mean the all-pairs scan the
+    banding exists to avoid."""
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import (
+        q_multimodal_phash_pairs,
+    )
+
+    plan = formatted_plan(q_multimodal_phash_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_quantize_is_narrow(spark, sf_dir):
+    """Quantization is per-row array algebra: nothing but the
+    compute-spread repartition may exchange."""
+    from kafka_connect_minio_pipeline_spark.operators.similarity import (
+        q_embedding_quantize,
+    )
+
+    plan = formatted_plan(q_embedding_quantize(spark, sf_dir))
+    # formatted output lists each node twice (tree + details); count the
+    # per-exchange Arguments line instead — only the spread repartition
+    assert plan.count("hashpartitioning") <= 1, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_ewma_is_single_shuffle_window(spark, sf_dir):
+    """The truncated-EWMA frame costs exactly one exchange (user_id
+    window partitioning); the fold itself is a projection."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_ewma
+
+    plan = formatted_plan(q_ts_ewma(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Window" in plan
