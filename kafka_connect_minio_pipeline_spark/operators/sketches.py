@@ -271,18 +271,18 @@ def _hll_register_ranks(keys: DataFrame, key: str) -> DataFrame:
     )
 
 
-def hll_estimate(keys: DataFrame, key: str, label: str) -> DataFrame:
-    """One-row HLL cardinality estimate vs exact distinct count.
+def hll_estimate_from_registers(regs: DataFrame, label: str) -> DataFrame:
+    """(register, max_rank) state → one-row cardinality estimate.
 
     The indicator sum Σ 2^-M_j is computed in EXACT integer arithmetic
     (each term scaled by 2^rest_bits is an integer, summed as decimal) so
     the estimate is order-independent and engine-identical — the one
     float rounding happens once, at the end. Includes the standard
-    small-range linear-counting correction. At 100 TB the register
-    relation is 512 rows per sketch; merging day-files is max-per-register
-    — this is why HLL columns belong in every partition manifest.
+    small-range linear-counting correction. Split out from
+    :func:`hll_estimate` because the register relation is the MERGEABLE
+    part: batch files, streaming state, and partition manifests all hand
+    their registers to this same finisher.
     """
-    regs = _hll_register_ranks(keys, key)
     scale = F.lit(1 << HLL_REST_BITS).cast("decimal(38,0)")
     agg = regs.agg(
         F.sum(
@@ -292,10 +292,8 @@ def hll_estimate(keys: DataFrame, key: str, label: str) -> DataFrame:
         ).alias("scaled_sum"),
         F.count("*").alias("n_regs"),
     )
-    exact = keys.agg(F.count_distinct(F.col(key)).alias("n_exact"))
-    est = agg.crossJoin(exact).select(
+    est = agg.select(
         F.lit(label).alias("col_label"),
-        "n_exact",
         (
             (F.col("scaled_sum").cast("double") / F.lit(float(1 << HLL_REST_BITS)))
             + (F.lit(HLL_M) - F.col("n_regs")).cast("double")
@@ -307,11 +305,17 @@ def hll_estimate(keys: DataFrame, key: str, label: str) -> DataFrame:
         (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero") > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
     ).otherwise(raw)
-    return est.select(
-        "col_label",
-        "n_exact",
-        F.round(corrected, 4).alias("n_hll"),
-    )
+    return est.select("col_label", F.round(corrected, 4).alias("n_hll"))
+
+
+def hll_estimate(keys: DataFrame, key: str, label: str) -> DataFrame:
+    """One-row HLL cardinality estimate vs exact distinct count. At 100 TB
+    the register relation is 512 rows per sketch; merging day-files is
+    max-per-register — this is why HLL columns belong in every partition
+    manifest."""
+    est = hll_estimate_from_registers(_hll_register_ranks(keys, key), label)
+    exact = keys.agg(F.count_distinct(F.col(key)).alias("n_exact"))
+    return est.crossJoin(F.broadcast(exact)).select("col_label", "n_exact", "n_hll")
 
 
 def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,12 +329,17 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_label")
 
 
-def _hll_sql(table: str, key: str, label: str) -> str:
+def _hll_sql(table: str, key: str, label: str, with_exact: bool = True) -> str:
     rest_one = 1 << HLL_REST_BITS
+    exact_col = (
+        f"""(SELECT CAST(COUNT(DISTINCT CAST({key} AS VARCHAR)) AS BIGINT)
+            FROM {table}) AS n_exact,"""
+        if with_exact
+        else ""
+    )
     return f"""
     SELECT '{label}' AS col_label,
-           (SELECT CAST(COUNT(DISTINCT CAST({key} AS VARCHAR)) AS BIGINT)
-            FROM {table}) AS n_exact,
+           {exact_col}
            ROUND(CASE WHEN CAST({_HLL_RAW_NUM!r} AS DOUBLE) / indicator
                            <= {2.5 * HLL_M}
                       AND n_zero > 0

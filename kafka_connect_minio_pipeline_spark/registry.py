@@ -69,6 +69,7 @@ _GRADE_FIRST = (
     "sketch_bloom_join",
     "sketch_countmin",
     "sketch_hll",
+    "stream_hll",
     "ts_ewma",
     "embedding_quantize",
     "text_pretokenize",

@@ -107,7 +107,35 @@ SQL_STREAM_QUALITY = f"""
 """
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers as MERGEABLE streaming state.
+
+    The register relation (register → max rank) is exactly the shape
+    Structured Streaming aggregates incrementally: per-register MAX is
+    associative and order-free, so the streaming groupBy maintains 512
+    rows of state regardless of stream length — the canonical
+    "distinct-count over an unbounded stream in O(1) memory" design.
+    The finisher (exact-integer indicator sum → estimate) runs on the
+    final registers and must equal the batch sketch bit-for-bit, which
+    the shared oracle SQL asserts."""
+    from ..operators.sketches import _hll_register_ranks, hll_estimate_from_registers
+    from ..sources.files import stream_table
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    regs = run_to_memory(_hll_register_ranks(ev, "k"), "complete")
+    return hll_estimate_from_registers(regs, "events.user_id")
+
+
+def _sql_stream_hll() -> str:
+    from ..operators.sketches import _hll_sql
+
+    return _hll_sql("events", "user_id", "events.user_id", with_exact=False)
+
+
 QUERIES = {
+    "stream_hll": Query(q_stream_hll, _sql_stream_hll()),
     "stream_tumbling": Query(q_stream_tumbling, W.SQL_TUMBLING, headline=True),
     "stream_sliding": Query(q_stream_sliding, W.SQL_SLIDING),
     "stream_session": Query(q_stream_session, W.SQL_SESSION),

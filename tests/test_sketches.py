@@ -60,3 +60,17 @@ def test_hll_relative_error_within_bound(spark, sf_dir):
         # standard error for m=512 is ~1.04/sqrt(512) ≈ 4.6%; allow 4σ
         rel = abs(r.n_hll - r.n_exact) / r.n_exact
         assert rel < 0.2, (r.col_label, r.n_exact, r.n_hll)
+
+
+def test_stream_hll_equals_batch_sketch(spark, sf_dir):
+    """The streaming register state must converge to the batch sketch's
+    registers exactly — same estimate to the last rounded digit."""
+    from kafka_connect_minio_pipeline_spark.registry import all_queries
+
+    qs = all_queries()
+    stream_row = qs["stream_hll"].fn(spark, sf_dir).collect()
+    batch = {
+        r.col_label: r.n_hll for r in qs["sketch_hll"].fn(spark, sf_dir).collect()
+    }
+    assert len(stream_row) == 1
+    assert stream_row[0].n_hll == batch["events.user_id"]
