@@ -405,20 +405,31 @@ def _assign_cells(em: DataFrame, centroids: np.ndarray) -> DataFrame:
 IVF_TRAIN_SAMPLE = 2048  # quantizer training sample (FAISS-style)
 
 
-def ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+def ivf_train_sample(spark: SparkSession, sf_dir: str) -> tuple[list, np.ndarray]:
+    """ONE bounded collect feeding both quantizer training and the query
+    vectors (the queries are vec_id < N_QUERIES ⊂ the vec_id-ordered
+    sample) — the only driver round-trip the IVF query makes besides the
+    final result."""
+    em = load(spark, sf_dir, "embeddings")
+    sample = (
+        em.orderBy("vec_id")
+        .limit(IVF_TRAIN_SAMPLE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    return sample, X
+
+
+def ivf_centroids(X: np.ndarray) -> np.ndarray:
     """Deterministic k-means coarse quantizer trained on a bounded sample.
 
     The quantizer needs O(cells) representative points, not the corpus —
     the standard IVF design (FAISS trains on ~30-256 points per centroid)
-    — so training collects a deterministic ≤IVF_TRAIN_SAMPLE-vector sample
-    once and runs Lloyd driver-side in numpy. Corpus-scale work is then a
-    SINGLE distributed assignment pass, instead of IVF_ITERS passes + per-
-    iteration driver round-trips. At 100 TB the sample is still 2048 rows."""
-    em = load(spark, sf_dir, "embeddings")
-    sample = (
-        em.orderBy("vec_id").limit(IVF_TRAIN_SAMPLE).select("embedding").collect()
-    )
-    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    — Lloyd runs driver-side in numpy on the sample. Corpus-scale work is
+    then a SINGLE distributed assignment pass, instead of IVF_ITERS
+    passes + per-iteration driver round-trips. At 100 TB the sample is
+    still 2048 rows."""
     cent = X[:IVF_CELLS].copy()
     for _ in range(IVF_ITERS):
         d = (cent * cent).sum(axis=1) - 2.0 * (X @ cent.T)  # ||x||² constant
@@ -440,17 +451,14 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the corpus. Exact cosine rerank on the candidates; same
     output shape as the LSH variant. Engine-specific float argmins →
     rows-only for the driver; recall vs. brute force asserted in tests."""
-    cent = ivf_centroids(spark, sf_dir)
+    sample, X = ivf_train_sample(spark, sf_dir)
+    cent = ivf_centroids(X)
     em = _with_norms(load(spark, sf_dir, "embeddings"))
     assigned = _assign_cells(spread(load(spark, sf_dir, "embeddings"), "vec_id"), cent)
 
-    # query → its IVF_PROBE nearest cells (8×64 doubles: driver-side math)
-    qrows = (
-        load(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    # query → its IVF_PROBE nearest cells (8×64 doubles: driver-side math;
+    # query vectors come from the already-collected training sample)
+    qrows = [r for r in sample if r["vec_id"] < N_QUERIES]
     cn = (cent * cent).sum(axis=1)
     probe_rows = []
     for r in qrows:
