@@ -242,7 +242,79 @@ SQL_CORPUS_REPETITION = """
 """
 
 
+# language → sampling weight for the interleaved training order (a
+# high-resource/low-resource rebalance: zh/fr/de/es documents appear
+# 2x as often per unit of corpus as en)
+INTERLEAVE_WEIGHTS = {"en": 1.0, "de": 2.0, "fr": 2.0, "es": 2.0, "zh": 2.0}
+
+
+def interleave(df: DataFrame, stratum_col: str = "lang") -> DataFrame:
+    """Weighted multi-source interleaving: a deterministic global reading
+    order where stratum s is visited proportionally to its weight — the
+    standard multi-corpus curriculum mix (e.g. upsampling low-resource
+    languages) expressed as a sort key instead of a sampler.
+
+    Every document keeps position ``rank_within_stratum / weight`` on a
+    shared virtual timeline; sorting by it yields the interleave (a
+    stratum with weight 2 appears twice as densely). Shuffled order
+    WITHIN each stratum comes from the same portable hash as
+    ``corpus_shuffle_split``. Two exchanges total (stratum window +
+    final range partition for the global order); at 100 TB drop the
+    global row_number and sort-WITHIN-shards by the same key — loaders
+    only need the relative order per shard.
+    """
+    w_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in INTERLEAVE_WEIGHTS.items() for x in kv]
+        ),
+        F.col(stratum_col),
+    ).cast("double")
+    h = _portable_hash(F.concat(F.lit("ileave:"), F.col("doc_id")))
+    rk = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(h, "doc_id")
+    )
+    staged = df.select(
+        "doc_id",
+        stratum_col,
+        (rk.cast("double") / w_expr).alias("order_key"),
+    )
+    return staged.select(
+        "doc_id",
+        stratum_col,
+        F.round("order_key", 6).alias("order_key"),
+        F.row_number()
+        .over(Window.orderBy("order_key", stratum_col, "doc_id"))
+        .cast("int")
+        .alias("interleave_pos"),
+    )
+
+
+def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: weighted language interleave of ``documents``."""
+    return interleave(load(spark, sf_dir, "documents"))
+
+
+_W_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in INTERLEAVE_WEIGHTS.items()
+)
+
+SQL_CORPUS_INTERLEAVE = f"""
+    WITH staged AS (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_MD5.format(salt='ileave:')}, doc_id
+               ) AS DOUBLE) / CAST(CASE lang {_W_CASE} END AS DOUBLE) AS order_key
+        FROM documents)
+    SELECT doc_id, lang, ROUND(order_key, 6) AS order_key,
+           CAST(ROW_NUMBER() OVER (ORDER BY order_key, lang, doc_id) AS INTEGER)
+               AS interleave_pos
+    FROM staged
+"""
+
+
 QUERIES = {
+    "corpus_interleave": Query(q_corpus_interleave, SQL_CORPUS_INTERLEAVE),
     "corpus_shuffle_split": Query(q_corpus_shuffle_split, SQL_CORPUS_SHUFFLE_SPLIT),
     "corpus_vocab_top": Query(
         q_corpus_vocab_top,

@@ -70,6 +70,8 @@ _GRADE_FIRST = (
     "sketch_countmin",
     "sketch_hll",
     "stream_hll",
+    "stream_multimodal",
+    "corpus_interleave",
     "ts_ewma",
     "embedding_quantize",
     "text_pretokenize",

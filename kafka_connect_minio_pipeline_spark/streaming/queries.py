@@ -134,8 +134,31 @@ def _sql_stream_hll() -> str:
     return _hll_sql("events", "user_id", "events.user_id", with_exact=False)
 
 
+def q_stream_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Python decode inside a STREAM: the multimodal
+    feature kernel (mapInPandas) applied per micro-batch — the shape of
+    a production ingest that decodes/filters media as it lands. The
+    kernel is stateless, so streaming output must equal the batch
+    operator exactly (shared oracle)."""
+    from ..operators.multimodal import extract_features
+    from ..sources.files import stream_table
+
+    src = stream_table(spark, sf_dir, "documents")
+    binary = src.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return run_to_memory(extract_features(binary), output_mode="append")
+
+
+def _sql_stream_multimodal() -> str:
+    from ..operators.multimodal import SQL_MULTIMODAL_FEATURES
+
+    return SQL_MULTIMODAL_FEATURES
+
+
 QUERIES = {
     "stream_hll": Query(q_stream_hll, _sql_stream_hll()),
+    "stream_multimodal": Query(q_stream_multimodal, _sql_stream_multimodal()),
     "stream_tumbling": Query(q_stream_tumbling, W.SQL_TUMBLING, headline=True),
     "stream_sliding": Query(q_stream_sliding, W.SQL_SLIDING),
     "stream_session": Query(q_stream_session, W.SQL_SESSION),

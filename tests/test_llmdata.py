@@ -294,3 +294,32 @@ def test_repetition_stats_edge_and_known_values(spark):
     assert got[3]["top_bigram_frac"] == 0.5
     # 4 distinct tokens -> 3 distinct bigrams, longest run 1 of 3
     assert got[4]["dup_token_frac"] == 0.0 and got[4]["top_bigram_frac"] == round(1 / 3, 6)
+
+
+def test_interleave_is_weighted_permutation(spark, sf_dir):
+    """corpus_interleave: positions form a permutation; within-stratum
+    order is preserved; weight-2 strata appear ~2x as densely as their
+    within-timeline share in the shared prefix."""
+    from collections import Counter
+
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        INTERLEAVE_WEIGHTS,
+        q_corpus_interleave,
+    )
+
+    rows = q_corpus_interleave(spark, sf_dir).collect()
+    pos = sorted(r.interleave_pos for r in rows)
+    assert pos == list(range(1, len(rows) + 1))
+    # within each stratum, interleave_pos must be increasing in order_key
+    by_lang = {}
+    for r in sorted(rows, key=lambda r: r.interleave_pos):
+        by_lang.setdefault(r.lang, []).append(r.order_key)
+    for lang, keys in by_lang.items():
+        assert keys == sorted(keys), lang
+    # density: on the shared prefix of the virtual timeline every stratum
+    # has emitted ≈ weight × timeline-length docs
+    t_end = min(max(ks) for ks in by_lang.values())
+    emitted = Counter(r.lang for r in rows if r.order_key <= t_end)
+    for lang, n in emitted.items():
+        expect = INTERLEAVE_WEIGHTS[lang] * t_end
+        assert abs(n - expect) <= 2, (lang, n, expect)
