@@ -36,17 +36,18 @@ def main() -> None:
 
     # Steady-state methodology: one untimed warm pass (whole-stage-codegen
     # JIT ~1-2.5s/plan, JVM heap growth, cold page cache — one-time costs
-    # a long-lived cluster amortizes away), then three timed passes taking
+    # a long-lived cluster amortizes away), then four timed passes taking
     # the per-query MINIMUM (this VM shows multi-second stolen-time
-    # stalls; a single stall can hit the same query in two passes, so
-    # min-of-3 rejects what min-of-2 sometimes let through). Nothing is
-    # cached between passes at the DataFrame level (no persist()), so
-    # every timed run re-executes every scan, shuffle, and UDF.
+    # stalls that can hit the same query in consecutive passes — r3's
+    # local run caught one query stalled in all three passes of the
+    # min-of-3 era, so one more sample). Nothing is cached between
+    # passes at the DataFrame level (no persist()), so every timed run
+    # re-executes every scan, shuffle, and UDF.
     for name in sorted(queries):
         materialize(queries[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
-    for _pass in range(3):
+    for _pass in range(4):
         for name in sorted(queries):
             t0 = time.perf_counter()
             materialize(queries[name].fn(spark, sf_dir))

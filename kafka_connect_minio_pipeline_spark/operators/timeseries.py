@@ -475,7 +475,72 @@ SQL_TS_EWMA = f"""
 """
 
 
+def ohlc(events: DataFrame) -> DataFrame:
+    """Hourly OHLC downsampling bars per event_type — the classic
+    time-series compaction (metrics rollup, market bars, sensor
+    decimation).
+
+    open/close are argmin/argmax over (ts, event_id) expressed as MIN/
+    MAX of a struct whose leading fields are the ordering key: unlike a
+    row_number window (shuffle + sort + filter), struct extrema are
+    PARTIALLY AGGREGABLE — the map side collapses each partition to one
+    struct per bar before the shuffle, so the exchange carries one row
+    per (bar × partition) no matter how many raw events. That is the
+    plan that survives 100 TB of events. The oracle states the same
+    semantics as a row_number window, proving the two formulations agree.
+    """
+    key = F.struct("ts", "event_id", "value")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bar_ts"), F.col("event_type")
+        )
+        .agg(
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("bar_ts").cast("timestamp_ntz").alias("bar_ts"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: hourly OHLC bars over events."""
+    return ohlc(load(spark, sf_dir, "events"))
+
+
+SQL_TS_OHLC = """
+    WITH ranked AS (
+        SELECT DATE_TRUNC('hour', ts) AS bar_ts, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY DATE_TRUNC('hour', ts), event_type
+                   ORDER BY ts, event_id) AS rn_open,
+               ROW_NUMBER() OVER (
+                   PARTITION BY DATE_TRUNC('hour', ts), event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events)
+    SELECT bar_ts, event_type,
+           MIN(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MIN(CASE WHEN rn_close = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ranked
+    GROUP BY bar_ts, event_type
+"""
+
+
 QUERIES = {
+    "ts_ohlc": Query(q_ts_ohlc, SQL_TS_OHLC),
     "ts_ewma": Query(q_ts_ewma, SQL_TS_EWMA),
     "ts_sessionize": Query(q_ts_sessionize, SQL_SESSIONIZE),
     "ts_gapfill": Query(q_ts_gapfill, SQL_GAPFILL),

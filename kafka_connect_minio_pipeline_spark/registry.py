@@ -73,6 +73,7 @@ _GRADE_FIRST = (
     "stream_multimodal",
     "corpus_interleave",
     "ts_ewma",
+    "ts_ohlc",
     "embedding_quantize",
     "text_pretokenize",
     "multimodal_phash_pairs",

@@ -189,3 +189,34 @@ def test_scd2_single_exchange(spark, sf_dir):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    """low ≤ open/close ≤ high on every bar; bar totals cover all events."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_ohlc
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    bars = q_ts_ohlc(spark, sf_dir)
+    bad = bars.filter(
+        (F.col("low") > F.col("open")) | (F.col("low") > F.col("close"))
+        | (F.col("high") < F.col("open")) | (F.col("high") < F.col("close"))
+    )
+    assert bad.count() == 0
+    n_total = bars.agg(F.sum("n_events")).collect()[0][0]
+    assert n_total == load(spark, sf_dir, "events").count()
+
+
+def test_ohlc_plan_is_partial_agg_no_window(spark, sf_dir):
+    """The scale property: struct extrema aggregate map-side — the plan
+    must be a two-phase HashAggregate/ObjectHashAggregate with NO Window
+    and NO Sort (the row_number formulation the oracle uses would show
+    both)."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_ohlc
+    from kafka_connect_minio_pipeline_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q_ts_ohlc(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+    assert plan.count("hashpartitioning") == 1, plan
