@@ -236,6 +236,40 @@ SQL_TEXT_FINGERPRINT = f"""
 """
 
 
+def q_text_common_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated passages from the winnowing fingerprints —
+    the corpus-scale boilerplate/exact-substring-dup detector (the
+    aggregation step of suffix-array-style dedup, on the compact sketch
+    instead of raw text).
+
+    One partially-aggregated groupBy over the fingerprint relation
+    (~|doc|/4 rows per doc): shuffle volume is bounded by distinct
+    fingerprints, and the ≥2-docs filter drops the unique tail early.
+    Feeding removal is a semi-join of documents against these fps."""
+    fp = q_text_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_TEXT_COMMON_PASSAGES = f"""
+    WITH fps AS ({SQL_TEXT_FINGERPRINT})
+    SELECT fp,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (the pre-tokenization cleanup pass of
     a corpus pipeline): lowercase → non-alphanumerics to spaces →
@@ -438,6 +472,7 @@ SQL_TEXT_PRETOKENIZE = f"""
 
 QUERIES = {
     "text_pretokenize": Query(q_text_pretokenize, SQL_TEXT_PRETOKENIZE),
+    "text_common_passages": Query(q_text_common_passages, SQL_TEXT_COMMON_PASSAGES),
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, headline=True),
     "text_token_stats": Query(q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_ngram_top": Query(q_text_ngram_top, SQL_TEXT_NGRAM_TOP),

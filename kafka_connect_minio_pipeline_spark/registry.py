@@ -71,11 +71,13 @@ _GRADE_FIRST = (
     "sketch_hll",
     "stream_hll",
     "stream_multimodal",
+    "stream_ohlc",
     "corpus_interleave",
     "ts_ewma",
     "ts_ohlc",
     "embedding_quantize",
     "text_pretokenize",
+    "text_common_passages",
     "multimodal_phash_pairs",
     "dedup_embedding_lsh",
     "corpus_shuffle_split",

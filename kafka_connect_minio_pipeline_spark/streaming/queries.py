@@ -156,9 +156,27 @@ def _sql_stream_multimodal() -> str:
     return SQL_MULTIMODAL_FEATURES
 
 
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: struct-extrema argmin/argmax are associative
+    and order-free, so the streaming aggregation state is one struct per
+    bar and the result must equal the batch operator however the source
+    batches (shared oracle)."""
+    from ..operators.timeseries import ohlc
+    from ..sources.files import stream_table
+
+    return run_to_memory(ohlc(stream_table(spark, sf_dir, "events")))
+
+
+def _sql_stream_ohlc() -> str:
+    from ..operators.timeseries import SQL_TS_OHLC
+
+    return SQL_TS_OHLC
+
+
 QUERIES = {
     "stream_hll": Query(q_stream_hll, _sql_stream_hll()),
     "stream_multimodal": Query(q_stream_multimodal, _sql_stream_multimodal()),
+    "stream_ohlc": Query(q_stream_ohlc, _sql_stream_ohlc()),
     "stream_tumbling": Query(q_stream_tumbling, W.SQL_TUMBLING, headline=True),
     "stream_sliding": Query(q_stream_sliding, W.SQL_SLIDING),
     "stream_session": Query(q_stream_session, W.SQL_SESSION),
