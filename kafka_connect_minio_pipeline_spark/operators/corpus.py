@@ -313,8 +313,74 @@ SQL_CORPUS_INTERLEAVE = f"""
 """
 
 
+def bigram_novelty(docs: DataFrame) -> DataFrame:
+    """Count-based language-model novelty scoring per document — the
+    exact-arithmetic stand-in for perplexity filtering (KenLM-style): a
+    document whose bigrams are corpus-rare is novel/noisy, one whose
+    bigrams are all boilerplate-common is duplicative. Both tails get
+    cut in a real curation pipeline.
+
+    mean_bg_freq = average corpus occurrence count of the doc's bigrams;
+    unique_frac = fraction of its bigram occurrences that are unique in
+    the corpus. Integer sums and exact ratios only (no logs — libm ln
+    differs across engines; the ORDER of a float log-sum wouldn't be
+    reproducible distributed anyway). Plan: one groupBy(bg) for corpus
+    counts, an equi-join back on the same key (exchange reuse), one
+    groupBy(doc_id) — the standard frequency-annotation shape whose
+    shuffles are bounded by |bigram occurrences| and |vocab|.
+    """
+    bg = docs.select(
+        "doc_id", F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("bg")
+    )
+    freq = bg.groupBy("bg").agg(F.count("*").alias("n_occur"))
+    return (
+        bg.hint("shuffle_hash")
+        .join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum("n_occur").cast("double") / F.count("*"), 6
+            ).alias("mean_bg_freq"),
+            F.round(
+                F.sum(F.when(F.col("n_occur") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("unique_frac"),
+        )
+    )
+
+
+def q_corpus_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: bigram novelty scores over ``documents``."""
+    return bigram_novelty(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+SQL_CORPUS_BIGRAM_NOVELTY = """
+    WITH t AS (
+        SELECT doc_id, toks FROM (
+            SELECT doc_id, {toks} AS toks FROM documents)),
+    bg AS (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+        FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks), 1))) r(i)),
+    freq AS (
+        SELECT bg, COUNT(*) AS n_occur FROM bg GROUP BY bg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(n_occur) AS DOUBLE) / COUNT(*), 6) AS mean_bg_freq,
+           ROUND(CAST(SUM(CASE WHEN n_occur = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS unique_frac
+    FROM bg JOIN freq USING (bg)
+    GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_interleave": Query(q_corpus_interleave, SQL_CORPUS_INTERLEAVE),
+    "corpus_bigram_novelty": Query(
+        q_corpus_bigram_novelty,
+        SQL_CORPUS_BIGRAM_NOVELTY.format(toks=SQL_TOKENS.format(col="text")),
+    ),
     "corpus_shuffle_split": Query(q_corpus_shuffle_split, SQL_CORPUS_SHUFFLE_SPLIT),
     "corpus_vocab_top": Query(
         q_corpus_vocab_top,

@@ -83,6 +83,7 @@ _GRADE_FIRST = (
     "corpus_shuffle_split",
     "corpus_vocab_top",
     "corpus_repetition",
+    "corpus_bigram_novelty",
     "graph_pagerank",
     "udtf_sentences_builtin",
     "join_bucketed",
