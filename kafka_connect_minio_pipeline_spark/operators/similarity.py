@@ -564,38 +564,67 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     deterministic left fold, so the whole output is hash-comparable
     without tolerance.
     """
-    v = to_double(F.col("embedding"))
-    amax = F.array_max(F.transform(v, F.abs))
-    scale = amax / F.lit(float(QUANT_LEVELS))
-    codes = F.transform(
-        v,
-        lambda x: F.greatest(
-            F.lit(-QUANT_LEVELS),
-            F.least(F.lit(QUANT_LEVELS), F.round(x / scale).cast("int")),
+    # Each select() below is a PROJECTION BOUNDARY: Catalyst does not CSE
+    # across higher-order-function lambdas, so referencing `scale` (itself
+    # an array_max fold) inside a per-element lambda re-evaluates the whole
+    # fold per element — O(d²) per row (measured 6.3s → sub-second at
+    # sf0.1). Materializing each intermediate as a named column makes every
+    # downstream reference a cheap attribute read — the same staging trick
+    # as text_fingerprint's token-hash array.
+    staged = emb.select(
+        "vec_id",
+        F.size(F.col("embedding")).cast("int").alias("n_dims"),
+        to_double(F.col("embedding")).alias("v"),
+    )
+    staged = staged.select(
+        "vec_id",
+        "n_dims",
+        "v",
+        (
+            F.array_max(F.transform(F.col("v"), F.abs))
+            / F.lit(float(QUANT_LEVELS))
+        ).alias("scale"),
+    )
+    staged = staged.select(
+        "vec_id",
+        "n_dims",
+        "v",
+        "scale",
+        F.transform(
+            F.col("v"),
+            lambda x: F.greatest(
+                F.lit(-QUANT_LEVELS),
+                F.least(
+                    F.lit(QUANT_LEVELS), F.round(x / F.col("scale")).cast("int")
+                ),
+            ),
+        ).alias("codes"),
+    )
+    sse = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("codes"),
+            lambda x, q: (x - q.cast("double") * F.col("scale"))
+            * (x - q.cast("double") * F.col("scale")),
         ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    def _sq(c):
-        return c * c
-
-    err_terms = F.zip_with(
-        v, codes, lambda x, q: _sq(x - q.cast("double") * scale)
-    )
-    sse = F.aggregate(err_terms, F.lit(0.0), lambda acc, x: acc + x)
     checksum = F.aggregate(
         F.zip_with(
-            codes,
-            F.sequence(F.lit(1), F.size(codes)),
+            F.col("codes"),
+            F.sequence(F.lit(1), F.col("n_dims")),
             lambda q, i: q.cast("long") * i.cast("long"),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return emb.select(
+    return staged.select(
         "vec_id",
-        F.size(F.col("embedding")).cast("int").alias("n_dims"),
-        scale.alias("scale"),
+        "n_dims",
+        "scale",
         checksum.alias("code_checksum"),
-        F.sqrt(sse / F.size(F.col("embedding"))).alias("rms_error"),
+        F.sqrt(sse / F.col("n_dims")).alias("rms_error"),
     )
 
 
