@@ -611,7 +611,61 @@ SQL_CORPUS_PIPELINE = f"""
 """
 
 
+def q_llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup DECISION step: given near-dup clusters (connected
+    components over the exact Jaccard pair graph) and per-doc quality
+    scores, keep exactly one document per cluster — the highest-quality
+    member (doc_id ascending as tiebreak) — and every unclustered doc.
+    This is the step that turns dedup ANALYSIS into a curated corpus.
+
+    Scale shape: the cluster relation is tiny relative to the corpus
+    (only docs with a near-dup), so the ranking window runs over it
+    alone — never over the full corpus with a degenerate null partition
+    — and rejoins as a small left join. At 100 TB: quality is a narrow
+    projection, clusters come from the sub-quadratic pair pipeline, and
+    the keep-filter is a semi-join."""
+    from .text import quality_features
+    from .dedup import q_dedup_clusters
+
+    q = quality_features(spread(load(spark, sf_dir, "documents"), "doc_id")).select(
+        "doc_id", "quality_score"
+    )
+    cl = q_dedup_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    ranked = (
+        cl.join(q, "doc_id")
+        .select("doc_id", "cluster_id", F.row_number().over(w).alias("rn"))
+    )
+    return q.join(ranked, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.col("cluster_id").isNull() | (F.col("rn") == 1)).alias("kept"),
+    )
+
+
+def _sql_llm_dedup_keep_best() -> str:
+    from .dedup import SQL_DEDUP_CLUSTERS
+    from .text import SQL_TEXT_QUALITY
+
+    return f"""
+    WITH q AS (SELECT doc_id, quality_score FROM ({SQL_TEXT_QUALITY})),
+    clusters AS ({SQL_DEDUP_CLUSTERS}),
+    ranked AS (
+        SELECT doc_id, cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, doc_id) AS rn
+        FROM clusters JOIN q USING (doc_id))
+    SELECT q.doc_id, ranked.cluster_id, q.quality_score,
+           (ranked.cluster_id IS NULL OR ranked.rn = 1) AS kept
+    FROM q LEFT JOIN ranked USING (doc_id)
+"""
+
+
 QUERIES = {
+    "llm_dedup_keep_best": Query(q_llm_dedup_keep_best, _sql_llm_dedup_keep_best()),
     "llm_sample_stratified": Query(q_llm_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "llm_sample_hash": Query(q_llm_sample_hash, SQL_SAMPLE_HASH),
     "llm_pack_sequences": Query(q_llm_pack_sequences, SQL_PACK_SEQUENCES),

@@ -84,6 +84,7 @@ _GRADE_FIRST = (
     "corpus_vocab_top",
     "corpus_repetition",
     "corpus_bigram_novelty",
+    "llm_dedup_keep_best",
     "graph_pagerank",
     "udtf_sentences_builtin",
     "join_bucketed",
