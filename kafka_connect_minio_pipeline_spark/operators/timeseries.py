@@ -548,8 +548,67 @@ SQL_TS_OHLC = """
 """
 
 
+def islands(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active hours per
+    user (uptime stretches, activity streaks, sensor-coverage spans).
+
+    The classic formulation: distinct activity hours, then
+    ``hour_index − row_number()`` is constant within a consecutive run —
+    a pure window subtraction, no self-join, no iteration. Two narrow
+    shuffles (distinct on (user, hour) with partial agg; the per-user
+    window and final groupBy share the user_id partitioning). Hour
+    indexes are integer timestamp-diffs from a fixed epoch — exact in
+    both engines."""
+    hour_idx = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP'1970-01-01 00:00:00', active_hour)"
+    )
+    hours = events.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("active_hour")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("active_hour")
+    runs = hours.select(
+        "user_id",
+        "active_hour",
+        (hour_idx - F.row_number().over(w)).alias("island_key"),
+    )
+    return (
+        runs.groupBy("user_id", "island_key")
+        .agg(
+            F.min("active_hour").cast("timestamp_ntz").alias("island_start"),
+            F.max("active_hour").cast("timestamp_ntz").alias("island_end"),
+            F.count("*").cast("int").alias("n_hours"),
+        )
+        .drop("island_key")
+    )
+
+
+def q_ts_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: consecutive-hour activity islands per user."""
+    return islands(load(spark, sf_dir, "events"))
+
+
+SQL_TS_ISLANDS = """
+    WITH hours AS (
+        SELECT DISTINCT user_id, DATE_TRUNC('hour', ts) AS active_hour
+        FROM events),
+    runs AS (
+        SELECT user_id, active_hour,
+               DATE_DIFF('hour', TIMESTAMP '1970-01-01 00:00:00', active_hour)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY active_hour)
+                   AS island_key
+        FROM hours)
+    SELECT user_id,
+           MIN(active_hour) AS island_start,
+           MAX(active_hour) AS island_end,
+           CAST(COUNT(*) AS INTEGER) AS n_hours
+    FROM runs
+    GROUP BY user_id, island_key
+"""
+
+
 QUERIES = {
     "ts_ohlc": Query(q_ts_ohlc, SQL_TS_OHLC),
+    "ts_islands": Query(q_ts_islands, SQL_TS_ISLANDS),
     "ts_ewma": Query(q_ts_ewma, SQL_TS_EWMA),
     "ts_sessionize": Query(q_ts_sessionize, SQL_SESSIONIZE),
     "ts_gapfill": Query(q_ts_gapfill, SQL_GAPFILL),

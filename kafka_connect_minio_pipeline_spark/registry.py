@@ -75,6 +75,7 @@ _GRADE_FIRST = (
     "corpus_interleave",
     "ts_ewma",
     "ts_ohlc",
+    "ts_islands",
     "embedding_quantize",
     "text_pretokenize",
     "text_common_passages",
