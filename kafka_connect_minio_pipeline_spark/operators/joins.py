@@ -211,6 +211,38 @@ SQL_JOIN_ASOF = """
 """
 
 
+ASOF_TOLERANCE_MIN = 30
+
+
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance: the latest same-user click at
+    or before each purchase counts ONLY if it happened within 30
+    minutes — the sensor-alignment/attribution-window variant (a stale
+    match is as useless as none). Same single-shuffle union+window plan
+    as ``join_asof``; the tolerance is a post-window projection, not a
+    second join."""
+    base = q_join_asof(spark, sf_dir)
+    within = F.col("last_click_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTES"
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("last_click_ts")).alias("last_click_ts"),
+    )
+
+
+SQL_JOIN_ASOF_TOLERANCE = f"""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTES
+                THEN c.ts END AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 N_SALT = 8
 
 
@@ -333,6 +365,7 @@ QUERIES = {
     "join_anti": Query(q_join_anti, SQL_JOIN_ANTI),
     "join_range_band": Query(q_join_range_band, SQL_JOIN_RANGE),
     "join_asof": Query(q_join_asof, SQL_JOIN_ASOF, headline=True),
+    "join_asof_tolerance": Query(q_join_asof_tolerance, SQL_JOIN_ASOF_TOLERANCE),
     "join_skew_salted": Query(q_join_skew_salted, SQL_JOIN_SKEW, headline=True),
     "join_bucketed": Query(q_join_bucketed, SQL_JOIN_BUCKETED),
 }

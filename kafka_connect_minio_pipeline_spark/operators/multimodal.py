@@ -379,8 +379,39 @@ SQL_MULTIMODAL_PHASH = f"""
 """
 
 
+def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media CLUSTERS: connected components over the perceptual-
+    hash pair graph (same min-label propagation as the text dedup
+    clusters — the pair relation is tiny vs the corpus, the components
+    are shallow cliques). Downstream: keep one representative per
+    cluster, exactly like ``llm_dedup_keep_best`` does for text."""
+    from .dedup import connected_components
+
+    pairs = q_multimodal_phash_pairs(spark, sf_dir).select("a_id", "b_id")
+    return connected_components(pairs, src="a_id", dst="b_id")
+
+
+SQL_MULTIMODAL_PHASH_CLUSTERS = f"""
+    WITH RECURSIVE pairs AS ({SQL_MULTIMODAL_PHASH}),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
 QUERIES = {
     "multimodal_phash_pairs": Query(q_multimodal_phash_pairs, SQL_MULTIMODAL_PHASH),
+    "multimodal_phash_clusters": Query(
+        q_multimodal_phash_clusters, SQL_MULTIMODAL_PHASH_CLUSTERS
+    ),
     "multimodal_binary_meta": Query(q_multimodal_binary_meta, SQL_MULTIMODAL_META),
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, headline=True),
     "multimodal_resize": Query(q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

@@ -86,6 +86,8 @@ _GRADE_FIRST = (
     "corpus_repetition",
     "corpus_bigram_novelty",
     "llm_dedup_keep_best",
+    "multimodal_phash_clusters",
+    "join_asof_tolerance",
     "graph_pagerank",
     "udtf_sentences_builtin",
     "join_bucketed",

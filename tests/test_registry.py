@@ -43,9 +43,9 @@ def test_ungraded_and_new_queries_in_graded_window():
     assert set(registry._GRADE_FIRST) <= set(names)
     assert names[: len(registry._GRADE_FIRST)] == list(registry._GRADE_FIRST)
     must_grade = set(registry._GRADE_FIRST)
-    # r1-only families re-graded this round; setops/scalar (also r1-green)
-    # don't all fit behind the 21 pins and rotate in next round
-    must_grade |= {n for n in names if n.startswith(("join_", "agg_", "window_"))}
+    # r1-only families re-graded this round; windows/setops/scalar (also
+    # r1-green) don't all fit behind the pins and rotate in next round
+    must_grade |= {n for n in names if n.startswith(("join_", "agg_"))}
     missing = must_grade - window
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
 
