@@ -457,22 +457,35 @@ SQL_DEDUP_MINHASH = _minhash_oracle_sql()
 
 
 def connected_components(
-    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 50
 ) -> DataFrame:
     """Connected components by min-label propagation: every node ends up
     labeled with the smallest doc_id reachable from it.
 
-    Pair generation (Jaccard/LSH) gives near-dup EDGES; deduplication
-    needs CLUSTERS (pick one canonical doc per component), and
-    transitivity means components can chain beyond direct pairs. This is
-    the alternating-join algorithm GraphX/GraphFrames use for CC: each
-    round every node takes the min label in its closed neighborhood; the
-    driver loop only checks a converged COUNT per round (no data through
-    the driver) and near-dup components are shallow cliques, so rounds ≈
-    graph diameter (1-2 in practice, capped at ``max_iter``). Each round
-    is one join + one groupBy on the (tiny vs corpus) edge set — at
-    100 TB the edge relation is the near-dup pairs, orders of magnitude
-    smaller than the corpus.
+    Pair generation (Jaccard/LSH/phash) gives near-dup EDGES;
+    deduplication needs CLUSTERS (pick one canonical doc per component),
+    and transitivity means components can chain beyond direct pairs.
+    This is the alternating-join algorithm GraphX/GraphFrames use for
+    CC: each round every node takes the min label in its closed
+    neighborhood; the driver loop only checks a converged COUNT per
+    round (no data through the driver). Rounds ≈ graph diameter —
+    Jaccard near-dup components are shallow cliques (1-3 rounds) but a
+    loose pair graph (e.g. hamming-14 phash chains) can run tens deep.
+
+    Each round's result is ``localCheckpoint``-ed, not cache()d:
+    caching bounds EXECUTION per round but the logical plan still
+    doubles every iteration (labels appears in both the propagate join
+    and the convergence check), so analysis/optimization time grows
+    exponentially with depth — measured 1.2 s → 73 s per round by
+    iteration 9 on the phash graph. Checkpointing truncates lineage, so
+    every round plans and runs in O(round cost). On a multi-node
+    cluster prefer ``checkpoint()`` to a reliable dir (localCheckpoint
+    state dies with an executor); for extreme-diameter graphs the
+    log-rounds pointer-doubling variant (large-star/small-star) is the
+    published scale-out answer.
+
+    Raises if the cap is hit without convergence — truncated labels are
+    WRONG answers, never returned silently.
     """
     # Materialize the edge relation ONCE before fanning out: the pair
     # generation upstream (a full set-similarity join) is expensive, and
@@ -484,26 +497,31 @@ def connected_components(
     # closed neighborhood: each node is its own neighbor
     nodes = sym.select(F.col("a")).distinct()
     sym = sym.union(nodes.select("a", F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select("a", F.col("a").alias("label"))
+    converged = False
     for _ in range(max_iter):
-        # new label = min over neighbors' current labels; cache breaks the
-        # growing lineage (iterative plans re-expand otherwise)
         new_labels = (
             sym.join(labels.withColumnRenamed("a", "b"), "b")
             .groupBy("a")
             .agg(F.min("label").alias("label"))
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "a")
             .filter(F.col("label") != F.col("old"))
             .count()
         )
-        if labels.is_cached:
-            labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds"
+            " — graph diameter exceeds the cap; raise max_iter or switch to"
+            " pointer-doubling"
+        )
     return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
