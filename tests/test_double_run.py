@@ -18,10 +18,13 @@ _STATEFUL = sorted(
     if n.startswith("stream_")
     or n.startswith("udtf_")
     or n.startswith("udaf_")
-    # iterative driver loop (cache/unpersist churn) and temp-parquet
-    # staging are side-effectful paths — guard them too
+    # iterative driver loops (localCheckpoint lineage churn), temp-parquet
+    # staging, and driver-side packing (Bloom words, IVF quantizer) are
+    # side-effectful paths — guard them too
     or n in ("dedup_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-             "graph_pagerank", "corpus_shuffle_split")
+             "graph_pagerank", "corpus_shuffle_split",
+             "multimodal_phash_clusters", "llm_dedup_keep_best",
+             "sketch_bloom_join")
 )
 
 
