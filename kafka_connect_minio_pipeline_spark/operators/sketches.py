@@ -156,19 +156,9 @@ CMS_W = 256  # counters per row
 CMS_TOP = 20
 
 
-def countmin_estimates(events: DataFrame, key: str = "user_id") -> DataFrame:
-    """Build a d×w count-min sketch over ``key`` occurrences and report
-    the sketch estimate next to the true count for the top keys.
-
-    The sketch build is ONE partially-aggregated groupBy on (row, idx) —
-    shuffle volume is bounded by d·w counters per map partition, never by
-    the data (this is why count-min works on a 100 TB stream: the merge
-    of two sketches is elementwise add, which IS Spark's map-side
-    combine). Estimation joins each key's d positions against the tiny
-    sketch (broadcast) and takes the row-minimum; estimate ≥ truth always
-    (asserted in tests), with overestimate driven by collisions in w.
-    """
-    hashed = events.select(
+def cms_hashed(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Key column + its d salted counter indexes (narrow projection)."""
+    return events.select(
         F.col(key),
         *[
             F.pmod(
@@ -177,7 +167,17 @@ def countmin_estimates(events: DataFrame, key: str = "user_id") -> DataFrame:
             for i in range(CMS_D)
         ],
     )
-    sketch = (
+
+
+def cms_sketch(hashed: DataFrame) -> DataFrame:
+    """The d×w counter matrix as a (row, idx, cnt) relation.
+
+    ONE partially-aggregated groupBy on (row, idx) — shuffle volume is
+    bounded by d·w counters per map partition, never by the data (this
+    is why count-min works on a 100 TB stream: the merge of two sketches
+    is elementwise ADD, which IS Spark's map-side combine — and equally
+    Structured Streaming's incremental aggregation state)."""
+    return (
         hashed.select(
             F.explode(
                 F.array(
@@ -193,6 +193,12 @@ def countmin_estimates(events: DataFrame, key: str = "user_id") -> DataFrame:
         .groupBy(F.col("cell.row").alias("row"), F.col("cell.idx").alias("idx"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def cms_finish(sketch: DataFrame, hashed: DataFrame, key: str = "user_id") -> DataFrame:
+    """Estimate vs truth for the top keys: join each key's d positions
+    against the tiny (broadcast) sketch, take the row-minimum; estimate
+    ≥ truth always, overestimate driven by collisions in w."""
     truth = hashed.groupBy(key, *[f"idx{i}" for i in range(CMS_D)]).agg(
         F.count("*").alias("n_true")
     )
@@ -215,6 +221,13 @@ def countmin_estimates(events: DataFrame, key: str = "user_id") -> DataFrame:
         .orderBy(F.col("n_true").desc(), key)
         .limit(CMS_TOP)
     )
+
+
+def countmin_estimates(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Build a d×w count-min sketch over ``key`` occurrences and report
+    the sketch estimate next to the true count for the top keys."""
+    hashed = cms_hashed(events, key)
+    return cms_finish(cms_sketch(hashed), hashed, key)
 
 
 def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:

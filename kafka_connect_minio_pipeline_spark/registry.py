@@ -72,6 +72,7 @@ _GRADE_FIRST = (
     "stream_hll",
     "stream_multimodal",
     "stream_ohlc",
+    "stream_countmin",
     "corpus_interleave",
     "ts_ewma",
     "ts_ohlc",

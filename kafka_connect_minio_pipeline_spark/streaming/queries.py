@@ -173,10 +173,34 @@ def _sql_stream_ohlc() -> str:
     return SQL_TS_OHLC
 
 
+def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as streaming state: the d×w counter matrix is
+    elementwise-ADD mergeable, so the streaming groupBy on (row, idx)
+    maintains at most d·w rows of state for any stream length — the
+    heavy-hitters twin of ``stream_hll``'s max-merge registers. The
+    finisher (estimate vs truth) runs on the final counters and must
+    equal the batch sketch exactly (shared oracle)."""
+    from ..operators.sketches import cms_finish, cms_hashed, cms_sketch
+    from ..sources.files import stream_table
+    from ..tables import load
+
+    sketch = run_to_memory(
+        cms_sketch(cms_hashed(stream_table(spark, sf_dir, "events")))
+    )
+    return cms_finish(sketch, cms_hashed(load(spark, sf_dir, "events")))
+
+
+def _sql_stream_countmin() -> str:
+    from ..operators.sketches import SQL_SKETCH_COUNTMIN
+
+    return SQL_SKETCH_COUNTMIN
+
+
 QUERIES = {
     "stream_hll": Query(q_stream_hll, _sql_stream_hll()),
     "stream_multimodal": Query(q_stream_multimodal, _sql_stream_multimodal()),
     "stream_ohlc": Query(q_stream_ohlc, _sql_stream_ohlc()),
+    "stream_countmin": Query(q_stream_countmin, _sql_stream_countmin()),
     "stream_tumbling": Query(q_stream_tumbling, W.SQL_TUMBLING, headline=True),
     "stream_sliding": Query(q_stream_sliding, W.SQL_SLIDING),
     "stream_session": Query(q_stream_session, W.SQL_SESSION),
