@@ -375,8 +375,60 @@ SQL_CORPUS_BIGRAM_NOVELTY = """
 """
 
 
+TOKEN_BUDGET = 20_000
+
+
+def token_budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Select documents best-first until a token budget is exhausted —
+    the "we can afford N tokens of training data" cut, taken by quality
+    rather than at random.
+
+    Order = (quality_score desc, doc_id) with a running token prefix
+    sum; a doc is kept iff the budget still covers it AFTER all better
+    docs take their share (strictly: its prefix sum ≤ budget). One
+    global-order window at this scale; at 100 TB bucket quality into
+    e.g. 100 quantiles, give each bucket a budget share, and run the
+    prefix sum per bucket — same semantics, fully parallel.
+    """
+    from .text import quality_features
+
+    scored = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    w = (
+        Window.orderBy(F.desc("quality_score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+    )
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: best-first 20k-token selection of documents."""
+    return token_budget_select(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+def _sql_corpus_token_budget() -> str:
+    from .text import SQL_TEXT_QUALITY
+
+    return f"""
+    WITH q AS (
+        SELECT doc_id, n_tokens, quality_score FROM ({SQL_TEXT_QUALITY})),
+    c AS (
+        SELECT doc_id, n_tokens, quality_score,
+               SUM(n_tokens) OVER (
+                   ORDER BY quality_score DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM q)
+    SELECT doc_id, n_tokens, quality_score, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     "corpus_interleave": Query(q_corpus_interleave, SQL_CORPUS_INTERLEAVE),
+    "corpus_token_budget": Query(q_corpus_token_budget, _sql_corpus_token_budget()),
     "corpus_bigram_novelty": Query(
         q_corpus_bigram_novelty,
         SQL_CORPUS_BIGRAM_NOVELTY.format(toks=SQL_TOKENS.format(col="text")),

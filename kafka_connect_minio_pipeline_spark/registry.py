@@ -87,6 +87,7 @@ _GRADE_FIRST = (
     "corpus_repetition",
     "corpus_bigram_novelty",
     "llm_dedup_keep_best",
+    "corpus_token_budget",
     "multimodal_phash_clusters",
     "join_asof_tolerance",
     "graph_pagerank",
