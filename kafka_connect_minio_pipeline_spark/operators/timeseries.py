@@ -606,9 +606,112 @@ SQL_TS_ISLANDS = """
 """
 
 
+PEAK_HOUR_MIN_EVENTS = 20  # corpus-wide events/hour to call an hour "peak"
+
+
+def overlap_join(sessions: DataFrame, peaks: DataFrame) -> DataFrame:
+    """Interval-overlap join via HOUR BUCKETIZATION — the scale pattern
+    for joining two interval relations (sessions × peak-load windows,
+    ad-impression × campaign flight, sensor-uptime × maintenance window).
+
+    The naive formulation is a nested-loop on ``s.start ≤ p.end AND
+    s.end ≥ p.start`` — quadratic, and only survivable when one side
+    broadcasts. Bucketizing turns it into an EQUI-join: explode each
+    interval to the hour buckets it touches (sequence + explode — an
+    interval touches (len/bucket)+1 buckets), join on the bucket, dedup
+    the (session, peak) pairs that share several buckets, and keep the
+    exact overlap predicate as a residual filter. Shuffle volume is
+    O(total interval-hours), never |sessions|×|peaks|; bucket width
+    trades replication for candidate precision exactly like every other
+    banding operator in this engine. The oracle runs the naive overlap
+    join, proving the bucketization lossless.
+    """
+    s_b = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("session_start")),
+                F.date_trunc("hour", F.col("session_end")),
+                F.expr("interval 1 hour"),
+            )
+        ),
+    )
+    p_b = peaks.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.col("peak_start"), F.col("peak_end"), F.expr("interval 1 hour")
+            )
+        ),
+    )
+    return (
+        s_b.join(p_b, "bucket")
+        .filter(
+            (F.col("session_start") <= F.col("peak_end"))
+            & (F.col("session_end") >= F.col("peak_start"))
+        )
+        .select(
+            "user_id", "session_seq", "session_start", "session_end",
+            "peak_start", "peak_end",
+        )
+        .distinct()
+    )
+
+
+def q_ts_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: user sessions overlapping corpus-wide peak-load
+    hours (maximal runs of hours with ≥ PEAK_HOUR_MIN_EVENTS events,
+    built with the same gaps-and-islands trick as ``ts_islands``)."""
+    ev = load(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= PEAK_HOUR_MIN_EVENTS)
+    )
+    hour_idx = F.expr("timestampdiff(HOUR, TIMESTAMP'1970-01-01 00:00:00', h)")
+    w = Window.orderBy("h")
+    peaks = (
+        hours.select("h", (hour_idx - F.row_number().over(w)).alias("k"))
+        .groupBy("k")
+        .agg(
+            F.min("h").cast("timestamp_ntz").alias("peak_start"),
+            F.max("h").cast("timestamp_ntz").alias("peak_end"),
+        )
+        .drop("k")
+    )
+    sessions = sessionize(ev).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    return overlap_join(sessions, peaks)
+
+
+SQL_TS_OVERLAP = f"""
+    WITH sessions AS (
+        SELECT user_id, session_seq, session_start, session_end
+        FROM ({{sessionize}})),
+    hours AS (
+        SELECT DATE_TRUNC('hour', ts) AS h, COUNT(*) AS n FROM events
+        GROUP BY 1 HAVING COUNT(*) >= {PEAK_HOUR_MIN_EVENTS}),
+    peaks AS (
+        SELECT MIN(h) AS peak_start, MAX(h) AS peak_end
+        FROM (SELECT h,
+                     DATE_DIFF('hour', TIMESTAMP '1970-01-01 00:00:00', h)
+                     - ROW_NUMBER() OVER (ORDER BY h) AS k
+              FROM hours)
+        GROUP BY k)
+    SELECT user_id, session_seq, session_start, session_end,
+           peak_start, peak_end
+    FROM sessions JOIN peaks
+      ON session_start <= peak_end AND session_end >= peak_start
+"""
+
+
 QUERIES = {
     "ts_ohlc": Query(q_ts_ohlc, SQL_TS_OHLC),
     "ts_islands": Query(q_ts_islands, SQL_TS_ISLANDS),
+    "ts_overlap_join": Query(
+        q_ts_overlap_join, SQL_TS_OVERLAP.format(sessionize=SQL_SESSIONIZE)
+    ),
     "ts_ewma": Query(q_ts_ewma, SQL_TS_EWMA),
     "ts_sessionize": Query(q_ts_sessionize, SQL_SESSIONIZE),
     "ts_gapfill": Query(q_ts_gapfill, SQL_GAPFILL),

@@ -77,6 +77,7 @@ _GRADE_FIRST = (
     "ts_ewma",
     "ts_ohlc",
     "ts_islands",
+    "ts_overlap_join",
     "embedding_quantize",
     "text_pretokenize",
     "text_common_passages",

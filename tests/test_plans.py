@@ -441,3 +441,16 @@ def test_ewma_is_single_shuffle_window(spark, sf_dir):
     plan = formatted_plan(q_ts_ewma(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
     assert "Window" in plan
+
+
+def test_overlap_join_is_bucketized_equi_join(spark, sf_dir):
+    """The interval-overlap join must go through the hour-bucket
+    equi-join — a BroadcastNestedLoopJoin would be the quadratic naive
+    plan the bucketization exists to avoid."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_overlap_join,
+    )
+
+    plan = formatted_plan(q_ts_overlap_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
