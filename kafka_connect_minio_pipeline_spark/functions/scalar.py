@@ -222,7 +222,70 @@ SQL_SCALAR_JSON_TYPED = """
 """
 
 
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over the embedding column: slice, sort,
+    reverse-extremum position, distinct count, flatten-free per-row
+    algebra — the named demo of the collection functions every other
+    operator uses internally (all JVM-side, narrow, codegen-fused).
+
+    argmax position via a fold carrying (best_idx, best_val, cur_idx)
+    rather than array_position(array_max) — one pass, no float
+    re-comparison ambiguity.
+    """
+    em = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    staged = em.select("vec_id", v.alias("v"))
+    argmax = F.aggregate(
+        F.col("v"),
+        F.struct(
+            F.lit(0).alias("best_i"),
+            F.lit(float("-inf")).alias("best_v"),
+            F.lit(0).alias("i"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(x > acc["best_v"], acc["i"] + 1).otherwise(acc["best_i"]).alias("best_i"),
+            F.greatest(acc["best_v"], x).alias("best_v"),
+            (acc["i"] + 1).alias("i"),
+        ),
+        lambda acc: acc["best_i"],
+    )
+    return staged.select(
+        "vec_id",
+        F.size("v").cast("int").alias("n_dims"),
+        F.round(F.element_at(F.array_sort("v"), 1), 6).alias("v_min"),
+        F.round(F.element_at(F.array_sort("v"), -1), 6).alias("v_max"),
+        argmax.cast("int").alias("argmax_pos"),
+        F.size(F.array_distinct(F.transform(F.col("v"), lambda x: (x > 0).cast("int"))))
+        .cast("int")
+        .alias("n_sign_kinds"),
+        F.round(
+            F.aggregate(F.slice("v", 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head8_sum"),
+    )
+
+
+SQL_SCALAR_ARRAY = """
+    WITH t AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           ROUND(list_sort(v)[1], 6) AS v_min,
+           ROUND(list_sort(v)[-1], 6) AS v_max,
+           CAST(list_reduce(
+               list_zip(v, range(1, len(v) + 1)),
+               (acc, p) -> CASE WHEN p[1] > acc[1] THEN p ELSE acc END
+           )[2] AS INTEGER) AS argmax_pos,
+           CAST(len(list_distinct(list_transform(v,
+               x -> CASE WHEN x > 0 THEN 1 ELSE 0 END))) AS INTEGER)
+               AS n_sign_kinds,
+           ROUND(list_reduce(v[1:8], (a, x) -> a + x), 6) AS head8_sum
+    FROM t
+"""
+
+
 QUERIES = {
+    "scalar_array": Query(q_scalar_array, SQL_SCALAR_ARRAY),
     "scalar_string": Query(q_scalar_string, SQL_SCALAR_STRING),
     "scalar_date": Query(q_scalar_date, SQL_SCALAR_DATE),
     "scalar_math": Query(q_scalar_math, SQL_SCALAR_MATH),
