@@ -440,7 +440,63 @@ SQL_AGG_ARGMAX = """
 """
 
 
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance per group from exact decimal
+    moments (quantity vs extended price per return flag).
+
+    Engine-native CORR/COVAR accumulate co-moments in partition order and
+    can never hash-match across engines; the five exact decimal sums
+    (x, y, xy, x², y²) are order-free, and the closing expression is one
+    IEEE-identical double tree. Same partial-aggregation shuffle profile
+    as any grouped sum at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = dec2(F.col("l_quantity")), dec2(F.col("l_extendedprice"))
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - F.lit(1))
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return base.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 6).alias("covar_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+SQL_AGG_CORR = """
+    WITH base AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+               AS corr_qty_price
+    FROM base
+"""
+
+
 QUERIES = {
+    "agg_corr": Query(q_agg_corr, SQL_AGG_CORR),
     "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
     "agg_argmax": Query(q_agg_argmax, SQL_AGG_ARGMAX),
     "agg_pivot": Query(q_agg_pivot, SQL_AGG_PIVOT),
