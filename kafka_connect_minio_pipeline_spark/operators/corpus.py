@@ -263,12 +263,18 @@ def interleave(df: DataFrame, stratum_col: str = "lang") -> DataFrame:
     global row_number and sort-WITHIN-shards by the same key — loaders
     only need the relative order per shard.
     """
-    w_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for kv in INTERLEAVE_WEIGHTS.items() for x in kv]
-        ),
-        F.col(stratum_col),
-    ).cast("double")
+    # unmapped strata default to weight 1.0 — a NULL weight would NULL the
+    # order_key, and Spark sorts NULLS FIRST where DuckDB sorts NULLS LAST,
+    # silently desynchronizing every downstream position
+    w_expr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in INTERLEAVE_WEIGHTS.items() for x in kv]
+            ),
+            F.col(stratum_col),
+        ).cast("double"),
+        F.lit(1.0),
+    )
     h = _portable_hash(F.concat(F.lit("ileave:"), F.col("doc_id")))
     rk = F.row_number().over(
         Window.partitionBy(stratum_col).orderBy(h, "doc_id")
@@ -294,8 +300,9 @@ def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave(load(spark, sf_dir, "documents"))
 
 
-_W_CASE = " ".join(
-    f"WHEN '{k}' THEN {v}" for k, v in INTERLEAVE_WEIGHTS.items()
+_W_CASE = (
+    " ".join(f"WHEN '{k}' THEN {v}" for k, v in INTERLEAVE_WEIGHTS.items())
+    + " ELSE 1.0"
 )
 
 SQL_CORPUS_INTERLEAVE = f"""

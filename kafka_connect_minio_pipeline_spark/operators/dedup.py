@@ -511,6 +511,10 @@ def connected_components(
             .filter(F.col("label") != F.col("old"))
             .count()
         )
+        # free the PRIOR round's checkpointed blocks (no-op on the round-0
+        # plain projection) — block-manager memory stays O(1) rounds, not
+        # O(rounds), in long-lived sessions
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

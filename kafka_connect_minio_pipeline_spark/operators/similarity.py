@@ -592,11 +592,16 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
         "scale",
         F.transform(
             F.col("v"),
-            lambda x: F.greatest(
-                F.lit(-QUANT_LEVELS),
-                F.least(
-                    F.lit(QUANT_LEVELS), F.round(x / F.col("scale")).cast("int")
-                ),
+            # scale = 0 ⇔ the vector is all-zero: short-circuit to code 0
+            # (Spark's non-ANSI x/0 yields NULL but DuckDB yields inf/NaN,
+            # so the unguarded divide would split the engines)
+            lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+                F.greatest(
+                    F.lit(-QUANT_LEVELS),
+                    F.least(
+                        F.lit(QUANT_LEVELS), F.round(x / F.col("scale")).cast("int")
+                    ),
+                )
             ),
         ).alias("codes"),
     )
@@ -643,8 +648,9 @@ SQL_EMBEDDING_QUANTIZE = f"""
         FROM embeddings),
     c AS (
         SELECT vec_id, n_dims, v, scale,
-               list_transform(v, x -> GREATEST(-{QUANT_LEVELS},
-                   LEAST({QUANT_LEVELS}, CAST(ROUND(x / scale) AS INTEGER))))
+               list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE GREATEST(-{QUANT_LEVELS},
+                   LEAST({QUANT_LEVELS}, CAST(ROUND(x / scale) AS INTEGER))) END)
                    AS codes
         FROM q)
     SELECT vec_id, CAST(n_dims AS INTEGER) AS n_dims, scale,

@@ -289,7 +289,10 @@ def _hll_register_ranks(keys: DataFrame, key: str) -> DataFrame:
     """
     h = _portable_hash(F.concat(F.lit("hll:"), F.col(key)))
     reg = F.pmod(h, F.lit(HLL_M))
-    rest = F.floor(h / F.lit(HLL_M)).cast("long")
+    # exact integer shift (HLL_M = 2^HLL_P): float division would promote
+    # the 60-bit hash to double, which is lossy above 2^53 and can flip
+    # the rank for hashes adjacent to a register boundary
+    rest = F.shiftrightunsigned(h.cast("long"), HLL_P)
     bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
     rank = F.when(rest == 0, F.lit(HLL_REST_BITS + 1)).otherwise(
         F.lit(HLL_REST_BITS + 1) - bitlen
