@@ -248,20 +248,35 @@ SQL_CORPUS_REPETITION = """
 INTERLEAVE_WEIGHTS = {"en": 1.0, "de": 2.0, "fr": 2.0, "es": 2.0, "zh": 2.0}
 
 
-def interleave(df: DataFrame, stratum_col: str = "lang") -> DataFrame:
-    """Weighted multi-source interleaving: a deterministic global reading
-    order where stratum s is visited proportionally to its weight — the
+N_INTERLEAVE_SHARDS = 16
+
+
+def interleave(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    n_shards: int = N_INTERLEAVE_SHARDS,
+) -> DataFrame:
+    """Weighted multi-source interleaving: a deterministic reading order
+    where stratum s is visited proportionally to its weight — the
     standard multi-corpus curriculum mix (e.g. upsampling low-resource
     languages) expressed as a sort key instead of a sampler.
 
     Every document keeps position ``rank_within_stratum / weight`` on a
-    shared virtual timeline; sorting by it yields the interleave (a
-    stratum with weight 2 appears twice as densely). Shuffled order
-    WITHIN each stratum comes from the same portable hash as
-    ``corpus_shuffle_split``. Two exchanges total (stratum window +
-    final range partition for the global order); at 100 TB drop the
-    global row_number and sort-WITHIN-shards by the same key — loaders
-    only need the relative order per shard.
+    shared virtual timeline; that key IS the interleave (a stratum with
+    weight 2 appears twice as densely). Shuffled order WITHIN each
+    stratum comes from the same portable hash as
+    ``corpus_shuffle_split``.
+
+    The output is SHARDED, never globally numbered: the order_key range
+    is cut into ``n_shards`` equal slices (shard boundaries are pure
+    value functions of order_key, so assignment is embarrassingly
+    parallel and engine-portable), and each document gets its position
+    WITHIN its shard. Loaders consume shards in shard_id order, rows in
+    shard_pos order — the concatenation is exactly the virtual-timeline
+    interleave, but no single task ever sees more than one shard.
+    Exchanges: stratum window + shard window + one scalar max broadcast;
+    at 100 TB raise ``n_shards`` to O(output files) and the per-shard
+    window stays bounded.
     """
     # unmapped strata default to weight 1.0 — a NULL weight would NULL the
     # order_key, and Spark sorts NULLS FIRST where DuckDB sorts NULLS LAST,
@@ -284,14 +299,27 @@ def interleave(df: DataFrame, stratum_col: str = "lang") -> DataFrame:
         stratum_col,
         (rk.cast("double") / w_expr).alias("order_key"),
     )
-    return staged.select(
+    max_ok = staged.agg(F.max("order_key").alias("max_ok"))
+    shard = F.least(
+        F.lit(n_shards - 1).cast("long"),
+        F.floor(F.col("order_key") / F.col("max_ok") * F.lit(float(n_shards))),
+    ).cast("int")
+    bucketed = staged.crossJoin(F.broadcast(max_ok)).select(
+        "doc_id", stratum_col, "order_key", shard.alias("shard_id")
+    )
+    return bucketed.select(
         "doc_id",
         stratum_col,
         F.round("order_key", 6).alias("order_key"),
+        "shard_id",
         F.row_number()
-        .over(Window.orderBy("order_key", stratum_col, "doc_id"))
+        .over(
+            Window.partitionBy("shard_id").orderBy(
+                "order_key", stratum_col, "doc_id"
+            )
+        )
         .cast("int")
-        .alias("interleave_pos"),
+        .alias("shard_pos"),
     )
 
 
@@ -312,11 +340,20 @@ SQL_CORPUS_INTERLEAVE = f"""
                    PARTITION BY lang
                    ORDER BY {_MD5.format(salt='ileave:')}, doc_id
                ) AS DOUBLE) / CAST(CASE lang {_W_CASE} END AS DOUBLE) AS order_key
-        FROM documents)
-    SELECT doc_id, lang, ROUND(order_key, 6) AS order_key,
-           CAST(ROW_NUMBER() OVER (ORDER BY order_key, lang, doc_id) AS INTEGER)
-               AS interleave_pos
-    FROM staged
+        FROM documents),
+    m AS (SELECT MAX(order_key) AS max_ok FROM staged),
+    b AS (
+        SELECT doc_id, lang, order_key,
+               CAST(LEAST({N_INTERLEAVE_SHARDS - 1},
+                          FLOOR(order_key / max_ok
+                                * {float(N_INTERLEAVE_SHARDS)})) AS INTEGER)
+                   AS shard_id
+        FROM staged, m)
+    SELECT doc_id, lang, ROUND(order_key, 6) AS order_key, shard_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard_id ORDER BY order_key, lang, doc_id
+           ) AS INTEGER) AS shard_pos
+    FROM b
 """
 
 
@@ -385,27 +422,81 @@ SQL_CORPUS_BIGRAM_NOVELTY = """
 TOKEN_BUDGET = 20_000
 
 
-def token_budget_select(docs: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+N_BUDGET_BUCKETS = 32
+
+
+def token_budget_select(
+    docs: DataFrame, budget: int = TOKEN_BUDGET, n_buckets: int = N_BUDGET_BUCKETS
+) -> DataFrame:
     """Select documents best-first until a token budget is exhausted —
     the "we can afford N tokens of training data" cut, taken by quality
     rather than at random.
 
-    Order = (quality_score desc, doc_id) with a running token prefix
-    sum; a doc is kept iff the budget still covers it AFTER all better
-    docs take their share (strictly: its prefix sum ≤ budget). One
-    global-order window at this scale; at 100 TB bucket quality into
-    e.g. 100 quantiles, give each bucket a budget share, and run the
-    prefix sum per bucket — same semantics, fully parallel.
+    Semantics: order by (quality_score desc, doc_id) with a running
+    token prefix sum; a doc is kept iff its prefix sum ≤ budget.
+
+    The prefix sum is computed DECOMPOSED, never as one global window:
+    quality is value-bucketed into ``n_buckets`` equal slices of the
+    [min, max] range (bucket assignment is a pure monotone function of
+    the score, so bucket order == global order), per-bucket token totals
+    (one partial-aggregated groupBy over ``n_buckets`` rows) give each
+    bucket its cumulative OFFSET, and the within-bucket prefix sum runs
+    partitioned by bucket. offset + within-bucket sum is EXACTLY the
+    global prefix sum — integer arithmetic, no approximation — so the
+    sf0.01 oracle keeps the one-window global form as the spec. Buckets
+    whose offset already exceeds the budget are pruned BEFORE their
+    window runs: at 100 TB the expensive sort only ever touches the
+    budget-adjacent prefix of the corpus. The only single-task steps are
+    the scalar min/max and the ``n_buckets``-row offset window (bounded
+    cardinality, like ts hourly rollup).
     """
     from .text import quality_features
 
     scored = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
-    w = (
-        Window.orderBy(F.desc("quality_score"), "doc_id")
+    rng = scored.agg(
+        F.min("quality_score").alias("min_q"), F.max("quality_score").alias("max_q")
+    )
+    bucket = (
+        F.when(F.col("max_q") == F.col("min_q"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1).cast("long"),
+                F.floor(
+                    (F.col("max_q") - F.col("quality_score"))
+                    / (F.col("max_q") - F.col("min_q"))
+                    * F.lit(float(n_buckets))
+                ),
+            )
+        )
+        .cast("int")
+    )
+    staged = scored.crossJoin(F.broadcast(rng)).select(
+        "doc_id", "n_tokens", "quality_score", bucket.alias("q_bucket")
+    )
+    w_off = Window.orderBy("q_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        staged.groupBy("q_bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .select(
+            "q_bucket",
+            F.coalesce(F.sum("bucket_tokens").over(w_off), F.lit(0)).alias(
+                "bucket_offset"
+            ),
+        )
+        # a bucket whose offset alone exceeds the budget can't keep any
+        # row (cum_tokens > offset always) — prune before the sort
+        .filter(F.col("bucket_offset") <= budget)
+    )
+    w_in = (
+        Window.partitionBy("q_bucket")
+        .orderBy(F.desc("quality_score"), "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        staged.join(F.broadcast(offsets), "q_bucket")
+        .withColumn(
+            "cum_tokens", F.col("bucket_offset") + F.sum("n_tokens").over(w_in)
+        )
         .filter(F.col("cum_tokens") <= budget)
         .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
     )

@@ -38,3 +38,22 @@ def pushed_filters(df: DataFrame) -> str:
         for line in formatted_plan(df).splitlines()
         if "PushedFilters" in line
     )
+
+
+def global_window_lines(df: DataFrame) -> list[str]:
+    """Physical-plan Window nodes with an EMPTY partition spec — each one
+    is a single-task bottleneck (every row through one executor thread).
+
+    A partitioned Window prints as ``Window [fns], [partition], [order]``
+    (three bracket groups); a global one as ``Window [fns], [order]``.
+    Scale-conscious plans should have none, or only ones over
+    bounded-cardinality relations (which callers must allowlist
+    explicitly by inspecting the returned lines).
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*()0-9")
+        if stripped.startswith("Window ") and stripped.count("], [") == 1:
+            out.append(stripped)
+    return out

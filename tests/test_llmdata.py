@@ -297,8 +297,9 @@ def test_repetition_stats_edge_and_known_values(spark):
 
 
 def test_interleave_is_weighted_permutation(spark, sf_dir):
-    """corpus_interleave: positions form a permutation; within-stratum
-    order is preserved; weight-2 strata appear ~2x as densely as their
+    """corpus_interleave: (shard_id, shard_pos) reconstructs one total
+    order; shards tile the order_key range; within-stratum order is
+    preserved; weight-2 strata appear ~2x as densely as their
     within-timeline share in the shared prefix."""
     from collections import Counter
 
@@ -308,14 +309,23 @@ def test_interleave_is_weighted_permutation(spark, sf_dir):
     )
 
     rows = q_corpus_interleave(spark, sf_dir).collect()
-    pos = sorted(r.interleave_pos for r in rows)
-    assert pos == list(range(1, len(rows) + 1))
-    # within each stratum, interleave_pos must be increasing in order_key
+    # shard_pos is a 1..n permutation within every shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    for sid, rs in by_shard.items():
+        assert sorted(r.shard_pos for r in rs) == list(range(1, len(rs) + 1)), sid
+    # concatenating shards in id order yields a globally sorted timeline:
+    # order_key never decreases across the reconstructed order
+    seq = sorted(rows, key=lambda r: (r.shard_id, r.shard_pos))
+    keys = [r.order_key for r in seq]
+    assert keys == sorted(keys)
+    # within each stratum the reconstructed order preserves order_key order
     by_lang = {}
-    for r in sorted(rows, key=lambda r: r.interleave_pos):
+    for r in seq:
         by_lang.setdefault(r.lang, []).append(r.order_key)
-    for lang, keys in by_lang.items():
-        assert keys == sorted(keys), lang
+    for lang, ks in by_lang.items():
+        assert ks == sorted(ks), lang
     # density: on the shared prefix of the virtual timeline every stratum
     # has emitted ≈ weight × timeline-length docs
     t_end = min(max(ks) for ks in by_lang.values())
@@ -323,3 +333,48 @@ def test_interleave_is_weighted_permutation(spark, sf_dir):
     for lang, n in emitted.items():
         expect = INTERLEAVE_WEIGHTS[lang] * t_end
         assert abs(n - expect) <= 2, (lang, n, expect)
+
+
+def test_token_budget_bucketed_equals_global_form(spark, sf_dir):
+    """The bucketed prefix-sum decomposition must reproduce the global
+    window EXACTLY, including the degenerate all-equal-quality corpus
+    (max_q == min_q branch: everything lands in bucket 0)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        token_budget_select,
+    )
+    from kafka_connect_minio_pipeline_spark.operators.text import quality_features
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    def global_form(docs, budget):
+        scored = quality_features(docs).select(
+            "doc_id", "n_tokens", "quality_score"
+        )
+        w = Window.orderBy(F.desc("quality_score"), "doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return (
+            scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .filter(F.col("cum_tokens") <= budget)
+            .select("doc_id", "n_tokens", "quality_score", "cum_tokens")
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    for budget in (5_000, 20_000):
+        got = {r.doc_id: r.cum_tokens for r in token_budget_select(docs, budget).collect()}
+        want = {r.doc_id: r.cum_tokens for r in global_form(docs, budget).collect()}
+        assert got == want, budget
+
+    flat = spark.createDataFrame(
+        [(i, "en", "same words every time") for i in range(1, 21)],
+        "doc_id long, lang string, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.cum_tokens) for r in token_budget_select(flat, 50).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.cum_tokens) for r in global_form(flat, 50).collect()
+    )
+    assert got == want and got, got

@@ -454,3 +454,36 @@ def test_overlap_join_is_bucketized_equi_join(spark, sf_dir):
     plan = formatted_plan(q_ts_overlap_join(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interleave_has_no_global_window(spark, sf_dir):
+    """corpus_interleave must produce its order via (shard_id, shard_pos)
+    — per-shard windows only. A Window with an empty partition spec would
+    funnel the whole corpus through one task (the round-3 weak-at-scale
+    flag this sharded formulation fixes)."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_interleave,
+    )
+    from kafka_connect_minio_pipeline_spark.plans.explain import global_window_lines
+
+    df = q_corpus_interleave(spark, sf_dir)
+    assert global_window_lines(df) == []
+    plan = formatted_plan(df)
+    assert "hashpartitioning(shard_id" in plan, plan
+
+
+def test_token_budget_has_no_unbounded_global_window(spark, sf_dir):
+    """corpus_token_budget's prefix sum must run partitioned by quality
+    bucket; the only permitted empty-partition Window is the cumulative
+    offset over the n_buckets-row bucket-totals relation (bounded
+    cardinality)."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_token_budget,
+    )
+    from kafka_connect_minio_pipeline_spark.plans.explain import global_window_lines
+
+    df = q_corpus_token_budget(spark, sf_dir)
+    globals_ = global_window_lines(df)
+    assert all("bucket_tokens" in line for line in globals_), globals_
+    plan = formatted_plan(df)
+    assert "hashpartitioning(q_bucket" in plan, plan
