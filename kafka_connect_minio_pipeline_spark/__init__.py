@@ -52,6 +52,7 @@ def __getattr__(name: str):
         "repetition_stats": "operators.corpus",
         "pagerank": "operators.graph",
         "connected_components": "operators.dedup",
+        "connected_components_ls": "operators.dedup",
         "pack_sequences": "operators.llmdata",
         "pii_scrub": "operators.llmdata",
         "decontaminate": "operators.llmdata",
@@ -98,6 +99,7 @@ __all__ = [
     "repetition_stats",
     "pagerank",
     "connected_components",
+    "connected_components_ls",
     "pack_sequences",
     "pii_scrub",
     "decontaminate",

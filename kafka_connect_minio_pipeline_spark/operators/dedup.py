@@ -529,6 +529,99 @@ def connected_components(
     return labels.select(F.col("a").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_ls(
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): converges in O(log n) rounds regardless of graph
+    DIAMETER, where min-label propagation (:func:`connected_components`)
+    needs diameter-many rounds — a 10^6-node path graph finishes in ~20
+    rounds here vs 10^6 there. This is the production path for loose
+    pair graphs (phash hamming chains run tens of hops deep already at
+    sf0.1); propagate stays registered as its cross-check oracle.
+
+    Each round: large-star hangs every neighbor v > u onto u's minimum
+    neighborhood label; small-star then flattens the ≤-neighborhood the
+    same way. The edge relation stays canonical (child > parent), is
+    ``localCheckpoint``-ed per round (lineage truncation — same measured
+    blowup as propagate without it), and the prior round's blocks are
+    freed. Convergence = edge-set fixpoint, checked with an exact
+    left-anti diff (never a hash signature: a spurious match would
+    silently return WRONG labels); at the fixpoint the forest is a star
+    per component, so the parent column IS the component min. Raises on
+    round-cap exhaustion — truncated labels are never returned.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("lo").alias("n"))
+        .union(e.select(F.col("hi").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # parent relation, canonical direction: u (child) -> v (parent), v < u
+    b = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).localCheckpoint(
+        eager=True
+    )
+    n_edges = b.count()
+    converged = False
+    for _ in range(max_iter):
+        # large-star: over the SYMMETRIC relation, every neighbor v > u
+        # re-attaches to min(N(u) ∪ {u}); output is already canonical
+        # because the new parent m ≤ u < v
+        sym = b.union(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_lg = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m_lg = m_lg.select("u", F.least("mn", F.col("u")).alias("m"))
+        large = (
+            sym.join(m_lg, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: parents and children of each u collapse onto the
+        # minimum parent; roots emit their own (u, m) link
+        m_sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(m_sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m_sm.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_n = small.count()
+        changed = (
+            new_n != n_edges
+            or small.join(b, ["u", "v"], "left_anti").limit(1).count() > 0
+        )
+        b.unpersist()
+        b, n_edges = small, new_n
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_ls did not converge within {max_iter}"
+            " rounds — pathological for a log-rounds algorithm; check the"
+            " edge relation for non-determinism"
+        )
+    labels = nodes.join(
+        b.withColumnRenamed("u", "n"), "n", "left"
+    ).select(
+        F.col("n").alias("doc_id"),
+        F.coalesce(F.col("v"), F.col("n")).alias("cluster_id"),
+    )
+    b.unpersist()
+    return labels
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster membership: connected components over the exact
     Jaccard pair graph, cluster id = min doc_id in the component. The
@@ -536,7 +629,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     + MIN), proving the iterative Spark loop converged to the true
     components."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
-    return connected_components(pairs)
+    return connected_components_ls(pairs)
 
 
 SQL_DEDUP_CLUSTERS = f"""

@@ -229,3 +229,73 @@ def test_class_centroids_match_numpy(spark, sf_dir):
         )
         assert abs(r["centroid"] - want) <= 5e-7, r
         assert r["n"] == len(by_label[r["label"]])
+
+
+def test_connected_components_ls_matches_propagate_and_union_find(spark):
+    """large-star/small-star must produce EXACTLY the labels of min-label
+    propagation and of a Python union-find reference on a seeded random
+    graph (cliques + chains + isolated pairs)."""
+    import random
+
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_ls,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # random sparse graph over 300 nodes
+    for _ in range(220):
+        a, b = rng.randrange(300), rng.randrange(300)
+        if a != b:
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for a, b in edges:
+        want[a] = min(want.get(a, a), find(a))
+        want[b] = min(want.get(b, b), find(b))
+    # union-find roots are not necessarily component minima; normalize
+    comp: dict[int, int] = {}
+    for n in want:
+        comp[find(n)] = min(comp.get(find(n), n), n)
+    want = {n: comp[find(n)] for n in want}
+
+    got_ls = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components_ls(df).collect()
+    }
+    got_prop = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got_ls == want
+    assert got_prop == want
+
+
+def test_connected_components_ls_deep_chain_log_rounds(spark):
+    """A 400-node path graph has diameter 399: min-label propagation
+    would need ~400 rounds, large-star/small-star must finish inside a
+    15-round cap and still label every node with the chain minimum."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        connected_components_ls,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 400)], "d1 long, d2 long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_ls(edges, max_iter=15).collect()
+    }
+    assert got == {i: 1 for i in range(1, 401)}
