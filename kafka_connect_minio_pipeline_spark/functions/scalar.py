@@ -284,7 +284,59 @@ SQL_SCALAR_ARRAY = """
 """
 
 
+def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL synthesis + regexp decomposition round-trip: build a
+    deterministic URL per document (host from source, path from doc_id,
+    query param from lang) and parse it back into scheme / host / path /
+    query with anchored ``regexp_extract`` — the log-analytics URL-column
+    kernel. Pure narrow projections both ways; the pattern is a simple
+    grouped regex (no lookaround) so Java regex and DuckDB's RE2 agree.
+    Spark's builtin ``parse_url`` would work single-engine, but DuckDB
+    has no counterpart — the regex form is what both engines can run
+    verbatim, which is the point of the oracle contract.
+    """
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    pat = r"^([a-z]+)://([^/?]+)(/[^?]*)\?lang=(.*)$"
+    staged = docs.select("doc_id", url.alias("url"))
+    return staged.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", pat, 1).alias("scheme"),
+        F.regexp_extract("url", pat, 2).alias("host"),
+        F.regexp_extract("url", pat, 3).alias("path"),
+        F.regexp_extract("url", pat, 4).alias("lang_param"),
+    )
+
+
+SQL_SCALAR_URL = r"""
+    WITH staged AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z]+)://([^/?]+)(/[^?]*)\?lang=(.*)$', 1)
+               AS scheme,
+           regexp_extract(url, '^([a-z]+)://([^/?]+)(/[^?]*)\?lang=(.*)$', 2)
+               AS host,
+           regexp_extract(url, '^([a-z]+)://([^/?]+)(/[^?]*)\?lang=(.*)$', 3)
+               AS path,
+           regexp_extract(url, '^([a-z]+)://([^/?]+)(/[^?]*)\?lang=(.*)$', 4)
+               AS lang_param
+    FROM staged
+"""
+
+
 QUERIES = {
+    "scalar_url": Query(q_scalar_url, SQL_SCALAR_URL),
     "scalar_array": Query(q_scalar_array, SQL_SCALAR_ARRAY),
     "scalar_string": Query(q_scalar_string, SQL_SCALAR_STRING),
     "scalar_date": Query(q_scalar_date, SQL_SCALAR_DATE),

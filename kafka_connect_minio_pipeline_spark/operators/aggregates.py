@@ -495,7 +495,51 @@ SQL_AGG_CORR = """
 """
 
 
+def mode_per_group(df: DataFrame, key: str, val: str) -> DataFrame:
+    """Deterministic MODE aggregate: the most frequent ``val`` per
+    ``key``, ties broken by smallest value. Spark 4 has a ``mode()``
+    aggregate but leaves ties implementation-defined — useless for a
+    reproducible pipeline — so this is the two-phase formulation: count
+    per (key, val) (partial-aggregated, one shuffle), then argmax via
+    max_by over the struct-ordered pair ((n, inverted val) lexicographic)
+    in a second single-key pass. No window, no row_number sort: both
+    phases are hash aggregations that scale linearly, and the second
+    groupBy reuses the first's partitioning modulo the dropped val
+    column.
+    """
+    counts = df.groupBy(key, val).agg(F.count("*").alias("n"))
+    # "max n, then MIN val among ties" — a single max_by(struct) can't
+    # invert the tie order for strings, so: max n per key, equi-join back
+    # (both sides already partitioned by key), min val among the hits
+    top_n = counts.groupBy(key).agg(F.max("n").alias("n"))
+    return (
+        counts.join(top_n, [key, "n"])
+        .groupBy(key, "n")
+        .agg(F.min(val).alias(f"mode_{val}"))
+        .select(key, f"mode_{val}", "n")
+    )
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: each user's most frequent event type (ties →
+    lexicographically smallest type)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    return mode_per_group(ev, "user_id", "event_type")
+
+
+SQL_AGG_MODE = """
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type),
+    top_n AS (SELECT user_id, MAX(n) AS n FROM counts GROUP BY user_id)
+    SELECT c.user_id, MIN(c.event_type) AS mode_event_type, CAST(c.n AS BIGINT) AS n
+    FROM counts c JOIN top_n t ON c.user_id = t.user_id AND c.n = t.n
+    GROUP BY c.user_id, c.n
+"""
+
+
 QUERIES = {
+    "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
     "agg_corr": Query(q_agg_corr, SQL_AGG_CORR),
     "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
     "agg_argmax": Query(q_agg_argmax, SQL_AGG_ARGMAX),

@@ -146,6 +146,72 @@ def _oracle_sql() -> str:
 SQL_GRAPH_PAGERANK = _oracle_sql()
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts on an undirected graph given as canonical
+    edges (a < b) — the classic compact-forward enumeration: every
+    triangle x<y<z is produced exactly once by wedging E(x,y)⋈E(y,z) and
+    closing with E(x,z), then each corner gets credit via one explode +
+    count. Three equi-joins, all on edge-id columns, no cartesian
+    anywhere; the canonical orientation is what bounds the wedge fanout
+    (only higher neighbors extend a path). At 100 TB the published
+    refinement is to orient edges by DEGREE instead of id
+    (low-degree → high-degree), which caps per-task wedge counts on
+    power-law graphs — same plan shape, different orientation key.
+    """
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: triangle counts on the part co-occurrence graph
+    (parts appearing in the same order are connected — the "frequently
+    bought together" relation; a triangle is a stable product bundle)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    x, y = li.alias("x"), li.alias("y")
+    edges = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+SQL_GRAPH_TRIANGLES = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+    corners AS (SELECT UNNEST([x, y, z]) AS p_partkey FROM tri)
+    SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY p_partkey
+"""
+
+
 QUERIES = {
     "graph_pagerank": Query(q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "graph_triangles": Query(q_graph_triangles, SQL_GRAPH_TRIANGLES),
 }

@@ -664,7 +664,76 @@ def _sql_llm_dedup_keep_best() -> str:
 """
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def rag_chunks(
+    docs: DataFrame, size: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping fixed-size token chunks per document — the RAG /
+    embedding-index splitter (stride < size ⇒ consecutive chunks share
+    ``size - stride`` tokens of context, so a passage straddling a chunk
+    boundary still appears whole in one of them).
+
+    Chunk COUNT is exact integer arithmetic: 1 chunk for n ≤ size, else
+    1 + ceil((n - size) / stride) via integer div — the last chunk may be
+    short but every token is covered. The operator is a single explode of
+    a per-row sequence over a narrow projection: no shuffle, no window,
+    output rows ≈ input tokens / stride. At 100 TB this fuses into the
+    scan and the downstream embedder consumes it partition-parallel.
+    """
+    toks = tokens(F.col("text"))
+    staged = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    n_chunks = F.when(F.col("n") <= size, F.lit(1).cast("long")).otherwise(
+        F.lit(1) + F.expr(f"(n - {size} + {stride} - 1) div {stride}")
+    )
+    exploded = staged.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_id") * stride + 1).cast("int"), size
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * stride + 1).cast("int").alias("chunk_start"),
+        F.size(chunk).alias("chunk_len"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+def q_llm_rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: 32-token / 24-stride chunking of ``documents``."""
+    return rag_chunks(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+SQL_RAG_CHUNK = f"""
+    WITH staged AS (
+        SELECT doc_id, toks, LEN(toks) AS n
+        FROM (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS toks
+              FROM documents)),
+    c AS (
+        SELECT doc_id, toks,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                    ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                             // {CHUNK_STRIDE} END AS n_chunks
+        FROM staged)
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           CAST(i * {CHUNK_STRIDE} + 1 AS INTEGER) AS chunk_start,
+           CAST(LEN(toks[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_TOKENS})])
+                AS INTEGER) AS chunk_len,
+           array_to_string(
+               toks[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_TOKENS})],
+               ' ') AS chunk_text
+    FROM c, UNNEST(RANGE(0, n_chunks)) r(i)
+"""
+
+
 QUERIES = {
+    "llm_rag_chunk": Query(q_llm_rag_chunk, SQL_RAG_CHUNK),
     "llm_dedup_keep_best": Query(q_llm_dedup_keep_best, _sql_llm_dedup_keep_best()),
     "llm_sample_stratified": Query(q_llm_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "llm_sample_hash": Query(q_llm_sample_hash, SQL_SAMPLE_HASH),

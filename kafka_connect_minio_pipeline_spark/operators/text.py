@@ -470,7 +470,102 @@ SQL_TEXT_PRETOKENIZE = f"""
 """
 
 
+BM25_TERMS = ("spark", "query", "join")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(docs: DataFrame, terms: tuple[str, ...] = BM25_TERMS) -> DataFrame:
+    """BM25 relevance of every document against a fixed keyword query —
+    the retrieval scorer of a RAG / search-index pipeline, with a
+    rational IDF surrogate ``(N - df + 0.5) / (df + 0.5)`` (the classic
+    formula minus the log: monotone-identical ranking, and no libm ``ln``
+    whose last ulp differs across engines).
+
+    Plan shape is the 100 TB one: per-doc term frequencies are NARROW
+    array expressions fused into the scan (no explode, no shuffle);
+    corpus stats (N, avgdl, per-term df) are ONE partial-aggregated
+    scalar pass broadcast back; the score is a fixed-order sum of
+    per-term columns, so float addition order is engine-identical by
+    construction. Total cost: one scan + one broadcast, ever.
+    """
+    toks = tokens(F.col("text"))
+
+    def term_count(term: str):
+        # nested def, not a default-arg lambda: F.filter reads a 2-arg
+        # lambda as (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    staged = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[term_count(t).alias(f"tf_{t}") for t in terms],
+    )
+    stats = staged.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    scored = staged.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for t in terms:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = (
+            F.col("n_docs").cast("double") - F.col(f"df_{t}") + F.lit(0.5)
+        ) / (F.col(f"df_{t}").cast("double") + F.lit(0.5))
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        score = score + idf * tf * F.lit(BM25_K1 + 1.0) / denom
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+    )
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: BM25 keyword relevance over ``documents``."""
+    return bm25_scores(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+def _sql_text_bm25() -> str:
+    toks = SQL_TOKENS.format(col="text")
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in BM25_TERMS
+    )
+    score = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) - df_{t} + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+        f" * CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1.0}"
+        f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}"
+        f" + {BM25_B} * CAST(dl AS DOUBLE) / avgdl))"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH staged AS (
+        SELECT doc_id, len(toks) AS dl, {tf_cols}
+        FROM (SELECT doc_id, {toks} AS toks FROM documents)),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {df_cols}
+        FROM staged)
+    SELECT doc_id, ROUND(CAST(0.0 AS DOUBLE) + {score}, 6) AS bm25
+    FROM staged CROSS JOIN stats
+    WHERE ROUND(CAST(0.0 AS DOUBLE) + {score}, 6) > 0
+"""
+
+
+SQL_TEXT_BM25 = _sql_text_bm25()
+
+
 QUERIES = {
+    "text_bm25": Query(q_text_bm25, SQL_TEXT_BM25),
     "text_pretokenize": Query(q_text_pretokenize, SQL_TEXT_PRETOKENIZE),
     "text_common_passages": Query(q_text_common_passages, SQL_TEXT_COMMON_PASSAGES),
     "text_quality": Query(q_text_quality, SQL_TEXT_QUALITY, headline=True),

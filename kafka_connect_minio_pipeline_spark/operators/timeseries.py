@@ -706,7 +706,85 @@ SQL_TS_OVERLAP = f"""
 """
 
 
+MAD_K = 3.0
+
+
+def mad_outliers(ev: DataFrame, k: float = MAD_K) -> DataFrame:
+    """Robust anomaly stats per series: median, MAD (median absolute
+    deviation), and the count of points beyond ``k·MAD`` — the
+    outlier detector that, unlike :func:`zscore_outliers`, is not itself
+    dragged by the outliers it hunts (every extreme point contaminates a
+    mean/stddev; medians shrug it off).
+
+    Two grouped EXACT percentiles (median, then median of |x − med|)
+    with the deviation relation reused between them, small aggregates
+    broadcast back — never a re-shuffle of the fact table. Exact
+    percentile is a per-group sort: fine while group count × group size
+    fits the executor (series-keyed data), and the spec form for the
+    oracle; at 100 TB swap ``percentile`` for ``approx_percentile``
+    (t-digest, mergeable, one pass) and keep this as the correctness
+    reference — same contract as ``agg_approx_distinct`` vs exact.
+    """
+    ev = ev.select("event_type", F.col("value").cast("double").alias("value"))
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > F.lit(k) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+def q_ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: median/MAD outlier stats per event type."""
+    return mad_outliers(load(spark, sf_dir, "events"))
+
+
+SQL_TS_MAD = f"""
+    WITH base AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS value FROM events),
+    med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM base GROUP BY event_type),
+    dev AS (
+        SELECT b.event_type, b.value, m.med
+        FROM base b JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, quantile_cont(ABS(value - med), 0.5) AS mad
+        FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(d.med, 6) AS med,
+           ROUND(a.mad, 6) AS mad,
+           CAST(SUM(CASE WHEN ABS(d.value - d.med) > {MAD_K} * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type, d.med, a.mad
+"""
+
+
 QUERIES = {
+    "ts_mad": Query(q_ts_mad, SQL_TS_MAD),
     "ts_ohlc": Query(q_ts_ohlc, SQL_TS_OHLC),
     "ts_islands": Query(q_ts_islands, SQL_TS_ISLANDS),
     "ts_overlap_join": Query(

@@ -35,3 +35,16 @@ def test_pagerank_known_graph(spark):
     # closed form: leaves' rank converges around .15/4 + .85*(hub/3)
     # each emitted rank is round(…, 9), so the identity holds to ~4 half-ulps
     assert abs(got["a"] + 3 * got["b"] - 1.0) < 5e-9
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 has 4 triangles, every node in 3; a 4-cycle has none; a
+    disconnected extra triangle counts independently."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    square = [(10, 11), (11, 12), (12, 13), (10, 13)]
+    extra = [(20, 21), (21, 22), (20, 22)]
+    edges = spark.createDataFrame(k4 + square + extra, ["a", "b"])
+    got = {r["p_partkey"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 20: 1, 21: 1, 22: 1}

@@ -378,3 +378,40 @@ def test_token_budget_bucketed_equals_global_form(spark, sf_dir):
         (r.doc_id, r.cum_tokens) for r in global_form(flat, 50).collect()
     )
     assert got == want and got, got
+
+
+def test_rag_chunks_cover_and_overlap(spark):
+    """Every chunk is the exact token slice at its stride offset, chunks
+    cover all tokens, consecutive chunks share size-stride tokens, and
+    the short-doc / empty-doc edges produce exactly one chunk."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        rag_chunks,
+    )
+
+    texts = {
+        1: " ".join(f"t{i}" for i in range(100)),
+        2: " ".join(f"t{i}" for i in range(CHUNK_TOKENS)),  # exactly one chunk
+        3: "short doc",
+        4: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = rag_chunks(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        toks = texts[doc_id].split()
+        rs.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rs] == list(range(len(rs)))
+        covered = set()
+        for r in rs:
+            start = r["chunk_id"] * CHUNK_STRIDE
+            want = toks[start : start + CHUNK_TOKENS]
+            assert r["chunk_text"].split() == want, (doc_id, r["chunk_id"])
+            assert r["chunk_len"] == len(want)
+            assert r["chunk_start"] == start + 1
+            covered.update(range(start, start + len(want)))
+        assert covered == set(range(len(toks))), doc_id
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1 and len(by_doc[4]) == 1

@@ -220,3 +220,19 @@ def test_ohlc_plan_is_partial_agg_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert "Aggregate" in plan
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_mad_outliers_hand_computed(spark):
+    """Known series: median 5, MAD 1, the lone extreme point (100) is the
+    only value beyond 3*MAD — and it does NOT drag the stats the way a
+    mean/stddev would."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import mad_outliers
+
+    vals = [3.0, 4.0, 5.0, 6.0, 7.0, 100.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, value double"
+    )
+    [r] = mad_outliers(df).collect()
+    # sorted: 3 4 5 6 7 100 -> median (5+6)/2 = 5.5
+    # |x-5.5|: 2.5 1.5 .5 .5 1.5 94.5 -> sorted .5 .5 1.5 1.5 2.5 94.5 -> MAD 1.5
+    assert (r["n"], r["med"], r["mad"], r["n_outliers"]) == (6, 5.5, 1.5, 1)
