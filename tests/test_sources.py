@@ -180,3 +180,116 @@ def test_kafka_stream_builder_requires_kafka_jar(spark):
     load(), not silently produce an empty plan."""
     with pytest.raises(Exception, match="[Kk]afka|DATA_SOURCE"):
         ra.kafka_avro_stream(spark, "localhost:9092", "users")
+
+
+def test_schema_evolution_drill(spark, monkeypatch, tmp_path):
+    """A3/A15 schema-evolution drill: the registry serves an EVOLVED
+    users-value schema (new optional ``phone_number``); old-writer and
+    new-writer frames coexist on the topic; the pipeline decodes each
+    frame with its writer schema (routed by the frame's schema id),
+    unifies under the reader default, transforms, sinks as JSON, and
+    reads back — the new field flows end to end, the v1 semantics are
+    untouched.
+
+    The reference SMT cannot do this mid-stream: UserProfileTransform
+    caches its output Schema from the FIRST record it sees
+    (UserProfileTransform.java:41-54, the documented hazard), so an
+    evolved topic keeps the stale shape until the Connect worker
+    restarts. Here the schema is a property of the PLAN — rebuilt from
+    the re-fetched registry schema on every plan construction, with no
+    process-lifetime cache to invalidate — which is what this test shows
+    by running old-shape and new-shape plans side by side in ONE session.
+    """
+    import copy
+    import json as _json
+    import urllib.request
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_minio_pipeline_spark.streaming.pipeline import SINK_SCHEMA
+
+    evolved = copy.deepcopy(ra.USERS_AVRO_SCHEMA)
+    evolved["fields"].append(
+        {"name": "phone_number", "type": ["null", "string"], "default": None}
+    )
+
+    # 1. registry now serves v2; plan-time fetch picks it up (no cache)
+    class _Resp:
+        def __init__(self, body):
+            self._b = body
+
+        def read(self):
+            return self._b
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    body = _json.dumps({"schema": _json.dumps(evolved)}).encode()
+    monkeypatch.setattr(
+        urllib.request, "urlopen", lambda url, timeout: _Resp(body)
+    )
+    fetched = ra.fetch_schema("users", "http://registry:8081")
+    assert [f["name"] for f in fetched["fields"]][-1] == "phone_number"
+
+    evolved_spark = T.StructType(
+        list(ra.USERS_SPARK_SCHEMA.fields)
+        + [T.StructField("phone_number", T.StringType())]
+    )
+
+    # 2. a topic with both writer generations in flight
+    old_frames = [
+        (i, ra.frame(encode(ra.USERS_AVRO_SCHEMA, _user(*row)), 1))
+        for i, row in enumerate(GOLDEN[:5])
+    ]
+    new_frames = []
+    for i, row in enumerate(GOLDEN[5:], start=5):
+        u = _user(*row)
+        u["phone_number"] = f"+1-555-000{i}"
+        new_frames.append((i, ra.frame(encode(fetched, u), 2)))
+    topic = spark.createDataFrame(
+        old_frames + new_frames, "offset long, value binary"
+    )
+    split = ra.split_confluent_frame(topic)
+
+    # route by the frame's writer-schema id; old records surface the new
+    # field as the Avro default (null) — exactly registry consumer rules
+    old_part = ra.decode_avro(
+        split.filter(F.col("schema_id") == 1).select("payload")
+    ).withColumn("phone_number", F.lit(None).cast("string"))
+    new_part = ra.decode_avro(
+        split.filter(F.col("schema_id") == 2).select("payload"),
+        avro_schema=fetched,
+        spark_schema=evolved_spark,
+    )
+    unified = old_part.unionByName(new_part)
+
+    # 3. the transform is schema-stateless: the evolved column rides
+    # through untouched, v1 filter/mask/derive semantics identical
+    out = profile_transform(unified)
+    rows = {r["user_id"]: r for r in out.collect()}
+    assert set(rows) == {"id_0", "id_1", "id_3", "id_6", "id_7", "id_8"}
+    assert rows["id_7"]["phone_number"] == "+1-555-0007"
+    assert rows["id_0"]["phone_number"] is None
+    assert all(r["email"] == "redacted@email.com" for r in rows.values())
+    assert "raw_password_hash" not in out.columns
+
+    # 4. sink round-trip with the evolved shape (pinned-schema read-back,
+    # same DROPMALFORMED contract as the v1 sink reader)
+    sink = str(tmp_path / "evolved_sink")
+    out.write.mode("overwrite").json(sink)
+    evolved_sink = T.StructType(
+        list(SINK_SCHEMA.fields) + [T.StructField("phone_number", T.StringType())]
+    )
+    back = {
+        r["user_id"]: r
+        for r in spark.read.schema(evolved_sink)
+        .option("mode", "DROPMALFORMED")
+        .json(sink)
+        .collect()
+    }
+    assert set(back) == set(rows)
+    assert back["id_8"]["phone_number"] == "+1-555-0008"
+    assert back["id_1"]["phone_number"] is None
