@@ -33,19 +33,30 @@ def test_driver_entrypoints_use_strict_default():
 
 
 def test_ungraded_and_new_queries_in_graded_window():
-    """The driver hashes the first 50 registry entries. Round-3 contract:
-    every r3-new operator and every entry that never had a driver row in
-    r1/r2 is pinned to the front (registry._GRADE_FIRST), and the
-    families graded ONLY in round 1 (joins/aggs/windows/setops) follow
-    inside the window for a re-grade."""
+    """The driver hashes the first 50 registry entries. Round-4 contract:
+    the pin list IS the whole window — the never-graded query
+    (scalar_array), every entry whose only driver row is from round 1
+    (windows / setops / scalars / topk), every round-4-new operator, and
+    every query whose implementation materially changed in round 4, then
+    r2-stale re-grades filling the tail."""
     names = list(registry.all_queries())
-    window = set(names[:50])
     assert set(registry._GRADE_FIRST) <= set(names)
     assert names[: len(registry._GRADE_FIRST)] == list(registry._GRADE_FIRST)
-    must_grade = set(registry._GRADE_FIRST)
-    # r1-only families re-graded this round; windows/setops/scalar (also
-    # r1-green) don't all fit behind the pins and rotate in next round
-    must_grade |= {n for n in names if n.startswith(("join_", "agg_"))}
+    assert len(registry._GRADE_FIRST) == 50
+    window = set(names[:50])
+    must_grade = {"scalar_array", "topk_global"}
+    must_grade |= {n for n in names if n.startswith(("window_", "setop_", "scalar_"))}
+    # round-4-new operators
+    must_grade |= {
+        "graph_triangles", "agg_mode", "text_bm25",
+        "llm_rag_chunk", "ts_mad", "scalar_url",
+    }
+    # round-4 materially-changed implementations
+    must_grade |= {
+        "corpus_interleave", "corpus_token_budget", "dedup_clusters",
+        "multimodal_phash_clusters", "sketch_hll", "stream_hll",
+        "embedding_quantize",
+    }
     missing = must_grade - window
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
 
