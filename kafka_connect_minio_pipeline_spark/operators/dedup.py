@@ -934,6 +934,126 @@ def _emb_lsh_oracle_sql() -> str:
 SQL_DEDUP_EMBEDDING_LSH = _emb_lsh_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# 8. asymmetric containment (doc-in-doc / quote / boilerplate inclusion)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc containment pairs: the smaller document's shingle set is
+    ≥ 90% covered by the larger's (C = |A∩B| / |A|, A the smaller set;
+    ties canonicalize to the lower doc_id as inner). This is the
+    asymmetric complement of :func:`q_dedup_ngram_jaccard`: a short doc
+    quoted or embedded inside a much longer one has high containment but
+    arbitrarily LOW Jaccard, so a symmetric threshold never finds it —
+    the quote/boilerplate-inclusion detector of a curation pipeline.
+
+    Candidates use the one-sided prefix filter: C(A→B) ≥ t forces an
+    overlap of ⌈t·|A|⌉, so A must share one of its first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles (under the fixed rare-first order)
+    with B's FULL set — containment grants no size bound on B, hence no
+    prefix on the outer side. The join therefore probes full posting
+    lists, but only through the INNER prefixes' shingles — and rare-first
+    ordering keeps hot shingles out of those prefixes, so the touched
+    postings stay short (same skew defense as the Jaccard prefix filter,
+    applied one-sided). Exact verify against the narrow set relation;
+    pruning is proven lossless against the quadratic oracle at sf0.01.
+    """
+    sets_ = _staged_shingle_sets(spark, sf_dir)
+    sh = sets_.select("doc_id", "n_sh", F.explode("arr").alias("s"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(CONTAINMENT_THRESHOLD) * F.col("n_sh"))
+        + 1
+    ).cast("int")
+    prefix = (
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
+        )
+        .filter(F.col("rnk") <= prefix_len)
+        .select("doc_id", "n_sh", "s")
+    )
+    # inner prefix is the small side → build it in a shuffled hash join
+    # against the full posting relation (neither is broadcastable at scale)
+    a = prefix.alias("a").hint("shuffle_hash")
+    b = sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (
+                (F.col("a.n_sh") < F.col("b.n_sh"))
+                | (
+                    (F.col("a.n_sh") == F.col("b.n_sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("inner_id"), F.col("b.doc_id").alias("outer_id")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            sets_.select(
+                F.col("doc_id").alias("inner_id"),
+                F.col("arr").alias("arr_i"),
+                F.col("n_sh").alias("n_inner"),
+            ),
+            "inner_id",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("outer_id"),
+                F.col("arr").alias("arr_o"),
+                F.col("n_sh").alias("n_outer"),
+            ),
+            "outer_id",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("arr_i", "arr_o")))
+        .withColumn(
+            "containment", F.round(F.col("n_common") / F.col("n_inner"), 6)
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "inner_id",
+            "outer_id",
+            F.col("n_inner").cast("long").alias("n_inner"),
+            F.col("n_outer").cast("long").alias("n_outer"),
+            "containment",
+        )
+    )
+
+
+SQL_DEDUP_CONTAINMENT = f"""
+    WITH {SQL_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM shingle a JOIN shingle b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    oriented AS (
+        -- inner = the smaller shingle set; size tie → lower doc_id
+        SELECT CASE WHEN s2.n < s1.n THEN d2 ELSE d1 END AS inner_id,
+               CASE WHEN s2.n < s1.n THEN d1 ELSE d2 END AS outer_id,
+               CASE WHEN s2.n < s1.n THEN s2.n ELSE s1.n END AS n_inner,
+               CASE WHEN s2.n < s1.n THEN s1.n ELSE s2.n END AS n_outer,
+               c
+        FROM common
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2)
+    SELECT inner_id, outer_id, n_inner, n_outer,
+           ROUND(c * 1.0 / n_inner, 6) AS containment
+    FROM oriented
+    WHERE ROUND(c * 1.0 / n_inner, 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM, headline=True),
@@ -942,4 +1062,5 @@ QUERIES = {
     "dedup_simhash": Query(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": Query(q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
+    "dedup_containment": Query(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
 }

@@ -176,13 +176,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry binding: triangle counts on the part co-occurrence graph
-    (parts appearing in the same order are connected — the "frequently
-    bought together" relation; a triangle is a stable product bundle)."""
+def part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b) undirected edges of the part co-occurrence graph:
+    parts appearing in the same order are connected — the "frequently
+    bought together" relation. One self-equi-join on the order key; the
+    per-order fanout is bounded by order size (TPC-H ≤ 7 lines), so the
+    edge relation is O(|lineitem|), not quadratic in parts."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     x, y = li.alias("x"), li.alias("y")
-    edges = (
+    return (
         x.join(
             y,
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
@@ -191,7 +193,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
     )
-    return triangle_counts(edges)
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: triangle counts on the part co-occurrence graph
+    (a triangle is a stable product bundle)."""
+    return triangle_counts(part_cooccurrence_edges(spark, sf_dir))
 
 
 SQL_GRAPH_TRIANGLES = """
@@ -211,7 +218,87 @@ SQL_GRAPH_TRIANGLES = """
 """
 
 
+JACCARD_TOP_K = 100
+
+
+def neighbor_jaccard_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame:
+    """Top-k node pairs by neighborhood Jaccard — structural similarity
+    ("parts bought alongside the same other parts"), the relational form
+    of item-item collaborative filtering / SimRank-lite.
+
+    Common-neighbor counts come from one wedge self-join of the symmetric
+    neighbor relation (u—w—v with u < v), grouped per pair; degrees join
+    in and J = c / (deg_u + deg_v − c). Only pairs sharing ≥1 neighbor
+    ever exist, so the relation is wedge-sparse, never |V|². Top-k is
+    orderBy+limit — Spark's TakeOrdered (per-partition heaps + driver
+    merge of k rows), no global sort materialization, so the output stays
+    bounded at any graph size. Ordering key includes the pair ids: fully
+    deterministic under score ties. At 100 TB the same degree-orientation
+    refinement as :func:`triangle_counts` caps the wedge fanout on
+    power-law degree distributions.
+    """
+    nbr = edges.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+        edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nbr.groupBy("node").agg(F.count("*").alias("d"))
+    n1, n2 = nbr.alias("n1"), nbr.alias("n2")
+    common = (
+        n1.join(
+            n2,
+            (F.col("n1.nbr") == F.col("n2.nbr"))
+            & (F.col("n1.node") < F.col("n2.node")),
+        )
+        .groupBy(F.col("n1.node").alias("u"), F.col("n2.node").alias("v"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("du") + F.col("dv") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(k)
+    )
+
+
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: top-100 most structurally similar part pairs on
+    the co-occurrence graph."""
+    return neighbor_jaccard_topk(part_cooccurrence_edges(spark, sf_dir))
+
+
+SQL_GRAPH_JACCARD = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    nbr AS (SELECT a AS node, b AS nbr FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT node, COUNT(*) AS d FROM nbr GROUP BY node),
+    common AS (
+        SELECT n1.node AS u, n2.node AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM nbr n1 JOIN nbr n2
+          ON n1.nbr = n2.nbr AND n1.node < n2.node
+        GROUP BY 1, 2)
+    SELECT u, v, n_common,
+           ROUND(n_common * 1.0 / (du.d + dv.d - n_common), 6) AS jaccard
+    FROM common
+    JOIN deg du ON du.node = u
+    JOIN deg dv ON dv.node = v
+    ORDER BY jaccard DESC, u, v
+    LIMIT {JACCARD_TOP_K}
+"""
+
+
 QUERIES = {
     "graph_pagerank": Query(q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_triangles": Query(q_graph_triangles, SQL_GRAPH_TRIANGLES),
+    "graph_jaccard": Query(q_graph_jaccard, SQL_GRAPH_JACCARD),
 }
