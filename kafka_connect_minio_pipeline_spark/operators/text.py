@@ -564,7 +564,60 @@ def _sql_text_bm25() -> str:
 SQL_TEXT_BM25 = _sql_text_bm25()
 
 
+BPE_TOP_PAIRS = 30
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-merge statistics — the inner loop of BPE tokenizer
+    training, run as two aggregations: (1) the corpus collapses to a
+    word-frequency relation (vocabulary-sized, tiny next to the corpus —
+    this is exactly why real BPE trainers pre-aggregate words first);
+    (2) each distinct word fans out to its adjacent character pairs with
+    multiplicity, weighted by word count, and the top merge candidates
+    come back via TakeOrdered. At 100 TB stage 1 is the only pass over
+    the data (partial-aggregated count); stage 2 is sized by |vocab|,
+    not corpus size. Subsequent merge iterations rewrite the word→symbol
+    split and repeat stage 2 only — the loop never rescans the corpus.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # sequence(1, 0) would step BACKWARD in Spark — guard 1-char words
+    pair_arr = F.when(
+        F.length("word") >= 2,
+        F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select("cnt", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+SQL_TEXT_BPE_PAIRS = f"""
+    WITH words AS (
+        SELECT t.w AS word, COUNT(*) AS cnt
+        FROM (SELECT {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+             UNNEST(toks) t(w)
+        GROUP BY 1),
+    pairs AS (
+        SELECT cnt, p.pair
+        FROM words,
+             UNNEST([substr(word, i, 2) FOR i IN RANGE(1, LENGTH(word))]) p(pair))
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n_occ
+    FROM pairs GROUP BY pair
+    ORDER BY n_occ DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+"""
+
+
 QUERIES = {
+    "text_bpe_pairs": Query(q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_bm25": Query(q_text_bm25, SQL_TEXT_BM25),
     "text_pretokenize": Query(q_text_pretokenize, SQL_TEXT_PRETOKENIZE),
     "text_common_passages": Query(q_text_common_passages, SQL_TEXT_COMMON_PASSAGES),

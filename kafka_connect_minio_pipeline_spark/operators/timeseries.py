@@ -783,7 +783,62 @@ SQL_TS_MAD = f"""
 """
 
 
+def seasonal_profile(ev: DataFrame) -> DataFrame:
+    """Hour-of-day seasonal decomposition per series: each (event_type,
+    hour-of-day) cell's mean value and its seasonal index (cell mean /
+    series mean) — the multiplicative-seasonality profile that turns a
+    raw metric into "3 AM traffic runs at 0.4× baseline", the
+    normalization step in front of any seasonal anomaly detector.
+
+    One partial-aggregated shuffle collapses the corpus to ≤ 24 cells per
+    series (n, decimal-exact sum — the ``agg_stats`` recipe, so the means
+    hash-match cross-engine); the series totals come from a window over
+    those cells rather than a second scan, and that window's partitions
+    are 24 rows by construction — bounded at any corpus size. The final
+    index is one IEEE-identical double tree.
+    """
+    v6 = F.col("value").cast("double").cast("decimal(18,6)")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count("*").alias("n"), F.sum(v6).alias("s"))
+    w = Window.partitionBy("event_type")
+    hourly = F.col("s").cast("double") / F.col("n")
+    overall = (
+        F.sum("s").over(w).cast("double") / F.sum("n").over(w).cast("double")
+    )
+    return cells.select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(hourly, 6).alias("hourly_avg"),
+        F.round(hourly / overall, 6).alias("seasonal_idx"),
+    )
+
+
+def q_ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: hour-of-day seasonal indices per event type."""
+    return seasonal_profile(load(spark, sf_dir, "events"))
+
+
+SQL_TS_SEASONAL = """
+    WITH cells AS (
+        SELECT event_type,
+               CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS s
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, hod, n,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS hourly_avg,
+           ROUND((CAST(s AS DOUBLE) / n)
+                 / (CAST(SUM(s) OVER (PARTITION BY event_type) AS DOUBLE)
+                    / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)),
+                 6) AS seasonal_idx
+    FROM cells
+"""
+
+
 QUERIES = {
+    "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),
     "ts_mad": Query(q_ts_mad, SQL_TS_MAD),
     "ts_ohlc": Query(q_ts_ohlc, SQL_TS_OHLC),
     "ts_islands": Query(q_ts_islands, SQL_TS_ISLANDS),
