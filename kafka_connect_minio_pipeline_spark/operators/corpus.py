@@ -524,7 +524,74 @@ def _sql_corpus_token_budget() -> str:
 """
 
 
+# epoch schedule: quality band → how many times the doc is seen per run
+EPOCH_HIGH_Q = 0.65  # ≥ → 3 epochs
+EPOCH_MID_Q = 0.60  # ≥ → 2 epochs; below → 1
+
+
+def mix_epochs(docs: DataFrame) -> DataFrame:
+    """Materialized epoch-repetition schedule: high-quality documents are
+    repeated more times per training run (the LLaMA/DoReMi-style "epochs
+    per source" recipe, applied per quality band). Each output row is one
+    scheduled visit: (doc_id, epoch, n_epochs, n_tokens, order_key) with
+    a hash order key so repeats of a document land far apart when the
+    loader sorts shards by key.
+
+    Entirely NARROW — quality features are a projection, the band is a
+    CASE over fixed thresholds (not corpus quantiles, so no distribution
+    pass), the repetition is one ``explode(sequence(...))`` with ≤ 3×
+    fanout, and the order key is a hash: zero shuffles at any corpus
+    size. The bounded fanout is the point — epoch scheduling multiplies
+    the corpus, so it must stay a map-only plan.
+    """
+    from .text import quality_features
+
+    scored = quality_features(docs).select("doc_id", "n_tokens", "quality_score")
+    n_epochs = (
+        F.when(F.col("quality_score") >= EPOCH_HIGH_Q, F.lit(3))
+        .when(F.col("quality_score") >= EPOCH_MID_Q, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        scored.withColumn("n_epochs", n_epochs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            "n_epochs",
+            F.explode(F.sequence(F.lit(1), F.col("n_epochs"))).alias("epoch"),
+        )
+        .withColumn(
+            "order_key",
+            F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))),
+        )
+    )
+
+
+def q_corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: quality-banded epoch repetition schedule."""
+    return mix_epochs(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+def _sql_corpus_mix_epochs() -> str:
+    from .text import SQL_TEXT_QUALITY
+
+    return f"""
+    WITH q AS (
+        SELECT doc_id, n_tokens, quality_score,
+               CASE WHEN quality_score >= {EPOCH_HIGH_Q} THEN 3
+                    WHEN quality_score >= {EPOCH_MID_Q} THEN 2
+                    ELSE 1 END AS n_epochs
+        FROM ({SQL_TEXT_QUALITY}))
+    SELECT doc_id, n_tokens, quality_score, n_epochs, e.epoch,
+           md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+               AS order_key
+    FROM q, UNNEST(RANGE(1, n_epochs + 1)) e(epoch)
+"""
+
+
 QUERIES = {
+    "corpus_mix_epochs": Query(q_corpus_mix_epochs, _sql_corpus_mix_epochs()),
     "corpus_interleave": Query(q_corpus_interleave, SQL_CORPUS_INTERLEAVE),
     "corpus_token_budget": Query(q_corpus_token_budget, _sql_corpus_token_budget()),
     "corpus_bigram_novelty": Query(

@@ -297,8 +297,83 @@ SQL_GRAPH_JACCARD = f"""
 """
 
 
+KHOP_ROUNDS = 3
+KHOP_SEEDS = ("c1", "c2", "c3")
+
+
+def k_hop_distances(edges: DataFrame, seeds: DataFrame, k: int = KHOP_ROUNDS) -> DataFrame:
+    """Multi-source BFS distances up to ``k`` hops — the reachability /
+    blast-radius primitive (fraud rings, dependency fallout, influence
+    neighborhoods). Round ``i`` expands the ``dist = i-1`` frontier along
+    edges (one co-partitioned join) and folds it into the label relation
+    with a min-dist groupBy; the loop is driver-unrolled but every pass
+    is fully distributed, the same shape as :func:`pagerank`. ``k`` is a
+    small constant so lineage stays shallow (no checkpointing needed; the
+    unbounded-k variant is :func:`connected_components_ls`' territory).
+    At 100 TB both the join and the groupBy hash on the node id — the
+    frontier relation is the only thing that grows, bounded by |V|.
+    """
+    dist = seeds.select("node", F.lit(0).alias("dist"))
+    for i in range(1, k + 1):
+        frontier = (
+            edges.join(
+                dist.filter(F.col("dist") == i - 1).select(
+                    F.col("node").alias("src")
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("node"), F.lit(i).alias("dist"))
+        )
+        dist = dist.union(frontier).groupBy("node").agg(F.min("dist").alias("dist"))
+    return dist
+
+
+def q_graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: BFS distances within 3 hops of customers 1-3 on
+    the customer↔supplier graph."""
+    edges = _edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("node")).distinct().filter(
+        F.col("node").isin(*KHOP_SEEDS)
+    )
+    return k_hop_distances(edges, seeds)
+
+
+def _khop_sql() -> str:
+    seed_in = ", ".join(f"'{s}'" for s in KHOP_SEEDS)
+    rounds = []
+    prev = "d0"
+    for i in range(1, KHOP_ROUNDS + 1):
+        rounds.append(f"""
+    d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, {i} AS dist
+            FROM edges e JOIN {prev} p ON e.src = p.node AND p.dist = {i - 1}
+        ) GROUP BY node)""")
+        prev = f"d{i}"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS cust,
+                        's' || CAST(l_suppkey AS VARCHAR) AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (
+        SELECT cust AS src, supp AS dst FROM pairs
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM pairs),
+    d0 AS (
+        SELECT DISTINCT src AS node, 0 AS dist FROM edges
+        WHERE src IN ({seed_in})),{",".join(rounds)}
+    SELECT node, dist FROM {prev}
+"""
+
+
+SQL_GRAPH_KHOP = _khop_sql()
+
+
 QUERIES = {
     "graph_pagerank": Query(q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_triangles": Query(q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_jaccard": Query(q_graph_jaccard, SQL_GRAPH_JACCARD),
+    "graph_khop": Query(q_graph_khop, SQL_GRAPH_KHOP),
 }
