@@ -429,7 +429,18 @@ def histogram_quantiles(
     downstream of the first groupBy is deterministic integer/IEEE
     arithmetic, so the DuckDB oracle reproduces the estimates exactly.
     """
-    bins = (
+    return histogram_quantile_finish(
+        histogram_bins(facts, group, value, bin_w), group, bin_w
+    )
+
+
+def histogram_bins(
+    facts: DataFrame, group: str, value: str, bin_w: float = QSK_BIN_W
+) -> DataFrame:
+    """The sketch itself: (g, bin, cnt). Merging two sketches is
+    ``union → groupBy(g, bin) → sum(cnt)`` — elementwise count addition,
+    the property the mergeability test pins."""
+    return (
         facts.select(
             F.col(group).alias("g"),
             F.floor(F.col(value) / F.lit(bin_w)).cast("long").alias("bin"),
@@ -437,6 +448,12 @@ def histogram_quantiles(
         .groupBy("g", "bin")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def histogram_quantile_finish(
+    bins: DataFrame, group: str, bin_w: float = QSK_BIN_W
+) -> DataFrame:
+    """Reconstruct quantile estimates from a (g, bin, cnt) sketch."""
     wg = Window.partitionBy("g")
     cum = bins.select(
         "g",

@@ -65,13 +65,15 @@ _QUERY_MODULES = (
 #   1-19: the never-driver-graded query (scalar_array) + the 18 entries
 #         whose only driver row is from round 1 (windows, setops,
 #         scalars, topk) — VERDICT r3's top item;
-#  20-25: round-4-new operators;
-#  26-32: queries whose implementation materially CHANGED in round 4
+#  20-32: round-4-new operators (triangles/mode/bm25/rag/mad/url from
+#         the first half of the round; jaccard/khop/containment/bpe/
+#         quantile-sketch/seasonal/epochs from the second);
+#  33-39: queries whose implementation materially CHANGED in round 4
 #         (sharded interleave, bucketed token budget, large-star
 #         clusters, HLL bit shift, quantize zero guard);
-#  33-50: oldest-remaining hard signal (r2-graded, untouched since) —
-#         dedup/text/similarity re-grades. Everything else follows in
-#         module order under the every-run local parity net.
+#  40-50: oldest-remaining hard signal (r2-graded, untouched since) —
+#         dedup/text re-grades. Everything else follows in module order
+#         under the every-run local parity net.
 _GRADE_FIRST = (
     "scalar_array",
     "window_rank",
@@ -98,6 +100,13 @@ _GRADE_FIRST = (
     "llm_rag_chunk",
     "ts_mad",
     "scalar_url",
+    "graph_jaccard",
+    "graph_khop",
+    "dedup_containment",
+    "text_bpe_pairs",
+    "sketch_quantile",
+    "ts_seasonal",
+    "corpus_mix_epochs",
     "corpus_interleave",
     "corpus_token_budget",
     "dedup_clusters",
@@ -116,13 +125,6 @@ _GRADE_FIRST = (
     "text_fingerprint",
     "text_normalize",
     "text_tfidf",
-    "similarity_topk",
-    "similarity_topk_batch",
-    "similarity_ann_lsh",
-    "similarity_knn_label_eval",
-    "similarity_centroids",
-    "multimodal_binary_meta",
-    "multimodal_features",
 )
 
 

@@ -299,3 +299,24 @@ def test_connected_components_ls_deep_chain_log_rounds(spark):
         for r in connected_components_ls(edges, max_iter=15).collect()
     }
     assert got == {i: 1 for i in range(1, 401)}
+
+
+def test_containment_finds_quote_missed_by_jaccard(spark, tmp_path):
+    """A short passage embedded verbatim in a much longer doc has
+    containment 1.0 but tiny Jaccard — the asymmetric operator must find
+    the pair, the symmetric one must not."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        q_dedup_containment,
+        q_dedup_ngram_jaccard,
+    )
+
+    inner = " ".join(f"w{i}" for i in range(20))
+    filler = " ".join(f"f{i}" for i in range(200))
+    third = " ".join(f"z{i}" for i in range(30))
+    spark.createDataFrame(
+        [(1, inner), (2, inner + " " + filler), (3, third)],
+        "doc_id long, text string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = q_dedup_containment(spark, str(tmp_path)).collect()
+    assert [(r.inner_id, r.outer_id, r.containment) for r in got] == [(1, 2, 1.0)]
+    assert q_dedup_ngram_jaccard(spark, str(tmp_path)).count() == 0

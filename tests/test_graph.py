@@ -37,6 +37,53 @@ def test_pagerank_known_graph(spark):
     assert abs(got["a"] + 3 * got["b"] - 1.0) < 5e-9
 
 
+def test_neighbor_jaccard_known_graph(spark):
+    """Two nodes sharing all neighbors score 1.0; partial overlap is the
+    exact ratio; no common neighbor → no output row."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        neighbor_jaccard_topk,
+    )
+
+    # 1 and 2 both neighbor {3, 4}; 5 hangs off 3 only
+    edges = spark.createDataFrame(
+        [(1, 3), (1, 4), (2, 3), (2, 4), (3, 5)], ["a", "b"]
+    )
+    got = {(r["u"], r["v"]): r for r in neighbor_jaccard_topk(edges, k=10).collect()}
+    # nbrs(1)={3,4}, nbrs(2)={3,4} → J=1.0
+    assert got[(1, 2)]["jaccard"] == 1.0 and got[(1, 2)]["n_common"] == 2
+    # nbrs(4)={1,2}, nbrs(5)={3} → no common → absent
+    assert (4, 5) not in got
+    # nbrs(3)={1,2,5}, nbrs(4)={1,2} → J = 2/3
+    assert got[(3, 4)]["jaccard"] == round(2 / 3, 6)
+
+
+def test_khop_path_graph(spark):
+    """On a directed path 0→1→…→9 (symmetrized), distances from node 0
+    must be exact hop counts, capped at k; nodes beyond k are absent."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import k_hop_distances
+
+    path = [(str(i), str(i + 1)) for i in range(9)]
+    edges = spark.createDataFrame(
+        path + [(d, s) for s, d in path], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("0",)], ["node"])
+    got = {r["node"]: r["dist"] for r in k_hop_distances(edges, seeds, k=3).collect()}
+    assert got == {"0": 0, "1": 1, "2": 2, "3": 3}
+
+
+def test_khop_multi_source_min(spark):
+    """With two seeds the label is the MIN distance over sources."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import k_hop_distances
+
+    path = [(str(i), str(i + 1)) for i in range(6)]
+    edges = spark.createDataFrame(
+        path + [(d, s) for s, d in path], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("0",), ("6",)], ["node"])
+    got = {r["node"]: r["dist"] for r in k_hop_distances(edges, seeds, k=3).collect()}
+    assert got == {"0": 0, "1": 1, "2": 2, "3": 3, "6": 0, "5": 1, "4": 2}
+
+
 def test_triangle_counts_known_graphs(spark):
     """K4 has 4 triangles, every node in 3; a 4-cycle has none; a
     disconnected extra triangle counts independently."""

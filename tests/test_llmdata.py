@@ -415,3 +415,23 @@ def test_rag_chunks_cover_and_overlap(spark):
             covered.update(range(start, start + len(want)))
         assert covered == set(range(len(toks))), doc_id
     assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1 and len(by_doc[4]) == 1
+
+
+def test_mix_epochs_schedule_properties(spark, sf_dir):
+    """Every doc appears exactly n_epochs times with epochs 1..n, the
+    fanout stays within the 3x bound, and order keys are unique."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import q_corpus_mix_epochs
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    rows = q_corpus_mix_epochs(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == n_docs
+    assert len(rows) <= 3 * n_docs
+    for doc_id, visits in by_doc.items():
+        n = visits[0].n_epochs
+        assert sorted(v.epoch for v in visits) == list(range(1, n + 1)), doc_id
+    keys = [r.order_key for r in rows]
+    assert len(set(keys)) == len(keys)

@@ -74,3 +74,58 @@ def test_stream_hll_equals_batch_sketch(spark, sf_dir):
     }
     assert len(stream_row) == 1
     assert stream_row[0].n_hll == batch["events.user_id"]
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """The estimate can never be further than one bin width from the
+    exact (interpolated) quantile — the sketch's accuracy contract."""
+    li = load(spark, sf_dir, "lineitem")
+    est = {
+        (r.l_returnflag, r.q): r.est
+        for r in sketches.q_sketch_quantile(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.l_returnflag, q): r[f"p{int(q * 100)}"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(q)).alias(f"p{int(q * 100)}")
+                for q in sketches.QSK_QUANTILES
+            ]
+        )
+        .collect()
+        for q in sketches.QSK_QUANTILES
+    }
+    assert set(est) == set(exact)
+    for k in est:
+        assert abs(est[k] - exact[k]) <= sketches.QSK_BIN_W, (k, est[k], exact[k])
+
+
+def test_histogram_quantile_sketch_is_mergeable(spark, sf_dir):
+    """finish(merge(sketch(A), sketch(B))) == finish(sketch(A ∪ B)) where
+    merge is elementwise count addition — the property that lets per-day
+    (or per-partition) sketches combine without revisiting rows."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged_bins = (
+        sketches.histogram_bins(a, "l_returnflag", "l_extendedprice")
+        .union(sketches.histogram_bins(b, "l_returnflag", "l_extendedprice"))
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got = sorted(
+        map(
+            tuple,
+            sketches.histogram_quantile_finish(merged_bins, "l_returnflag").collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            sketches.histogram_quantiles(
+                li, "l_returnflag", "l_extendedprice"
+            ).collect(),
+        )
+    )
+    assert got == want

@@ -98,3 +98,16 @@ def test_phash_pairs_contract(spark):
     assert h == phash64(b"hello world this is a longer payload for testing" * 4)
     assert phash64(b"") == 0
     assert PHASH_BANDS * PHASH_BAND_BITS == 60
+
+
+def test_bpe_pairs_count_multiplicity(spark, tmp_path):
+    """Adjacent-pair counts must respect within-word multiplicity
+    ('aaa' contains 'aa' twice) and word frequency weighting."""
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_bpe_pairs
+
+    spark.createDataFrame(
+        [(1, "aaa bb"), (2, "ab ab ab x")], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r.pair: r.n_occ for r in q_text_bpe_pairs(spark, str(tmp_path)).collect()}
+    # 'aaa' → aa twice; 'ab' ×3 → ab 3; 'bb' once; 1-char 'x' contributes none
+    assert got == {"aa": 2, "ab": 3, "bb": 1}
