@@ -537,12 +537,13 @@ def mix_epochs(docs: DataFrame) -> DataFrame:
     a hash order key so repeats of a document land far apart when the
     loader sorts shards by key.
 
-    Entirely NARROW — quality features are a projection, the band is a
-    CASE over fixed thresholds (not corpus quantiles, so no distribution
-    pass), the repetition is one ``explode(sequence(...))`` with ≤ 3×
-    fanout, and the order key is a hash: zero shuffles at any corpus
-    size. The bounded fanout is the point — epoch scheduling multiplies
-    the corpus, so it must stay a map-only plan.
+    Entirely NARROW past the ``spread`` fan-out — quality features are a
+    projection, the band is a CASE over fixed thresholds (not corpus
+    quantiles, so no distribution pass), the repetition is one
+    ``explode(sequence(...))`` with ≤ 3× fanout, and the order key is a
+    hash: no aggregation or join shuffle at any corpus size. The bounded
+    fanout is the point — epoch scheduling multiplies the corpus, so it
+    must stay a map-only plan.
     """
     from .text import quality_features
 

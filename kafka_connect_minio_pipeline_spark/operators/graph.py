@@ -181,10 +181,18 @@ def part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts appearing in the same order are connected — the "frequently
     bought together" relation. One self-equi-join on the order key; the
     per-order fanout is bounded by order size (TPC-H ≤ 7 lines), so the
-    edge relation is O(|lineitem|), not quadratic in parts."""
+    edge relation is O(|lineitem|), not quadratic in parts.
+
+    Staged to temp parquet like :func:`_edges`: every consumer
+    (triangles references edges 3×, neighbor-Jaccard 4×) would otherwise
+    re-run the lineitem self-join per reference — measured 31 exchanges
+    in the un-staged Jaccard plan vs 7 staged, with no runtime
+    ReusedExchange unification across the differently-shaped join
+    subtrees. The staged write is one derivation; readers get file
+    stats + pruning."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     x, y = li.alias("x"), li.alias("y")
-    return (
+    edges = (
         x.join(
             y,
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
@@ -193,6 +201,9 @@ def part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
         .distinct()
     )
+    d = scratch_dir("kcm_cooc_edges_")
+    edges.write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,45 +232,61 @@ SQL_GRAPH_TRIANGLES = """
 JACCARD_TOP_K = 100
 
 
-def neighbor_jaccard_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame:
-    """Top-k node pairs by neighborhood Jaccard — structural similarity
-    ("parts bought alongside the same other parts"), the relational form
-    of item-item collaborative filtering / SimRank-lite.
+def edge_jaccard_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame:
+    """Top-k EDGES by neighborhood Jaccard — tie strength / embeddedness
+    of each relationship (the "how much of our worlds overlap" score
+    behind strong-tie detection and link weighting). For an edge (u, v),
+    J = |N(u)∩N(v)| / |N(u)∪N(v)| where the intersection count is the
+    number of triangles through the edge.
 
-    Common-neighbor counts come from one wedge self-join of the symmetric
-    neighbor relation (u—w—v with u < v), grouped per pair; degrees join
-    in and J = c / (deg_u + deg_v − c). Only pairs sharing ≥1 neighbor
-    ever exist, so the relation is wedge-sparse, never |V|². Top-k is
-    orderBy+limit — Spark's TakeOrdered (per-partition heaps + driver
-    merge of k rows), no global sort materialization, so the output stays
-    bounded at any graph size. Ordering key includes the pair ids: fully
-    deterministic under score ties. At 100 TB the same degree-orientation
-    refinement as :func:`triangle_counts` caps the wedge fanout on
-    power-law degree distributions.
+    Scale shape: an earlier all-pairs formulation (wedge self-join over
+    EVERY pair sharing a neighbor) was measured generating hundreds of
+    millions of wedge rows already at sf0.1 — Σ_w C(deg(w), 2) is
+    quadratic in hub degree and not a 100 TB plan. Restricting to
+    ADJACENT pairs makes the candidate set |E| and reuses the
+    compact-forward triangle enumeration (:func:`triangle_counts`'s
+    bounded wedge join): each triangle credits its three edges, one
+    explode + groupBy. Top-k is orderBy+limit — TakeOrdered per-partition
+    heaps, no global sort; ids break score ties deterministically.
+    Edges on no triangle score 0 and never surface in the top-k.
     """
-    nbr = edges.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
-        edges.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
-    )
-    deg = nbr.groupBy("node").agg(F.count("*").alias("d"))
-    n1, n2 = nbr.alias("n1"), nbr.alias("n2")
-    common = (
-        n1.join(
-            n2,
-            (F.col("n1.nbr") == F.col("n2.nbr"))
-            & (F.col("n1.node") < F.col("n2.node")),
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
         )
-        .groupBy(F.col("n1.node").alias("u"), F.col("n2.node").alias("v"))
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    side = F.explode(
+        F.array(
+            F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+            F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+            F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+        )
+    )
+    per_edge = (
+        tri.select(side.alias("e"))
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
     )
+    nbr = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = nbr.groupBy("node").agg(F.count("*").alias("d"))
     return (
-        common.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        per_edge.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
         .select(
-            "u",
-            "v",
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
             "n_common",
             F.round(
-                F.col("n_common") / (F.col("du") + F.col("dv") - F.col("n_common")), 6
+                F.col("n_common") / (F.col("da") + F.col("db") - F.col("n_common")), 6
             ).alias("jaccard"),
         )
         .orderBy(F.col("jaccard").desc(), "u", "v")
@@ -268,9 +295,9 @@ def neighbor_jaccard_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame
 
 
 def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry binding: top-100 most structurally similar part pairs on
-    the co-occurrence graph."""
-    return neighbor_jaccard_topk(part_cooccurrence_edges(spark, sf_dir))
+    """Registry binding: the 100 strongest co-purchase ties (per-edge
+    neighborhood Jaccard) on the part co-occurrence graph."""
+    return edge_jaccard_topk(part_cooccurrence_edges(spark, sf_dir))
 
 
 SQL_GRAPH_JACCARD = f"""
@@ -279,19 +306,26 @@ SQL_GRAPH_JACCARD = f"""
         SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
         FROM li x JOIN li y
           ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-    nbr AS (SELECT a AS node, b AS nbr FROM edges
-            UNION ALL SELECT b, a FROM edges),
-    deg AS (SELECT node, COUNT(*) AS d FROM nbr GROUP BY node),
-    common AS (
-        SELECT n1.node AS u, n2.node AS v, CAST(COUNT(*) AS BIGINT) AS n_common
-        FROM nbr n1 JOIN nbr n2
-          ON n1.nbr = n2.nbr AND n1.node < n2.node
-        GROUP BY 1, 2)
-    SELECT u, v, n_common,
-           ROUND(n_common * 1.0 / (du.d + dv.d - n_common), 6) AS jaccard
-    FROM common
-    JOIN deg du ON du.node = u
-    JOIN deg dv ON dv.node = v
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+    per_edge AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common FROM (
+            SELECT x AS a, y AS b FROM tri
+            UNION ALL SELECT y, z FROM tri
+            UNION ALL SELECT x, z FROM tri
+        ) GROUP BY a, b),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY node)
+    SELECT a AS u, b AS v, n_common,
+           ROUND(n_common * 1.0 / (da.d + db.d - n_common), 6) AS jaccard
+    FROM per_edge
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
     ORDER BY jaccard DESC, u, v
     LIMIT {JACCARD_TOP_K}
 """

@@ -37,24 +37,24 @@ def test_pagerank_known_graph(spark):
     assert abs(got["a"] + 3 * got["b"] - 1.0) < 5e-9
 
 
-def test_neighbor_jaccard_known_graph(spark):
-    """Two nodes sharing all neighbors score 1.0; partial overlap is the
-    exact ratio; no common neighbor → no output row."""
-    from kafka_connect_minio_pipeline_spark.operators.graph import (
-        neighbor_jaccard_topk,
-    )
+def test_edge_jaccard_known_graph(spark):
+    """Per-edge embeddedness on a triangle with a pendant: triangle edges
+    score their exact neighbor-overlap ratio, the pendant edge (no
+    triangle through it) never surfaces, and the strongest tie ranks
+    first."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import edge_jaccard_topk
 
-    # 1 and 2 both neighbor {3, 4}; 5 hangs off 3 only
-    edges = spark.createDataFrame(
-        [(1, 3), (1, 4), (2, 3), (2, 4), (3, 5)], ["a", "b"]
-    )
-    got = {(r["u"], r["v"]): r for r in neighbor_jaccard_topk(edges, k=10).collect()}
-    # nbrs(1)={3,4}, nbrs(2)={3,4} → J=1.0
-    assert got[(1, 2)]["jaccard"] == 1.0 and got[(1, 2)]["n_common"] == 2
-    # nbrs(4)={1,2}, nbrs(5)={3} → no common → absent
-    assert (4, 5) not in got
-    # nbrs(3)={1,2,5}, nbrs(4)={1,2} → J = 2/3
-    assert got[(3, 4)]["jaccard"] == round(2 / 3, 6)
+    # triangle 1-2-3 plus pendant 4 hanging off 1
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3), (1, 4)], ["a", "b"])
+    rows = edge_jaccard_topk(edges, k=10).collect()
+    got = {(r["u"], r["v"]): r for r in rows}
+    # N(2)={1,3}, N(3)={1,2}: common {1} → J = 1/3; N(1)={2,3,4}: the
+    # triangle edges at the hub dilute to 1/4
+    assert got[(2, 3)]["jaccard"] == round(1 / 3, 6)
+    assert got[(1, 2)]["jaccard"] == 0.25
+    assert got[(1, 3)]["jaccard"] == 0.25
+    assert (1, 4) not in got
+    assert (rows[0]["u"], rows[0]["v"]) == (2, 3)
 
 
 def test_khop_path_graph(spark):
