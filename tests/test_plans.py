@@ -487,3 +487,54 @@ def test_token_budget_has_no_unbounded_global_window(spark, sf_dir):
     assert all("bucket_tokens" in line for line in globals_), globals_
     plan = formatted_plan(df)
     assert "hashpartitioning(q_bucket" in plan, plan
+
+
+def test_new_topk_queries_avoid_global_sort(spark, sf_dir):
+    """graph_jaccard / text_bpe_pairs return top-k via TakeOrdered
+    (per-partition heaps), never a range-partitioned global sort."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import q_graph_jaccard
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_bpe_pairs
+
+    for q in (q_graph_jaccard, q_text_bpe_pairs):
+        df = q(spark, sf_dir)
+        assert_in_plan(df, "TakeOrderedAndProject")
+        assert_not_in_plan(df, "Exchange rangepartitioning")
+
+
+def test_graph_wedge_joins_have_no_cartesian(spark, sf_dir):
+    """Triangle/embeddedness enumeration must stay pure equi-joins —
+    a cartesian or nested-loop anywhere means the canonical-orientation
+    trick broke."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        q_graph_jaccard,
+        q_graph_triangles,
+    )
+
+    for q in (q_graph_triangles, q_graph_jaccard):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_sketch_quantile_aggregates_before_window(spark, sf_dir):
+    """The row-count-heavy phase must be a partial-aggregated groupBy;
+    the quantile window runs over bin counts only (no window operator
+    upstream of the first aggregation)."""
+    from kafka_connect_minio_pipeline_spark.operators.sketches import q_sketch_quantile
+
+    plan = formatted_plan(q_sketch_quantile(spark, sf_dir))
+    tree = plan.split("\n\n")[0]  # tree section; nodes print top-down
+    assert tree.count("HashAggregate") >= 2, tree
+    # below the last (= earliest) aggregate there is only the scan side:
+    # no Window touches pre-aggregation rows
+    below_first_agg = tree.rsplit("HashAggregate", 1)[1]
+    assert "Window" not in below_first_agg, tree
+
+
+def test_mix_epochs_has_no_agg_or_join_shuffle(spark, sf_dir):
+    """The epoch schedule is a map-only plan past the spread fan-out:
+    exactly one exchange (the repartition), no aggregation, no join."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import q_corpus_mix_epochs
+
+    tree = formatted_plan(q_corpus_mix_epochs(spark, sf_dir)).split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree and "HashAggregate" not in tree, tree
