@@ -934,6 +934,68 @@ def _emb_lsh_oracle_sql() -> str:
 SQL_DEDUP_EMBEDDING_LSH = _emb_lsh_oracle_sql()
 
 
+def q_dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline quality report: the MinHash-LSH pair set measured
+    against the exact Jaccard operator — pair counts, true positives,
+    misses, precision and recall, as ONE row. This is the recurring
+    measurement a curation pipeline reruns when the corpus or the LSH
+    knobs (bands, permutations) change; the pytest recall checks pin the
+    floor once, this query makes the number observable in production.
+
+    Both inputs are the registered operators (exact pairs: prefix-filter
+    join; LSH pairs: banded signatures + exact verify). The comparison
+    is a full-outer join on the pair key + one aggregation over pair
+    rows — negligible next to either input. Precision is 1.0 by
+    construction (LSH verifies candidates exactly at the same
+    threshold); the query PROVES that rather than assuming it.
+    """
+    exact = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_exact")
+    )
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_lsh")
+    )
+    j = exact.join(lsh, ["d1", "d2"], "full")
+    return j.agg(
+        F.sum(F.coalesce(F.col("in_exact"), F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("n_lsh"),
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("n_both"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_both",
+        F.round(F.col("n_both") / F.col("n_exact"), 6).alias("recall"),
+        F.round(F.col("n_both") / F.col("n_lsh"), 6).alias("precision"),
+    )
+
+
+def _minhash_eval_sql() -> str:
+    return f"""
+    WITH ex AS (SELECT d1, d2, 1 AS in_exact FROM ({SQL_DEDUP_NGRAM})),
+    ls AS (SELECT d1, d2, 1 AS in_lsh FROM ({SQL_DEDUP_MINHASH})),
+    j AS (SELECT COALESCE(ex.in_exact, 0) AS in_exact,
+                 COALESCE(ls.in_lsh, 0) AS in_lsh
+          FROM ex FULL JOIN ls USING (d1, d2)),
+    agg AS (
+        SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+               CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+               CAST(SUM(CASE WHEN in_exact = 1 AND in_lsh = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        FROM j)
+    SELECT n_exact, n_lsh, n_both,
+           ROUND(n_both * 1.0 / n_exact, 6) AS recall,
+           ROUND(n_both * 1.0 / n_lsh, 6) AS precision
+    FROM agg
+"""
+
+
+SQL_DEDUP_MINHASH_EVAL = _minhash_eval_sql()
+
+
 # ---------------------------------------------------------------------------
 # 8. asymmetric containment (doc-in-doc / quote / boilerplate inclusion)
 # ---------------------------------------------------------------------------
@@ -1063,4 +1125,5 @@ QUERIES = {
     "dedup_embedding_cosine": Query(q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": Query(q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     "dedup_containment": Query(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_minhash_eval": Query(q_dedup_minhash_eval, SQL_DEDUP_MINHASH_EVAL),
 }

@@ -667,8 +667,57 @@ SQL_EMBEDDING_QUANTIZE = f"""
 """
 
 
+def q_similarity_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the hyperplane-LSH ANN against exact brute force, per
+    query — index-quality measurement as a first-class query (the report
+    an ANN deployment recomputes whenever data or recall knobs change,
+    not a one-off test). Both sides are the already-registered operators:
+    truth = :func:`q_similarity_topk_batch` (exact, one corpus pass),
+    candidate = :func:`q_similarity_ann_lsh`. The comparison itself is a
+    left-semi join + two tiny aggregations over k·|Q| rows — free next
+    to either input, at any corpus size.
+    """
+    truth = q_similarity_topk_batch(spark, sf_dir).select("query_id", "vec_id")
+    ann = q_similarity_ann_lsh(spark, sf_dir).select("query_id", "vec_id")
+    hits = truth.join(ann, ["query_id", "vec_id"], "left_semi")
+    n_truth = truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return (
+        n_truth.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_SIMILARITY_ANN_EVAL = f"""
+    WITH truth AS (
+        SELECT query_id, vec_id FROM ({SQL_SIMILARITY_TOPK_BATCH})),
+    ann AS (
+        SELECT query_id, vec_id FROM ({SQL_ANN_LSH})),
+    hits AS (
+        SELECT t.query_id, t.vec_id FROM truth t
+        WHERE EXISTS (SELECT 1 FROM ann a
+                      WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)),
+    nt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+           FROM truth GROUP BY query_id),
+    nh AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+           FROM hits GROUP BY query_id)
+    SELECT nt.query_id, n_truth,
+           COALESCE(n_hit, 0) AS n_hit,
+           ROUND(COALESCE(n_hit, 0) * 1.0 / n_truth, 6) AS recall
+    FROM nt LEFT JOIN nh USING (query_id)
+"""
+
+
 QUERIES = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "similarity_ann_eval": Query(q_similarity_ann_eval, SQL_SIMILARITY_ANN_EVAL),
     "similarity_topk": Query(q_similarity_topk, SQL_SIMILARITY_TOPK),
     "similarity_topk_batch": Query(
         q_similarity_topk_batch, SQL_SIMILARITY_TOPK_BATCH, headline=True

@@ -837,7 +837,81 @@ SQL_TS_SEASONAL = """
 """
 
 
+def retention_cohorts(ev: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, the
+    fraction still active in each subsequent week — the growth-analytics
+    staple (and, for a training pipeline, the "is this data source going
+    stale" view of contributor activity).
+
+    Shape: the corpus collapses to distinct (user, day) activity in one
+    partial-aggregated pass; first-activity is a groupBy on user; the
+    activity⋈first join is co-partitioned on user_id (AQE broadcasts it
+    at test scale); the matrix itself is cohorts × weeks — tiny. Every
+    aggregate is a count, every ratio one rounded division: exact
+    cross-engine.
+    """
+    act = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    offs = (
+        act.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / F.lit(7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        offs.groupBy("cohort_day", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: weekly retention by first-activity-day cohort."""
+    return retention_cohorts(load(spark, sf_dir, "events"))
+
+
+SQL_TS_RETENTION = """
+    WITH act AS (
+        SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events),
+    first AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id),
+    sizes AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY cohort_day),
+    offs AS (
+        SELECT DISTINCT a.user_id, f.cohort_day,
+               CAST(FLOOR(DATE_DIFF('day', f.cohort_day, a.day) / 7.0) AS BIGINT)
+                   AS week_offset
+        FROM act a JOIN first f USING (user_id)),
+    m AS (
+        SELECT cohort_day, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+        FROM offs GROUP BY 1, 2)
+    SELECT cohort_day, week_offset, n_active, cohort_size,
+           ROUND(n_active * 1.0 / cohort_size, 6) AS retention
+    FROM m JOIN sizes USING (cohort_day)
+"""
+
+
 QUERIES = {
+    "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
     "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),
     "ts_mad": Query(q_ts_mad, SQL_TS_MAD),
     "ts_ohlc": Query(q_ts_ohlc, SQL_TS_OHLC),

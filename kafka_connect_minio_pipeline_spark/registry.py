@@ -107,6 +107,9 @@ _GRADE_FIRST = (
     "sketch_quantile",
     "ts_seasonal",
     "corpus_mix_epochs",
+    "ts_retention",
+    "dedup_minhash_eval",
+    "similarity_ann_eval",
     "corpus_interleave",
     "corpus_token_budget",
     "dedup_clusters",
@@ -122,9 +125,6 @@ _GRADE_FIRST = (
     "text_quality",
     "text_token_stats",
     "text_ngram_top",
-    "text_fingerprint",
-    "text_normalize",
-    "text_tfidf",
 )
 
 
