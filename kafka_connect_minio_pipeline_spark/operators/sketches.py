@@ -405,6 +405,112 @@ SQL_SKETCH_HLL = f"""
 """
 
 
+def q_sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra — audience overlap between two key populations
+    (active event users ∩ ordering customers) WITHOUT co-shuffling them:
+    union cardinality comes from merging the two 512-row register
+    relations with MAX, intersection from inclusion–exclusion
+    (|A| + |B| − |A∪B|). This is the sketch property that matters across
+    SEGMENTS, not just partitions — each population keeps its own tiny
+    sketch (per day, per source, per shard) and any union/overlap
+    question is answered from sketches alone. The exact intersection
+    (one semi-join over distincts) rides along as the accuracy witness,
+    same contract as ``sketch_hll``'s n_exact column.
+    """
+    a = load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    b = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("k")
+    )
+    ra = _hll_register_ranks(a, "k")
+    rb = _hll_register_ranks(b, "k")
+    ru = ra.union(rb).groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+    ea = hll_estimate_from_registers(ra, "a").select(F.col("n_hll").alias("hll_a"))
+    eb = hll_estimate_from_registers(rb, "b").select(F.col("n_hll").alias("hll_b"))
+    eu = hll_estimate_from_registers(ru, "u").select(
+        F.col("n_hll").alias("hll_union")
+    )
+    exact = (
+        a.distinct()
+        .join(b.distinct(), "k", "left_semi")
+        .agg(F.count("*").alias("n_exact_inter"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "hll_a",
+            "hll_b",
+            "hll_union",
+            F.round(
+                F.col("hll_a") + F.col("hll_b") - F.col("hll_union"), 4
+            ).alias("hll_inter"),
+            "n_exact_inter",
+        )
+    )
+
+
+def _hll_regs_sql(table: str, key: str) -> str:
+    """DuckDB twin of :func:`_hll_register_ranks` (same exact-integer
+    shift as the Spark side — see the r3 ADVICE fix)."""
+    return f"""
+        SELECT register, MAX(rank) AS max_rank FROM (
+            SELECT h % {HLL_M} AS register,
+                   CASE WHEN h // {HLL_M} = 0 THEN {HLL_REST_BITS + 1}
+                        ELSE {HLL_REST_BITS + 1}
+                             - LENGTH(format('{{:b}}', h // {HLL_M})) END AS rank
+            FROM (
+                SELECT ('0x' || substr(md5('hll:' || CAST({key} AS VARCHAR)),
+                                       1, 15))::BIGINT AS h
+                FROM {table})
+        ) GROUP BY register"""
+
+
+def _hll_est_from_regs_sql(regs_cte: str, alias: str) -> str:
+    """DuckDB twin of :func:`hll_estimate_from_registers` reading a
+    (register, max_rank) CTE."""
+    rest_one = 1 << HLL_REST_BITS
+    return f"""
+        SELECT ROUND(CASE WHEN CAST({_HLL_RAW_NUM!r} AS DOUBLE) / indicator
+                              <= {2.5 * HLL_M}
+                          AND n_zero > 0
+                     THEN CAST({HLL_M} AS DOUBLE)
+                          * LN(CAST({HLL_M} AS DOUBLE) / n_zero)
+                     ELSE CAST({_HLL_RAW_NUM!r} AS DOUBLE) / indicator END,
+                     4) AS {alias}
+        FROM (
+            SELECT CAST(SUM(CAST({rest_one} / POW(2.0, max_rank)
+                                 AS DECIMAL(38,0))) AS DOUBLE)
+                       / {float(rest_one)}
+                   + CAST({HLL_M} - COUNT(*) AS DOUBLE) AS indicator,
+                   CAST({HLL_M} - COUNT(*) AS DOUBLE) AS n_zero
+            FROM {regs_cte})"""
+
+
+SQL_SKETCH_HLL_SETOPS = f"""
+    WITH ra AS ({_hll_regs_sql("events", "user_id")}),
+    rb AS ({_hll_regs_sql("orders", "o_custkey")}),
+    ru AS (
+        SELECT register, MAX(max_rank) AS max_rank FROM (
+            SELECT * FROM ra UNION ALL SELECT * FROM rb
+        ) GROUP BY register),
+    ea AS ({_hll_est_from_regs_sql("ra", "hll_a")}),
+    eb AS ({_hll_est_from_regs_sql("rb", "hll_b")}),
+    eu AS ({_hll_est_from_regs_sql("ru", "hll_union")}),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_inter FROM (
+            SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+            INTERSECT
+            SELECT DISTINCT CAST(o_custkey AS VARCHAR) FROM orders))
+    SELECT hll_a, hll_b, hll_union,
+           ROUND(hll_a + hll_b - hll_union, 4) AS hll_inter,
+           n_exact_inter
+    FROM ea, eb, eu, ex
+"""
+
+
 # ---------------------------------------------------------------------------
 # histogram-quantile sketch (mergeable fixed-bin quantiles)
 # ---------------------------------------------------------------------------
@@ -520,4 +626,5 @@ QUERIES = {
     "sketch_countmin": Query(q_sketch_countmin, SQL_SKETCH_COUNTMIN),
     "sketch_hll": Query(q_sketch_hll, SQL_SKETCH_HLL),
     "sketch_quantile": Query(q_sketch_quantile, SQL_SKETCH_QUANTILE),
+    "sketch_hll_setops": Query(q_sketch_hll_setops, SQL_SKETCH_HLL_SETOPS),
 }

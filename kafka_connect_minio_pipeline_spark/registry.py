@@ -110,6 +110,7 @@ _GRADE_FIRST = (
     "ts_retention",
     "dedup_minhash_eval",
     "similarity_ann_eval",
+    "sketch_hll_setops",
     "corpus_interleave",
     "corpus_token_budget",
     "dedup_clusters",
@@ -124,7 +125,6 @@ _GRADE_FIRST = (
     "dedup_embedding_cosine",
     "text_quality",
     "text_token_stats",
-    "text_ngram_top",
 )
 
 

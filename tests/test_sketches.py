@@ -129,3 +129,15 @@ def test_histogram_quantile_sketch_is_mergeable(spark, sf_dir):
         )
     )
     assert got == want
+
+
+def test_hll_setops_intersection_within_error(spark, sf_dir):
+    """Inclusion–exclusion compounds the per-sketch error; at p=9
+    (512 registers, ~4.6% standard error) the overlap estimate must land
+    within 15% of the exact intersection, and the union estimate can
+    never fall below either side's estimate (register-max dominance)."""
+    row = sketches.q_sketch_hll_setops(spark, sf_dir).collect()[0]
+    assert row.n_exact_inter > 0
+    rel = abs(row.hll_inter - row.n_exact_inter) / row.n_exact_inter
+    assert rel < 0.15, (row.hll_inter, row.n_exact_inter)
+    assert row.hll_union >= max(row.hll_a, row.hll_b) - 1e-9
