@@ -24,7 +24,12 @@ _STATEFUL = sorted(
     or n in ("dedup_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
              "graph_pagerank", "corpus_shuffle_split",
              "multimodal_phash_clusters", "llm_dedup_keep_best",
-             "sketch_bloom_join")
+             "sketch_bloom_join",
+             # r4 staged/composed paths: co-occurrence edge staging,
+             # double-pipeline evals, containment staging
+             "graph_triangles", "graph_jaccard", "graph_khop",
+             "dedup_containment", "dedup_minhash_eval",
+             "similarity_ann_eval")
 )
 
 
