@@ -76,14 +76,12 @@ SQL_SIMILARITY_TOPK = f"""
 """
 
 
-def q_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 neighbors for each of the first 8 vectors, one pass.
-
-    Queries are broadcast; ranking is a per-query window (row_number over
-    cosine desc) — the scalable many-query formulation: corpus scanned
-    once, k·|Q| rows out.
-    """
-    em = _with_norms(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
+def brute_topk_batch(em_raw: DataFrame, k: int = 3) -> DataFrame:
+    """Exact top-k neighbors for the first N_QUERIES vectors of a
+    (vec_id, embedding) relation. Queries are broadcast; ranking is a
+    per-query window (row_number over cosine desc) — the scalable
+    many-query formulation: corpus scanned once, k·|Q| rows out."""
+    em = _with_norms(em_raw)
     queries = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -104,8 +102,13 @@ def q_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
     )
+
+
+def q_similarity_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: exact top-3 per query over the full embeddings."""
+    return brute_topk_batch(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
 
 
 SQL_SIMILARITY_TOPK_BATCH = f"""
@@ -715,9 +718,89 @@ SQL_SIMILARITY_ANN_EVAL = f"""
 """
 
 
+MRL_DIMS = 8  # truncated prefix dimensionality under evaluation
+
+
+def q_similarity_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-dimension study (the Matryoshka question): if the index
+    stored only the first 8 of 16 dimensions — half the footprint, twice
+    the scan rate — what fraction of each query's exact top-3 survives?
+    Per-query recall of truncated-vector brute force against full-vector
+    brute force; the measurement that decides a storage/recall knob
+    BEFORE re-embedding a 100 TB corpus.
+
+    Both sides are one corpus pass each (broadcast queries, per-query
+    window); the truncation is a narrow ``slice`` projection. The
+    comparison is k·|Q| rows — free.
+    """
+    em = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    full = brute_topk_batch(em).select("query_id", "vec_id")
+    trunc = brute_topk_batch(
+        em.select("vec_id", F.slice("embedding", 1, MRL_DIMS).alias("embedding"))
+    ).select("query_id", "vec_id")
+    hits = full.join(trunc, ["query_id", "vec_id"], "left_semi")
+    n_truth = full.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return n_truth.join(n_hit, "query_id", "left").select(
+        "query_id",
+        "n_truth",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), 6
+        ).alias("recall"),
+    )
+
+
+def _topk3_sql(base_cte: str) -> str:
+    """DuckDB brute-force top-3 over a (vec_id, embedding) CTE."""
+    return f"""
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[]))
+                         / (SQRT(c.norm_sq) * SQRT(q.norm_sq)), 6) AS cos_sim
+            FROM (SELECT vec_id, embedding,
+                         list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])) AS norm_sq
+                  FROM {base_cte}) c
+            JOIN (SELECT vec_id, embedding,
+                         list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])) AS norm_sq
+                  FROM {base_cte}) q
+              ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id))
+    WHERE rank <= 3"""
+
+
+SQL_SIMILARITY_MATRYOSHKA_EVAL = f"""
+    WITH tr_base AS (
+        SELECT vec_id, embedding[1:{MRL_DIMS}] AS embedding FROM embeddings),
+    truth AS ({_topk3_sql("embeddings")}),
+    tr AS ({_topk3_sql("tr_base")}),
+    hits AS (
+        SELECT t.query_id, t.vec_id FROM truth t
+        WHERE EXISTS (SELECT 1 FROM tr
+                      WHERE tr.query_id = t.query_id AND tr.vec_id = t.vec_id)),
+    nt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+           FROM truth GROUP BY query_id),
+    nh AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+           FROM hits GROUP BY query_id)
+    SELECT nt.query_id, n_truth,
+           COALESCE(n_hit, 0) AS n_hit,
+           ROUND(COALESCE(n_hit, 0) * 1.0 / n_truth, 6) AS recall
+    FROM nt LEFT JOIN nh USING (query_id)
+"""
+
+
 QUERIES = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "similarity_ann_eval": Query(q_similarity_ann_eval, SQL_SIMILARITY_ANN_EVAL),
+    "similarity_matryoshka_eval": Query(
+        q_similarity_matryoshka_eval, SQL_SIMILARITY_MATRYOSHKA_EVAL
+    ),
     "similarity_topk": Query(q_similarity_topk, SQL_SIMILARITY_TOPK),
     "similarity_topk_batch": Query(
         q_similarity_topk_batch, SQL_SIMILARITY_TOPK_BATCH, headline=True

@@ -111,6 +111,7 @@ _GRADE_FIRST = (
     "dedup_minhash_eval",
     "similarity_ann_eval",
     "sketch_hll_setops",
+    "similarity_matryoshka_eval",
     "corpus_interleave",
     "corpus_token_budget",
     "dedup_clusters",
@@ -124,7 +125,6 @@ _GRADE_FIRST = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "text_quality",
-    "text_token_stats",
 )
 
 
