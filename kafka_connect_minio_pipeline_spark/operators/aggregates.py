@@ -538,6 +538,147 @@ SQL_AGG_MODE = """
 """
 
 
+def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares: per event type, the linear trend of
+    ``value`` over time (is this metric drifting?) — slope, intercept and
+    R² of value ~ hours-since-window-start.
+
+    Same exactness strategy as agg_corr: engine-native REGR_* aggregates
+    accumulate float co-moments in partition order and can't hash-match
+    across engines, so the six co-moment sums are exact decimals (x is an
+    integer hour index via timestampdiff — exact; y is value quantized to
+    DECIMAL(18,6)) and the closing slope/intercept/R² expressions are one
+    IEEE-identical double tree rounded at the end. x is re-centered at the
+    data window's start so x² stays tiny; a production deployment over
+    years of data re-centers per-group (subtract group mean x from the
+    exact sums — algebraically the same co-moments) rather than widening
+    the decimals. Plan shape: one partial-aggregated groupBy — the same
+    single-shuffle profile as any grouped sum at 100 TB.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts)"
+    ).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,6)")
+    base = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov / vx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov * cov) / (vx * vy)
+    return base.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+SQL_AGG_LINREG = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(DATE_DIFF('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                             AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(DATE_DIFF('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                             AS DECIMAL(18,0))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(DATE_DIFF('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                             AS DECIMAL(18,0))
+                        * CAST(DATE_DIFF('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                               AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_hour,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+               AS intercept,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM base
+"""
+
+
+MEDIAN_BUCKET_WIDTH = 1000  # price units per histogram bucket (pass 1)
+
+
+def q_agg_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median without a global sort: the two-pass histogram
+    selection that replaces ORDER BY on 100 TB.
+
+    A naive exact median is a full sort of the column — a single-task
+    catastrophe at scale. Instead: pass 1 builds a fixed-width bucket
+    histogram (one partial-aggregated groupBy; the collected histogram is
+    BOUNDED — value_range / bucket_width rows, ~105 here, never
+    data-sized), the driver walks the cumulative counts to find the
+    bucket holding the target rank, and pass 2 re-scans ONLY that bucket
+    — the range predicate is pushed into the parquet scan as min/max
+    bucket bounds — and selects the in-bucket rank with
+    TakeOrderedAndProject (per-partition top-r + driver merge of r rows,
+    r ≤ bucket population ≈ n/buckets). At extreme scale the same
+    narrowing recurses: re-histogram inside the bucket until the remnant
+    fits one task — O(log) passes, each a linear scan that prunes ~1000×.
+    DuckDB oracle is the rank-window formulation of the identical lower
+    median (rank ⌈n/2⌉).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    price = dec2(F.col("l_extendedprice"))
+    hist = (
+        li.groupBy(
+            F.floor(price / MEDIAN_BUCKET_WIDTH).cast("bigint").alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+        .collect()  # bounded: one row per occupied price bucket (~105)
+    )
+    n = sum(r["cnt"] for r in hist)
+    k = (n + 1) // 2  # lower-median rank
+    cum = 0
+    for r in hist:
+        if cum + r["cnt"] >= k:
+            bucket, rank_in_bucket = r["bucket"], k - cum
+            break
+        cum += r["cnt"]
+    lo = bucket * MEDIAN_BUCKET_WIDTH
+    hi = (bucket + 1) * MEDIAN_BUCKET_WIDTH
+    in_bucket = li.filter(
+        (F.col("l_extendedprice") >= F.lit(lo)) & (F.col("l_extendedprice") < F.lit(hi))
+    ).select(price.alias("price"))
+    return (
+        in_bucket.orderBy("price")
+        .limit(rank_in_bucket)
+        .agg(
+            F.lit(n).cast("bigint").alias("n"),
+            F.max("price").cast("double").alias("median_price"),
+        )
+    )
+
+
+SQL_AGG_MEDIAN_TWOPASS = """
+    WITH ranked AS (
+        SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               ROW_NUMBER() OVER (ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS rn,
+               COUNT(*) OVER () AS n
+        FROM lineitem)
+    SELECT CAST(n AS BIGINT) AS n, CAST(price AS DOUBLE) AS median_price
+    FROM ranked
+    WHERE rn = CAST((n + 1) // 2 AS BIGINT)
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
     "agg_corr": Query(q_agg_corr, SQL_AGG_CORR),
@@ -553,4 +694,6 @@ QUERIES = {
     "agg_percentile": Query(q_agg_percentile, SQL_AGG_PERCENTILE),
     "agg_time_rollup": Query(q_agg_time_rollup, SQL_AGG_TIME_ROLLUP),
     "agg_histogram": Query(q_agg_histogram, SQL_AGG_HISTOGRAM),
+    "agg_linreg": Query(q_agg_linreg, SQL_AGG_LINREG),
+    "agg_median_twopass": Query(q_agg_median_twopass, SQL_AGG_MEDIAN_TWOPASS),
 }

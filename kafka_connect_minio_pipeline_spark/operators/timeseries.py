@@ -910,6 +910,140 @@ SQL_TS_RETENTION = """
 """
 
 
+CROSS_CORR_A = "click"
+CROSS_CORR_B = "purchase"
+CROSS_CORR_MAX_LAG_H = 6
+
+
+def cross_correlation(
+    ev: DataFrame,
+    type_a: str = CROSS_CORR_A,
+    type_b: str = CROSS_CORR_B,
+    max_lag_h: int = CROSS_CORR_MAX_LAG_H,
+) -> DataFrame:
+    """Lagged cross-correlation between two event streams ("do clicks
+    lead purchases, and by how many hours?") — the leading-indicator
+    primitive for ops/forecast dashboards.
+
+    Scale shape: the raw stream first collapses to an hourly count series
+    (one partial-aggregated groupBy — the only data-sized shuffle), and
+    every subsequent step runs on the BOUNDED hour grid: cardinality is
+    wall-clock coverage (720 hours/month), independent of event volume.
+    Zero-count hours matter for correlation, so the gapless grid is
+    generated with ``sequence`` from the observed min/max hour (scalar agg
+    broadcast, never a stored calendar), counts land on it via left join +
+    coalesce 0. The lagged alignment is a projected self-join of the tiny
+    grid (grid × lags rows), and the per-lag correlation closes over exact
+    integer co-moment sums — bit-identical across engines.
+    """
+    hourly = (
+        ev.filter(F.col("event_type").isin(type_a, type_b))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("hour")
+        .agg(
+            F.sum(F.when(F.col("event_type") == type_a, F.col("cnt")).otherwise(0))
+            .alias("a_cnt"),
+            F.sum(F.when(F.col("event_type") == type_b, F.col("cnt")).otherwise(0))
+            .alias("b_cnt"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
+    )
+    series = grid.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce("a_cnt", F.lit(0)).alias("a_cnt"),
+        F.coalesce("b_cnt", F.lit(0)).alias("b_cnt"),
+    )
+    lags = ev.sparkSession.range(0, max_lag_h + 1).select(
+        F.col("id").cast("bigint").alias("lag_hours")
+    )
+    x = series.select("hour", "a_cnt")
+    y = series.select(F.col("hour").alias("y_hour"), "b_cnt")
+    aligned = (
+        x.crossJoin(F.broadcast(lags))
+        .join(
+            y,
+            F.col("y_hour")
+            == F.expr("timestampadd(HOUR, lag_hours, hour)").cast("timestamp_ntz"),
+        )
+    )
+    base = aligned.groupBy("lag_hours").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("a_cnt").alias("sx"),
+        F.sum("b_cnt").alias("sy"),
+        F.sum(F.col("a_cnt") * F.col("b_cnt")).alias("sxy"),
+        F.sum(F.col("a_cnt") * F.col("a_cnt")).alias("sxx"),
+        F.sum(F.col("b_cnt") * F.col("b_cnt")).alias("syy"),
+    )
+    n = F.col("n_hours").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = cov / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return base.select(
+        "lag_hours",
+        "n_hours",
+        F.round(corr, 6).alias("xcorr"),
+    ).orderBy("lag_hours")
+
+
+def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: hourly click→purchase cross-correlation, lags 0-6 h."""
+    return cross_correlation(load(spark, sf_dir, "events"))
+
+
+SQL_TS_CROSS_CORR = f"""
+    WITH bounds AS (
+        SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, DATE_TRUNC('hour', MAX(ts)) AS h1
+        FROM events),
+    grid AS (
+        SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+    hourly AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour,
+               SUM(CASE WHEN event_type = '{CROSS_CORR_A}' THEN 1 ELSE 0 END) AS a_cnt,
+               SUM(CASE WHEN event_type = '{CROSS_CORR_B}' THEN 1 ELSE 0 END) AS b_cnt
+        FROM events
+        WHERE event_type IN ('{CROSS_CORR_A}', '{CROSS_CORR_B}')
+        GROUP BY 1),
+    series AS (
+        SELECT g.hour,
+               COALESCE(h.a_cnt, 0) AS a_cnt,
+               COALESCE(h.b_cnt, 0) AS b_cnt
+        FROM grid g LEFT JOIN hourly h ON g.hour = h.hour),
+    lags AS (SELECT CAST(r.range AS BIGINT) AS lag_hours
+             FROM range(0, {CROSS_CORR_MAX_LAG_H + 1}) r),
+    aligned AS (
+        SELECT l.lag_hours, x.a_cnt, y.b_cnt
+        FROM series x
+        CROSS JOIN lags l
+        JOIN series y ON y.hour = x.hour + l.lag_hours * INTERVAL 1 HOUR),
+    base AS (
+        SELECT lag_hours,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               SUM(a_cnt) AS sx, SUM(b_cnt) AS sy,
+               SUM(a_cnt * b_cnt) AS sxy,
+               SUM(a_cnt * a_cnt) AS sxx,
+               SUM(b_cnt * b_cnt) AS syy
+        FROM aligned GROUP BY lag_hours)
+    SELECT lag_hours, n_hours,
+           ROUND((CAST(n_hours AS DOUBLE) * sxy - sx * sy)
+                 / (SQRT(CAST(n_hours AS DOUBLE) * sxx - sx * sx)
+                    * SQRT(CAST(n_hours AS DOUBLE) * syy - sy * sy)), 6) AS xcorr
+    FROM base
+    ORDER BY lag_hours
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
     "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),
@@ -925,4 +1059,5 @@ QUERIES = {
     "ts_funnel": Query(q_ts_funnel, SQL_FUNNEL),
     "ts_zscore": Query(q_ts_zscore, SQL_TS_ZSCORE),
     "ts_scd2": Query(q_ts_scd2, SQL_SCD2),
+    "ts_cross_corr": Query(q_ts_cross_corr, SQL_TS_CROSS_CORR),
 }

@@ -71,8 +71,11 @@ _QUERY_MODULES = (
 #  33-39: queries whose implementation materially CHANGED in round 4
 #         (sharded interleave, bucketed token budget, large-star
 #         clusters, HLL bit shift, quantize zero guard);
-#  40-50: oldest-remaining hard signal (r2-graded, untouched since) —
-#         dedup/text re-grades. Everything else follows in module order
+#  40-44: queries whose implementation materially CHANGED in round 4
+#         (cont.) + never-graded late-r4 additions (linreg, two-pass
+#         median, cross-correlation, edit-distance blocking);
+#  45-50: oldest-remaining hard signal (r2-graded, untouched since) —
+#         dedup re-grades. Everything else follows in module order
 #         under the every-run local parity net.
 _GRADE_FIRST = (
     "scalar_array",
@@ -119,12 +122,12 @@ _GRADE_FIRST = (
     "sketch_hll",
     "stream_hll",
     "embedding_quantize",
-    "dedup_exact",
+    "agg_linreg",
+    "agg_median_twopass",
+    "ts_cross_corr",
+    "dedup_edit_distance",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "text_quality",
 )
 
 
