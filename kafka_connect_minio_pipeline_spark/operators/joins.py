@@ -358,6 +358,98 @@ SQL_JOIN_BUCKETED = f"""
 """
 
 
+def q_join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: attach to each purchase the user's
+    SCD2 state (last non-purchase event type) AS OF the purchase time —
+    the temporal star-join every warehouse needs once dimensions have
+    history (price lists, account tiers, consent state).
+
+    The naive plan is an inequality join ``valid_from <= ts < valid_to``
+    — a per-key nested loop that explodes on hot keys. This operator
+    instead interleaves dimension-change rows and fact rows in ONE
+    union, sorts per key once, and carries the latest dimension state
+    onto each fact with ``last(ignorenulls)`` — the same
+    union-window formulation as the as-of join above, extended to a CDC
+    dimension built in-plan by :func:`~..timeseries.scd2` (which shares
+    the identical (user, ts) partition/order, so Catalyst reuses one
+    exchange+sort spine end to end). The DuckDB oracle IS the naive
+    interval join — proving the linear plan equals the quadratic spec,
+    including the zero-length-interval edge when two changes share a
+    timestamp (the higher version wins in both formulations).
+    """
+    from .timeseries import scd2
+
+    ev = load(spark, sf_dir, "events")
+    dim = scd2(ev.filter(F.col("event_type") != "purchase"))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    d = dim.select(
+        "user_id",
+        F.col("valid_from").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("kind"),
+        F.col("event_type").alias("state"),
+        F.col("version").alias("state_version"),
+    )
+    f = facts.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("int").alias("state_version"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", F.col("state_version").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.unionByName(f)
+        .withColumn("cur_state", F.last("state", ignorenulls=True).over(w))
+        .withColumn(
+            "cur_version", F.last("state_version", ignorenulls=True).over(w)
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("cur_state").alias("state"),
+            F.col("cur_version").alias("state_version"),
+        )
+    )
+
+
+SQL_JOIN_PIT_SCD2 = """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_attr
+        FROM events WHERE event_type <> 'purchase'),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_attr IS NULL OR prev_attr <> event_type),
+    dim AS (
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    facts AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts,
+           d.event_type AS state, d.version AS state_version
+    FROM facts f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
 QUERIES = {
     "join_inner_revenue": Query(q_join_inner_revenue, SQL_JOIN_INNER, headline=True),
     "join_left_order_counts": Query(q_join_left_order_counts, SQL_JOIN_LEFT),
@@ -368,4 +460,5 @@ QUERIES = {
     "join_asof_tolerance": Query(q_join_asof_tolerance, SQL_JOIN_ASOF_TOLERANCE),
     "join_skew_salted": Query(q_join_skew_salted, SQL_JOIN_SKEW, headline=True),
     "join_bucketed": Query(q_join_bucketed, SQL_JOIN_BUCKETED),
+    "join_pit_scd2": Query(q_join_pit_scd2, SQL_JOIN_PIT_SCD2),
 }

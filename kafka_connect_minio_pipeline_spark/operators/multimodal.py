@@ -6,13 +6,19 @@ prunes bytes without interpreting them). Decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so the Python boundary is paid once per batch,
 not per row, and the operator parallelizes like any other map.
 
-The decode kernels themselves are STUBS in this environment (no
+The JPEG/PNG/audio decode kernels are STUBS in this environment (no
 image/audio libraries in the container): ``decode_image``/``decode_audio``
 raise NotImplementedError, and the tested pipeline injects
 ``fake_decode_features`` — a deterministic byte-statistics kernel with the
 exact signature a real (PIL/torchaudio) decoder would have. The Spark-side
 plumbing — binary column construction, schema, batch iteration,
 partition-parallel execution — is real and oracle-/test-covered.
+One decode path needs no external library and is therefore REAL end to
+end: ``encode_ppm``/``decode_ppm`` implement the binary PPM (P6) image
+format in pure numpy (full header grammar incl. comments), and
+``multimodal_ppm_decode`` runs generate→decode→channel-stats as two
+Arrow-batched stages whose output is hash-checked against the oracle's
+independent closed-form evaluation of the pixel formula.
 
 There is no binary test table, so ``documents.text`` is encoded to UTF-8
 bytes as the stand-in payload.
@@ -410,6 +416,151 @@ SQL_MULTIMODAL_PHASH_CLUSTERS = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# real image decode: pure-numpy PPM (P6) codec
+# ---------------------------------------------------------------------------
+
+PPM_W, PPM_H = 16, 12  # synthetic image dimensions
+PPM_SCHEMA = (
+    "doc_id long, width int, height int, n_bytes int,"
+    " mean_r double, mean_g double, mean_b double"
+)
+
+
+def encode_ppm(doc_id: int) -> bytes:
+    """Deterministic synthetic image as a REAL binary PPM (P6) file.
+
+    Pixel (y, x) channel c is ``(13·doc_id + 3x + 7y + 11c) mod 256`` — a
+    closed form the DuckDB oracle can evaluate without any image code, so
+    the decoder below is verified end-to-end: generator formula → real
+    PPM bytes → header/raster parse → channel stats must equal the
+    formula-derived stats computed independently in SQL.
+    """
+    import numpy as np
+
+    yy, xx, cc = np.meshgrid(
+        np.arange(PPM_H), np.arange(PPM_W), np.arange(3), indexing="ij"
+    )
+    raster = ((13 * doc_id + 3 * xx + 7 * yy + 11 * cc) % 256).astype(np.uint8)
+    header = f"P6\n{PPM_W} {PPM_H}\n255\n".encode("ascii")
+    return header + raster.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Pure-numpy decoder for binary PPM (P6) — a REAL image decode with
+    no external imaging library (the container has none; see module
+    docstring). Handles the full header grammar: '#' comments and any
+    whitespace between tokens, exactly one whitespace byte before the
+    raster. Returns ``(width, height, ndarray[h, w, 3] uint8)``; raises
+    ValueError on malformed/truncated input (never returns garbage —
+    corrupt objects must be countable upstream, SURVEY A6).
+    """
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        b = payload[pos]
+        if b in b" \t\r\n":
+            pos += 1
+        elif b == ord("#"):  # comment runs to end of line
+            while pos < len(payload) and payload[pos] not in b"\r\n":
+                pos += 1
+        elif ord("0") <= b <= ord("9"):
+            start = pos
+            while pos < len(payload) and ord("0") <= payload[pos] <= ord("9"):
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"unexpected header byte {b!r}")
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    expected = width * height * 3
+    raster = np.frombuffer(payload, dtype=np.uint8, offset=pos)
+    if raster.size != expected:
+        raise ValueError(f"raster size {raster.size} != {expected}")
+    return width, height, raster.reshape(height, width, 3)
+
+
+def q_multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode as a distributed pipeline with a REAL codec: generate
+    a valid PPM per document (Arrow-batched), decode it back with an
+    independent parser (Arrow-batched), emit per-channel statistics.
+
+    Upgrades the stubbed PIL path: the plumbing (binary column, schema,
+    mapInPandas batch shape, spread partitioning) is shared with the
+    stub-backed operators, but here the decode kernel is real — the same
+    two-stage shape a JPEG/PNG deployment has, minus only the external
+    library. Channel means are exact-integer sums divided once in IEEE
+    double, so the hash matches the oracle's closed-form evaluation
+    bit-for-bit. Plan: one compute-spread exchange, then narrow
+    Python-batched stages — linear at any scale.
+    """
+    import numpy as np
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [encode_ppm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, arr = decode_ppm(bytes(payload))
+                sums = arr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                npx = float(w * h)
+                rows.append(
+                    (
+                        int(d), w, h, len(payload),
+                        float(sums[0]) / npx,
+                        float(sums[1]) / npx,
+                        float(sums[2]) / npx,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_bytes",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(stats, schema=PPM_SCHEMA)
+
+
+# header is 'P6\n16 12\n255\n' (13 bytes) + 3 bytes/pixel raster
+SQL_MULTIMODAL_PPM = f"""
+    WITH grid AS (
+        SELECT d.doc_id, x.range AS x, y.range AS y
+        FROM (SELECT doc_id FROM documents) d, range({PPM_W}) x, range({PPM_H}) y)
+    SELECT doc_id,
+           CAST({PPM_W} AS INTEGER) AS width,
+           CAST({PPM_H} AS INTEGER) AS height,
+           CAST(13 + {PPM_W} * {PPM_H} * 3 AS INTEGER) AS n_bytes,
+           CAST(SUM((13 * doc_id + 3 * x + 7 * y) % 256) AS DOUBLE)
+               / ({PPM_W} * {PPM_H}) AS mean_r,
+           CAST(SUM((13 * doc_id + 3 * x + 7 * y + 11) % 256) AS DOUBLE)
+               / ({PPM_W} * {PPM_H}) AS mean_g,
+           CAST(SUM((13 * doc_id + 3 * x + 7 * y + 22) % 256) AS DOUBLE)
+               / ({PPM_W} * {PPM_H}) AS mean_b
+    FROM grid
+    GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_phash_pairs": Query(q_multimodal_phash_pairs, SQL_MULTIMODAL_PHASH),
     "multimodal_phash_clusters": Query(
@@ -419,4 +570,5 @@ QUERIES = {
     "multimodal_features": Query(q_multimodal_features, SQL_MULTIMODAL_FEATURES, headline=True),
     "multimodal_resize": Query(q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frame_sample": Query(q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
+    "multimodal_ppm_decode": Query(q_multimodal_ppm_decode, SQL_MULTIMODAL_PPM),
 }

@@ -71,12 +71,11 @@ _QUERY_MODULES = (
 #  33-39: queries whose implementation materially CHANGED in round 4
 #         (sharded interleave, bucketed token budget, large-star
 #         clusters, HLL bit shift, quantize zero guard);
-#  40-44: queries whose implementation materially CHANGED in round 4
+#  40-50: queries whose implementation materially CHANGED in round 4
 #         (cont.) + never-graded late-r4 additions (linreg, two-pass
-#         median, cross-correlation, edit-distance blocking);
-#  45-50: oldest-remaining hard signal (r2-graded, untouched since) —
-#         dedup re-grades. Everything else follows in module order
-#         under the every-run local parity net.
+#         median, cross-correlation, edit-distance blocking, real PPM
+#         decode, point-in-time SCD2 join). Everything else follows in
+#         module order under the every-run local parity net.
 _GRADE_FIRST = (
     "scalar_array",
     "window_rank",
@@ -126,8 +125,8 @@ _GRADE_FIRST = (
     "agg_median_twopass",
     "ts_cross_corr",
     "dedup_edit_distance",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "multimodal_ppm_decode",
+    "join_pit_scd2",
 )
 
 

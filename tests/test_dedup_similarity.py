@@ -320,3 +320,57 @@ def test_containment_finds_quote_missed_by_jaccard(spark, tmp_path):
     got = q_dedup_containment(spark, str(tmp_path)).collect()
     assert [(r.inner_id, r.outer_id, r.containment) for r in got] == [(1, 2, 1.0)]
     assert q_dedup_ngram_jaccard(spark, str(tmp_path)).count() == 0
+
+
+def test_ppm_codec_roundtrip():
+    """decode(encode(d)) recovers exactly the formula raster; the decoder
+    is an independent parser, so any header/offset bug breaks this."""
+    import numpy as np
+
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    for d in (0, 7, 499):
+        payload = encode_ppm(d)
+        w, h, arr = decode_ppm(payload)
+        assert (w, h) == (PPM_W, PPM_H)
+        yy, xx, cc = np.meshgrid(
+            np.arange(PPM_H), np.arange(PPM_W), np.arange(3), indexing="ij"
+        )
+        expect = ((13 * d + 3 * xx + 7 * yy + 11 * cc) % 256).astype(np.uint8)
+        assert (arr == expect).all()
+
+
+def test_ppm_decoder_full_header_grammar():
+    """Comments and arbitrary whitespace in the header are legal PPM; the
+    decoder must parse them (it's a real parser, not a fixed-offset slice)."""
+    import numpy as np
+
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import decode_ppm
+
+    raster = bytes(range(2 * 2 * 3))
+    payload = b"P6 # comment\n# another\n 2\t2\n# w h above\n255\n" + raster
+    w, h, arr = decode_ppm(payload)
+    assert (w, h) == (2, 2)
+    assert arr.tobytes() == raster
+    assert arr.dtype == np.uint8
+
+
+def test_ppm_decoder_rejects_malformed():
+    import pytest
+
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(12))  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(1)[:-1])  # truncated raster
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit unsupported
