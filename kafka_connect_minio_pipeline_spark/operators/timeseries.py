@@ -929,11 +929,15 @@ def cross_correlation(
     (one partial-aggregated groupBy — the only data-sized shuffle), and
     every subsequent step runs on the BOUNDED hour grid: cardinality is
     wall-clock coverage (720 hours/month), independent of event volume.
-    Zero-count hours matter for correlation, so the gapless grid is
-    generated with ``sequence`` from the observed min/max hour (scalar agg
-    broadcast, never a stored calendar), counts land on it via left join +
-    coalesce 0. The lagged alignment is a projected self-join of the tiny
-    grid (grid × lags rows), and the per-lag correlation closes over exact
+    The collapsed series is localCheckpoint-ed so its four downstream
+    references (bounds, grid join, both sides of the lag self-join) reuse
+    the ≤ grid-sized materialization instead of re-scanning the raw
+    events — the plan test pins events to ONE scan. Zero-count hours
+    matter for correlation, so the gapless grid is generated with
+    ``sequence`` from the series' min/max hour (scalar agg broadcast,
+    never a stored calendar), counts land on it via left join + coalesce
+    0. The lagged alignment is a projected self-join of the tiny grid
+    (grid × lags rows), and the per-lag correlation closes over exact
     integer co-moment sums — bit-identical across engines.
     """
     hourly = (
@@ -950,10 +954,11 @@ def cross_correlation(
             F.sum(F.when(F.col("event_type") == type_b, F.col("cnt")).otherwise(0))
             .alias("b_cnt"),
         )
+        .localCheckpoint()  # bounded: one row per covered hour
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    bounds = hourly.agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
     )
     grid = bounds.select(
         F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour")
@@ -1003,18 +1008,16 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TS_CROSS_CORR = f"""
-    WITH bounds AS (
-        SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, DATE_TRUNC('hour', MAX(ts)) AS h1
-        FROM events),
-    grid AS (
-        SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
-    hourly AS (
+    WITH hourly AS (
         SELECT DATE_TRUNC('hour', ts) AS hour,
                SUM(CASE WHEN event_type = '{CROSS_CORR_A}' THEN 1 ELSE 0 END) AS a_cnt,
                SUM(CASE WHEN event_type = '{CROSS_CORR_B}' THEN 1 ELSE 0 END) AS b_cnt
         FROM events
         WHERE event_type IN ('{CROSS_CORR_A}', '{CROSS_CORR_B}')
         GROUP BY 1),
+    bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly),
+    grid AS (
+        SELECT UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
     series AS (
         SELECT g.hour,
                COALESCE(h.a_cnt, 0) AS a_cnt,

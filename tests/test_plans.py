@@ -538,3 +538,67 @@ def test_mix_epochs_has_no_agg_or_join_shuffle(spark, sf_dir):
     tree = formatted_plan(q_corpus_mix_epochs(spark, sf_dir)).split("\n\n")[0]
     assert tree.count("Exchange") == 1, tree
     assert "Join" not in tree and "HashAggregate" not in tree, tree
+
+
+def test_pit_scd2_has_no_join_operator(spark, sf_dir):
+    """The point-in-time SCD2 join must compile to union + windows — no
+    physical join node anywhere (the naive interval join lives only in
+    the DuckDB oracle)."""
+    from kafka_connect_minio_pipeline_spark.operators.joins import q_join_pit_scd2
+
+    plan = formatted_plan(q_join_pit_scd2(spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "NestedLoopJoin",
+                 "ShuffledHashJoin"):
+        assert node not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_median_twopass_pushes_bucket_range_to_scan(spark, sf_dir):
+    """Pass 2 of the exact-median selection re-reads ONLY the target
+    bucket: its min/max bounds must reach the parquet scan as pushed
+    range filters, and the plan must contain no global Sort (the in-
+    bucket selection is TakeOrdered)."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_median_twopass,
+    )
+
+    df = q_agg_median_twopass(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "GreaterThanOrEqual(l_extendedprice" in pf, pf
+    assert "LessThan(l_extendedprice" in pf, pf
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_cross_corr_lags_are_broadcast(spark, sf_dir):
+    """The lag fanout must be a broadcast over the bounded hour grid,
+    never a shuffle of the grid, and the only hash exchanges are the
+    hourly pre-aggregation + grid/bounds plumbing — nothing data-sized
+    after the first collapse."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_cross_corr,
+    )
+
+    plan = formatted_plan(q_ts_cross_corr(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the raw events parquet is scanned ONCE (the hourly collapse);
+    # bounds/grid/self-join all read the checkpointed hour series.
+    # formatted plans list each node twice (tree + detail section).
+    assert plan.count("Scan parquet") <= 2, plan
+    assert plan.count("ExistingRDD") >= 1, plan
+
+
+def test_ppm_decode_is_two_arrow_stages_one_exchange(spark, sf_dir):
+    """Generate and decode are both Arrow-batched mapInPandas stages over
+    the single compute-spread exchange — no extra shuffles, no
+    row-at-a-time Python."""
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import (
+        q_multimodal_ppm_decode,
+    )
+
+    plan = formatted_plan(q_multimodal_ppm_decode(spark, sf_dir))
+    # formatted plans list each node twice (tree + detail section)
+    assert plan.count("MapInPandas") == 4, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan, plan
