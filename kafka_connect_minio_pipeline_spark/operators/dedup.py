@@ -1116,6 +1116,213 @@ SQL_DEDUP_CONTAINMENT = f"""
 """
 
 
+INCR_NEW_FRAC = 0.2  # deterministic snapshot split: ~20% "incoming" docs
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: match an INCOMING snapshot against the
+    EXISTING corpus — the op every recurring crawl/refresh pipeline runs
+    (dedup the delta against the base, never re-pair the whole corpus).
+
+    The corpus splits deterministically (portable salted hash on doc_id)
+    into base (~80%) and new (~20%). Two asymmetric layers:
+    exact — canonical shingle-set fingerprint equi-join (new ⨝ base on
+    md5 of the sorted set); near — the same banded MinHash machinery as
+    ``dedup_minhash_lsh`` but joining NEW bands against BASE bands only
+    (candidate volume scales with |delta| · collision-rate, not
+    |corpus|²), then exact-Jaccard verify at the 0.8 threshold. Each new
+    doc reports its best match: exact beats near, then highest Jaccard,
+    then smallest base id — one deterministic max_by(struct). At 100 TB
+    the base side's fingerprints/signatures are a maintained index
+    (written once at ingest, ~100 bytes/doc), so each refresh pays only
+    the delta's signatures plus one co-partitioned join per layer; docs
+    with no 3-gram shingle (< 3 tokens) carry no signature and are
+    excluded by contract, same as every near-dup operator here.
+    """
+    from .llmdata import _HASH_SPACE, _portable_hash
+
+    sets_ = _staged_shingle_sets(spark, sf_dir).filter(F.col("n_sh") > 0)
+    flags = sets_.select(
+        "doc_id",
+        (
+            _portable_hash(F.concat(F.lit("incr:"), F.col("doc_id")))
+            < int(INCR_NEW_FRAC * _HASH_SPACE)
+        ).alias("is_new"),
+    )
+    fp = (
+        sets_.join(flags, "doc_id")
+        .select(
+            "doc_id",
+            "is_new",
+            F.md5(F.concat_ws(" ", F.col("arr"))).alias("fp"),
+        )
+    )
+    exact = (
+        fp.filter("is_new")
+        .select("doc_id", "fp")
+        .join(
+            fp.filter(~F.col("is_new")).select(F.col("doc_id").alias("base_id"), "fp"),
+            "fp",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("base_id").alias("match_id"))
+        .select(
+            "doc_id",
+            "match_id",
+            F.lit(1).alias("prio"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    sigs = minhash_signatures(sets_).join(flags, "doc_id")
+    r = N_PERM // N_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(",", *[F.col(f"sig{b * r + i}") for i in range(r)])
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "is_new", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    new_b = banded.filter("is_new").alias("a").hint("shuffle_hash")
+    base_b = banded.filter(~F.col("is_new")).alias("b")
+    cand = (
+        new_b.join(
+            base_b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("base_id"))
+        .distinct()
+    )
+    near = (
+        cand.join(
+            sets_.select(
+                F.col("doc_id"), F.col("arr").alias("arr1"), F.col("n_sh").alias("n1")
+            ),
+            "doc_id",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("base_id"),
+                F.col("arr").alias("arr2"),
+                F.col("n_sh").alias("n2"),
+            ),
+            "base_id",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("arr1", "arr2")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_id",
+            F.col("base_id").alias("match_id"),
+            F.lit(0).alias("prio"),
+            "jaccard",
+        )
+    )
+    best = (
+        exact.unionByName(near)
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("prio"), F.col("jaccard"), (-F.col("match_id")).alias("nm")
+                )
+            ).alias("k")
+        )
+        .select(
+            "doc_id",
+            (-F.col("k.nm")).cast("long").alias("match_id"),
+            F.when(F.col("k.prio") == 1, "exact").otherwise("near").alias("method"),
+            F.col("k.jaccard").alias("jaccard"),
+        )
+    )
+    return best
+
+
+def _incremental_oracle_sql() -> str:
+    """DuckDB twin: identical split hash, fingerprints, signatures, bands,
+    asymmetric candidate join, verify, and best-match fold."""
+    r = N_PERM // N_BANDS
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MH_P})) AS sig{p}"
+        for p, (a, b) in enumerate(zip(MH_A, MH_B))
+    )
+    band_exprs = ",\n               ".join(
+        "("
+        + " || ',' || ".join(
+            f"CAST(sig{band * r + i} AS VARCHAR)" for i in range(r)
+        )
+        + f") AS b{band}"
+        for band in range(N_BANDS)
+    )
+    band_match = " OR ".join(f"a.b{k} = b.b{k}" for k in range(N_BANDS))
+    new_cut = int(INCR_NEW_FRAC * (1 << 60))
+    return f"""
+    WITH {SQL_SHINGLES_CTE},
+    sets AS (
+        SELECT doc_id, LIST(s ORDER BY s) AS arr, COUNT(*) AS n
+        FROM shingle GROUP BY doc_id),
+    flags AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('incr:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   < {new_cut} AS is_new
+        FROM sets WHERE n > 0),
+    fp AS (
+        SELECT s.doc_id, f.is_new, md5(array_to_string(s.arr, ' ')) AS fp
+        FROM sets s JOIN flags f USING (doc_id) WHERE s.n > 0),
+    exact AS (
+        SELECT a.doc_id, MIN(b.doc_id) AS match_id, 1 AS prio, 1.0 AS jaccard
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.is_new AND NOT b.is_new
+        GROUP BY a.doc_id),
+    hashed AS (
+        SELECT doc_id, arr, n,
+               list_transform(arr,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MH_P}) AS hs
+        FROM sets WHERE n > 0),
+    sigs AS (
+        SELECT doc_id, arr, n,
+               {sig_exprs}
+        FROM hashed),
+    banded AS (
+        SELECT g.doc_id, f.is_new, g.arr, g.n,
+               {band_exprs}
+        FROM sigs g JOIN flags f USING (doc_id)),
+    cand AS (
+        SELECT a.doc_id, b.doc_id AS base_id,
+               a.arr AS arr1, a.n AS n1, b.arr AS arr2, b.n AS n2
+        FROM banded a JOIN banded b
+          ON a.is_new AND NOT b.is_new AND ({band_match})),
+    near AS (
+        SELECT doc_id, base_id AS match_id, 0 AS prio,
+               ROUND(LEN(list_intersect(arr1, arr2)) * 1.0
+                     / (n1 + n2 - LEN(list_intersect(arr1, arr2))), 6) AS jaccard
+        FROM cand
+        WHERE LEN(list_intersect(arr1, arr2)) * 1.0
+              / (n1 + n2 - LEN(list_intersect(arr1, arr2))) >= {JACCARD_THRESHOLD}),
+    unioned AS (SELECT * FROM exact UNION ALL SELECT * FROM near),
+    best AS (
+        SELECT doc_id, match_id, prio, jaccard,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY prio DESC, jaccard DESC, match_id ASC)
+                   AS rn
+        FROM unioned)
+    SELECT doc_id, CAST(match_id AS BIGINT) AS match_id,
+           CASE WHEN prio = 1 THEN 'exact' ELSE 'near' END AS method,
+           CAST(jaccard AS DOUBLE) AS jaccard
+    FROM best WHERE rn = 1
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _incremental_oracle_sql()
+
+
 EDIT_DISTANCE_MAX = 4
 
 
@@ -1191,4 +1398,5 @@ QUERIES = {
     "dedup_containment": Query(q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "dedup_minhash_eval": Query(q_dedup_minhash_eval, SQL_DEDUP_MINHASH_EVAL),
     "dedup_edit_distance": Query(q_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
+    "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
 }

@@ -732,8 +732,80 @@ SQL_RAG_CHUNK = f"""
 """
 
 
+def q_llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: the one-screen summary a curation team
+    publishes with every corpus snapshot (docs, size, language makeup,
+    duplicate rate) — datasheet-for-datasets as a query.
+
+    One partial-aggregated pass over documents computes counts, exact
+    char sums, distinct-language and distinct-text-fingerprint counts;
+    the dominant language comes from the deterministic grouped-mode
+    pattern (max count, then lexicographically smallest — shared with
+    agg_mode) on the tiny (source × lang) relation. Everything
+    broadcast-joins back onto the per-source row: output cardinality is
+    the number of sources, work is one scan + one vocabulary-sized agg.
+    exact_dup_rate = 1 − distinct(md5(text))/n — raw-text duplicates,
+    the first number a data audit asks for.
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    top_n = lang_counts.groupBy("source").agg(F.max("n").alias("n"))
+    top_lang = (
+        lang_counts.join(top_n, ["source", "n"])
+        .groupBy("source", "n")
+        .agg(F.min("lang").alias("top_lang"))
+    )
+    return (
+        base.join(F.broadcast(top_lang), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round(F.col("total_chars") / F.col("n_docs"), 6).alias("mean_chars"),
+            "n_langs",
+            "top_lang",
+            F.round(F.col("n") / F.col("n_docs"), 6).alias("top_lang_share"),
+            F.round(1 - F.col("n_unique_texts") / F.col("n_docs"), 6).alias(
+                "exact_dup_rate"
+            ),
+        )
+    )
+
+
+SQL_DATASET_CARD = """
+    WITH base AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        FROM documents GROUP BY source),
+    lc AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM documents GROUP BY source, lang),
+    topn AS (SELECT source, MAX(n) AS n FROM lc GROUP BY source),
+    top_lang AS (
+        SELECT lc.source, lc.n, MIN(lc.lang) AS top_lang
+        FROM lc JOIN topn ON lc.source = topn.source AND lc.n = topn.n
+        GROUP BY lc.source, lc.n)
+    SELECT b.source, b.n_docs, b.total_chars,
+           ROUND(b.total_chars * 1.0 / b.n_docs, 6) AS mean_chars,
+           b.n_langs, t.top_lang,
+           ROUND(t.n * 1.0 / b.n_docs, 6) AS top_lang_share,
+           ROUND(1 - b.n_unique * 1.0 / b.n_docs, 6) AS exact_dup_rate
+    FROM base b JOIN top_lang t ON b.source = t.source
+"""
+
+
 QUERIES = {
     "llm_rag_chunk": Query(q_llm_rag_chunk, SQL_RAG_CHUNK),
+    "llm_dataset_card": Query(q_llm_dataset_card, SQL_DATASET_CARD),
     "llm_dedup_keep_best": Query(q_llm_dedup_keep_best, _sql_llm_dedup_keep_best()),
     "llm_sample_stratified": Query(q_llm_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "llm_sample_hash": Query(q_llm_sample_hash, SQL_SAMPLE_HASH),

@@ -224,6 +224,58 @@ SQL_TOPK_GLOBAL = """
 """
 
 
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per user — "how many distinct event types
+    has this user touched so far" (feature-engineering staple; neither
+    Spark nor DuckDB allows DISTINCT inside a window frame).
+
+    The distributed decomposition: flag each row that is the FIRST
+    occurrence of its (user, type) — row_number over (user, type) — then
+    running-sum the flags over (user). Two window passes, each
+    hash-partitioned on its keys and per-partition sorted; the second
+    reuses the first's user_id grouping modulo the dropped type column.
+    No DISTINCT materialization, no self-join — linear at any scale,
+    skew bounded by the busiest user.
+    """
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn(
+            "is_first",
+            (F.row_number().over(w_first) == 1).cast("int"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.sum("is_first").over(w_run).cast("bigint").alias("distinct_types_so_far"),
+        )
+    )
+
+
+SQL_WINDOW_RUNNING_DISTINCT = """
+    WITH flagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_first
+        FROM events)
+    SELECT event_id, user_id, ts, event_type,
+           CAST(SUM(is_first) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS distinct_types_so_far
+    FROM flagged
+"""
+
+
 QUERIES = {
     "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
     "window_lag_lead": Query(q_window_lag_lead, SQL_WINDOW_LAG_LEAD),
@@ -232,4 +284,7 @@ QUERIES = {
     "window_distribution": Query(q_window_distribution, SQL_WINDOW_DISTRIBUTION),
     "window_range_frame": Query(q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "topk_global": Query(q_topk_global, SQL_TOPK_GLOBAL),
+    "window_running_distinct": Query(
+        q_window_running_distinct, SQL_WINDOW_RUNNING_DISTINCT
+    ),
 }

@@ -68,14 +68,16 @@ _QUERY_MODULES = (
 #  20-32: round-4-new operators (triangles/mode/bm25/rag/mad/url from
 #         the first half of the round; jaccard/khop/containment/bpe/
 #         quantile-sketch/seasonal/epochs from the second);
-#  33-39: queries whose implementation materially CHANGED in round 4
+#  33-41: queries whose implementation materially CHANGED in round 4
 #         (sharded interleave, bucketed token budget, large-star
-#         clusters, HLL bit shift, quantize zero guard);
-#  40-50: queries whose implementation materially CHANGED in round 4
-#         (cont.) + never-graded late-r4 additions (linreg, two-pass
-#         median, cross-correlation, edit-distance blocking, real PPM
-#         decode, point-in-time SCD2 join). Everything else follows in
-#         module order under the every-run local parity net.
+#         clusters) — the three smallest-diff changes (HLL bit shift,
+#         quantize zero guard twins) rotate out to the local net to
+#         make room for never-graded additions;
+#  42-50: never-graded late-r4 additions (incremental dedup, running
+#         distinct, dataset card, linreg, two-pass median,
+#         cross-correlation, edit-distance blocking, real PPM decode,
+#         point-in-time SCD2 join). Everything else follows in module
+#         order under the every-run local parity net.
 _GRADE_FIRST = (
     "scalar_array",
     "window_rank",
@@ -118,9 +120,9 @@ _GRADE_FIRST = (
     "corpus_token_budget",
     "dedup_clusters",
     "multimodal_phash_clusters",
-    "sketch_hll",
-    "stream_hll",
-    "embedding_quantize",
+    "dedup_incremental",
+    "window_running_distinct",
+    "llm_dataset_card",
     "agg_linreg",
     "agg_median_twopass",
     "ts_cross_corr",
