@@ -29,7 +29,12 @@ _STATEFUL = sorted(
              # double-pipeline evals, containment staging
              "graph_triangles", "graph_jaccard", "graph_khop",
              "dedup_containment", "dedup_minhash_eval",
-             "similarity_ann_eval")
+             "similarity_ann_eval",
+             # r4-late side-effectful paths: two-pass median (driver
+             # histogram walk), checkpointed hour series, incremental
+             # dedup staging, PPM codec Python stages
+             "agg_median_twopass", "ts_cross_corr", "dedup_incremental",
+             "multimodal_ppm_decode")
 )
 
 
