@@ -16,7 +16,7 @@ recursive SQL oracle exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import Query
@@ -405,9 +405,183 @@ def _khop_sql() -> str:
 SQL_GRAPH_KHOP = _khop_sql()
 
 
+SQL_COOC_EDGES_CTE = """
+    li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    directed AS (
+        SELECT a AS s, b AS d FROM edges
+        UNION ALL
+        SELECT b AS s, a AS d FROM edges)
+"""
+
+
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row topology card for the co-occurrence graph: node/edge
+    counts, degree extremes, and Newman degree assortativity (do hubs
+    connect to hubs?) — the first numbers a graph audit reports.
+
+    Degrees come from one groupBy over the symmetrized edge list;
+    assortativity is plain Pearson over the directed (deg(s), deg(d))
+    pairs — symmetrization makes that algebraically identical to
+    Newman's undirected r. Both endpoint-degree joins are co-partitioned
+    on the node id (broadcast at test scale); every sum is exact integer
+    arithmetic (degrees are ints), the closing expression one IEEE
+    double tree. Scales as two hash aggregations + two equi-joins over
+    |E| rows — no quadratic structure anywhere.
+    """
+    edges = part_cooccurrence_edges(spark, sf_dir)
+    directed = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    deg = directed.groupBy("s").agg(F.count("*").alias("deg"))
+    deg_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("deg").alias("max_degree"),
+        F.sum("deg").alias("sum_deg"),
+    )
+    pairs = (
+        directed.join(deg.select(F.col("s"), F.col("deg").alias("deg_s")), "s")
+        .join(
+            deg.select(F.col("s").alias("d"), F.col("deg").alias("deg_d")),
+            "d",
+        )
+    )
+    mom = pairs.agg(
+        F.count("*").alias("m2"),  # 2|E|
+        F.sum("deg_s").alias("sx"),
+        F.sum("deg_d").alias("sy"),
+        F.sum(F.col("deg_s") * F.col("deg_d")).alias("sxy"),
+        F.sum(F.col("deg_s") * F.col("deg_s")).alias("sxx"),
+        F.sum(F.col("deg_d") * F.col("deg_d")).alias("syy"),
+    )
+    n = F.col("m2").cast("double")
+    assort = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return (
+        deg_stats.crossJoin(F.broadcast(mom))  # two 1-row aggregates
+        .select(
+            "n_nodes",
+            (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+            "max_degree",
+            F.round(F.col("sum_deg") / F.col("n_nodes"), 6).alias("mean_degree"),
+            F.round(assort, 6).alias("assortativity"),
+        )
+    )
+
+
+SQL_GRAPH_DEGREE_STATS = f"""
+    WITH {SQL_COOC_EDGES_CTE},
+    deg AS (SELECT s, COUNT(*) AS deg FROM directed GROUP BY s),
+    ds AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(deg) AS BIGINT) AS max_degree,
+               SUM(deg) AS sum_deg
+        FROM deg),
+    mom AS (
+        SELECT COUNT(*) AS m2,
+               SUM(a.deg) AS sx, SUM(b.deg) AS sy,
+               SUM(a.deg * b.deg) AS sxy,
+               SUM(a.deg * a.deg) AS sxx,
+               SUM(b.deg * b.deg) AS syy
+        FROM directed e JOIN deg a ON e.s = a.s JOIN deg b ON e.d = b.s)
+    SELECT ds.n_nodes,
+           CAST(mom.m2 / 2 AS BIGINT) AS n_edges,
+           ds.max_degree,
+           ROUND(ds.sum_deg * 1.0 / ds.n_nodes, 6) AS mean_degree,
+           ROUND((CAST(mom.m2 AS DOUBLE) * sxy - sx * sy)
+                 / (SQRT(CAST(mom.m2 AS DOUBLE) * sxx - sx * sx)
+                    * SQRT(CAST(mom.m2 AS DOUBLE) * syy - sy * sy)), 6)
+               AS assortativity
+    FROM ds, mom
+"""
+
+
+LPA_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Deterministic synchronous label propagation: every node starts
+    labeled with its own id; each round it adopts the most frequent
+    label among its neighbors, ties broken by smallest label. Fixed
+    round count, driver-unrolled — community detection where connected
+    components is too coarse (CC merges everything touching; LPA splits
+    a component along its dense cores).
+
+    Per round: one co-partitioned edges⨝labels join, one (node, label)
+    count aggregation, one per-node argmax window — all hashed on the
+    node id, each round's relation exactly |V| rows. The textbook
+    async/random-order LPA is nondeterministic by design; the
+    synchronous min-tie variant trades some convergence speed for
+    rerun- and engine-exact results (the DuckDB oracle unrolls the
+    identical rounds).
+    """
+    directed = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    )
+    labels = directed.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        counts = (
+            directed.join(
+                labels.select(F.col("node").alias("d"), "label"), "d"
+            )
+            .groupBy(F.col("s").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: 3-round LPA communities on the co-occurrence
+    graph."""
+    return label_propagation(part_cooccurrence_edges(spark, sf_dir))
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+    c{i} AS (
+        SELECT e.s AS node, l.label, COUNT(*) AS cnt
+        FROM directed e JOIN {prev} l ON e.d = l.node
+        GROUP BY e.s, l.label),
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM c{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    return f"""
+    WITH {SQL_COOC_EDGES_CTE},
+    l0 AS (SELECT DISTINCT s AS node, s AS label FROM directed),{",".join(rounds)}
+    SELECT node, CAST(label AS BIGINT) AS community FROM {prev}
+"""
+
+
+SQL_GRAPH_LPA = _lpa_sql()
+
+
 QUERIES = {
     "graph_pagerank": Query(q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_triangles": Query(q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_jaccard": Query(q_graph_jaccard, SQL_GRAPH_JACCARD),
     "graph_khop": Query(q_graph_khop, SQL_GRAPH_KHOP),
+    "graph_degree_stats": Query(q_graph_degree_stats, SQL_GRAPH_DEGREE_STATS),
+    "graph_lpa": Query(q_graph_lpa, SQL_GRAPH_LPA),
 }

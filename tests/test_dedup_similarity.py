@@ -374,3 +374,64 @@ def test_ppm_decoder_rejects_malformed():
         decode_ppm(encode_ppm(1)[:-1])  # truncated raster
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))  # 16-bit unsupported
+
+
+def test_running_distinct_final_equals_count_distinct(spark, sf_dir):
+    """The last running value per user must equal the user's true
+    COUNT(DISTINCT event_type) — ties the decomposition (first-occurrence
+    flag + running sum) back to the aggregate it emulates."""
+    from pyspark.sql import Window
+
+    from kafka_connect_minio_pipeline_spark.operators.windows import (
+        q_window_running_distinct,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    out = q_window_running_distinct(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    finals = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("distinct_types_so_far").alias("got"))
+    )
+    truth = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("want"))
+    )
+    bad = finals.join(truth, "user_id").filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0
+
+
+def test_incremental_dedup_invariants(spark, sf_dir):
+    """Every reported match pairs a NEW doc with a BASE doc (split is
+    honored both ways), jaccard respects the threshold, and near matches
+    really are ≥-threshold Jaccard pairs under the canonical shingling."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        INCR_NEW_FRAC,
+        JACCARD_THRESHOLD,
+        q_dedup_incremental,
+    )
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        _HASH_SPACE,
+        _portable_hash,
+    )
+
+    out = q_dedup_incremental(spark, sf_dir).collect()
+    cut = int(INCR_NEW_FRAC * _HASH_SPACE)
+
+    def is_new_expr(c):
+        return _portable_hash(F.concat(F.lit("incr:"), c)) < cut
+
+    flags = dict(
+        spark.range(0, 10_000)
+        .select("id", is_new_expr(F.col("id")).alias("f"))
+        .collect()
+    )
+    for r in out:
+        assert flags[r["doc_id"]] is True, r
+        assert flags[r["match_id"]] is False, r
+        assert r["jaccard"] >= JACCARD_THRESHOLD or r["method"] == "exact", r
+        assert r["method"] in ("exact", "near")

@@ -34,7 +34,7 @@ _STATEFUL = sorted(
              # histogram walk), checkpointed hour series, incremental
              # dedup staging, PPM codec Python stages
              "agg_median_twopass", "ts_cross_corr", "dedup_incremental",
-             "multimodal_ppm_decode")
+             "multimodal_ppm_decode", "graph_degree_stats", "graph_lpa")
 )
 
 
