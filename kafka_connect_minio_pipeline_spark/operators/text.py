@@ -616,8 +616,102 @@ SQL_TEXT_BPE_PAIRS = f"""
 """
 
 
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 50
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: bigrams whose words co-occur far more than
+    chance — ranked by PMI-style lift, the phrase-mining primitive
+    (multi-word-expression detection, phrase vocabulary for tokenizers).
+
+    Lift is the PMI argument WITHOUT the log — an exact rational
+    p(ab)/(p(a)p(b)) built from integer counts with one double division,
+    so the ranking is engine-portable (cross-engine libm log is not; the
+    log is monotone so the ranking is PMI's). Corpus-sized work is the
+    unigram + bigram count aggregations (both partial-aggregated,
+    vocabulary-sized outputs); the unigram joins hit vocabulary-sized
+    relations, corpus totals broadcast as scalar rows, and the top-k is
+    TakeOrdered on the ROUNDED score (never a global sort; rounding
+    first makes the sort key itself cross-engine exact). Min-support
+    filter kills the degenerate rare-pair tail before ranking.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    uni = (
+        toked.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    bi = (
+        toked.select(F.explode(word_ngrams(F.col("toks"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= COLLOC_MIN_COUNT)
+        .withColumn("w1", F.split("bg", " ")[0])
+        .withColumn("w2", F.split("bg", " ")[1])
+    )
+    n_uni = uni.agg(F.sum("n_w").alias("n_uni_total"))
+    n_bi_total = (
+        toked.select(
+            F.greatest(F.size("toks") - 1, F.lit(0)).alias("nb")
+        ).agg(F.sum("nb").alias("n_bi_total"))
+    )
+    scored = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi_total))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_uni_total") * F.col("n_uni_total"))
+                / (F.col("n_bi_total").cast("double") * F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("w1"), F.col("w2")
+    ).limit(COLLOC_TOP_K)
+
+
+SQL_TEXT_COLLOCATIONS = f"""
+    WITH toked AS (
+        SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+        FROM (SELECT UNNEST(toks) AS w FROM toked) GROUP BY w),
+    bi AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_ab,
+               string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2
+        FROM (SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+                             FOR i IN RANGE(1, GREATEST(LEN(toks), 1))]) AS bg
+              FROM toked)
+        GROUP BY bg HAVING COUNT(*) >= {COLLOC_MIN_COUNT}),
+    tot AS (
+        SELECT (SELECT SUM(n_w) FROM uni) AS n_uni_total,
+               (SELECT SUM(GREATEST(LEN(toks) - 1, 0)) FROM toked) AS n_bi_total)
+    SELECT w1, w2, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+           ROUND((CAST(n_ab AS DOUBLE) * n_uni_total * n_uni_total)
+                 / (CAST(n_bi_total AS DOUBLE) * a.n_w * b.n_w), 6) AS lift
+    FROM bi
+    JOIN uni a ON bi.w1 = a.w
+    JOIN uni b ON bi.w2 = b.w
+    CROSS JOIN tot
+    ORDER BY lift DESC, w1, w2
+    LIMIT {COLLOC_TOP_K}
+"""
+
+
 QUERIES = {
     "text_bpe_pairs": Query(q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
+    "text_collocations": Query(q_text_collocations, SQL_TEXT_COLLOCATIONS),
     "text_bm25": Query(q_text_bm25, SQL_TEXT_BM25),
     "text_pretokenize": Query(q_text_pretokenize, SQL_TEXT_PRETOKENIZE),
     "text_common_passages": Query(q_text_common_passages, SQL_TEXT_COMMON_PASSAGES),

@@ -234,10 +234,149 @@ CORPUS_CLEAN_SQL = """
 """
 
 
+def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality report across the star schema: referential-integrity
+    orphans, domain violations, and null/blank rates — one row per check
+    (check_name, n_total, n_violations, violation_rate). The audit every
+    warehouse runs after each load; generalizes the reference verifier's
+    single equality metric (SURVEY A21-A22) into a check battery.
+
+    Each FK check is a LEFT ANTI join counted (broadcast when the parent
+    side is dimension-sized; sort-merge + AQE for fact⨝fact); domain and
+    null checks are conditional aggregates fused into one pass per table
+    scanned. Output cardinality = number of checks, each check one scan
+    of its subject table — at 100 TB run the battery per partition-day
+    and union, same plan per slice.
+    """
+    from pyspark.sql import functions as F
+
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    documents = load(spark, sf_dir, "documents")
+
+    def check(name: str, total_df: DataFrame, viol_df: DataFrame) -> DataFrame:
+        t = total_df.agg(F.count("*").alias("n_total"))
+        v = viol_df.agg(F.count("*").alias("n_violations"))
+        return t.crossJoin(F.broadcast(v)).select(
+            F.lit(name).alias("check_name"),
+            "n_total",
+            "n_violations",
+            F.round(F.col("n_violations") / F.col("n_total"), 6).alias(
+                "violation_rate"
+            ),
+        )
+
+    orders_orphans = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == customer.c_custkey,
+        "left_anti",
+    )
+    li_orphans = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == orders.o_orderkey,
+        "left_anti",
+    )
+    checks = [
+        check("orders_orphan_custkey", orders, orders_orphans),
+        check("lineitem_orphan_orderkey", lineitem, li_orphans),
+        check(
+            "lineitem_nonpositive_qty",
+            lineitem,
+            lineitem.filter(F.col("l_quantity") <= 0),
+        ),
+        check(
+            "lineitem_discount_range",
+            lineitem,
+            lineitem.filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)
+            ),
+        ),
+        check(
+            "customer_blank_name",
+            customer,
+            customer.filter(
+                F.col("c_name").isNull() | (F.trim(F.col("c_name")) == "")
+            ),
+        ),
+        check("events_null_user", events, events.filter(F.col("user_id").isNull())),
+        check(
+            "documents_empty_text",
+            documents,
+            documents.filter(F.length(F.col("text")) == 0),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+DQ_CHECKS_SQL = """
+    SELECT 'orders_orphan_custkey' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+           ROUND((SELECT COUNT(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                    WHERE c.c_custkey = o.o_custkey)) * 1.0
+                 / (SELECT COUNT(*) FROM orders), 6) AS violation_rate
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           ROUND((SELECT COUNT(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey)) * 1.0
+                 / (SELECT COUNT(*) FROM lineitem), 6)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_quantity <= 0),
+           ROUND((SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) * 1.0
+                 / (SELECT COUNT(*) FROM lineitem), 6)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.5),
+           ROUND((SELECT COUNT(*) FROM lineitem
+                  WHERE l_discount < 0 OR l_discount > 0.5) * 1.0
+                 / (SELECT COUNT(*) FROM lineitem), 6)
+    UNION ALL
+    SELECT 'customer_blank_name',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_name IS NULL OR TRIM(c_name) = ''),
+           ROUND((SELECT COUNT(*) FROM customer
+                  WHERE c_name IS NULL OR TRIM(c_name) = '') * 1.0
+                 / (SELECT COUNT(*) FROM customer), 6)
+    UNION ALL
+    SELECT 'events_null_user',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id IS NULL),
+           ROUND((SELECT COUNT(*) FROM events WHERE user_id IS NULL) * 1.0
+                 / (SELECT COUNT(*) FROM events), 6)
+    UNION ALL
+    SELECT 'documents_empty_text',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+            WHERE LENGTH(text) = 0),
+           ROUND((SELECT COUNT(*) FROM documents WHERE LENGTH(text) = 0) * 1.0
+                 / (SELECT COUNT(*) FROM documents), 6)
+"""
+
+
 QUERIES = {
     "profile_transform": Query(q_profile_transform, TRANSFORM_SQL, headline=True),
     "profile_reconciliation": Query(q_reconciliation, RECONCILE_SQL),
     "profile_nested": Query(q_profile_nested, NESTED_SQL),
     "profile_tombstones": Query(q_profile_tombstones, TOMBSTONES_SQL),
     "pipeline_corpus_clean": Query(q_corpus_clean, CORPUS_CLEAN_SQL, headline=True),
+    "pipeline_dq_checks": Query(q_pipeline_dq_checks, DQ_CHECKS_SQL),
 }
