@@ -795,8 +795,131 @@ SQL_SIMILARITY_MATRYOSHKA_EVAL = f"""
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def kmeans_assign(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Distributed k-means (Lloyd), fixed iteration count, fully
+    deterministic — the clustering pass a corpus pipeline runs to build
+    IVF cells, dedup buckets, or topic groups over an embedding column.
+
+    Every round is two distributed relational steps: ASSIGN — cross join
+    against the K-row centroid relation (broadcast; K·|corpus| narrow
+    rows, argmin as min(struct(dist, k)) so ties take the smallest
+    cluster id) with distances from the shared sequential double fold
+    (dist² = |v|² − 2v·c + |c|², each dot bit-identical to DuckDB's
+    list_dot_product); UPDATE — posexplode to (cluster, dim) cells and a
+    decimal-exact mean per cell (the same order-free quantized sums as
+    similarity_centroids), K·D output rows rebuilt into arrays by
+    sorted collect. No driver loop state: iterations unroll into one
+    lazy plan; K and iters are small constants, so plan depth stays
+    shallow while every data-sized step is a hash shuffle or broadcast
+    join. Seeding is the K smallest vec_ids (deterministic, matching the
+    oracle CTE); an empty cluster simply drops out of the next round on
+    both engines. At 100 TB: same plan, with the centroid relation still
+    K rows — the classic MLlib shape expressed in pure DataFrame algebra.
+    """
+    e = emb.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    e = e.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("dvv"))
+    cents = (
+        e.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("k"), F.col("v").alias("c"))
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        cc = cents_df.withColumn("dcc", dot(F.col("c"), F.col("c")))
+        d = (
+            e.crossJoin(F.broadcast(cc))
+            .withColumn("dvc", dot(F.col("v"), F.col("c")))
+            .withColumn(
+                "dist", F.col("dvv") - 2 * F.col("dvc") + F.col("dcc")
+            )
+        )
+        best = d.groupBy("vec_id").agg(F.min(F.struct("dist", "k")).alias("b"))
+        return best.select(
+            "vec_id", F.col("b.k").alias("k"), F.col("b.dist").alias("dist")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        cells = (
+            assigned.join(e, "vec_id")
+            .select("k", F.posexplode("v").alias("pos", "x"))
+            .groupBy("k", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(16,6)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        return cells.groupBy("k").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+
+    for _ in range(iters - 1):
+        cents = update(assign(cents))
+    out = assign(cents)
+    return out.select(
+        "vec_id",
+        F.col("k").cast("bigint").alias("cluster"),
+        F.round("dist", 6).alias("dist_sq"),
+    )
+
+
+def q_similarity_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: 2-round k-means over ``embeddings`` (K=8)."""
+    return kmeans_assign(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
+
+
+def _kmeans_sql() -> str:
+    dist = (
+        "list_dot_product(e.v, e.v)"
+        " - 2 * list_dot_product(e.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    rounds = []
+    prev_c = "c0"
+    for i in range(1, KMEANS_ITERS):
+        rounds.append(f"""
+    a{i} AS (
+        SELECT vec_id, k, dist FROM (
+            SELECT e.vec_id, c.k, {dist} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.k) AS rn
+            FROM e CROSS JOIN {prev_c} c) WHERE rn = 1),
+    u{i} AS (
+        SELECT a.k, i AS pos,
+               CAST(SUM(CAST(e.v[i] AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM a{i} a JOIN e USING (vec_id),
+             LATERAL UNNEST(generate_series(1, len(e.v))) t(i)
+        GROUP BY a.k, i),
+    c{i} AS (SELECT k, LIST(m ORDER BY pos) AS c FROM u{i} GROUP BY k)""")
+        prev_c = f"c{i}"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS k, v AS c FROM e WHERE vec_id < {KMEANS_K}),{",".join(rounds)}
+    SELECT vec_id, CAST(k AS BIGINT) AS cluster, ROUND(dist, 6) AS dist_sq
+    FROM (
+        SELECT e.vec_id, c.k, {dist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.k) AS rn
+        FROM e CROSS JOIN {prev_c} c) WHERE rn = 1
+"""
+
+
+SQL_SIMILARITY_KMEANS = _kmeans_sql()
+
+
 QUERIES = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "similarity_kmeans": Query(q_similarity_kmeans, SQL_SIMILARITY_KMEANS),
     "similarity_ann_eval": Query(q_similarity_ann_eval, SQL_SIMILARITY_ANN_EVAL),
     "similarity_matryoshka_eval": Query(
         q_similarity_matryoshka_eval, SQL_SIMILARITY_MATRYOSHKA_EVAL
