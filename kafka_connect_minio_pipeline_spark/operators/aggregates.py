@@ -679,8 +679,77 @@ SQL_AGG_MEDIAN_TWOPASS = """
 """
 
 
+# log10(1 + 1/d) to 6 dp — fixed literals so no cross-engine libm log
+BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the classic
+    fabricated-data screen (natural multi-scale amounts follow
+    log10(1+1/d); synthetic or tampered figures usually don't).
+
+    The first significant digit comes from the integer-part STRING
+    (substring of the bigint cast) — fully portable, no cross-engine
+    log10/pow float edge. One partial-aggregated groupBy to 9 rows, the
+    total broadcast back as a scalar row; expected shares are fixed
+    literals and every derived number is computed from already-rounded
+    doubles so both engines agree bit-for-bit. Linear single-scan at any
+    scale.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    exp = F.element_at(
+        F.array(*[F.lit(BENFORD[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("obs_share", F.round(F.col("n") / F.col("total"), 6))
+        .withColumn("benford_share", exp)
+        .select(
+            "digit",
+            "n",
+            "obs_share",
+            "benford_share",
+            F.round(F.abs(F.col("obs_share") - F.col("benford_share")), 6).alias(
+                "abs_dev"
+            ),
+        )
+    )
+
+
+SQL_AGG_BENFORD = f"""
+    WITH counts AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INTEGER) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_totalprice >= 1
+        GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    scored AS (
+        SELECT digit, n,
+               ROUND(n * 1.0 / total, 6) AS obs_share,
+               CASE digit
+                   {' '.join(f'WHEN {d} THEN {BENFORD[d]}' for d in range(1, 10))}
+               END AS benford_share
+        FROM counts CROSS JOIN tot)
+    SELECT digit, n, obs_share, benford_share,
+           ROUND(ABS(obs_share - benford_share), 6) AS abs_dev
+    FROM scored
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
+    "agg_benford": Query(q_agg_benford, SQL_AGG_BENFORD),
     "agg_corr": Query(q_agg_corr, SQL_AGG_CORR),
     "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
     "agg_argmax": Query(q_agg_argmax, SQL_AGG_ARGMAX),

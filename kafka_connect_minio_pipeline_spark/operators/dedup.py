@@ -1387,6 +1387,71 @@ SQL_DEDUP_EDIT_DISTANCE = f"""
 """
 
 
+def q_dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: how many near-dup pairs link
+    each pair of sources — "who is mirroring whom", the view that decides
+    which feed to drop when two crawls overlap.
+
+    Reuses the full verified MinHash-LSH pair set (same signatures,
+    bands, candidate join and exact-Jaccard verify as
+    ``dedup_minhash_lsh``) and rolls it up by the UNORDERED source pair
+    (least/greatest normalization so A↔B and B↔A collapse). The doc→
+    source attribution joins are dimension-narrow (doc_id, source); the
+    matrix output is |sources|² at most. Adds one broadcast-scale rollup
+    on top of the already-scale-safe pair generation.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    attributed = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("d1"), F.col("source").alias("s1")),
+            "d1",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("d2"), F.col("source").alias("s2")),
+            "d2",
+        )
+    )
+    return (
+        attributed.select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            # order-free mean: round-6 jaccards quantize exactly to
+            # DECIMAL(12,6), decimal SUM is associative, one double div
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(12,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_jaccard"),
+        )
+    )
+
+
+def _source_overlap_sql() -> str:
+    pair_sql = _minhash_oracle_sql()
+    return f"""
+    WITH pair_set AS ({pair_sql}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(a.source, b.source) AS source_a,
+           GREATEST(a.source, b.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(12,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_jaccard
+    FROM pair_set p
+    JOIN src a ON p.d1 = a.doc_id
+    JOIN src b ON p.d2 = b.doc_id
+    GROUP BY 1, 2
+"""
+
+
+SQL_DEDUP_SOURCE_OVERLAP = _source_overlap_sql()
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM, headline=True),
@@ -1399,4 +1464,5 @@ QUERIES = {
     "dedup_minhash_eval": Query(q_dedup_minhash_eval, SQL_DEDUP_MINHASH_EVAL),
     "dedup_edit_distance": Query(q_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "dedup_source_overlap": Query(q_dedup_source_overlap, SQL_DEDUP_SOURCE_OVERLAP),
 }

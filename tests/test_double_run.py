@@ -35,7 +35,8 @@ _STATEFUL = sorted(
              # dedup staging, PPM codec Python stages
              "agg_median_twopass", "ts_cross_corr", "dedup_incremental",
              "multimodal_ppm_decode", "graph_degree_stats", "graph_lpa",
-             "similarity_kmeans", "pipeline_dq_checks", "text_collocations")
+             "similarity_kmeans", "pipeline_dq_checks", "text_collocations",
+             "dedup_source_overlap")
 )
 
 
