@@ -561,6 +561,142 @@ SQL_MULTIMODAL_PPM = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# real audio decode: pure-numpy WAV (RIFF PCM16) codec
+# ---------------------------------------------------------------------------
+
+WAV_N_SAMPLES = 256
+WAV_RATE = 8000
+WAV_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, n_bytes int,"
+    " mean_abs double, zero_crossings int"
+)
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """Deterministic synthetic audio as a REAL RIFF/WAVE file (PCM16
+    mono): sample i is the integer sawtooth ``((7·doc_id + 3i) mod 256)
+    − 128`` — a closed form the oracle evaluates in SQL, so the RIFF
+    parser below is verified end-to-end exactly like the PPM codec."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(WAV_N_SAMPLES)
+    samples = (((7 * doc_id + 3 * i) % 256) - 128).astype("<i2")
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes):
+    """Pure-numpy RIFF/WAVE PCM16 parser — a REAL audio decode with no
+    external audio library. Walks the chunk list (skipping unknown
+    chunks per the RIFF spec, so files with LIST/fact chunks parse too),
+    validates the fmt contract, returns ``(sample_rate, int16 ndarray)``.
+    Raises ValueError on malformed input."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated RIFF chunk")
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if fmt_tag != 1:
+                raise ValueError("only PCM supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError("only 16-bit mono supported")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode as a distributed pipeline with a REAL codec —
+    the audio twin of ``multimodal_ppm_decode``: generate a valid WAV
+    per document, re-parse it with an independent RIFF chunk walker,
+    emit waveform statistics (mean |amplitude|, zero crossings). All
+    stats are exact-integer sums closed with one double division, so
+    they hash-match the oracle's closed-form evaluation of the sample
+    formula. Same scale shape: one compute-spread exchange, two
+    Arrow-batched Python stages, linear everywhere.
+    """
+    import numpy as np
+
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [encode_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                zc = int(((s[:-1] < 0) != (s[1:] < 0)).sum())
+                rows.append(
+                    (
+                        int(d), rate, len(s), len(payload),
+                        float(np.abs(s).sum()) / len(s), zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "n_bytes",
+                    "mean_abs", "zero_crossings",
+                ],
+            )
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return payloads.mapInPandas(stats, schema=WAV_SCHEMA)
+
+
+# file size = 44-byte canonical header + 2 bytes/sample
+SQL_MULTIMODAL_WAV = f"""
+    WITH samples AS (
+        SELECT d.doc_id, i.range AS i,
+               ((7 * d.doc_id + 3 * i.range) % 256) - 128 AS v
+        FROM (SELECT doc_id FROM documents) d, range({WAV_N_SAMPLES}) i),
+    flagged AS (
+        SELECT doc_id, i, v,
+               LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        FROM samples)
+    SELECT doc_id,
+           CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+           CAST({WAV_N_SAMPLES} AS INTEGER) AS n_samples,
+           CAST(44 + {WAV_N_SAMPLES} * 2 AS INTEGER) AS n_bytes,
+           CAST(SUM(ABS(v)) AS DOUBLE) / {WAV_N_SAMPLES} AS mean_abs,
+           CAST(SUM(CASE WHEN nxt IS NOT NULL
+                          AND (v < 0) <> (nxt < 0) THEN 1 ELSE 0 END)
+                AS INTEGER) AS zero_crossings
+    FROM flagged
+    GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_phash_pairs": Query(q_multimodal_phash_pairs, SQL_MULTIMODAL_PHASH),
     "multimodal_phash_clusters": Query(
@@ -571,4 +707,5 @@ QUERIES = {
     "multimodal_resize": Query(q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_frame_sample": Query(q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
     "multimodal_ppm_decode": Query(q_multimodal_ppm_decode, SQL_MULTIMODAL_PPM),
+    "multimodal_wav_decode": Query(q_multimodal_wav_decode, SQL_MULTIMODAL_WAV),
 }

@@ -616,6 +616,63 @@ SQL_TEXT_BPE_PAIRS = f"""
 """
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability profile: word/sentence/syllable counts
+    and the Flesch reading-ease score — the grade-level signal curation
+    stacks use beside stopword/length heuristics (quality filtering by
+    audience level).
+
+    Syllables are the standard vowel-group approximation
+    (non-overlapping ``[aeiouy]+`` runs — ``regexp_count`` here,
+    ``regexp_extract_all`` length in DuckDB, identical left-to-right
+    match semantics); sentence count is clamped to ≥ 1 so the ratio is
+    total on punctuation-free text. The score is fixed literals and one
+    IEEE double tree over integer counts — portable, rounded once.
+    Entirely narrow (scan → project after compute-spread): linear at any
+    scale.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    staged = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]")), F.lit(1))
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+"))
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+        - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words"))
+    )
+    return staged.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(flesch, 6).alias("flesch"),
+    )
+
+
+SQL_TEXT_READABILITY = f"""
+    WITH staged AS (
+        SELECT doc_id,
+               CAST(LEN({SQL_TOKENS.format(col='text')}) AS BIGINT) AS n_words,
+               CAST(GREATEST(LEN(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+                   AS n_sentences,
+               CAST(LEN(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                   AS n_syllables
+        FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835
+                 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_syllables * 1.0 / n_words), 6) AS flesch
+    FROM staged WHERE n_words > 0
+"""
+
+
 COLLOC_MIN_COUNT = 5
 COLLOC_TOP_K = 50
 
@@ -712,6 +769,7 @@ SQL_TEXT_COLLOCATIONS = f"""
 QUERIES = {
     "text_bpe_pairs": Query(q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_collocations": Query(q_text_collocations, SQL_TEXT_COLLOCATIONS),
+    "text_readability": Query(q_text_readability, SQL_TEXT_READABILITY),
     "text_bm25": Query(q_text_bm25, SQL_TEXT_BM25),
     "text_pretokenize": Query(q_text_pretokenize, SQL_TEXT_PRETOKENIZE),
     "text_common_passages": Query(q_text_common_passages, SQL_TEXT_COMMON_PASSAGES),

@@ -435,3 +435,41 @@ def test_incremental_dedup_invariants(spark, sf_dir):
         assert flags[r["match_id"]] is False, r
         assert r["jaccard"] >= JACCARD_THRESHOLD or r["method"] == "exact", r
         assert r["method"] in ("exact", "near")
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """decode(encode(d)) recovers the formula waveform; the parser is a
+    real RIFF chunk walker, so an extra LIST chunk before data must be
+    skipped, and malformed payloads must raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import (
+        WAV_N_SAMPLES,
+        WAV_RATE,
+        decode_wav,
+        encode_wav,
+    )
+
+    for d in (0, 11, 499):
+        rate, samples = decode_wav(encode_wav(d))
+        assert rate == WAV_RATE and len(samples) == WAV_N_SAMPLES
+        i = np.arange(WAV_N_SAMPLES)
+        expect = (((7 * d + 3 * i) % 256) - 128).astype(np.int16)
+        assert (samples == expect).all()
+
+    # inject an unknown (odd-sized, word-padded) chunk between fmt and data
+    raw = encode_wav(3)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, samples = decode_wav(patched)
+    assert len(samples) == WAV_N_SAMPLES
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI ")  # wrong form type
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(1)[:-3])  # truncated data chunk
