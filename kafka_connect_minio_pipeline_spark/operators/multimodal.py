@@ -13,12 +13,15 @@ raise NotImplementedError, and the tested pipeline injects
 exact signature a real (PIL/torchaudio) decoder would have. The Spark-side
 plumbing — binary column construction, schema, batch iteration,
 partition-parallel execution — is real and oracle-/test-covered.
-One decode path needs no external library and is therefore REAL end to
+Two decode paths need no external library and are therefore REAL end to
 end: ``encode_ppm``/``decode_ppm`` implement the binary PPM (P6) image
 format in pure numpy (full header grammar incl. comments), and
-``multimodal_ppm_decode`` runs generate→decode→channel-stats as two
-Arrow-batched stages whose output is hash-checked against the oracle's
-independent closed-form evaluation of the pixel formula.
+``encode_wav``/``decode_wav`` implement RIFF/WAVE PCM16 with a
+spec-correct chunk walker (unknown-chunk skip, word alignment).
+``multimodal_ppm_decode`` / ``multimodal_wav_decode`` run
+generate→decode→stats as two Arrow-batched stages whose output is
+hash-checked against the oracle's independent closed-form evaluation of
+the pixel/sample formula.
 
 There is no binary test table, so ``documents.text`` is encoded to UTF-8
 bytes as the stand-in payload.

@@ -78,6 +78,13 @@ _QUERY_MODULES = (
 #         cross-correlation, edit-distance blocking, real PPM decode,
 #         point-in-time SCD2 join). Everything else follows in module
 #         order under the every-run local parity net.
+#
+# ROUND-5 ROTATION BACKLOG (window overflow — local-parity green, no
+# driver row yet; pin these FIRST next round): graph_degree_stats,
+# graph_lpa, pipeline_dq_checks, text_collocations, similarity_kmeans,
+# dedup_source_overlap, agg_benford, multimodal_wav_decode,
+# text_readability, plus the three rotated-out materially-changed
+# re-grades (sketch_hll, stream_hll, embedding_quantize).
 _GRADE_FIRST = (
     "scalar_array",
     "window_rank",
