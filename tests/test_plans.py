@@ -602,3 +602,53 @@ def test_ppm_decode_is_two_arrow_stages_one_exchange(spark, sf_dir):
     assert plan.count("MapInPandas") == 4, plan
     assert plan.count("Exchange") == 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_kmeans_centroids_broadcast_no_cartesian(spark, sf_dir):
+    """The K-row centroid relation must reach the corpus as a broadcast
+    (BroadcastNestedLoopJoin cross), never a CartesianProduct shuffle;
+    no global sort anywhere."""
+    from kafka_connect_minio_pipeline_spark.operators.similarity import (
+        q_similarity_kmeans,
+    )
+
+    plan = formatted_plan(q_similarity_kmeans(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_collocations_topk_is_take_ordered(spark, sf_dir):
+    """Top-k collocations must be TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a global sort."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_collocations,
+    )
+
+    plan = formatted_plan(q_text_collocations(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_dq_checks_fk_checks_are_anti_joins(spark, sf_dir):
+    """Referential-integrity checks must compile to anti-joins (the
+    dimension-parent one broadcast), not join+filter."""
+    from kafka_connect_minio_pipeline_spark.pipeline.queries import (
+        q_pipeline_dq_checks,
+    )
+
+    plan = formatted_plan(q_pipeline_dq_checks(spark, sf_dir))
+    assert plan.count("LeftAnti") >= 2, plan
+    assert "BroadcastHashJoin LeftAnti" in plan, plan
+
+
+def test_wav_decode_is_two_arrow_stages_one_exchange(spark, sf_dir):
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import (
+        q_multimodal_wav_decode,
+    )
+
+    plan = formatted_plan(q_multimodal_wav_decode(spark, sf_dir))
+    # formatted plans list each node twice (tree + detail section)
+    assert plan.count("MapInPandas") == 4, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan, plan
