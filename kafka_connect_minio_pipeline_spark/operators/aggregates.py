@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import dec2, sum_dec2, sum_revenue
+from ..functions.exact import (
+    SQL_SUM_DEC2,
+    SQL_SUM_REVENUE,
+    dec2,
+    sum_dec2,
+    sum_revenue,
+)
 from ..registry import Query
 from ..tables import load, register_views
 
@@ -747,9 +753,45 @@ SQL_AGG_BENFORD = f"""
 """
 
 
+def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-group metrics → long (group, metric,
+    value) rows — the inverse of agg_pivot and the shape BI/metric
+    stores ingest. Runs on the decimal-exact pricing rollup, so the
+    melted values hash-match; the unpivot itself is a zero-shuffle
+    projection expansion (each input row emits one row per metric
+    column, JVM-side)."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        sum_dec2(F.col("l_quantity")).alias("sum_qty"),
+        sum_dec2(F.col("l_extendedprice")).alias("sum_base_price"),
+        sum_revenue(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "sum_revenue"
+        ),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price", "sum_revenue"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+SQL_AGG_UNPIVOT = f"""
+    WITH wide AS (
+        SELECT l_returnflag,
+               {SQL_SUM_DEC2.format(col='l_quantity')} AS sum_qty,
+               {SQL_SUM_DEC2.format(col='l_extendedprice')} AS sum_base_price,
+               {SQL_SUM_REVENUE} AS sum_revenue
+        FROM lineitem GROUP BY l_returnflag)
+    UNPIVOT wide ON sum_qty, sum_base_price, sum_revenue
+    INTO NAME metric VALUE value
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
     "agg_benford": Query(q_agg_benford, SQL_AGG_BENFORD),
+    "agg_unpivot": Query(q_agg_unpivot, SQL_AGG_UNPIVOT),
     "agg_corr": Query(q_agg_corr, SQL_AGG_CORR),
     "agg_pricing_summary": Query(q_agg_pricing_summary, SQL_AGG_PRICING, headline=True),
     "agg_argmax": Query(q_agg_argmax, SQL_AGG_ARGMAX),

@@ -700,6 +700,62 @@ SQL_MULTIMODAL_WAV = f"""
 """
 
 
+CORRUPT_EVERY = 97  # deterministic corruption: doc_id % 97 == 0 truncated
+
+
+def q_multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-object accounting on the decode path — the multimodal twin
+    of the reference's malformed-record skip + corruption counter
+    (SURVEY A6): a real corpus always contains broken files, and a decode
+    stage must quarantine-and-count them, never crash the job or emit
+    garbage.
+
+    A deterministic slice of payloads (doc_id ≡ 0 mod 97) is truncated
+    mid-header; the decode kernel catches the parser's ValueError per
+    row and emits a status instead of propagating (batch survives, bad
+    rows are countable). Output is the (status, n) audit the pipeline
+    operator alerts on. The oracle derives the same counts from the
+    corruption rule closed-form — which also pins that the parser
+    REJECTS every corrupted payload (a lenient parser would under-count
+    errors and hash-mismatch).
+    """
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                p = encode_ppm(int(d))
+                payloads.append(p[:5] if int(d) % CORRUPT_EVERY == 0 else p)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            statuses = []
+            for payload in pdf["payload"]:
+                try:
+                    decode_ppm(bytes(payload))
+                    statuses.append("ok")
+                except ValueError:
+                    statuses.append("decode_error")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "status": statuses}
+            )
+
+    payloads = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    audited = payloads.mapInPandas(audit, schema="doc_id long, status string")
+    return audited.groupBy("status").agg(F.count("*").alias("n"))
+
+
+SQL_MULTIMODAL_DECODE_ERRORS = f"""
+    SELECT CASE WHEN doc_id % {CORRUPT_EVERY} = 0
+                THEN 'decode_error' ELSE 'ok' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1
+"""
+
+
 QUERIES = {
     "multimodal_phash_pairs": Query(q_multimodal_phash_pairs, SQL_MULTIMODAL_PHASH),
     "multimodal_phash_clusters": Query(
@@ -711,4 +767,7 @@ QUERIES = {
     "multimodal_frame_sample": Query(q_multimodal_frame_sample, SQL_MULTIMODAL_FRAMES),
     "multimodal_ppm_decode": Query(q_multimodal_ppm_decode, SQL_MULTIMODAL_PPM),
     "multimodal_wav_decode": Query(q_multimodal_wav_decode, SQL_MULTIMODAL_WAV),
+    "multimodal_decode_errors": Query(
+        q_multimodal_decode_errors, SQL_MULTIMODAL_DECODE_ERRORS
+    ),
 }
