@@ -803,9 +803,147 @@ SQL_DATASET_CARD = """
 """
 
 
+MASK_RATE = 0.15  # fraction of tokens corrupted (T5 default)
+
+
+def q_llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption: build (input, target) pretraining pairs
+    where masked token runs collapse to ``<extra_id_k>`` sentinels in the
+    input and reappear after their sentinel in the target — the
+    denoising objective's data prep as a distributed query.
+
+    Token selection is the portable salted hash (doc, position) < 15% —
+    deterministic and engine-exact where T5's RNG span sampling is not;
+    adjacent masked tokens merge into one span exactly like the
+    reference objective. The whole construction is window algebra on the
+    exploded token relation (run starts via lag, sentinel ids via a
+    running sum over run starts), and both output strings reassemble
+    with order-pinned aggregation (sorted-struct collect here,
+    string_agg ORDER BY in the oracle). One exchange on doc_id shared by
+    every window; per-doc work is linear in tokens — the plan a 100 TB
+    corpus pass needs.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    ex = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    cut = int(MASK_RATE * _HASH_SPACE)
+    ex = ex.withColumn(
+        "masked",
+        _portable_hash(
+            F.concat(F.lit("mask:"), F.col("doc_id"), F.lit(":"), F.col("pos"))
+        )
+        < cut,
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ex = ex.withColumn(
+        "run_start",
+        F.col("masked")
+        & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+    )
+    ex = ex.withColumn(
+        "k",
+        F.sum(F.col("run_start").cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1,
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("k"), F.lit(">"))
+    input_piece = F.when(~F.col("masked"), F.col("tok")).when(
+        F.col("run_start"), sentinel
+    )  # mid-run masked tokens emit NULL → dropped from the input
+    target_piece = F.when(
+        F.col("run_start"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+    ).when(F.col("masked"), F.col("tok"))
+    pieces = ex.select(
+        "doc_id",
+        "pos",
+        "masked",
+        "run_start",
+        input_piece.alias("inp"),
+        target_piece.alias("tgt"),
+    )
+    joined = pieces.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("inp").isNotNull(),
+                            F.struct("pos", F.col("inp").alias("v")),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+        ).alias("input_text"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("tgt").isNotNull(),
+                            F.struct("pos", F.col("tgt").alias("v")),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+        ).alias("target_text"),
+        F.sum(F.col("masked").cast("bigint")).alias("n_masked"),
+        F.sum(F.col("run_start").cast("bigint")).alias("n_spans"),
+    )
+    return joined
+
+
+SQL_SPAN_CORRUPTION = f"""
+    WITH ex AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        FROM (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS w FROM documents),
+             LATERAL UNNEST(generate_series(1, LEN(w))) t(i)),
+    flagged AS (
+        SELECT doc_id, pos, tok,
+               ('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR)
+                                   || ':' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT
+                   < {int(MASK_RATE * _HASH_SPACE)} AS masked
+        FROM ex),
+    runs AS (
+        SELECT *,
+               masked AND NOT COALESCE(
+                   LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                   AS run_start
+        FROM flagged),
+    ks AS (
+        SELECT *,
+               SUM(CASE WHEN run_start THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS k
+        FROM runs),
+    pieces AS (
+        SELECT doc_id, pos, masked, run_start,
+               CASE WHEN NOT masked THEN tok
+                    WHEN run_start THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+               END AS inp,
+               CASE WHEN run_start
+                    THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || tok
+                    WHEN masked THEN tok
+               END AS tgt
+        FROM ks)
+    SELECT doc_id,
+           COALESCE(string_agg(inp, ' ' ORDER BY pos), '') AS input_text,
+           COALESCE(string_agg(tgt, ' ' ORDER BY pos), '') AS target_text,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+    FROM pieces
+    GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "llm_rag_chunk": Query(q_llm_rag_chunk, SQL_RAG_CHUNK),
     "llm_dataset_card": Query(q_llm_dataset_card, SQL_DATASET_CARD),
+    "llm_span_corruption": Query(q_llm_span_corruption, SQL_SPAN_CORRUPTION),
     "llm_dedup_keep_best": Query(q_llm_dedup_keep_best, _sql_llm_dedup_keep_best()),
     "llm_sample_stratified": Query(q_llm_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "llm_sample_hash": Query(q_llm_sample_hash, SQL_SAMPLE_HASH),

@@ -83,7 +83,8 @@ _QUERY_MODULES = (
 # driver row yet; pin these FIRST next round): graph_degree_stats,
 # graph_lpa, pipeline_dq_checks, text_collocations, similarity_kmeans,
 # dedup_source_overlap, agg_benford, multimodal_wav_decode,
-# text_readability, agg_unpivot, multimodal_decode_errors, plus the
+# text_readability, agg_unpivot, multimodal_decode_errors,
+# llm_span_corruption, plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).
 _GRADE_FIRST = (
