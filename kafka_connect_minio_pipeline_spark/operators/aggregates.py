@@ -608,11 +608,12 @@ SQL_AGG_LINREG = """
                         * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS syy
         FROM events GROUP BY event_type)
     SELECT event_type, n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_hour,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-               AS intercept,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS slope_per_hour,
+           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+                 / n, 6) AS intercept,
            ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+                 / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6) AS r2
     FROM base
 """
 

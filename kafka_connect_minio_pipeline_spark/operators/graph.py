@@ -494,8 +494,8 @@ SQL_GRAPH_DEGREE_STATS = f"""
            ds.max_degree,
            ROUND(ds.sum_deg * 1.0 / ds.n_nodes, 6) AS mean_degree,
            ROUND((CAST(mom.m2 AS DOUBLE) * sxy - sx * sy)
-                 / (SQRT(CAST(mom.m2 AS DOUBLE) * sxx - sx * sx)
-                    * SQRT(CAST(mom.m2 AS DOUBLE) * syy - sy * sy)), 6)
+                 / NULLIF(SQRT(CAST(mom.m2 AS DOUBLE) * sxx - sx * sx)
+                          * SQRT(CAST(mom.m2 AS DOUBLE) * syy - sy * sy), 0), 6)
                AS assortativity
     FROM ds, mom
 """

@@ -822,6 +822,12 @@ def kmeans_assign(
     both engines. At 100 TB: same plan, with the centroid relation still
     K rows — the classic MLlib shape expressed in pure DataFrame algebra.
     """
+    # e is re-derived by each consumer (2·iters + 1 references): measured
+    # A/B at sf0.1 put scratch-parquet staging at 2.48 s vs 1.85 s for
+    # the narrow recompute — the staging write costs more than the saved
+    # scan+fold on a compact embedding table. At real index scale the
+    # trade flips exactly as it did for shingle sets (stage once, read
+    # thrice); see BASELINE.md.
     e = emb.select("vec_id", to_double(F.col("embedding")).alias("v"))
     e = e.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("dvv"))
     cents = (

@@ -1040,8 +1040,9 @@ SQL_TS_CROSS_CORR = f"""
         FROM aligned GROUP BY lag_hours)
     SELECT lag_hours, n_hours,
            ROUND((CAST(n_hours AS DOUBLE) * sxy - sx * sy)
-                 / (SQRT(CAST(n_hours AS DOUBLE) * sxx - sx * sx)
-                    * SQRT(CAST(n_hours AS DOUBLE) * syy - sy * sy)), 6) AS xcorr
+                 / NULLIF(SQRT(CAST(n_hours AS DOUBLE) * sxx - sx * sx)
+                          * SQRT(CAST(n_hours AS DOUBLE) * syy - sy * sy), 0), 6)
+               AS xcorr
     FROM base
     ORDER BY lag_hours
 """
