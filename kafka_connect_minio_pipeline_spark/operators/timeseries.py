@@ -1007,13 +1007,15 @@ def q_ts_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_correlation(load(spark, sf_dir, "events"))
 
 
-SQL_TS_CROSS_CORR = f"""
+def _cross_corr_sql(a: str, b: str, max_lag: int) -> str:
+    """Oracle generator shared by cross-correlation and ACF (a == b)."""
+    return f"""
     WITH hourly AS (
         SELECT DATE_TRUNC('hour', ts) AS hour,
-               SUM(CASE WHEN event_type = '{CROSS_CORR_A}' THEN 1 ELSE 0 END) AS a_cnt,
-               SUM(CASE WHEN event_type = '{CROSS_CORR_B}' THEN 1 ELSE 0 END) AS b_cnt
+               SUM(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS a_cnt,
+               SUM(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS b_cnt
         FROM events
-        WHERE event_type IN ('{CROSS_CORR_A}', '{CROSS_CORR_B}')
+        WHERE event_type IN ('{a}', '{b}')
         GROUP BY 1),
     bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly),
     grid AS (
@@ -1024,7 +1026,7 @@ SQL_TS_CROSS_CORR = f"""
                COALESCE(h.b_cnt, 0) AS b_cnt
         FROM grid g LEFT JOIN hourly h ON g.hour = h.hour),
     lags AS (SELECT CAST(r.range AS BIGINT) AS lag_hours
-             FROM range(0, {CROSS_CORR_MAX_LAG_H + 1}) r),
+             FROM range(0, {max_lag + 1}) r),
     aligned AS (
         SELECT l.lag_hours, x.a_cnt, y.b_cnt
         FROM series x
@@ -1048,6 +1050,25 @@ SQL_TS_CROSS_CORR = f"""
 """
 
 
+SQL_TS_CROSS_CORR = _cross_corr_sql(
+    CROSS_CORR_A, CROSS_CORR_B, CROSS_CORR_MAX_LAG_H
+)
+
+
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly click series (lags 0-6 h)
+    — seasonality/persistence detection; the self-pair of
+    :func:`cross_correlation`, so the whole scale story (one data-sized
+    shuffle, bounded checkpointed grid) is inherited. Lag 0 is the
+    built-in sanity row: ACF(0) = 1 exactly."""
+    return cross_correlation(
+        load(spark, sf_dir, "events"), CROSS_CORR_A, CROSS_CORR_A
+    )
+
+
+SQL_TS_ACF = _cross_corr_sql(CROSS_CORR_A, CROSS_CORR_A, CROSS_CORR_MAX_LAG_H)
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
     "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),
@@ -1064,4 +1085,5 @@ QUERIES = {
     "ts_zscore": Query(q_ts_zscore, SQL_TS_ZSCORE),
     "ts_scd2": Query(q_ts_scd2, SQL_SCD2),
     "ts_cross_corr": Query(q_ts_cross_corr, SQL_TS_CROSS_CORR),
+    "ts_acf": Query(q_ts_acf, SQL_TS_ACF),
 }
