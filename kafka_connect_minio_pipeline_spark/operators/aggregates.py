@@ -578,9 +578,11 @@ def q_agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = n * F.col("syy") - F.col("sy") * F.col("sy")
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    slope = cov / vx
-    intercept = (F.col("sy") - slope * F.col("sx")) / n
-    r2 = (cov * cov) / (vx * vy)
+    # explicit CASE guards: ANSI mode (Spark 4 default) errors on /0 for
+    # a degenerate zero-variance group; oracle mirrors with NULLIF
+    slope = F.when(vx != 0, cov / vx)
+    intercept = F.when(vx != 0, (F.col("sy") - slope * F.col("sx")) / n)
+    r2 = F.when(vx * vy != 0, (cov * cov) / (vx * vy))
     return base.select(
         "event_type",
         "n",

@@ -458,10 +458,11 @@ def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("deg_d") * F.col("deg_d")).alias("syy"),
     )
     n = F.col("m2").cast("double")
-    assort = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    denom = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
     )
+    # regular graph → zero degree variance: CASE-guard (ANSI /0 errors)
+    assort = F.when(denom != 0.0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom)
     return (
         deg_stats.crossJoin(F.broadcast(mom))  # two 1-row aggregates
         .select(

@@ -991,10 +991,11 @@ def cross_correlation(
     )
     n = F.col("n_hours").cast("double")
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    corr = cov / (
-        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    denom = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
     )
+    # constant series → zero denominator: ANSI /0 errors, so CASE-guard
+    corr = F.when(denom != 0.0, cov / denom)
     return base.select(
         "lag_hours",
         "n_hours",

@@ -276,6 +276,87 @@ SQL_WINDOW_RUNNING_DISTINCT = """
 """
 
 
+ROLL_FRAME = 24  # rolling regression window (rows)
+
+
+def q_window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope: per user, the trend of ``value`` over its last
+    24 events — model fitting as a window function (drift detection per
+    entity, the streaming-adjacent cousin of agg_linreg).
+
+    The five co-moment sums are windowed aggregates over ONE shared
+    (user, ts, tiebreak) frame spec — one exchange + one sort feeds all
+    five Window aggregates; x is an exact integer hour index, y a
+    DECIMAL(18,6) quantization, so every frame sum is order-free and the
+    closing slope expression is one IEEE tree. Zero-variance frames
+    (all events inside one hour) yield NULL on both engines (Spark /0 →
+    NULL; oracle NULLIF). Skew bounded by the busiest user, work linear
+    with an O(frame) state per row.
+    """
+    ev = load(spark, sf_dir, "events")
+    x = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts)"
+    ).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,6)")
+    staged = ev.select(
+        "event_id", "user_id", "ts", x.alias("x"), y.alias("y")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLL_FRAME - 1), Window.currentRow)
+    )
+    agg = staged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_window"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("double").alias("sxx"),
+    )
+    n = F.col("n_window").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # explicit CASE: ANSI mode (Spark 4 default) errors on /0, and the
+    # 1-row frame at each user's timeline start always has zero variance
+    slope = F.when(
+        vx != 0.0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / vx
+    )
+    return agg.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "n_window",
+        F.round(slope, 6).alias("slope_per_hour"),
+    )
+
+
+SQL_WINDOW_ROLLING_SLOPE = f"""
+    WITH staged AS (
+        SELECT event_id, user_id, ts,
+               CAST(DATE_DIFF('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+                    AS DECIMAL(18,0)) AS x,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM events),
+    agg AS (
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+               CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+               CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx
+        FROM staged
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ROLL_FRAME - 1} PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, ts, n_window,
+           ROUND((CAST(n_window AS DOUBLE) * sxy - sx * sy)
+                 / NULLIF(CAST(n_window AS DOUBLE) * sxx - sx * sx, 0), 6)
+               AS slope_per_hour
+    FROM agg
+"""
+
+
 QUERIES = {
     "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
     "window_lag_lead": Query(q_window_lag_lead, SQL_WINDOW_LAG_LEAD),
@@ -286,5 +367,8 @@ QUERIES = {
     "topk_global": Query(q_topk_global, SQL_TOPK_GLOBAL),
     "window_running_distinct": Query(
         q_window_running_distinct, SQL_WINDOW_RUNNING_DISTINCT
+    ),
+    "window_rolling_slope": Query(
+        q_window_rolling_slope, SQL_WINDOW_ROLLING_SLOPE
     ),
 }
