@@ -652,3 +652,28 @@ def test_wav_decode_is_two_arrow_stages_one_exchange(spark, sf_dir):
     assert plan.count("MapInPandas") == 4, plan
     assert plan.count("Exchange") == 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_rolling_slope_single_window_pass(spark, sf_dir):
+    """All five co-moment frame sums share one window spec → Catalyst
+    plans ONE Window node behind ONE exchange + ONE sort."""
+    from kafka_connect_minio_pipeline_spark.operators.windows import (
+        q_window_rolling_slope,
+    )
+
+    plan = formatted_plan(q_window_rolling_slope(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    # exactly one Window operator in the tree section
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("Window") == 1, plan
+
+
+def test_span_corruption_single_exchange_spine(spark, sf_dir):
+    """The spread, both window passes, and the reassembly groupBy all
+    hash on doc_id — one exchange for the whole construction."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_span_corruption,
+    )
+
+    plan = formatted_plan(q_llm_span_corruption(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
