@@ -623,36 +623,39 @@ SQL_AGG_LINREG = """
 MEDIAN_BUCKET_WIDTH = 1000  # price units per histogram bucket (pass 1)
 
 
-def q_agg_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT global median without a global sort: the two-pass histogram
-    selection that replaces ORDER BY on 100 TB.
+def exact_median_twopass(
+    df: DataFrame, value_col: str, bucket_width: int = MEDIAN_BUCKET_WIDTH
+) -> DataFrame:
+    """EXACT lower median of ``value_col`` without a global sort: the
+    two-pass histogram selection that replaces ORDER BY on 100 TB.
 
     A naive exact median is a full sort of the column — a single-task
     catastrophe at scale. Instead: pass 1 builds a fixed-width bucket
     histogram (one partial-aggregated groupBy; the collected histogram is
-    BOUNDED — value_range / bucket_width rows, ~105 here, never
-    data-sized), the driver walks the cumulative counts to find the
-    bucket holding the target rank, and pass 2 re-scans ONLY that bucket
-    — the range predicate is pushed into the parquet scan as min/max
-    bucket bounds — and selects the in-bucket rank with
-    TakeOrderedAndProject (per-partition top-r + driver merge of r rows,
-    r ≤ bucket population ≈ n/buckets). At extreme scale the same
-    narrowing recurses: re-histogram inside the bucket until the remnant
-    fits one task — O(log) passes, each a linear scan that prunes ~1000×.
-    DuckDB oracle is the rank-window formulation of the identical lower
-    median (rank ⌈n/2⌉).
+    BOUNDED — value_range / bucket_width rows, never data-sized), the
+    driver walks the cumulative counts to find the bucket holding the
+    target rank, and pass 2 re-scans ONLY that bucket — the range
+    predicate is pushed into the parquet scan as min/max bucket bounds —
+    and selects the in-bucket rank with TakeOrderedAndProject
+    (per-partition top-r + driver merge of r rows, r ≤ bucket population
+    ≈ n/buckets). At extreme scale the same narrowing recurses:
+    re-histogram inside the bucket until the remnant fits one task —
+    O(log) passes, each a linear scan that prunes ~1000×. Handles
+    negative values (floor-division bucketing stays order-consistent);
+    raises on empty input rather than returning a fabricated row.
     """
-    li = load(spark, sf_dir, "lineitem")
-    price = dec2(F.col("l_extendedprice"))
+    price = dec2(F.col(value_col))
     hist = (
-        li.groupBy(
-            F.floor(price / MEDIAN_BUCKET_WIDTH).cast("bigint").alias("bucket")
+        df.groupBy(
+            F.floor(price / bucket_width).cast("bigint").alias("bucket")
         )
         .agg(F.count("*").alias("cnt"))
         .orderBy("bucket")
-        .collect()  # bounded: one row per occupied price bucket (~105)
+        .collect()  # bounded: one row per occupied value bucket
     )
     n = sum(r["cnt"] for r in hist)
+    if n == 0:
+        raise ValueError("exact_median_twopass: empty input relation")
     k = (n + 1) // 2  # lower-median rank
     cum = 0
     for r in hist:
@@ -660,10 +663,10 @@ def q_agg_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             bucket, rank_in_bucket = r["bucket"], k - cum
             break
         cum += r["cnt"]
-    lo = bucket * MEDIAN_BUCKET_WIDTH
-    hi = (bucket + 1) * MEDIAN_BUCKET_WIDTH
-    in_bucket = li.filter(
-        (F.col("l_extendedprice") >= F.lit(lo)) & (F.col("l_extendedprice") < F.lit(hi))
+    lo = bucket * bucket_width
+    hi = (bucket + 1) * bucket_width
+    in_bucket = df.filter(
+        (F.col(value_col) >= F.lit(lo)) & (F.col(value_col) < F.lit(hi))
     ).select(price.alias("price"))
     return (
         in_bucket.orderBy("price")
@@ -673,6 +676,13 @@ def q_agg_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price").cast("double").alias("median_price"),
         )
     )
+
+
+def q_agg_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: exact lower median of lineitem extended price.
+    DuckDB oracle is the rank-window formulation of the identical lower
+    median (rank ⌈n/2⌉)."""
+    return exact_median_twopass(load(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
 SQL_AGG_MEDIAN_TWOPASS = """

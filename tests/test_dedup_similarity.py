@@ -473,3 +473,32 @@ def test_wav_codec_roundtrip_and_chunk_walk():
         decode_wav(b"RIFFxxxxAVI ")  # wrong form type
     with pytest.raises(ValueError):
         decode_wav(encode_wav(1)[:-3])  # truncated data chunk
+
+
+def test_median_twopass_property(spark):
+    """The histogram-walk selection must equal the plain sorted lower
+    median on adversarial inputs: negatives, duplicates, exact
+    bucket-boundary values, single element, all-equal."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        exact_median_twopass,
+    )
+
+    import random
+
+    rng = random.Random(42)
+    cases = [
+        [5.0],
+        [7.0, 7.0, 7.0, 7.0],
+        [1000.0, 2000.0, 3000.0],          # exact bucket boundaries
+        [-1500.5, -0.25, 0.0, 999.99, 1000.0],
+        [999.99, 1000.0, 1000.01, 1999.99, 2000.0, 2000.01],
+        [rng.uniform(-5000, 5000) for _ in range(101)],
+        [rng.choice([10.0, 20.0, 3000.0]) for _ in range(50)],
+        [float(rng.randint(-3, 3)) * 1000 for _ in range(37)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], ["x"])
+        row = exact_median_twopass(df, "x").first()
+        want = sorted(round(v, 2) for v in vals)[(len(vals) + 1) // 2 - 1]
+        assert row["n"] == len(vals), vals
+        assert abs(row["median_price"] - want) < 1e-9, (vals, row, want)
