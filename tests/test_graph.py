@@ -95,3 +95,20 @@ def test_triangle_counts_known_graphs(spark):
     edges = spark.createDataFrame(k4 + square + extra, ["a", "b"])
     got = {r["p_partkey"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 20: 1, 21: 1, 22: 1}
+
+
+def test_lpa_splits_barbell_graph(spark):
+    """Two 4-cliques joined by one bridge edge: connected components sees
+    ONE component, LPA must resolve the two dense cores as separate
+    communities — the property that justifies having both operators."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(clique1 + clique2 + bridge, ["a", "b"])
+    out = {r["node"]: r["community"] for r in label_propagation(edges).collect()}
+    left = {out[n] for n in range(4)}
+    right = {out[n] for n in range(10, 14)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right

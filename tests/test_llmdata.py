@@ -435,3 +435,38 @@ def test_mix_epochs_schedule_properties(spark, sf_dir):
         assert sorted(v.epoch for v in visits) == list(range(1, n + 1)), doc_id
     keys = [r.order_key for r in rows]
     assert len(set(keys)) == len(keys)
+
+
+def test_span_corruption_roundtrip_reconstructs_original(spark, sf_dir):
+    """(input, target) must losslessly reconstruct the original token
+    stream: replacing each <extra_id_k> in the input with target span k
+    gives back the tokenized document — the denoising objective's
+    invariant, checked for every document at test scale."""
+    import re
+
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_span_corruption,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    out = {r["doc_id"]: r for r in q_llm_span_corruption(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sentinel = re.compile(r"<extra_id_(\d+)>")
+    for d in docs:
+        row = out[d["doc_id"]]
+        # parse target into span_k -> tokens
+        spans, cur = {}, None
+        for tok in row["target_text"].split():
+            m = sentinel.fullmatch(tok)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in row["input_text"].split():
+            m = sentinel.fullmatch(tok)
+            rebuilt.extend(spans[int(m.group(1))] if m else [tok])
+        original = [t for t in d["text"].lower().split() if t]
+        assert rebuilt == original, d["doc_id"]
+        assert row["n_spans"] == len(spans)

@@ -236,3 +236,50 @@ def test_mad_outliers_hand_computed(spark):
     # sorted: 3 4 5 6 7 100 -> median (5+6)/2 = 5.5
     # |x-5.5|: 2.5 1.5 .5 .5 1.5 94.5 -> sorted .5 .5 1.5 1.5 2.5 94.5 -> MAD 1.5
     assert (r["n"], r["med"], r["mad"], r["n_outliers"]) == (6, 5.5, 1.5, 1)
+
+
+def test_cross_correlation_detects_known_lag(spark):
+    """Synthetic streams where purchases exactly mirror clicks 2 hours
+    later must peak at lag 2 with xcorr = 1.0 — the semantic contract of
+    the operator, independent of the oracle."""
+    import datetime as dt
+
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=5), 1, "click"))
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=h + 2, minutes=7), 1, "purchase")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["lag_hours"]: r["xcorr"] for r in cross_correlation(ev).collect()}
+    assert out[2] == 1.0, out
+    assert all(v is None or v < 1.0 for k, v in out.items() if k != 2), out
+
+
+def test_kmeans_separates_blobs(spark):
+    """Two well-separated blobs with one seed in each (vec_id 0 and 1)
+    must come out as two pure clusters."""
+    from kafka_connect_minio_pipeline_spark.operators.similarity import kmeans_assign
+
+    blob_a = [[10.0, 10.0, 10.0, 10.0]]
+    blob_b = [[-10.0, -10.0, -10.0, -10.0]]
+    rows = []
+    for i in range(20):
+        v = (blob_a if i % 2 == 0 else blob_b)[0]
+        rows.append((i, [x + (i % 5) * 0.01 for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb, k=2).collect()}
+    evens = {out[i] for i in range(0, 20, 2)}
+    odds = {out[i] for i in range(1, 20, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds, out
