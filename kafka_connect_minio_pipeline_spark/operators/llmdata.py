@@ -940,10 +940,108 @@ SQL_SPAN_CORRUPTION = f"""
 """
 
 
+def q_llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform: reorder each document into
+    prefix/suffix/middle with sentinel markers (PSM) — the FIM
+    objective's data prep used for code models, the sibling of span
+    corruption for infilling capability.
+
+    The two cut points come from independent salted portable hashes
+    mod (n+1), sorted — deterministic and engine-exact where the
+    reference recipe samples uniforms. The whole transform is narrow
+    per-row array algebra after compute-spread: tokenize once behind a
+    projection boundary, three ``slice`` calls, one concat — no shuffle
+    at all, linear at any scale. Sentinels follow the published
+    ``<fim_prefix>/<fim_suffix>/<fim_middle>`` convention.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    staged = staged.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        (
+            _portable_hash(F.concat(F.lit("fim_a:"), F.col("doc_id")))
+            % (F.size("toks") + 1)
+        ).alias("h1"),
+        (
+            _portable_hash(F.concat(F.lit("fim_b:"), F.col("doc_id")))
+            % (F.size("toks") + 1)
+        ).alias("h2"),
+    )
+    staged = staged.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.least("h1", "h2").alias("lo"),
+        F.greatest("h1", "h2").alias("hi"),
+    )
+    seg = staged.select(
+        "doc_id",
+        "n",
+        "lo",
+        "hi",
+        F.concat_ws(" ", F.slice("toks", 1, F.col("lo"))).alias("prefix"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("lo") + 1, F.col("hi") - F.col("lo"))
+        ).alias("middle"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("hi") + 1, F.col("n") - F.col("hi"))
+        ).alias("suffix"),
+    )
+    # empty segments → NULL: Spark's concat_ws keeps '' (double space),
+    # DuckDB's skips it — nullif on both sides makes the join identical
+    return seg.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.lit("<fim_prefix>"),
+            F.nullif(F.col("prefix"), F.lit("")),
+            F.lit("<fim_suffix>"),
+            F.nullif(F.col("suffix"), F.lit("")),
+            F.lit("<fim_middle>"),
+            F.nullif(F.col("middle"), F.lit("")),
+        ).alias("psm_text"),
+        F.col("lo").cast("bigint").alias("n_prefix"),
+        (F.col("hi") - F.col("lo")).cast("bigint").alias("n_middle"),
+        (F.col("n") - F.col("hi")).cast("bigint").alias("n_suffix"),
+    )
+
+
+SQL_FIM_TRANSFORM = f"""
+    WITH staged AS (
+        SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+    cuts AS (
+        SELECT doc_id, toks, LEN(toks) AS n,
+               ('0x' || substr(md5('fim_a:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % (LEN(toks) + 1) AS h1,
+               ('0x' || substr(md5('fim_b:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   ::BIGINT % (LEN(toks) + 1) AS h2
+        FROM staged),
+    seg AS (
+        SELECT doc_id, n,
+               LEAST(h1, h2) AS lo, GREATEST(h1, h2) AS hi,
+               array_to_string(toks[1:LEAST(h1, h2)], ' ') AS prefix,
+               array_to_string(toks[LEAST(h1, h2) + 1:GREATEST(h1, h2)], ' ')
+                   AS middle,
+               array_to_string(toks[GREATEST(h1, h2) + 1:n], ' ') AS suffix
+        FROM cuts)
+    SELECT doc_id,
+           concat_ws(' ', '<fim_prefix>', NULLIF(prefix, ''),
+                     '<fim_suffix>', NULLIF(suffix, ''),
+                     '<fim_middle>', NULLIF(middle, '')) AS psm_text,
+           CAST(lo AS BIGINT) AS n_prefix,
+           CAST(hi - lo AS BIGINT) AS n_middle,
+           CAST(n - hi AS BIGINT) AS n_suffix
+    FROM seg
+"""
+
+
 QUERIES = {
     "llm_rag_chunk": Query(q_llm_rag_chunk, SQL_RAG_CHUNK),
     "llm_dataset_card": Query(q_llm_dataset_card, SQL_DATASET_CARD),
     "llm_span_corruption": Query(q_llm_span_corruption, SQL_SPAN_CORRUPTION),
+    "llm_fim_transform": Query(q_llm_fim_transform, SQL_FIM_TRANSFORM),
     "llm_dedup_keep_best": Query(q_llm_dedup_keep_best, _sql_llm_dedup_keep_best()),
     "llm_sample_stratified": Query(q_llm_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "llm_sample_hash": Query(q_llm_sample_hash, SQL_SAMPLE_HASH),

@@ -84,7 +84,8 @@ _QUERY_MODULES = (
 # graph_lpa, pipeline_dq_checks, text_collocations, similarity_kmeans,
 # dedup_source_overlap, agg_benford, multimodal_wav_decode,
 # text_readability, agg_unpivot, multimodal_decode_errors,
-# llm_span_corruption, ts_acf, window_rolling_slope, plus the
+# llm_span_corruption, ts_acf, window_rolling_slope,
+# llm_fim_transform, plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).
 _GRADE_FIRST = (

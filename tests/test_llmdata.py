@@ -470,3 +470,30 @@ def test_span_corruption_roundtrip_reconstructs_original(spark, sf_dir):
         original = [t for t in d["text"].lower().split() if t]
         assert rebuilt == original, d["doc_id"]
         assert row["n_spans"] == len(spans)
+
+
+def test_fim_transform_roundtrip(spark, sf_dir):
+    """prefix + middle + suffix must reassemble the original token
+    stream, and the sentinel order must be PSM (prefix, suffix, middle)."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_fim_transform,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    out = {r["doc_id"]: r for r in q_llm_fim_transform(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for d in docs:
+        r = out[d["doc_id"]]
+        toks = r["psm_text"].split()
+        ip, isf, im = (
+            toks.index("<fim_prefix>"),
+            toks.index("<fim_suffix>"),
+            toks.index("<fim_middle>"),
+        )
+        assert (ip, isf < im) == (0, True)
+        prefix, suffix, middle = toks[1:isf], toks[isf + 1 : im], toks[im + 1 :]
+        original = [t for t in d["text"].lower().split() if t]
+        assert prefix + middle + suffix == original, d["doc_id"]
+        assert (len(prefix), len(middle), len(suffix)) == (
+            r["n_prefix"], r["n_middle"], r["n_suffix"],
+        )
