@@ -1070,6 +1070,77 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TS_ACF = _cross_corr_sql(CROSS_CORR_A, CROSS_CORR_A, CROSS_CORR_MAX_LAG_H)
 
 
+
+def q_ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type — the reporting staple
+    (volume trend with % change), on a GAPLESS weekly grid so a silent
+    week reads as -100%, not a skipped row.
+
+    Weekly counts come from one partial-aggregated groupBy (the only
+    data-sized shuffle); the gapless week grid is generated per type
+    from the observed bounds (sequence + explode — bounded by wall-clock
+    coverage × types); lag + % change run on the tiny grid. The % change
+    is an exact integer ratio closed in one rounded double; week-1 rows
+    and zero-baseline weeks yield NULL (CASE-guarded — ANSI /0 errors).
+    """
+    ev = load(spark, sf_dir, "events")
+    weekly = (
+        ev.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("week"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # bounded: weeks x types rows; 4 consumers
+    )
+    bounds = weekly.groupBy("event_type").agg(
+        F.min("week").alias("w0"), F.max("week").alias("w1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(w0, w1, interval 1 week)")).alias("week"),
+    )
+    dense = grid.join(weekly, ["event_type", "week"], "left").select(
+        "event_type", "week", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n").over(w)
+    return dense.select(
+        "event_type",
+        F.col("week").cast("timestamp_ntz").alias("week"),
+        "n",
+        prev.alias("prev_n"),
+        F.when(
+            prev > 0,
+            F.round((F.col("n") - prev) * 100.0 / prev, 6),
+        ).alias("wow_pct"),
+    )
+
+
+SQL_TS_WOW = """
+    WITH weekly AS (
+        SELECT DATE_TRUNC('week', ts) AS week, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, MIN(week) AS w0, MAX(week) AS w1
+        FROM weekly GROUP BY event_type),
+    grid AS (
+        SELECT event_type,
+               UNNEST(GENERATE_SERIES(w0, w1, INTERVAL 1 WEEK)) AS week
+        FROM bounds),
+    dense AS (
+        SELECT g.event_type, g.week, COALESCE(w.n, 0) AS n
+        FROM grid g LEFT JOIN weekly w
+          ON g.event_type = w.event_type AND g.week = w.week)
+    SELECT event_type, week, n,
+           LAG(n) OVER w AS prev_n,
+           CASE WHEN LAG(n) OVER w > 0
+                THEN ROUND((n - LAG(n) OVER w) * 100.0 / LAG(n) OVER w, 6)
+           END AS wow_pct
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
     "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),
@@ -1087,4 +1158,5 @@ QUERIES = {
     "ts_scd2": Query(q_ts_scd2, SQL_SCD2),
     "ts_cross_corr": Query(q_ts_cross_corr, SQL_TS_CROSS_CORR),
     "ts_acf": Query(q_ts_acf, SQL_TS_ACF),
+    "ts_week_over_week": Query(q_ts_week_over_week, SQL_TS_WOW),
 }
