@@ -112,3 +112,16 @@ def test_lpa_splits_barbell_graph(spark):
     right = {out[n] for n in range(10, 14)}
     assert len(left) == 1 and len(right) == 1
     assert left != right
+
+
+def test_degree_stats_star_graph_assortativity(spark, monkeypatch):
+    """A star graph is maximally disassortative: r = -1 exactly. Pins the
+    co-moment algebra against a closed-form case."""
+    import kafka_connect_minio_pipeline_spark.operators.graph as G
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["a", "b"])
+    monkeypatch.setattr(G, "part_cooccurrence_edges", lambda s, d: star)
+    row = G.q_graph_degree_stats(spark, "unused").first()
+    assert row["n_nodes"] == 6 and row["n_edges"] == 5
+    assert row["max_degree"] == 5
+    assert row["assortativity"] == -1.0

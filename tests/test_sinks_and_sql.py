@@ -84,3 +84,24 @@ def test_write_partitioned_prunes_and_compacts(spark, sf_dir):
     assert "PartitionFilters: [isnotnull(event_date" in plan, plan
     # row parity with a full-scan filter on the original frame
     assert q.count() == ev.filter(F.col("event_date") == one_day).count()
+
+
+def test_benford_shares_conserve(spark, sf_dir):
+    """Digit counts must sum to the filtered row count and observed
+    shares to ~1; expected shares are the fixed Benford table."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        BENFORD,
+        q_agg_benford,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    rows = q_agg_benford(spark, sf_dir).collect()
+    n_expect = (
+        load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1).count()
+    )
+    assert sum(r["n"] for r in rows) == n_expect
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r["benford_share"] == BENFORD[r["digit"]]
