@@ -90,3 +90,27 @@ def test_package_root_exports_all_resolve():
 
     for name in K.__all__:
         assert getattr(K, name) is not None, name
+
+
+def test_concurrent_queries_match_serial(spark):
+    """Six queries from different families run CONCURRENTLY on one
+    session (threads share the SparkContext — the multi-tenant/notebook
+    pattern) must produce exactly their serial results: query builders
+    are pure, scratch staging dirs are invocation-unique, no shared
+    mutable state anywhere."""
+    import concurrent.futures as cf
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "agg_pricing_summary", "window_running_distinct", "text_quality",
+        "dedup_exact", "ts_week_over_week", "graph_degree_stats",
+    ]
+    qs = registry.all_queries()
+
+    def run(name):
+        return sorted(map(str, qs[name].fn(spark, sf).collect()))
+
+    serial = {n: run(n) for n in names}
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
+        parallel = dict(zip(names, ex.map(run, names)))
+    assert parallel == serial
