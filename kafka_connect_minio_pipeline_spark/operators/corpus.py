@@ -591,8 +591,111 @@ def _sql_corpus_mix_epochs() -> str:
 """
 
 
+WMEDIAN_BUCKET = 50  # n_chars per histogram bucket (pass 1)
+
+
+def exact_weighted_median_twopass(
+    weighted: DataFrame,
+    value_col: str = "n_chars",
+    weight_col: str = "w",
+    id_col: str = "doc_id",
+    bucket_width: int = WMEDIAN_BUCKET,
+) -> DataFrame:
+    """WEIGHTED lower median of ``value_col`` under ``weight_col`` —
+    distributed weighted selection (see q_corpus_weighted_median for the
+    corpus semantics and the full scale story). Two passes: bounded
+    weighted histogram + driver walk, then a running-weight window over
+    ONLY the hit bucket (single-task over ~n/buckets rows, recursing at
+    extreme scale). Ties break on (value, id) so the answer is
+    engine-exact; raises on empty/zero-weight input.
+    """
+    hist = (
+        weighted.groupBy(
+            F.floor(F.col(value_col) / bucket_width).cast("bigint").alias("b")
+        )
+        .agg(F.sum(weight_col).alias("bw"))
+        .orderBy("b")
+        .collect()  # bounded: one row per occupied value bucket
+    )
+    total_w = sum(r["bw"] for r in hist)
+    if total_w <= 0:
+        raise ValueError("weighted median: empty or zero-weight input")
+    target = (total_w + 1) // 2
+    cum = 0
+    for r in hist:
+        if cum + r["bw"] >= target:
+            bucket, rank_in_bucket = r["b"], target - cum
+            break
+        cum += r["bw"]
+    lo, hi = bucket * bucket_width, (bucket + 1) * bucket_width
+    in_bucket = weighted.filter(
+        (F.col(value_col) >= F.lit(lo)) & (F.col(value_col) < F.lit(hi))
+    )
+    w_run = (
+        Window.orderBy(value_col, id_col)  # single bucket: bounded rows
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hit = (
+        in_bucket.withColumn("cw", F.sum(weight_col).over(w_run))
+        .filter(F.col("cw") >= rank_in_bucket)
+        .orderBy(value_col, id_col)
+        .limit(1)
+    )
+    return hit.select(
+        F.lit(total_w).cast("bigint").alias("total_tokens"),
+        F.col(value_col).cast("bigint").alias("weighted_median_len"),
+    )
+
+
+def q_corpus_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted median document length: the length at which half
+    the corpus TOKENS sit in shorter-or-equal documents — the length
+    distribution as the training stream sees it (long docs dominate by
+    tokens; the plain doc-median badly understates what a batch looks
+    like). Weighted selection, not aggregation — no built-in covers it.
+
+    Same two-pass shape as ``agg_median_twopass`` generalized to
+    weights: pass 1 is a weighted histogram over length buckets (one
+    partial-aggregated groupBy; the collect is value-range/width rows),
+    the driver walks cumulative token weights to the target ⌈W/2⌉ rank,
+    pass 2 re-reads ONLY the hit bucket (range predicate pushed to the
+    scan) and resolves the in-bucket weighted rank with a running-sum
+    window over the bucket's rows.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    weighted = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens(F.col("text"))).cast("long").alias("w"),
+    )
+    return exact_weighted_median_twopass(weighted)
+
+
+SQL_CORPUS_WEIGHTED_MEDIAN = f"""
+    WITH weighted AS (
+        SELECT doc_id, n_chars,
+               CAST(LEN({SQL_TOKENS.format(col='text')}) AS BIGINT) AS w
+        FROM documents),
+    ranked AS (
+        SELECT n_chars, w,
+               SUM(w) OVER (ORDER BY n_chars, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               SUM(w) OVER () AS total_w
+        FROM weighted)
+    SELECT CAST(total_w AS BIGINT) AS total_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS weighted_median_len
+    FROM ranked
+    WHERE cw >= (total_w + 1) // 2
+    GROUP BY total_w
+"""
+
+
 QUERIES = {
     "corpus_mix_epochs": Query(q_corpus_mix_epochs, _sql_corpus_mix_epochs()),
+    "corpus_weighted_median": Query(
+        q_corpus_weighted_median, SQL_CORPUS_WEIGHTED_MEDIAN
+    ),
     "corpus_interleave": Query(q_corpus_interleave, SQL_CORPUS_INTERLEAVE),
     "corpus_token_budget": Query(q_corpus_token_budget, _sql_corpus_token_budget()),
     "corpus_bigram_novelty": Query(

@@ -85,7 +85,8 @@ _QUERY_MODULES = (
 # dedup_source_overlap, agg_benford, multimodal_wav_decode,
 # text_readability, agg_unpivot, multimodal_decode_errors,
 # llm_span_corruption, ts_acf, window_rolling_slope,
-# llm_fim_transform, ts_week_over_week, plus the
+# llm_fim_transform, ts_week_over_week, corpus_weighted_median,
+# plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).
 _GRADE_FIRST = (

@@ -502,3 +502,36 @@ def test_median_twopass_property(spark):
         want = sorted(round(v, 2) for v in vals)[(len(vals) + 1) // 2 - 1]
         assert row["n"] == len(vals), vals
         assert abs(row["median_price"] - want) < 1e-9, (vals, row, want)
+
+
+def test_weighted_median_property(spark):
+    """The weighted histogram-walk selection must equal the plain
+    cumulative-weight median on adversarial inputs: heavy single rows,
+    bucket-boundary values, all-equal weights (reduces to plain median)."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        exact_weighted_median_twopass,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [(1, 100, 1)],
+        [(i, 50 * i, 1) for i in range(1, 8)],          # boundary values
+        [(1, 10, 1), (2, 20, 999), (3, 500, 1)],        # one heavy row
+        [(i, rng.randint(0, 600), rng.randint(1, 9)) for i in range(60)],
+        [(i, rng.randint(0, 600), 3) for i in range(41)],  # equal weights
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, ["doc_id", "n_chars", "w"])
+        got = exact_weighted_median_twopass(df).first()
+        total = sum(w for _, _, w in rows)
+        target = (total + 1) // 2
+        cum, want = 0, None
+        for _, v, w in sorted(rows, key=lambda r: (r[1], r[0])):
+            cum += w
+            if cum >= target:
+                want = v
+                break
+        assert got["total_tokens"] == total, rows
+        assert got["weighted_median_len"] == want, (rows, got, want)

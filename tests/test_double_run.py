@@ -36,7 +36,8 @@ _STATEFUL = sorted(
              "agg_median_twopass", "ts_cross_corr", "dedup_incremental",
              "multimodal_ppm_decode", "graph_degree_stats", "graph_lpa",
              "similarity_kmeans", "pipeline_dq_checks", "text_collocations",
-             "dedup_source_overlap", "multimodal_wav_decode", "ts_week_over_week")
+             "dedup_source_overlap", "multimodal_wav_decode", "ts_week_over_week",
+             "corpus_weighted_median")
 )
 
 
