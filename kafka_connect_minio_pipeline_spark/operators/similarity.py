@@ -795,6 +795,162 @@ SQL_SIMILARITY_MATRYOSHKA_EVAL = f"""
 """
 
 
+MMR_LAMBDA = 0.7
+MMR_POOL = 20
+MMR_K = 5
+
+
+def q_similarity_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: from the top-20 cosine
+    candidates of the query vector, greedily pick 5 that balance
+    relevance against redundancy (score = λ·rel − (1−λ)·max-sim-to-
+    already-picked) — the diversity pass every retrieval/RAG stack runs
+    after ANN.
+
+    MMR is inherently sequential-greedy; here the greedy loop is
+    UNROLLED INTO THE DATAFLOW — each step is an anti-join (drop picked),
+    a join against the picked set for the max-similarity penalty, and a
+    TakeOrdered argmax — so no candidate data ever drives a Python
+    decision. The candidate pool and its pairwise-similarity relation
+    are localCheckpoint-ed (bounded: pool and pool² rows) so the five
+    step subtrees reuse one materialization instead of re-ranking the
+    corpus per step; the per-step picked set (≤ 5 rows) is checkpointed
+    to keep the unrolled plan linear. Everything upstream (the pool
+    top-k) is the distributed brute-force ranking; relevance and
+    pairwise sims are pre-rounded so every greedy comparison runs on
+    cross-engine-identical quantized doubles, ties on vec_id. The
+    DuckDB oracle unrolls the identical five steps.
+    """
+    em = _with_norms(spread(load(spark, sf_dir, "embeddings"), "vec_id"))
+    qv = em.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("norm_sq").alias("q_norm")
+    )
+    rel = cosine_from_parts(
+        dot(to_double(F.col("embedding")), to_double(F.col("q_emb"))),
+        F.col("norm_sq"),
+        F.col("q_norm"),
+    )
+    pool = (
+        em.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "embedding", "norm_sq", F.round(rel, 6).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint()  # bounded: MMR_POOL rows
+    )
+    a = pool.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm_sq").alias("a_norm"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm_sq").alias("b_norm"),
+    )
+    sim = cosine_from_parts(
+        dot(to_double(F.col("a_emb")), to_double(F.col("b_emb"))),
+        F.col("a_norm"),
+        F.col("b_norm"),
+    )
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", F.round(sim, 6).alias("sim"))
+        .localCheckpoint()  # bounded: MMR_POOL² rows
+    )
+    lam, one_m = F.lit(MMR_LAMBDA), F.lit(1.0 - MMR_LAMBDA)
+    selected = (
+        pool.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            F.col("rel").alias("mmr_score"),
+            "rel",
+        )
+        .localCheckpoint()
+    )
+    for k in range(2, MMR_K + 1):
+        picked = selected.select(F.col("vec_id").alias("b_id"))
+        cand = (
+            pool.join(selected.select("vec_id"), "vec_id", "left_anti")
+            .join(sims, F.col("vec_id") == F.col("a_id"))
+            .join(picked, "b_id")
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        nxt = (
+            cand.select(
+                F.lit(k).alias("rank"),
+                "vec_id",
+                (lam * F.col("rel") - one_m * F.col("maxsim")).alias("mmr_score"),
+                "rel",
+            )
+            .orderBy(F.col("mmr_score").desc(), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionByName(nxt).localCheckpoint()  # ≤ MMR_K rows
+    return selected.select(
+        "rank", "vec_id", F.round("mmr_score", 6).alias("mmr_score"), "rel"
+    )
+
+
+def _mmr_sql() -> str:
+    lam, one_m = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    steps = []
+    prev_sel = "sel1"
+    for k in range(2, MMR_K + 1):
+        steps.append(f"""
+    cand{k} AS (
+        SELECT p.vec_id, p.rel, MAX(s.sim) AS maxsim
+        FROM pool p
+        JOIN sims s ON s.a_id = p.vec_id
+        JOIN {prev_sel} pk ON s.b_id = pk.vec_id
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev_sel})
+        GROUP BY p.vec_id, p.rel),
+    pick{k} AS (
+        SELECT {k} AS rank, vec_id,
+               CAST({lam} AS DOUBLE) * rel
+                   - CAST({one_m} AS DOUBLE) * maxsim AS mmr_score,
+               rel
+        FROM cand{k} ORDER BY mmr_score DESC, vec_id LIMIT 1),
+    sel{k} AS (SELECT * FROM {prev_sel} UNION ALL SELECT * FROM pick{k})""")
+        prev_sel = f"sel{k}"
+    return f"""
+    WITH q AS (
+        SELECT embedding AS q_emb,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS q_norm
+        FROM embeddings WHERE vec_id = 0),
+    pool AS (
+        SELECT vec_id, embedding,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS norm_sq,
+               ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(q_emb AS DOUBLE[]))
+                     / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * SQRT(q_norm)), 6) AS rel
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
+    sims AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))
+                     / (SQRT(a.norm_sq) * SQRT(b.norm_sq)), 6) AS sim
+        FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+    sel1 AS (
+        SELECT 1 AS rank, vec_id, rel AS mmr_score, rel
+        FROM pool ORDER BY rel DESC, vec_id LIMIT 1),{",".join(steps)}
+    SELECT rank, vec_id, ROUND(mmr_score, 6) AS mmr_score, rel
+    FROM {prev_sel}
+"""
+
+
+SQL_SIMILARITY_MMR = _mmr_sql()
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 
@@ -926,6 +1082,7 @@ SQL_SIMILARITY_KMEANS = _kmeans_sql()
 QUERIES = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "similarity_kmeans": Query(q_similarity_kmeans, SQL_SIMILARITY_KMEANS),
+    "similarity_rerank_mmr": Query(q_similarity_rerank_mmr, SQL_SIMILARITY_MMR),
     "similarity_ann_eval": Query(q_similarity_ann_eval, SQL_SIMILARITY_ANN_EVAL),
     "similarity_matryoshka_eval": Query(
         q_similarity_matryoshka_eval, SQL_SIMILARITY_MATRYOSHKA_EVAL
