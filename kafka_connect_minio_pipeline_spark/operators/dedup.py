@@ -1323,6 +1323,106 @@ def _incremental_oracle_sql() -> str:
 SQL_DEDUP_INCREMENTAL = _incremental_oracle_sql()
 
 
+SWEEP_THRESHOLDS = (0.8, 0.95, 0.97, 0.985)  # spans the observed pair mass
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning report: how many near-dup pairs (and docs
+    touched) the LSH index yields at each candidate verify threshold —
+    the artifact a curation team inspects before committing to a cut.
+
+    One pass: the banded MinHash candidate set is generated ONCE
+    (identical machinery to ``dedup_minhash_lsh``), every candidate's
+    exact Jaccard is computed once, and the sweep is a conditional
+    aggregation over the scored pairs — thresholds never re-run the
+    pipeline. Caveat by construction: the banding is tuned for J ≥ 0.8,
+    so lower thresholds report the pairs THIS index surfaces (candidate
+    recall decays below the tuning point — that decay is exactly what
+    the report shows the operator of the index). Output is
+    |thresholds| rows.
+    """
+    sets_ = _staged_shingle_sets(spark, sf_dir)
+    sigs = minhash_signatures(sets_)
+    r = N_PERM // N_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(",", *[F.col(f"sig{b * r + i}") for i in range(r)])
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_val"))
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            sets_.select(
+                F.col("doc_id").alias("d1"),
+                F.col("arr").alias("arr1"),
+                F.col("n_sh").alias("n1"),
+            ),
+            "d1",
+        )
+        .join(
+            sets_.select(
+                F.col("doc_id").alias("d2"),
+                F.col("arr").alias("arr2"),
+                F.col("n_sh").alias("n2"),
+            ),
+            "d2",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("arr1", "arr2")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ),
+        )
+        .select("d1", "d2", "jaccard")
+    )
+    t = F.explode(
+        F.array(*[F.lit(x) for x in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    return (
+        scored.select("d1", "d2", "jaccard")
+        .crossJoin(F.broadcast(spark.range(1).select(t)))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct(F.col("d1")).alias("n_left_docs"),
+        )
+    )
+
+
+def _threshold_sweep_sql() -> str:
+    pair_sql = _minhash_oracle_sql().replace(
+        f">= {JACCARD_THRESHOLD}", ">= 0"
+    )
+    ts = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+    return f"""
+    WITH scored AS ({pair_sql}),
+    thresholds (threshold) AS (VALUES {ts})
+    SELECT CAST(t.threshold AS DOUBLE) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT s.d1) AS BIGINT) AS n_left_docs
+    FROM scored s JOIN thresholds t ON s.jaccard >= t.threshold
+    GROUP BY t.threshold
+"""
+
+
+SQL_DEDUP_THRESHOLD_SWEEP = _threshold_sweep_sql()
+
+
 EDIT_DISTANCE_MAX = 4
 
 
@@ -1465,4 +1565,5 @@ QUERIES = {
     "dedup_edit_distance": Query(q_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
     "dedup_incremental": Query(q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_source_overlap": Query(q_dedup_source_overlap, SQL_DEDUP_SOURCE_OVERLAP),
+    "dedup_threshold_sweep": Query(q_dedup_threshold_sweep, SQL_DEDUP_THRESHOLD_SWEEP),
 }

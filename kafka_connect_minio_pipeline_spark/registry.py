@@ -86,7 +86,7 @@ _QUERY_MODULES = (
 # text_readability, agg_unpivot, multimodal_decode_errors,
 # llm_span_corruption, ts_acf, window_rolling_slope,
 # llm_fim_transform, ts_week_over_week, corpus_weighted_median,
-# similarity_rerank_mmr,
+# similarity_rerank_mmr, dedup_threshold_sweep,
 # plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).

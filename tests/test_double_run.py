@@ -37,7 +37,8 @@ _STATEFUL = sorted(
              "multimodal_ppm_decode", "graph_degree_stats", "graph_lpa",
              "similarity_kmeans", "pipeline_dq_checks", "text_collocations",
              "dedup_source_overlap", "multimodal_wav_decode", "ts_week_over_week",
-             "corpus_weighted_median", "similarity_rerank_mmr")
+             "corpus_weighted_median", "similarity_rerank_mmr",
+             "dedup_threshold_sweep")
 )
 
 
