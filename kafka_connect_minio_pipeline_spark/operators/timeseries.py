@@ -1141,6 +1141,359 @@ SQL_TS_WOW = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+def markov_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    ordered pair of consecutive events in a user's timeline, the count
+    and conditional probability P(next | current) — the classic user-
+    journey model (what do people do right after an error?).
+
+    One lead() window per user timeline (single exchange + sort, the
+    same partitioning every per-user operator here shares) feeds a
+    partial-aggregated groupBy whose output is BOUNDED at |types|² rows,
+    so the row-normalizing window that closes the probabilities runs on
+    a ~25-row relation — any partitioning works. At 100 TB the only
+    data-sized cost is the one user-keyed shuffle; skew is bounded by
+    the busiest single user, same argument as sessionize.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+def q_ts_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: event-type transition matrix over ``events``."""
+    return markov_transitions(load(spark, sf_dir, "events"))
+
+
+SQL_TS_MARKOV = """
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+    counts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+               AS prob
+    FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on the hourly rate
+# ---------------------------------------------------------------------------
+
+
+def cusum_changepoint(ev: DataFrame) -> DataFrame:
+    """Per event type, the single most likely level-shift hour in the
+    hourly event-rate series, by the classic CUSUM statistic: the hour h
+    maximizing |Σ_{i≤h}(x_i − x̄)| — where the cumulative deviation from
+    the global mean peaks, the level shifted.
+
+    Exactness is the whole trick: the deviation prefix sum is float-
+    fragile (mean is a ratio), so the statistic is scaled by N —
+    ``N·prefix_i − i·S`` with prefix/S/N all exact integers — and only
+    the final reported CUSUM divides back down, one rounded double.
+    Cross-engine bit-equal, same strategy as agg_linreg's co-moments.
+
+    Scale shape: one data-sized partial-aggregated groupBy collapses
+    events to (hour, type) counts; everything after runs on the BOUNDED
+    hour grid (wall-clock coverage × |types| rows — gapless via
+    generated sequence, since silent hours drag the mean down and are
+    exactly what a changepoint detector must see). The windows partition
+    by event_type over ≤ coverage-sized partitions; the argmax closes
+    with the max-join + min-hour tiebreak pattern from mode_per_group
+    (deterministic: hour is unique per type).
+    """
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # bounded: hours × types; consumed by bounds + join
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    word = Window.partitionBy("event_type").orderBy("hour")
+    wall = Window.partitionBy("event_type")
+    scored = dense.select(
+        "event_type",
+        "hour",
+        (
+            F.count("*").over(wall) * F.sum("n").over(word)
+            - F.row_number().over(word).cast("bigint") * F.sum("n").over(wall)
+        ).alias("scaled"),
+        F.count("*").over(wall).alias("n_hours"),
+    )
+    peak = (
+        scored.groupBy("event_type")
+        .agg(F.max(F.abs(F.col("scaled"))).alias("peak"))
+        .withColumnRenamed("event_type", "peak_type")
+    )
+    return (
+        scored.join(
+            peak,
+            (F.col("event_type") == F.col("peak_type"))
+            & (F.abs(F.col("scaled")) == F.col("peak")),
+        )
+        .groupBy("event_type", "n_hours")
+        .agg(
+            F.min("hour").cast("timestamp_ntz").alias("cp_hour"),
+            F.min_by("scaled", "hour").alias("scaled_at_cp"),
+        )
+        .select(
+            "event_type",
+            "cp_hour",
+            "n_hours",
+            F.round(
+                F.col("scaled_at_cp").cast("double")
+                / F.col("n_hours").cast("double"),
+                6,
+            ).alias("cusum"),
+        )
+    )
+
+
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: CUSUM changepoint per event type."""
+    return cusum_changepoint(load(spark, sf_dir, "events"))
+
+
+SQL_TS_CHANGEPOINT = """
+    WITH hourly AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY event_type),
+    grid AS (
+        SELECT event_type,
+               UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds),
+    dense AS (
+        SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n
+        FROM grid g LEFT JOIN hourly h
+          ON g.event_type = h.event_type AND g.hour = h.hour),
+    scored AS (
+        SELECT event_type, hour,
+               COUNT(*) OVER wall
+                   * SUM(n) OVER (wo ROWS UNBOUNDED PRECEDING)
+                 - ROW_NUMBER() OVER wo * SUM(n) OVER wall AS scaled,
+               CAST(COUNT(*) OVER wall AS BIGINT) AS n_hours
+        FROM dense
+        WINDOW wo AS (PARTITION BY event_type ORDER BY hour),
+               wall AS (PARTITION BY event_type)),
+    peak AS (
+        SELECT event_type, MAX(ABS(scaled)) AS peak
+        FROM scored GROUP BY event_type)
+    SELECT s.event_type,
+           MIN(s.hour) AS cp_hour,
+           s.n_hours,
+           ROUND(CAST(MIN_BY(s.scaled, s.hour) AS DOUBLE)
+                 / CAST(s.n_hours AS DOUBLE), 6) AS cusum
+    FROM scored s JOIN peak p
+      ON s.event_type = p.event_type AND ABS(s.scaled) = p.peak
+    GROUP BY s.event_type, s.n_hours
+"""
+
+
+# ---------------------------------------------------------------------------
+# linear interpolation on the hourly grid
+# ---------------------------------------------------------------------------
+
+
+def interpolate_hourly(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION instead of forward-fill: missing
+    hours get the straight line between the surrounding observations —
+    the densification a rate/metric series wants when step-functions
+    (ffill) would bias downstream aggregates.
+
+    Same skeleton as gapfill_hourly (per-bucket last observation,
+    generated hour grid, left join); the fill is two frame-opposed
+    IGNORE NULLS windows over ONE partition+order (Catalyst plans a
+    single exchange + sort carrying both), giving each missing hour its
+    bracketing (prev, next) observation and their integer hour indices.
+    Observed values are quantized to DECIMAL(18,6) before windowing so
+    both engines interpolate from identical endpoints; the interpolation
+    itself closes in one shared-shape double expression and is emitted
+    UNROUNDED: midpoints of 6-decimal endpoints systematically land on
+    exact 7th-decimal ties, where Spark's round() (HALF_UP on the
+    shortest decimal repr) and DuckDB's (binary-domain) disagree by one
+    ulp — the raw double, by contrast, is the same IEEE tree in both
+    engines and bit-identical.
+    Leading edge (no prev) stays NULL; trailing edge (no next) degrades
+    to forward-fill. Buckets-per-user is wall-clock-bounded, same scale
+    argument as gapfill.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    wobs = Window.partitionBy(user_col, "bucket").orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    obs = (
+        df.select(user_col, bucket.alias("bucket"), ts_col, tiebreak_col, value_col)
+        .withColumn("rn", F.row_number().over(wobs))
+        .filter(F.col("rn") == 1)
+        .select(
+            user_col,
+            "bucket",
+            F.col(value_col).cast("decimal(18,6)").alias("obs_value"),
+        )
+    )
+    grid = (
+        df.groupBy(user_col)
+        .agg(
+            F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+            F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+        )
+        .select(
+            user_col,
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("bucket"),
+        )
+    )
+    joined = grid.join(obs, [user_col, "bucket"], "left")
+    hidx = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', bucket)"
+    ).cast("bigint")
+    obs_h = F.when(F.col("obs_value").isNotNull(), hidx)
+    wprev = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy(user_col)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    staged = joined.select(
+        user_col,
+        "bucket",
+        hidx.alias("h"),
+        F.col("obs_value").isNotNull().alias("observed"),
+        F.last("obs_value", ignorenulls=True).over(wprev).cast("double").alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wprev).alias("ph"),
+        F.first("obs_value", ignorenulls=True).over(wnext).cast("double").alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wnext).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("observed"), F.col("pv"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("h") - F.col("ph")).cast("double")
+                / (F.col("nh") - F.col("ph")).cast("double")
+            ),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+    )
+    return staged.select(
+        user_col,
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "observed",
+        interp.alias("value_interp"),
+    )
+
+
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: linearly interpolated hourly grid over ``events``."""
+    return interpolate_hourly(load(spark, sf_dir, "events"))
+
+
+SQL_TS_INTERPOLATE = """
+    WITH obs AS (
+        SELECT user_id, bucket, CAST(value AS DECIMAL(18,6)) AS obs_value
+        FROM (
+            SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1),
+    bounds AS (
+        SELECT user_id,
+               date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events GROUP BY user_id),
+    grid AS (
+        SELECT user_id,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds),
+    staged AS (
+        SELECT g.user_id, g.bucket,
+               DATE_DIFF('hour', TIMESTAMP '2024-01-01 00:00:00', g.bucket) AS h,
+               o.obs_value IS NOT NULL AS observed,
+               CAST(LAST_VALUE(o.obs_value IGNORE NULLS) OVER wp AS DOUBLE) AS pv,
+               LAST_VALUE(CASE WHEN o.obs_value IS NOT NULL
+                               THEN DATE_DIFF('hour',
+                                              TIMESTAMP '2024-01-01 00:00:00',
+                                              g.bucket) END IGNORE NULLS)
+                   OVER wp AS ph,
+               CAST(FIRST_VALUE(o.obs_value IGNORE NULLS) OVER wn AS DOUBLE) AS nv,
+               FIRST_VALUE(CASE WHEN o.obs_value IS NOT NULL
+                                THEN DATE_DIFF('hour',
+                                               TIMESTAMP '2024-01-01 00:00:00',
+                                               g.bucket) END IGNORE NULLS)
+                   OVER wn AS nh
+        FROM grid g
+        LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+        WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY g.user_id ORDER BY g.bucket
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, bucket, observed,
+           CASE WHEN observed THEN pv
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv)
+                     * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+                WHEN pv IS NOT NULL THEN pv
+           END AS value_interp
+    FROM staged
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
     "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),
@@ -1159,4 +1512,7 @@ QUERIES = {
     "ts_cross_corr": Query(q_ts_cross_corr, SQL_TS_CROSS_CORR),
     "ts_acf": Query(q_ts_acf, SQL_TS_ACF),
     "ts_week_over_week": Query(q_ts_week_over_week, SQL_TS_WOW),
+    "ts_markov": Query(q_ts_markov, SQL_TS_MARKOV),
+    "ts_changepoint": Query(q_ts_changepoint, SQL_TS_CHANGEPOINT),
+    "ts_interpolate": Query(q_ts_interpolate, SQL_TS_INTERPOLATE),
 }

@@ -677,3 +677,49 @@ def test_span_corruption_single_exchange_spine(spark, sf_dir):
 
     plan = formatted_plan(q_llm_span_corruption(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_markov_single_userkey_window_then_bounded_aggs(spark, sf_dir):
+    """The only data-sized ops are the user-keyed lead() window and the
+    pair groupBy; the probability-normalizing window runs on the |types|²
+    relation. No cartesian, no range partitioning anywhere."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_markov,
+    )
+
+    plan = formatted_plan(q_ts_markov(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("+- Window (") == 2, plan
+
+
+def test_changepoint_scans_events_once(spark, sf_dir):
+    """Everything after the hourly collapse runs on the checkpointed
+    bounded hour grid: the raw events parquet never appears in the final
+    plan (both join branches read the ExistingRDD checkpoint)."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_changepoint,
+    )
+
+    plan = formatted_plan(q_ts_changepoint(spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_interpolate_one_fill_window_two_exchanges(spark, sf_dir):
+    """Both frame-opposed IGNORE NULLS fills share one partition+order →
+    a single Window node; the whole plan carries two hash exchanges (grid
+    groupBy + per-bucket last-observation window) with the obs side
+    broadcast back onto the user-partitioned grid."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_interpolate,
+    )
+
+    plan = formatted_plan(q_ts_interpolate(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 2, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("+- Window (") == 2, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -283,3 +283,113 @@ def test_kmeans_separates_blobs(spark):
     evens = {out[i] for i in range(0, 20, 2)}
     odds = {out[i] for i in range(1, 20, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds, out
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """Transition counts conserve consecutive pairs (Σn = N_events −
+    N_users with ≥1 event) and each from-state's probs sum to 1 within
+    rounding slack."""
+    ev = load(spark, sf_dir, "events")
+    rows = T.q_ts_markov(spark, sf_dir).collect()
+    n_pairs = sum(r["n"] for r in rows)
+    assert n_pairs == ev.count() - ev.select("user_id").distinct().count()
+    by_from: dict[str, float] = {}
+    fanout: dict[str, int] = {}
+    for r in rows:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["prob"]
+        fanout[r["from_type"]] = fanout.get(r["from_type"], 0) + 1
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) <= 5e-7 * fanout[ft] + 1e-9, (ft, s)
+
+
+def test_markov_hand_computed(spark):
+    """A→B→A→B timeline: P(B|A)=1 on two observations, P(A|B)=1 on one."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), "A", 1),
+        (1, datetime(2024, 1, 1, 0, 1), "B", 2),
+        (1, datetime(2024, 1, 1, 0, 2), "A", 3),
+        (1, datetime(2024, 1, 1, 0, 3), "B", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in T.markov_transitions(df).collect()
+    }
+    assert got == {("A", "B"): (2, 1.0), ("B", "A"): (1, 1.0)}
+
+
+def test_changepoint_finds_step(spark):
+    """24 h at 1 event/h then 24 h at 5/h: the CUSUM trough sits on the
+    last low hour, magnitude = 24·(5−3)·… → cusum = −48/48·… = −48/48."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1, 0, 30)
+    rows = []
+    eid = 0
+    for h in range(48):
+        per_hour = 1 if h < 24 else 5
+        for k in range(per_hour):
+            eid += 1
+            rows.append(
+                (eid, t0 + timedelta(hours=h, minutes=k), 7, "step", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    [r] = T.cusum_changepoint(df).collect()
+    assert r["n_hours"] == 48
+    # scaled = N·prefix − i·S; at i=24: 48·24 − 24·144 = −2304 → /48 = −48
+    assert r["cusum"] == -48.0
+    assert r["cp_hour"] == datetime(2024, 3, 1, 23, 0)
+
+
+def test_interpolate_straight_line(spark):
+    """Observations 10@h0 and 20@h4 fill hours 1-3 with 12.5/15/17.5;
+    observed hours echo their own (last-in-hour) value."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 10), 1, 10.0),
+        (2, datetime(2024, 1, 1, 4, 50), 1, 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    got = {
+        r["bucket"].hour: (r["observed"], r["value_interp"])
+        for r in T.interpolate_hourly(df).collect()
+    }
+    assert got == {
+        0: (True, 10.0),
+        1: (False, 12.5),
+        2: (False, 15.0),
+        3: (False, 17.5),
+        4: (True, 20.0),
+    }
+
+
+def test_interpolate_bounds_on_real_data(spark, sf_dir):
+    """Every interpolated (non-observed, interior) value lies within
+    [min(pv,nv), max(pv,nv)] — linearity implies boundedness; and the
+    grid is identical to gapfill's (same lo/hi per user, gapless)."""
+    interp = T.q_ts_interpolate(spark, sf_dir)
+    gap = T.q_ts_gapfill(spark, sf_dir)
+    assert interp.count() == gap.count()
+    # observed rows agree with gapfill's forward-fill value exactly
+    j = (
+        interp.filter("observed")
+        .join(gap.filter("observed"), ["user_id", "bucket"])
+        .select(
+            (
+                F.col("value_interp")
+                == F.col("value_ffill").cast("decimal(18,6)").cast("double")
+            ).alias("ok")
+        )
+    )
+    assert j.filter("NOT ok").count() == 0
