@@ -801,8 +801,88 @@ SQL_AGG_UNPIVOT = f"""
 """
 
 
+def entropy_per_group(df: DataFrame, key: str, cat: str) -> DataFrame:
+    """Shannon entropy of a categorical distribution per group — the
+    behavioral-diversity signal (a user doing one thing vs everything;
+    a source emitting one doc type vs a mix).
+
+    Entropy is the log-of-ratio trap for cross-engine hashing: summing
+    ``−p·ln p`` terms accumulates doubles in engine partition order.
+    Instead the algebraic split ``H = ln(T) − (Σ n_i·ln n_i)/T`` puts
+    the data-sized sum over terms that are PRE-ROUNDED to 9 decimals
+    and quantized to DECIMAL(28,9) — exact, order-free addition — and
+    leaves one final ln + one division + one round as the only float
+    ops, a shared shape both engines evaluate identically. Two hash
+    aggregations (cat counts, then per-key close), both partial-
+    aggregated; the second reuses the first's partitioning modulo the
+    dropped category column. Linear at any scale.
+    """
+    counts = df.groupBy(key, cat).agg(F.count("*").alias("n"))
+    term = F.round(F.col("n") * F.log(F.col("n")), 9).cast("decimal(28,9)")
+    per_key = counts.groupBy(key).agg(
+        F.sum("n").alias("total"),
+        F.sum(term).alias("sterm"),
+        F.count("*").alias("n_cats"),
+    )
+    raw = F.log(F.col("total").cast("double")) - (
+        F.col("sterm").cast("double") / F.col("total").cast("double")
+    )
+    # term rounding can push H a few 1e-10 below its true value; a true-0
+    # distribution then lands at a tiny NEGATIVE double, which round()
+    # emits as -0.0 in DuckDB but +0.0 in Spark (decimal-string domain) —
+    # clamp negatives to exact 0.0 before rounding on BOTH sides
+    h = F.when(raw < 0, F.lit(0.0)).otherwise(raw)
+    return per_key.select(
+        key,
+        "total",
+        F.col("n_cats").cast("int").alias("n_cats"),
+        F.round(h, 6).alias("entropy"),
+        F.when(
+            F.col("n_cats") > 1,
+            F.round(h / F.log(F.col("n_cats").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy_norm"),
+    )
+
+
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: per-user event-type entropy over ``events``."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    return entropy_per_group(ev, "user_id", "event_type")
+
+
+SQL_AGG_ENTROPY = """
+    WITH counts AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type),
+    per_key AS (
+        SELECT user_id,
+               CAST(SUM(n) AS BIGINT) AS total,
+               SUM(CAST(ROUND(n * LN(n), 9) AS DECIMAL(28,9))) AS sterm,
+               CAST(COUNT(*) AS INTEGER) AS n_cats
+        FROM counts GROUP BY user_id),
+    clamped AS (
+        SELECT user_id, total, n_cats,
+               CASE WHEN LN(CAST(total AS DOUBLE))
+                         - CAST(sterm AS DOUBLE) / CAST(total AS DOUBLE) < 0
+                    THEN 0.0
+                    ELSE LN(CAST(total AS DOUBLE))
+                         - CAST(sterm AS DOUBLE) / CAST(total AS DOUBLE)
+               END AS h
+        FROM per_key)
+    SELECT user_id, total, n_cats,
+           ROUND(h, 6) AS entropy,
+           CASE WHEN n_cats > 1
+                THEN ROUND(h / LN(CAST(n_cats AS DOUBLE)), 6)
+                ELSE 0.0 END AS entropy_norm
+    FROM clamped
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
+    "agg_entropy": Query(q_agg_entropy, SQL_AGG_ENTROPY),
     "agg_benford": Query(q_agg_benford, SQL_AGG_BENFORD),
     "agg_unpivot": Query(q_agg_unpivot, SQL_AGG_UNPIVOT),
     "agg_corr": Query(q_agg_corr, SQL_AGG_CORR),

@@ -766,7 +766,107 @@ SQL_TEXT_COLLOCATIONS = f"""
 """
 
 
+ZIPF_TOP_N = 500
+
+
+def zipf_fit(docs: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Per-source Zipf's-law fit: OLS slope of ln(frequency) ~ ln(rank)
+    over each source's top-N terms — natural text sits near −1, so the
+    slope (with its R²) is a cheap distribution-level quality/anomaly
+    probe per corpus slice (template spam flattens the head, boilerplate
+    steepens it).
+
+    Token counting is explode + one partial-aggregated groupBy (shuffle
+    O(|vocab per source|)); ranking is a window PARTITIONED BY SOURCE —
+    never global — and the frequency filter prunes to ≤N rows per source
+    before the fit. The log-log co-moments would be engine-ordered float
+    sums, so each ln is PRE-ROUNDED to 9 decimals and quantized to
+    DECIMAL(18,9) (exact, order-free addition — the same portability
+    trick as entropy_per_group), closing slope/R² in one rounded double
+    tree per the agg_linreg pattern. At 100 TB every relation after the
+    token groupBy is vocabulary-sized.
+    """
+    counts = (
+        spread(docs, "doc_id")
+        .select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "token")
+    ranked = counts.select(
+        "source", "n", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= top_n)
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(18,9)")
+    y = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(18,9)")
+    base = ranked.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n_terms").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return base.select(
+        "source",
+        "n_terms",
+        F.when(vx != 0, F.round(cov / vx, 6)).alias("zipf_slope"),
+        F.when(vx * vy != 0, F.round((cov * cov) / (vx * vy), 6)).alias("r2"),
+    )
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: Zipf slope per source over ``documents``."""
+    return zipf_fit(load(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_ZIPF = f"""
+    WITH counts AS (
+        SELECT source, token, COUNT(*) AS n
+        FROM (SELECT source, UNNEST({SQL_TOKENS.format(col='text')}) AS token
+              FROM documents)
+        GROUP BY source, token),
+    ranked AS (
+        SELECT source, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n DESC, token) AS rank
+        FROM counts
+        QUALIFY rank <= {ZIPF_TOP_N}),
+    quant AS (
+        SELECT source,
+               CAST(ROUND(LN(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+               CAST(ROUND(LN(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        FROM ranked),
+    base AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM quant GROUP BY source)
+    SELECT source, n_terms,
+           CASE WHEN CAST(n_terms AS DOUBLE) * sxx - sx * sx <> 0
+                THEN ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6)
+           END AS zipf_slope,
+           CASE WHEN (CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n_terms AS DOUBLE) * syy - sy * sy) <> 0
+                THEN ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                           * (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                           / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n_terms AS DOUBLE) * syy - sy * sy)), 6)
+           END AS r2
+    FROM base
+"""
+
+
 QUERIES = {
+    "text_zipf": Query(q_text_zipf, SQL_TEXT_ZIPF),
     "text_bpe_pairs": Query(q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_collocations": Query(q_text_collocations, SQL_TEXT_COLLOCATIONS),
     "text_readability": Query(q_text_readability, SQL_TEXT_READABILITY),

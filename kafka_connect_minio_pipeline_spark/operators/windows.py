@@ -357,7 +357,75 @@ SQL_WINDOW_ROLLING_SLOPE = f"""
 """
 
 
+ROLL_MED_PRECEDING = 6  # frame: current row + 6 preceding = last 7 events
+
+
+def rolling_median(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    preceding: int = ROLL_MED_PRECEDING,
+) -> DataFrame:
+    """EXACT rolling (lower) median of each user's last ``preceding``+1
+    values — the robust smoother where a rolling mean chases outliers.
+
+    No engine exposes median as a frame aggregate, so the frame is
+    materialized as a bounded collect_list, sorted, and indexed at the
+    lower-median position — O(f log f) per row for a CONSTANT frame
+    length f, all JVM-side array kernels inside the one user-keyed
+    window pass (single exchange + sort, shared shape with every
+    per-user window here). Values are quantized to DECIMAL(18,6) before
+    collection so both engines sort identical exact values; the output
+    is that decimal cast to double — no arithmetic, no rounding needed.
+    This frame-materialization trick is frame-bounded BY DESIGN: for
+    unbounded running medians use agg_median_twopass's histogram
+    selection instead.
+    """
+    val = F.col(value_col).cast("decimal(18,6)")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-preceding, 0)
+    )
+    frame = F.array_sort(F.collect_list(val).over(w))
+    med = F.element_at(
+        frame, F.floor((F.size(frame) + F.lit(1)) / 2).cast("int")
+    )
+    return df.select(
+        key_col,
+        tiebreak_col,
+        F.size(frame).alias("n_in_frame"),
+        med.cast("double").alias("rolling_median"),
+    )
+
+
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: per-user rolling 7-event median over ``events``."""
+    return rolling_median(load(spark, sf_dir, "events"))
+
+
+SQL_WINDOW_ROLLING_MEDIAN = f"""
+    WITH framed AS (
+        SELECT user_id, event_id,
+               LIST(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {ROLL_MED_PRECEDING} PRECEDING AND CURRENT ROW
+               ) AS frame
+        FROM events)
+    SELECT user_id, event_id,
+           CAST(LEN(frame) AS INTEGER) AS n_in_frame,
+           CAST(LIST_SORT(frame)[CAST(FLOOR((LEN(frame) + 1) / 2) AS BIGINT)]
+                AS DOUBLE) AS rolling_median
+    FROM framed
+"""
+
+
 QUERIES = {
+    "window_rolling_median": Query(
+        q_window_rolling_median, SQL_WINDOW_ROLLING_MEDIAN
+    ),
     "window_rank": Query(q_window_rank, SQL_WINDOW_RANK),
     "window_lag_lead": Query(q_window_lag_lead, SQL_WINDOW_LAG_LEAD),
     "window_running": Query(q_window_running, SQL_WINDOW_RUNNING, headline=True),

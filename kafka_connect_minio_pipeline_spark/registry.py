@@ -87,7 +87,8 @@ _QUERY_MODULES = (
 # llm_span_corruption, ts_acf, window_rolling_slope,
 # llm_fim_transform, ts_week_over_week, corpus_weighted_median,
 # similarity_rerank_mmr, dedup_threshold_sweep,
-# ts_markov, ts_changepoint, ts_interpolate,
+# ts_markov, ts_changepoint, ts_interpolate, agg_entropy, text_zipf,
+# window_rolling_median,
 # plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).

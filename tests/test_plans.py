@@ -723,3 +723,44 @@ def test_interpolate_one_fill_window_two_exchanges(spark, sf_dir):
     tree = plan.split("(1) Scan")[0]
     assert tree.count("+- Window (") == 2, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_entropy_is_two_hash_aggs_no_window(spark, sf_dir):
+    """Entropy closes as two partial-aggregated hash aggregations (cat
+    counts, per-key close) — no window, no sort aggregate, two exchanges."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_entropy,
+    )
+
+    plan = formatted_plan(q_agg_entropy(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 2, plan
+    assert "SortAggregate" not in plan, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("+- Window (") == 0, plan
+
+
+def test_zipf_rank_window_is_per_source_with_group_limit(spark, sf_dir):
+    """The rank window partitions by source (never global) and the
+    rank<=N filter is pushed as WindowGroupLimit — per-partition top-N
+    before the shuffle; the fit groupBy reuses the window partitioning."""
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_zipf
+
+    plan = formatted_plan(q_text_zipf(spark, sf_dir))
+    assert "rangepartitioning" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("+- Window (") == 1, plan
+    assert plan.count("hashpartitioning") <= 3, plan
+
+
+def test_rolling_median_single_window_single_exchange(spark, sf_dir):
+    """Frame materialization + sort + index all live inside one Window
+    node behind one exchange — the same envelope as any per-user window."""
+    from kafka_connect_minio_pipeline_spark.operators.windows import (
+        q_window_rolling_median,
+    )
+
+    plan = formatted_plan(q_window_rolling_median(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("+- Window (") == 1, plan

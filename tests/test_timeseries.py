@@ -393,3 +393,62 @@ def test_interpolate_bounds_on_real_data(spark, sf_dir):
         )
     )
     assert j.filter("NOT ok").count() == 0
+
+
+def test_entropy_closed_forms(spark):
+    """Uniform distribution → normalized entropy exactly 1; degenerate
+    single-category → entropy 0 (and no -0.0 artifacts)."""
+    import math
+
+    rows = [(1, c) for c in "ABCD" for _ in range(25)] + [(2, "A")] * 10
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        entropy_per_group,
+    )
+
+    got = {r["user_id"]: r for r in entropy_per_group(df, "user_id", "event_type").collect()}
+    assert got[1]["entropy_norm"] == 1.0
+    assert abs(got[1]["entropy"] - round(math.log(4), 6)) <= 1e-9
+    assert got[2]["entropy"] == 0.0 and str(got[2]["entropy"]) == "0.0"
+    assert got[2]["entropy_norm"] == 0.0
+
+
+def test_zipf_recovers_power_law(spark):
+    """A synthetic corpus with freq(rank r) = 1000//r must fit slope≈−1
+    with high R²."""
+    words = []
+    for r in range(1, 21):
+        words += [f"t{r:02d}"] * (1000 // r)
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "en", "synthetic", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from kafka_connect_minio_pipeline_spark.operators.text import zipf_fit
+
+    [row] = zipf_fit(df).collect()
+    assert row["n_terms"] == 20
+    assert -1.1 < row["zipf_slope"] < -0.9, row
+    assert row["r2"] > 0.99, row
+
+
+def test_rolling_median_hand_computed(spark):
+    """Values 1..5 plus an outlier: lower medians of the growing frame."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 1000.0]
+    rows = [
+        (7, t0 + timedelta(minutes=i), i + 1, v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, value double"
+    )
+    from kafka_connect_minio_pipeline_spark.operators.windows import (
+        rolling_median,
+    )
+
+    got = {r["event_id"]: (r["n_in_frame"], r["rolling_median"])
+           for r in rolling_median(df).collect()}
+    # lower median of [1], [1,2], [1,2,3], ..., [1..5,1000]
+    assert got == {1: (1, 1.0), 2: (2, 1.0), 3: (3, 2.0),
+                   4: (4, 2.0), 5: (5, 3.0), 6: (6, 3.0)}
