@@ -578,7 +578,126 @@ def _lpa_sql() -> str:
 SQL_GRAPH_LPA = _lpa_sql()
 
 
+KCORE_K = 65
+KCORE_MAX_ROUNDS = 15
+KCORE_ORACLE_ROUNDS = 6  # oracle unrolls this many no-op-padded peels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+    oracle_rounds: int | None = None,
+) -> DataFrame:
+    """The k-core of the graph — the maximal subgraph where every node
+    keeps ≥ k neighbors INSIDE the subgraph — by iterative peeling:
+    drop all nodes of degree < k, recompute degrees, repeat to
+    fixpoint. The dense-nucleus extractor (spam rings, product bundles,
+    collaboration cores) that a plain degree filter gets wrong because
+    removals cascade.
+
+    Per round: the survivor set restricts both edge endpoints (two
+    co-partitioned hash joins on the node key) and one partial-
+    aggregated degree count — every relation ≤ |V| rows, all hashed on
+    the same key. The driver loop sees only a count per round (peeling
+    never adds nodes, so an unchanged count IS the set fixpoint);
+    per-round ``localCheckpoint`` + prior-round unpersist keep lineage
+    and block-manager memory O(1), the connected_components discipline.
+    Rounds = peel-cascade depth (measured ≤ 4 on this graph family at
+    sf0.001-0.1); the cap raises LOUDLY — a truncated peel is a
+    superset of the core, never returned silently. The oracle unrolls
+    ``KCORE_ORACLE_ROUNDS`` fixed rounds (extra rounds are no-ops at
+    the fixpoint), so convergence is also asserted ≤ that unroll.
+    """
+    directed = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
+    ).localCheckpoint(eager=True)
+    alive = directed.select(F.col("s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    prev = alive.count()
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        survivors = (
+            directed.join(alive.withColumnRenamed("node", "s"), "s")
+            .join(alive.withColumnRenamed("node", "d"), "d")
+            .groupBy("s")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("s").alias("node"))
+        ).localCheckpoint(eager=True)
+        cur = survivors.count()
+        alive.unpersist()
+        alive = survivors
+        rounds += 1
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"kcore did not reach a fixpoint within {max_rounds} rounds"
+        )
+    if oracle_rounds is not None and rounds > oracle_rounds:
+        raise RuntimeError(
+            f"kcore needed {rounds} rounds but the oracle unrolls only"
+            f" {oracle_rounds} — raise KCORE_ORACLE_ROUNDS"
+        )
+    out = (
+        directed.join(alive.withColumnRenamed("node", "s"), "s")
+        .join(alive.withColumnRenamed("node", "d"), "d")
+        .groupBy("s")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("s").alias("node"), "core_degree")
+    )
+    directed.unpersist()
+    return out
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: the 65-core of the part co-occurrence graph
+    with each member's in-core degree. The oracle-unroll guard applies
+    only here — the registry pairing is what fixes the round budget."""
+    return kcore(
+        part_cooccurrence_edges(spark, sf_dir),
+        oracle_rounds=KCORE_ORACLE_ROUNDS,
+    )
+
+
+def _kcore_sql() -> str:
+    # every a{i} is referenced TWICE by a{i+1} (both edge endpoints), so
+    # the CTEs must be MATERIALIZED: DuckDB inlines plain CTEs, which
+    # doubles the expression tree per unrolled round — 2^rounds copies of
+    # the base scan (measured: >600 s inlined vs 0.45 s materialized at
+    # sf0.01). The LPA unroll doesn't need this (one reference per round).
+    rounds = []
+    prev = "a0"
+    for i in range(1, KCORE_ORACLE_ROUNDS + 1):
+        rounds.append(f"""
+    a{i} AS MATERIALIZED (
+        SELECT e.s AS node FROM dmat e
+        JOIN {prev} x ON e.s = x.node
+        JOIN {prev} y ON e.d = y.node
+        GROUP BY e.s HAVING COUNT(*) >= {KCORE_K})""")
+        prev = f"a{i}"
+    return f"""
+    WITH {SQL_COOC_EDGES_CTE},
+    dmat AS MATERIALIZED (SELECT s, d FROM directed),
+    a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM dmat),{",".join(rounds)}
+    SELECT e.s AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM dmat e
+    JOIN {prev} x ON e.s = x.node
+    JOIN {prev} y ON e.d = y.node
+    GROUP BY e.s
+"""
+
+
+SQL_GRAPH_KCORE = _kcore_sql()
+
+
 QUERIES = {
+    "graph_kcore": Query(q_graph_kcore, SQL_GRAPH_KCORE),
     "graph_pagerank": Query(q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_triangles": Query(q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_jaccard": Query(q_graph_jaccard, SQL_GRAPH_JACCARD),

@@ -1494,6 +1494,107 @@ SQL_TS_INTERPOLATE = """
 """
 
 
+# ---------------------------------------------------------------------------
+# peak concurrency (sweep-line over session intervals)
+# ---------------------------------------------------------------------------
+
+
+def peak_concurrency(df: DataFrame) -> DataFrame:
+    """Peak number of simultaneously-open sessions (and when it first
+    happens) — the capacity-planning question every serving/connection
+    system asks of its event log.
+
+    The classic sweep-line (+1 at start, −1 at end, running sum, max) is
+    a GLOBAL ordered prefix sum — a single-task window at scale. Here it
+    runs DECOMPOSED, the same pattern as corpus_token_budget: the running
+    sum is computed within hour buckets only (windows partitioned by
+    bucket), and each bucket adds a broadcast cumulative offset from the
+    BOUNDED bucket-totals relation (wall-clock hours, not data-sized).
+    Integer arithmetic makes the decomposition exactly equal to the
+    one-window spec the oracle runs. Tie order is total — (t, +1 before
+    −1, user, session) — so touching sessions count as concurrent and
+    the running sequence is deterministic; the answer closes with a
+    broadcast max-join + earliest-t tiebreak. At 100 TB the only
+    data-sized costs are sessionize itself and one bucket-keyed window;
+    a pathological single hot hour sub-buckets to minutes with the same
+    algebra.
+    """
+    sess = sessionize(df).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    deltas = sess.select(
+        F.col("session_start").alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_seq",
+    ).unionByName(
+        sess.select(
+            F.col("session_end").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_seq",
+        )
+    ).withColumn("bucket", F.date_trunc("hour", F.col("t")))
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("t", F.col("delta").desc(), "user_id", "session_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = deltas.select(
+        "t", "bucket", F.sum("delta").over(win).alias("within")
+    )
+    totals = deltas.groupBy("bucket").agg(F.sum("delta").alias("btotal"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("btotal").over(wb), F.lit(0)).alias("offset")
+    )
+    scored = within.join(F.broadcast(offsets), "bucket").select(
+        "t", (F.col("offset") + F.col("within")).alias("conc")
+    )
+    mx = scored.agg(F.max("conc").alias("max_concurrent"))
+    n_sess = sess.agg(F.count("*").alias("n_sessions"))
+    return (
+        scored.join(
+            F.broadcast(mx), F.col("conc") == F.col("max_concurrent")
+        )
+        .groupBy("max_concurrent")
+        .agg(F.min("t").alias("at_ts"))
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            F.col("max_concurrent").cast("int").alias("max_concurrent"),
+            "at_ts",
+            "n_sessions",
+        )
+    )
+
+
+def q_ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: peak concurrent 30-min-gap sessions."""
+    return peak_concurrency(load(spark, sf_dir, "events"))
+
+
+SQL_TS_CONCURRENCY = """
+    WITH sess AS ({sessionize}),
+    deltas AS (
+        SELECT session_start AS t, 1 AS delta, user_id, session_seq FROM sess
+        UNION ALL
+        SELECT session_end AS t, -1 AS delta, user_id, session_seq FROM sess),
+    scored AS (
+        SELECT t,
+               SUM(delta) OVER (
+                   ORDER BY t, delta DESC, user_id, session_seq
+                   ROWS UNBOUNDED PRECEDING) AS conc
+        FROM deltas),
+    m AS (SELECT MAX(conc) AS max_concurrent FROM scored)
+    SELECT CAST(m.max_concurrent AS INTEGER) AS max_concurrent,
+           MIN(s.t) AS at_ts,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions
+    FROM scored s, m
+    WHERE s.conc = m.max_concurrent
+    GROUP BY m.max_concurrent
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
     "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),
@@ -1515,4 +1616,7 @@ QUERIES = {
     "ts_markov": Query(q_ts_markov, SQL_TS_MARKOV),
     "ts_changepoint": Query(q_ts_changepoint, SQL_TS_CHANGEPOINT),
     "ts_interpolate": Query(q_ts_interpolate, SQL_TS_INTERPOLATE),
+    "ts_concurrency": Query(
+        q_ts_concurrency, SQL_TS_CONCURRENCY.format(sessionize=SQL_SESSIONIZE)
+    ),
 }

@@ -88,7 +88,7 @@ _QUERY_MODULES = (
 # llm_fim_transform, ts_week_over_week, corpus_weighted_median,
 # similarity_rerank_mmr, dedup_threshold_sweep,
 # ts_markov, ts_changepoint, ts_interpolate, agg_entropy, text_zipf,
-# window_rolling_median,
+# window_rolling_median, ts_concurrency, graph_kcore,
 # plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).

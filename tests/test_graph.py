@@ -125,3 +125,37 @@ def test_degree_stats_star_graph_assortativity(spark, monkeypatch):
     assert row["n_nodes"] == 6 and row["n_edges"] == 5
     assert row["max_degree"] == 5
     assert row["assortativity"] == -1.0
+
+
+def test_kcore_clique_survives_pendants_die(spark):
+    """5-clique + pendant chain, k=4: the clique is the 4-core (each
+    member keeps degree 4); the chain cascades away entirely."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import kcore
+
+    clique = [(a, b) for a in range(1, 6) for b in range(1, 6) if a < b]
+    chain = [(5, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "a long, b long")
+    got = {r["node"]: r["core_degree"] for r in kcore(edges, k=4).collect()}
+    assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+
+
+def test_kcore_path_graph_cascades_to_empty(spark):
+    """A path has no 2-core: degree-1 endpoints peel off round after
+    round until nothing is left — the cascade a one-shot degree filter
+    misses (interior nodes all start at degree 2)."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import kcore
+
+    path = [(i, i + 1) for i in range(1, 12)]
+    edges = spark.createDataFrame(path, "a long, b long")
+    assert kcore(edges, k=2).count() == 0
+
+
+def test_kcore_real_graph_invariants(spark, sf_dir):
+    """Every member of the 65-core keeps >= 65 in-core neighbors."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        KCORE_K,
+        q_graph_kcore,
+    )
+
+    rows = q_graph_kcore(spark, sf_dir).collect()
+    assert all(r["core_degree"] >= KCORE_K for r in rows)

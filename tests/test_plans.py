@@ -764,3 +764,32 @@ def test_rolling_median_single_window_single_exchange(spark, sf_dir):
     assert plan.count("hashpartitioning") == 1, plan
     tree = plan.split("(1) Scan")[0]
     assert tree.count("+- Window (") == 1, plan
+
+
+def test_concurrency_running_sum_is_bucket_partitioned(spark, sf_dir):
+    """The data-sized sweep-line prefix sum must run inside hour-bucket
+    partitions (the token_budget decomposition); only the BOUNDED
+    bucket-offsets relation may use an unpartitioned window, and offsets
+    reach the deltas by broadcast."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_concurrency,
+    )
+
+    plan = formatted_plan(q_ts_concurrency(spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_kcore_final_plan_reads_checkpoints_only(spark, sf_dir):
+    """After the peel loop, the closing degree count joins checkpointed
+    relations — the staged-edges parquet write plus per-round
+    localCheckpoints mean no raw-table rescan in the final plan."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        q_graph_kcore,
+    )
+
+    plan = formatted_plan(q_graph_kcore(spark, sf_dir))
+    assert "ExistingRDD" in plan, plan
+    assert "Scan parquet lineitem" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

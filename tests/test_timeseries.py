@@ -452,3 +452,35 @@ def test_rolling_median_hand_computed(spark):
     # lower median of [1], [1,2], [1,2,3], ..., [1..5,1000]
     assert got == {1: (1, 1.0), 2: (2, 1.0), 3: (3, 2.0),
                    4: (4, 2.0), 5: (5, 3.0), 6: (6, 3.0)}
+
+
+def test_concurrency_hand_computed(spark):
+    """Sessions A[0,10], B[5,15], C[40,50] (minutes): peak is 2, first
+    reached when B opens at minute 5."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda uid, minutes, eid: (uid, t0 + timedelta(minutes=minutes), eid)
+    rows = [mk(1, 0, 1), mk(1, 10, 2),
+            mk(2, 5, 3), mk(2, 15, 4),
+            mk(3, 40, 5), mk(3, 50, 6)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    [r] = T.peak_concurrency(df).collect()
+    assert r["max_concurrent"] == 2
+    assert r["at_ts"] == t0 + timedelta(minutes=5)
+    assert r["n_sessions"] == 3
+
+
+def test_concurrency_touching_sessions_count(spark):
+    """A session ending exactly when another starts counts as concurrent
+    at that instant (+1 sorts before -1 at equal t)."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    # user 1: [0, 10]; user 2: [10, 20] — touch at minute 10
+    rows = [(1, t0, 1), (1, t0 + timedelta(minutes=10), 2),
+            (2, t0 + timedelta(minutes=10), 3), (2, t0 + timedelta(minutes=20), 4)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+    [r] = T.peak_concurrency(df).collect()
+    assert r["max_concurrent"] == 2
+    assert r["at_ts"] == t0 + timedelta(minutes=10)
