@@ -880,9 +880,100 @@ SQL_AGG_ENTROPY = """
 """
 
 
+def q_agg_skewkurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series skewness and excess kurtosis of ``value`` — the
+    shape-of-distribution profile (heavy tails, asymmetry) that mean/var
+    alone miss; the 3rd/4th-moment extension of agg_stats.
+
+    Engine-native SKEWNESS/KURTOSIS accumulate float central moments in
+    partition order — unhashable cross-engine. Here x is quantized to
+    DECIMAL(9,3) so the four raw power sums Σx..Σx⁴ stay EXACT decimals
+    (490⁴ ≈ 6e10 at scale 12 — well inside precision 38; wider data
+    re-centers per-group first, same co-moment algebra as agg_linreg),
+    and the central-moment closings are one shared-shape double tree
+    rounded once. Single partial-aggregated groupBy — the linear plan.
+    """
+    ev = load(spark, sf_dir, "events")
+    # integer CENTS, not scaled decimals: the values are cent-exact, so
+    # u = value·100 is an exact small integer and u⁴ stays a plain
+    # integer — sidestepping both engines' decimal-multiply width rules
+    # (DuckDB overflows x³ at width 18; Spark silently reduces scale past
+    # precision 38 on x⁴). Spark stages the powers through scale-0
+    # decimals (no int128); DuckDB runs them in HUGEINT. The power sums
+    # divide back by 10^(2k) in the double closing — one identical op.
+    u = F.round(F.col("value") * 100).cast("decimal(10,0)")
+    u2 = (u * u).cast("decimal(20,0)")
+    u3 = (u2 * u).cast("decimal(30,0)")
+    u4 = (u2 * u2).cast("decimal(38,0)")
+    base = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(u).cast("double") / F.lit(1e2)).alias("s1"),
+        (F.sum(u2).cast("double") / F.lit(1e4)).alias("s2"),
+        (F.sum(u3).cast("double") / F.lit(1e6)).alias("s3"),
+        (F.sum(u4).cast("double") / F.lit(1e8)).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - F.lit(3.0) * mean * (F.col("s2") / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mean * (F.col("s3") / n)
+        + F.lit(6.0) * mean * mean * (F.col("s2") / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return base.select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_value"),
+        F.when(m2 > 0, F.round(m3 / F.pow(m2, F.lit(1.5)), 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(m4 / (m2 * m2) - F.lit(3.0), 6)).alias(
+            "excess_kurtosis"
+        ),
+    )
+
+
+SQL_AGG_SKEWKURT = """
+    WITH base AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(u) AS DOUBLE) / 1e2 AS s1,
+               CAST(SUM(u * u) AS DOUBLE) / 1e4 AS s2,
+               CAST(SUM(u * u * u) AS DOUBLE) / 1e6 AS s3,
+               CAST(SUM(u * u * u * u) AS DOUBLE) / 1e8 AS s4
+        FROM (SELECT event_type,
+                     CAST(ROUND(value * 100, 0) AS HUGEINT) AS u
+              FROM events)
+        GROUP BY event_type),
+    closed AS (
+        SELECT event_type, n,
+               s1 / CAST(n AS DOUBLE) AS mean,
+               s2 / CAST(n AS DOUBLE)
+                 - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2,
+               s3 / CAST(n AS DOUBLE)
+                 - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+                 + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                       * (s1 / CAST(n AS DOUBLE)) AS m3,
+               s4 / CAST(n AS DOUBLE)
+                 - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+                 + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                       * (s2 / CAST(n AS DOUBLE))
+                 - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                       * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m4
+        FROM base)
+    SELECT event_type, n,
+           ROUND(mean, 6) AS mean_value,
+           CASE WHEN m2 > 0 THEN ROUND(m3 / POW(m2, 1.5), 6) END AS skewness,
+           CASE WHEN m2 > 0 THEN ROUND(m4 / (m2 * m2) - 3.0, 6) END
+               AS excess_kurtosis
+    FROM closed
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
     "agg_entropy": Query(q_agg_entropy, SQL_AGG_ENTROPY),
+    "agg_skewkurt": Query(q_agg_skewkurt, SQL_AGG_SKEWKURT),
     "agg_benford": Query(q_agg_benford, SQL_AGG_BENFORD),
     "agg_unpivot": Query(q_agg_unpivot, SQL_AGG_UNPIVOT),
     "agg_corr": Query(q_agg_corr, SQL_AGG_CORR),

@@ -450,7 +450,108 @@ SQL_JOIN_PIT_SCD2 = """
 """
 
 
+CDC_KEY_SHIFT = 1400  # maps event user_ids onto the customer-key tail so
+# the changelog exercises all three MERGE arms: keys ≤ max(c_custkey)
+# update/delete existing customers, keys beyond it insert new rows
+
+
+def cdc_merge(
+    base: DataFrame,
+    changelog: DataFrame,
+    key: str = "key",
+    val: str = "val",
+) -> DataFrame:
+    """MERGE a CDC changelog into a snapshot — the standard upsert/delete
+    apply step of any incremental pipeline: last change per key wins;
+    a final delete removes the row; an upsert updates an existing row or
+    inserts a missing one; untouched base rows pass through as kept.
+
+    ``changelog`` needs columns (key, op ∈ {'U','D'}, val, ord) with
+    ``ord`` a TOTAL order per key. The plan is the scale-canonical one:
+    last-change-per-key is a max_by struct aggregation (partial-
+    aggregated, skew-immune — no row_number sort), then ONE full-outer
+    equi-join against the snapshot; both sides hash on the key, and at
+    100 TB the changelog side is typically the small delta (broadcast if
+    it fits). No window over the base table, no driver loop.
+    """
+    latest = changelog.groupBy(key).agg(
+        F.max_by(F.struct(F.col("op"), F.col(val)), F.col("ord")).alias("c")
+    ).select(key, F.col("c.op").alias("op"), F.col(f"c.{val}").alias("new_val"))
+    joined = base.join(latest, key, "full_outer")
+    action = (
+        F.when(F.col("op").isNull(), F.lit("kept"))
+        .when(F.col("op") == "D", F.lit("deleted"))
+        .when(F.col(val).isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        joined.select(
+            key,
+            action.alias("action"),
+            # cent-exact decimal either way; emitted as double (exact
+            # IEEE nearest) because DuckDB's pandas fetch turns DECIMAL
+            # into float64 — the sum_dec2 portability rule
+            F.when(F.col("op") == "U", F.col("new_val"))
+            .otherwise(F.col(val))
+            .cast("double")
+            .alias("final_val"),
+        )
+        .filter(F.col("action") != "deleted")
+    )
+
+
+def q_join_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: apply an events-derived changelog to the
+    customer snapshot. Each user's LAST event decides: 'error' → delete
+    the customer; anything else → upsert ``value`` as the new balance.
+    The key shift routes part of the changelog past the snapshot's max
+    key so inserts happen too. Balances quantized to DECIMAL(18,2)
+    (cent-exact) on both engines."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("val"),
+    )
+    ev = load(spark, sf_dir, "events")
+    changelog = ev.select(
+        (F.col("user_id") + F.lit(CDC_KEY_SHIFT)).alias("key"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("value").cast("decimal(18,2)").alias("val"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+    )
+    return cdc_merge(cust, changelog)
+
+
+SQL_JOIN_CDC_MERGE = f"""
+    WITH changelog AS (
+        SELECT user_id + {CDC_KEY_SHIFT} AS key,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(value AS DECIMAL(18,2)) AS val,
+               ts, event_id
+        FROM events),
+    latest AS (
+        SELECT key, op, val AS new_val FROM (
+            SELECT key, op, val,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+            FROM changelog) WHERE rn = 1),
+    base AS (
+        SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS val
+        FROM customer),
+    merged AS (
+        SELECT COALESCE(b.key, l.key) AS key,
+               CASE WHEN l.op IS NULL THEN 'kept'
+                    WHEN l.op = 'D' THEN 'deleted'
+                    WHEN b.val IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action,
+               CAST(CASE WHEN l.op = 'U' THEN l.new_val ELSE b.val END
+                    AS DOUBLE) AS final_val
+        FROM base b FULL OUTER JOIN latest l ON b.key = l.key)
+    SELECT key, action, final_val FROM merged WHERE action <> 'deleted'
+"""
+
+
 QUERIES = {
+    "join_cdc_merge": Query(q_join_cdc_merge, SQL_JOIN_CDC_MERGE),
     "join_inner_revenue": Query(q_join_inner_revenue, SQL_JOIN_INNER, headline=True),
     "join_left_order_counts": Query(q_join_left_order_counts, SQL_JOIN_LEFT),
     "join_semi": Query(q_join_semi, SQL_JOIN_SEMI),

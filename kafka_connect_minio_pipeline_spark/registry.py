@@ -88,7 +88,8 @@ _QUERY_MODULES = (
 # llm_fim_transform, ts_week_over_week, corpus_weighted_median,
 # similarity_rerank_mmr, dedup_threshold_sweep,
 # ts_markov, ts_changepoint, ts_interpolate, agg_entropy, text_zipf,
-# window_rolling_median, ts_concurrency, graph_kcore,
+# window_rolling_median, ts_concurrency, graph_kcore, agg_skewkurt,
+# join_cdc_merge,
 # plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).

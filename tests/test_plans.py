@@ -793,3 +793,32 @@ def test_kcore_final_plan_reads_checkpoints_only(spark, sf_dir):
     assert "ExistingRDD" in plan, plan
     assert "Scan parquet lineitem" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_skewkurt_single_partial_agg_shuffle(spark, sf_dir):
+    """All four power sums ride one partial-aggregated groupBy — a single
+    exchange, no window, no sort aggregate."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_skewkurt,
+    )
+
+    plan = formatted_plan(q_agg_skewkurt(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "SortAggregate" not in plan, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("+- Window (") == 0, plan
+
+
+def test_cdc_merge_is_agg_plus_one_join(spark, sf_dir):
+    """Last-change-per-key must be a hash aggregation (max_by struct,
+    skew-immune), not a row_number window; then exactly one full-outer
+    join against the snapshot."""
+    from kafka_connect_minio_pipeline_spark.operators.joins import (
+        q_join_cdc_merge,
+    )
+
+    plan = formatted_plan(q_join_cdc_merge(spark, sf_dir))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("+- Window (") == 0, plan
+    assert plan.count("FullOuter") >= 1, plan
+    assert "CartesianProduct" not in plan, plan

@@ -484,3 +484,49 @@ def test_concurrency_touching_sessions_count(spark):
     [r] = T.peak_concurrency(df).collect()
     assert r["max_concurrent"] == 2
     assert r["at_ts"] == t0 + timedelta(minutes=10)
+
+
+def test_skewkurt_closed_forms(spark):
+    """A symmetric two-point distribution has skewness 0 and excess
+    kurtosis exactly −2 (the minimum possible); adding a far outlier
+    makes skewness strictly positive."""
+    rows = [(1, "sym", 10.0, 1, "{}")] * 50 + [(2, "sym", 20.0, 1, "{}")] * 50
+    rows += [(3, "skew", 1.0, 1, "{}")] * 99 + [(4, "skew", 101.0, 1, "{}")]
+    df = spark.createDataFrame(
+        [(i, __import__("datetime").datetime(2024, 1, 1), uid, t, v, p)
+         for i, (uid, t, v, _, p) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_skewkurt,
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_type"]: r for r in q_agg_skewkurt(spark, d).collect()}
+    assert got["sym"]["skewness"] == 0.0
+    assert got["sym"]["excess_kurtosis"] == -2.0
+    assert got["skew"]["skewness"] > 5.0
+
+
+def test_cdc_merge_hand_computed(spark):
+    """Base {1:10, 2:20, 3:30}; changelog: upsert 2→99 then delete 2 is
+    wrong order — ord decides: final ops are (2: delete), (3: upsert 77
+    after an earlier delete), (4: insert 55). Result: 1 kept, 3 updated
+    to 77, 4 inserted."""
+    from kafka_connect_minio_pipeline_spark.operators.joins import cdc_merge
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "key long, val double"
+    )
+    chg = spark.createDataFrame(
+        [(2, "U", 99.0, 1), (2, "D", None, 2),
+         (3, "D", None, 1), (3, "U", 77.0, 2),
+         (4, "U", 55.0, 1)],
+        "key long, op string, val double, ord long",
+    )
+    got = {r["key"]: (r["action"], r["final_val"])
+           for r in cdc_merge(base, chg).collect()}
+    assert got == {1: ("kept", 10.0), 3: ("updated", 77.0),
+                   4: ("inserted", 55.0)}
