@@ -818,6 +818,13 @@ def entropy_per_group(df: DataFrame, key: str, cat: str) -> DataFrame:
     dropped category column. Linear at any scale.
     """
     counts = df.groupBy(key, cat).agg(F.count("*").alias("n"))
+    return entropy_close(counts, key)
+
+
+def entropy_close(counts: DataFrame, key: str) -> DataFrame:
+    """Close per-group entropy from a (key, category, n) count relation —
+    shared by the batch operator and the streaming twin (whose counts are
+    monotone mergeable state collapsed at the end)."""
     term = F.round(F.col("n") * F.log(F.col("n")), 9).cast("decimal(28,9)")
     per_key = counts.groupBy(key).agg(
         F.sum("n").alias("total"),

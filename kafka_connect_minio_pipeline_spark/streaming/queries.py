@@ -196,7 +196,33 @@ def _sql_stream_countmin() -> str:
     return SQL_SKETCH_COUNTMIN
 
 
+def q_stream_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity monitoring as a STREAM: the per-(user,
+    event_type) counts are monotone mergeable state (a plain streaming
+    groupBy in complete mode — state is O(users × types), independent of
+    stream length), and the entropy finisher runs on the final counts.
+    Must equal the batch agg_entropy exactly (shared oracle) however the
+    source batches — counts are order-free, which is precisely why
+    entropy streams and a transition matrix (order-sensitive) doesn't."""
+    from ..operators.aggregates import entropy_close
+    from ..sources.files import stream_table
+
+    ev = stream_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = run_to_memory(
+        ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n")),
+        "complete",
+    )
+    return entropy_close(counts, "user_id")
+
+
+def _sql_stream_entropy() -> str:
+    from ..operators.aggregates import SQL_AGG_ENTROPY
+
+    return SQL_AGG_ENTROPY
+
+
 QUERIES = {
+    "stream_entropy": Query(q_stream_entropy, _sql_stream_entropy()),
     "stream_hll": Query(q_stream_hll, _sql_stream_hll()),
     "stream_multimodal": Query(q_stream_multimodal, _sql_stream_multimodal()),
     "stream_ohlc": Query(q_stream_ohlc, _sql_stream_ohlc()),
