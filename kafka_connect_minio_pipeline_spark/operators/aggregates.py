@@ -16,7 +16,7 @@ combine that makes groupBy viable at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import (
@@ -977,10 +977,72 @@ SQL_AGG_SKEWKURT = """
 """
 
 
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series Gini coefficient of ``value`` — the concentration /
+    inequality measure (is the metric spread evenly or carried by a few
+    events?), complementing entropy's categorical diversity.
+
+    Closed form on the ascending-sorted values: G = 2·Σ(i·xᵢ)/(n·Σx)
+    − (n+1)/n. The rank window partitions PER SERIES (never global;
+    row_number with a unique tiebreak — rank permutations within equal
+    values leave Σi·xᵢ unchanged, so the tiebreak is for determinism
+    only), and both Σx and Σi·xᵢ are exact decimals (cent-exact values ×
+    bigint ranks), closing in one rounded double tree. One exchange
+    carries the window AND the groupBy (same key). Skew = largest single
+    series; salt the rank like any per-key window if one series outgrows
+    a partition.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    base = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("double").alias("six"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six") / (n * F.col("sx"))
+        - (n + F.lit(1.0)) / n
+    )
+    return base.select(
+        "event_type",
+        "n",
+        F.when(F.col("sx") != 0, F.round(gini, 6)).alias("gini"),
+    )
+
+
+SQL_AGG_GINI = """
+    WITH ranked AS (
+        SELECT event_type,
+               CAST(value AS DECIMAL(18,2)) AS x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS i
+        FROM events),
+    base AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(i * x) AS DOUBLE) AS six
+        FROM ranked GROUP BY event_type)
+    SELECT event_type, n,
+           CASE WHEN sx <> 0
+                THEN ROUND(2.0 * six / (CAST(n AS DOUBLE) * sx)
+                           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+           END AS gini
+    FROM base
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
     "agg_entropy": Query(q_agg_entropy, SQL_AGG_ENTROPY),
     "agg_skewkurt": Query(q_agg_skewkurt, SQL_AGG_SKEWKURT),
+    "agg_gini": Query(q_agg_gini, SQL_AGG_GINI),
     "agg_benford": Query(q_agg_benford, SQL_AGG_BENFORD),
     "agg_unpivot": Query(q_agg_unpivot, SQL_AGG_UNPIVOT),
     "agg_corr": Query(q_agg_corr, SQL_AGG_CORR),

@@ -294,6 +294,99 @@ def edge_jaccard_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame:
     )
 
 
+def edge_adamic_adar_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame:
+    """Top-k edges by Adamic-Adar — the link-prediction staple that
+    weights each common neighbor by 1/ln(degree), so sharing a RARE
+    neighbor counts far more than sharing a hub (neighborhood Jaccard's
+    blind spot on graphs with popular nodes).
+
+    Same scale shape as :func:`edge_jaccard_topk`: candidates restricted
+    to adjacent pairs via the compact-forward triangle enumeration (|E|
+    candidates, never the quadratic wedge fanout), each triangle
+    crediting its three edges with the OPPOSITE corner as the common
+    neighbor. The 1/ln(deg) terms are float, so they're pre-rounded to
+    9 decimals and summed as exact DECIMAL(18,9) — order-free addition,
+    the entropy/zipf portability rule — before one rounded close.
+    Top-k is TakeOrdered; ids break score ties.
+    """
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    side = F.explode(
+        F.array(
+            F.struct(F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")),
+            F.struct(F.col("y").alias("a"), F.col("z").alias("b"), F.col("x").alias("c")),
+            F.struct(F.col("x").alias("a"), F.col("z").alias("b"), F.col("y").alias("c")),
+        )
+    )
+    wedges = tri.select(side.alias("e")).select("e.a", "e.b", "e.c")
+    nbr = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))
+    )
+    deg = nbr.groupBy("node").agg(F.count("*").alias("d"))
+    term = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        wedges.join(deg.select(F.col("node").alias("c"), "d"), "c")
+        .select("a", "b", term.alias("t"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"), F.sum("t").alias("aa_sum"))
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            "n_common",
+            F.round(F.col("aa_sum").cast("double"), 6).alias("adamic_adar"),
+        )
+        .orderBy(F.col("adamic_adar").desc(), "u", "v")
+        .limit(k)
+    )
+
+
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: the 100 strongest co-purchase ties by
+    rare-neighbor-weighted Adamic-Adar on the part co-occurrence graph."""
+    return edge_adamic_adar_topk(part_cooccurrence_edges(spark, sf_dir))
+
+
+SQL_GRAPH_ADAMIC_ADAR = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+    wedges AS (
+        SELECT x AS a, y AS b, z AS c FROM tri
+        UNION ALL SELECT y, z, x FROM tri
+        UNION ALL SELECT x, z, y FROM tri),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY node)
+    SELECT w.a AS u, w.b AS v,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           ROUND(CAST(SUM(CAST(ROUND(1.0 / LN(CAST(dc.d AS DOUBLE)), 9)
+                               AS DECIMAL(18,9))) AS DOUBLE), 6) AS adamic_adar
+    FROM wedges w JOIN deg dc ON dc.node = w.c
+    GROUP BY w.a, w.b
+    ORDER BY adamic_adar DESC, u, v
+    LIMIT {JACCARD_TOP_K}
+"""
+
+
 def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: the 100 strongest co-purchase ties (per-edge
     neighborhood Jaccard) on the part co-occurrence graph."""
@@ -701,6 +794,7 @@ QUERIES = {
     "graph_pagerank": Query(q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_triangles": Query(q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_jaccard": Query(q_graph_jaccard, SQL_GRAPH_JACCARD),
+    "graph_adamic_adar": Query(q_graph_adamic_adar, SQL_GRAPH_ADAMIC_ADAR),
     "graph_khop": Query(q_graph_khop, SQL_GRAPH_KHOP),
     "graph_degree_stats": Query(q_graph_degree_stats, SQL_GRAPH_DEGREE_STATS),
     "graph_lpa": Query(q_graph_lpa, SQL_GRAPH_LPA),

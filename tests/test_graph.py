@@ -159,3 +159,25 @@ def test_kcore_real_graph_invariants(spark, sf_dir):
 
     rows = q_graph_kcore(spark, sf_dir).collect()
     assert all(r["core_degree"] >= KCORE_K for r in rows)
+
+
+def test_adamic_adar_weights_rare_neighbors(spark):
+    """Two edges each with one common neighbor: the edge sharing a
+    degree-2 neighbor scores 1/ln2; the edge sharing a degree-5 hub
+    scores 1/ln5 — rare shared context outranks hub co-membership."""
+    import math
+
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        edge_adamic_adar_topk,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6),
+         (6, 7), (6, 8), (6, 9)],
+        "a long, b long",
+    )
+    got = {(r["u"], r["v"]): r["adamic_adar"]
+           for r in edge_adamic_adar_topk(edges).collect()}
+    assert got[(1, 2)] == round(round(1 / math.log(2), 9), 6)
+    assert got[(4, 5)] == round(round(1 / math.log(5), 9), 6)
+    assert got[(1, 2)] > got[(4, 5)]

@@ -822,3 +822,25 @@ def test_cdc_merge_is_agg_plus_one_join(spark, sf_dir):
     assert tree.count("+- Window (") == 0, plan
     assert plan.count("FullOuter") >= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_gini_window_and_agg_share_one_exchange(spark, sf_dir):
+    """The per-series rank window and the co-moment groupBy hash on the
+    same key — one exchange, no global sort."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_gini,
+    )
+
+    plan = formatted_plan(q_agg_gini(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_adamic_adar_topk_is_take_ordered_no_cartesian(spark, sf_dir):
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        q_graph_adamic_adar,
+    )
+
+    plan = formatted_plan(q_graph_adamic_adar(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan

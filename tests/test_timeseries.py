@@ -530,3 +530,27 @@ def test_cdc_merge_hand_computed(spark):
            for r in cdc_merge(base, chg).collect()}
     assert got == {1: ("kept", 10.0), 3: ("updated", 77.0),
                    4: ("inserted", 55.0)}
+
+
+def test_gini_closed_forms(spark):
+    """Equal values → Gini 0; a single owner of all mass among n=10
+    → Gini (n−1)/n = 0.9."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "equal", 7.0, "{}") for i in range(10)]
+    rows += [(100 + i, dt.datetime(2024, 1, 1), 1, "onehot", 0.0, "{}") for i in range(9)]
+    rows += [(200, dt.datetime(2024, 1, 1), 1, "onehot", 50.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_gini
+
+    got = {r["event_type"]: r["gini"] for r in q_agg_gini(spark, d).collect()}
+    assert got["equal"] == 0.0
+    assert got["onehot"] == 0.9
