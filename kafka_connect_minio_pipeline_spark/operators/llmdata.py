@@ -1037,7 +1037,127 @@ SQL_FIM_TRANSFORM = f"""
 """
 
 
+PACK_EVAL_BUDGETS = (128, 512, 2048)
+
+
+def pack_fragmentation_eval(
+    docs: DataFrame, budgets: tuple[int, ...] = PACK_EVAL_BUDGETS
+) -> DataFrame:
+    """Context-length trade-off report for concatenation packing: per
+    (stratum, context budget), how many documents STRADDLE a window
+    boundary — the fragmentation cost of shorter contexts (a straddled
+    doc trains with truncated attention on both fragments). The
+    measure-the-pipeline companion to llm_pack_sequences, answering
+    "what does dropping to 512 tokens actually cost us?" before a
+    training run commits.
+
+    The budget sweep is a broadcast fanout (|budgets| literal rows) over
+    the tokenized docs; each (stratum, budget) stream gets its own
+    clipped prefix sum (one window partitioned by stratum × budget —
+    |budgets|× the packer's shuffle, still linear), and a doc straddles
+    iff its exclusive prefix and its last token land in different bins.
+    Bins-used closes as ceil(total/budget) — concatenation leaves no
+    interior padding, so utilization is total/(bins·budget), reported
+    per stratum.
+    """
+    budgets_df = docs.sparkSession.createDataFrame(
+        [(b,) for b in budgets], "budget int"
+    )
+    staged = docs.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("raw_tok")
+    ).crossJoin(F.broadcast(budgets_df))
+    clipped = staged.select(
+        "doc_id",
+        "lang",
+        "budget",
+        F.least(F.col("raw_tok"), F.col("budget")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "budget")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    scored = clipped.select(
+        "lang",
+        "budget",
+        "n_tok",
+        (
+            (F.col("n_tok") > 0)
+            & (
+                F.floor(prefix / F.col("budget"))
+                < F.floor((prefix + F.col("n_tok") - 1) / F.col("budget"))
+            )
+        ).cast("int").alias("straddles"),
+    )
+    return (
+        scored.groupBy("lang", "budget")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("straddles").alias("n_straddling"),
+        )
+        .select(
+            "lang",
+            "budget",
+            "n_docs",
+            "total_tokens",
+            "n_straddling",
+            F.ceil(F.col("total_tokens") / F.col("budget")).alias("bins_used"),
+            F.round(
+                F.col("n_straddling").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("frac_straddling"),
+        )
+    )
+
+
+def q_llm_pack_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: fragmentation sweep over 128/512/2048-token
+    contexts on ``documents``."""
+    return pack_fragmentation_eval(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+SQL_LLM_PACK_EVAL = f"""
+    WITH budgets AS (
+        SELECT UNNEST([{", ".join(str(b) for b in PACK_EVAL_BUDGETS)}]) AS budget),
+    staged AS (
+        SELECT doc_id, lang,
+               CAST(LEN({SQL_TOKENS.format(col='text')}) AS BIGINT) AS raw_tok
+        FROM documents),
+    clipped AS (
+        SELECT doc_id, lang, budget,
+               CAST(LEAST(raw_tok, budget) AS BIGINT) AS n_tok
+        FROM staged CROSS JOIN budgets),
+    pre AS (
+        SELECT lang, budget, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY lang, budget ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prefix
+        FROM clipped),
+    scored AS (
+        SELECT lang, budget, n_tok,
+               CASE WHEN n_tok > 0
+                         AND FLOOR(CAST(prefix AS DOUBLE) / budget)
+                             < FLOOR(CAST(prefix + n_tok - 1 AS DOUBLE) / budget)
+                    THEN 1 ELSE 0 END AS straddles
+        FROM pre)
+    SELECT lang, budget,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(straddles) AS BIGINT) AS n_straddling,
+           CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / budget) AS BIGINT) AS bins_used,
+           ROUND(CAST(SUM(straddles) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS frac_straddling
+    FROM scored
+    GROUP BY lang, budget
+"""
+
+
 QUERIES = {
+    "llm_pack_eval": Query(q_llm_pack_eval, SQL_LLM_PACK_EVAL),
     "llm_rag_chunk": Query(q_llm_rag_chunk, SQL_RAG_CHUNK),
     "llm_dataset_card": Query(q_llm_dataset_card, SQL_DATASET_CARD),
     "llm_span_corruption": Query(q_llm_span_corruption, SQL_SPAN_CORRUPTION),

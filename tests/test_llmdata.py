@@ -497,3 +497,25 @@ def test_fim_transform_roundtrip(spark, sf_dir):
         assert (len(prefix), len(middle), len(suffix)) == (
             r["n_prefix"], r["n_middle"], r["n_suffix"],
         )
+
+
+def test_pack_eval_fragmentation_monotone_in_budget(spark, sf_dir):
+    """Larger contexts can only reduce fragmentation: per stratum,
+    frac_straddling is non-increasing as the budget grows, and bins
+    follow ceil(total/budget)."""
+    import math
+
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_pack_eval,
+    )
+
+    rows = q_llm_pack_eval(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+        assert r["bins_used"] == math.ceil(r["total_tokens"] / r["budget"])
+        assert 0.0 <= r["frac_straddling"] <= 1.0
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["budget"])
+        fr = [r["frac_straddling"] for r in rs]
+        assert fr == sorted(fr, reverse=True), (lang, fr)

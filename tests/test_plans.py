@@ -844,3 +844,17 @@ def test_adamic_adar_topk_is_take_ordered_no_cartesian(spark, sf_dir):
     plan = formatted_plan(q_graph_adamic_adar(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pack_eval_budget_sweep_is_broadcast(spark, sf_dir):
+    """The budget fanout must reach the corpus as a broadcast of the
+    3-row literal relation — never a shuffle — and the per-(stratum,
+    budget) prefix windows hash-partition (no global sort)."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_pack_eval,
+    )
+
+    plan = formatted_plan(q_llm_pack_eval(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
