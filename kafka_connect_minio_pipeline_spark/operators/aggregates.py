@@ -642,7 +642,8 @@ def exact_median_twopass(
     re-histogram inside the bucket until the remnant fits one task —
     O(log) passes, each a linear scan that prunes ~1000×. Handles
     negative values (floor-division bucketing stays order-consistent);
-    raises on empty input rather than returning a fabricated row.
+    an empty input yields an empty result (matching the oracle's
+    rank-window formulation), never a fabricated row.
     """
     price = dec2(F.col(value_col))
     hist = (
@@ -655,7 +656,12 @@ def exact_median_twopass(
     )
     n = sum(r["cnt"] for r in hist)
     if n == 0:
-        raise ValueError("exact_median_twopass: empty input relation")
+        # empty input → empty RESULT, matching the rank-window oracle
+        # (WHERE rn = … over zero rows): a filtered-to-empty slice at
+        # scale composes downstream instead of killing the job
+        return df.sparkSession.createDataFrame(
+            [], "n bigint, median_price double"
+        )
     k = (n + 1) // 2  # lower-median rank
     cum = 0
     for r in hist:

@@ -607,7 +607,7 @@ def exact_weighted_median_twopass(
     weighted histogram + driver walk, then a running-weight window over
     ONLY the hit bucket (single-task over ~n/buckets rows, recursing at
     extreme scale). Ties break on (value, id) so the answer is
-    engine-exact; raises on empty/zero-weight input.
+    engine-exact; empty/zero-weight input yields an empty result.
     """
     hist = (
         weighted.groupBy(
@@ -619,7 +619,11 @@ def exact_weighted_median_twopass(
     )
     total_w = sum(r["bw"] for r in hist)
     if total_w <= 0:
-        raise ValueError("weighted median: empty or zero-weight input")
+        # empty/zero-weight input → empty result (oracle shape), not a
+        # job failure: a filtered-to-empty corpus slice must compose
+        return weighted.sparkSession.createDataFrame(
+            [], "total_tokens bigint, weighted_median_len bigint"
+        )
     target = (total_w + 1) // 2
     cum = 0
     for r in hist:

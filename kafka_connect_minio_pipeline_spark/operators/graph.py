@@ -69,6 +69,10 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # one scalar job; bounds every later literal
+    if n_nodes == 0:
+        # empty graph → empty rank relation (1/n is undefined); keeps a
+        # filtered-to-empty edge source composable downstream
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     rank = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(n_iter):
         contribs = (

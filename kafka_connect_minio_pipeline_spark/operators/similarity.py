@@ -455,6 +455,12 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     output shape as the LSH variant. Engine-specific float argmins →
     rows-only for the driver; recall vs. brute force asserted in tests."""
     sample, X = ivf_train_sample(spark, sf_dir)
+    if len(sample) == 0:
+        # no vectors → no quantizer to train and nothing to search:
+        # empty result with the query's schema, not a numpy shape error
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
     cent = ivf_centroids(X)
     em = _with_norms(load(spark, sf_dir, "embeddings"))
     assigned = _assign_cells(spread(load(spark, sf_dir, "embeddings"), "vec_id"), cent)

@@ -79,7 +79,9 @@ def q_stream_pipeline_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("kcm_fb_sink_")
     run_foreach_batch(transformed, out)
     cols = [f.name for f in SINK_SCHEMA.fields]
-    return spark.read.parquet(out).select(*cols)
+    # explicit schema: an empty source writes no batch files, and a bare
+    # read of the empty sink dir would fail schema inference
+    return spark.read.schema(SINK_SCHEMA).parquet(out).select(*cols)
 
 
 QUALITY_THRESHOLD = 0.5
