@@ -709,29 +709,37 @@ def kcore(
     directed = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
     ).localCheckpoint(eager=True)
-    alive = directed.select(F.col("s").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
-    prev = alive.count()
+    # round 0 short-cut: restricting against the all-nodes set is a
+    # no-op, so the seed degrees come straight off the edge relation
+    # (one agg, no joins); and the loop carries (node, deg) so the
+    # fixpoint round's degree relation IS the final answer (the closing
+    # "re-derive in-core degrees" pass would recompute it identically)
+    degrees = directed.groupBy("s").agg(
+        F.count("*").alias("deg")
+    ).localCheckpoint(eager=True)
+    prev = degrees.count()
     rounds = 0
     converged = False
     for _ in range(max_rounds):
-        survivors = (
+        alive = degrees.filter(F.col("deg") >= k).select(
+            F.col("s").alias("node")
+        )
+        new_degrees = (
             directed.join(alive.withColumnRenamed("node", "s"), "s")
             .join(alive.withColumnRenamed("node", "d"), "d")
             .groupBy("s")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
-            .select(F.col("s").alias("node"))
         ).localCheckpoint(eager=True)
-        cur = survivors.count()
-        alive.unpersist()
-        alive = survivors
+        cur = new_degrees.count()
+        degrees.unpersist()
+        degrees = new_degrees
         rounds += 1
         if cur == prev:
             converged = True
             break
         prev = cur
+    directed.unpersist()
     if not converged:
         raise RuntimeError(
             f"kcore did not reach a fixpoint within {max_rounds} rounds"
@@ -741,15 +749,9 @@ def kcore(
             f"kcore needed {rounds} rounds but the oracle unrolls only"
             f" {oracle_rounds} — raise KCORE_ORACLE_ROUNDS"
         )
-    out = (
-        directed.join(alive.withColumnRenamed("node", "s"), "s")
-        .join(alive.withColumnRenamed("node", "d"), "d")
-        .groupBy("s")
-        .agg(F.count("*").alias("core_degree"))
-        .select(F.col("s").alias("node"), "core_degree")
+    return degrees.select(
+        F.col("s").alias("node"), F.col("deg").alias("core_degree")
     )
-    directed.unpersist()
-    return out
 
 
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
