@@ -1595,8 +1595,121 @@ SQL_TS_CONCURRENCY = """
 """
 
 
+# ---------------------------------------------------------------------------
+# seasonally-adjusted anomaly detection
+# ---------------------------------------------------------------------------
+
+SEASONAL_Z = 3.0
+
+
+def seasonal_adjusted_outliers(
+    df: DataFrame, threshold: float = SEASONAL_Z
+) -> DataFrame:
+    """Anomalies AFTER removing the hour-of-day pattern: an event is
+    flagged when its value deviates from its series' seasonal mean for
+    that hour by ≥ ``threshold`` residual standard deviations. A plain
+    z-score (ts_zscore) flags every rush-hour peak; this flags what is
+    unusual GIVEN the hour — the difference between "traffic is high at
+    9am" (normal) and "traffic is high at 3am" (incident).
+
+    Decomposition keeps everything exact: per-(series, hour-of-day)
+    cells carry exact decimal Σx, Σx² (one partial-agg shuffle, ≤24
+    cells/series); the residual variance per series is Σ_cells(Σx² −
+    (Σx)²/n) — each cell's term is one double tree PRE-ROUNDED to 9
+    decimals and summed as exact DECIMAL(28,9) over the ≤24 cells
+    (order-free, the entropy rule). Cells and series stats broadcast
+    back onto the events (small dimension joins), and the z closes in
+    one shared rounded tree. Linear, two tiny relations, no window.
+    """
+    hod = F.hour(F.col("ts")).alias("hod")
+    v6 = F.col("value").cast("double").cast("decimal(18,6)")
+    cells = df.groupBy("event_type", hod).agg(
+        F.count("*").alias("cn"),
+        F.sum(v6).alias("cs"),
+        F.sum(v6 * v6).alias("csq"),
+    )
+    cell_term = F.round(
+        F.col("csq").cast("double")
+        - F.col("cs").cast("double") * F.col("cs").cast("double")
+        / F.col("cn").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    series = cells.groupBy("event_type").agg(
+        F.sum("cn").alias("n"),
+        F.sum(cell_term).alias("ss_resid"),
+    )
+    sigma = F.sqrt(
+        F.col("ss_resid").cast("double") / (F.col("n").cast("double") - F.lit(1.0))
+    )
+    seasonal_mean = F.col("cs").cast("double") / F.col("cn").cast("double")
+    z = (F.col("value") - seasonal_mean) / F.col("sigma")
+    return (
+        df.select("event_id", "event_type", hod, "value")
+        .join(F.broadcast(cells), ["event_type", "hod"])
+        .join(
+            F.broadcast(
+                series.filter(F.col("n") > 1).select(
+                    "event_type", sigma.alias("sigma")
+                )
+            ),
+            "event_type",
+        )
+        .filter(F.col("sigma") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            "value",
+            F.round(seasonal_mean, 6).alias("seasonal_mean"),
+            F.round(z, 6).alias("z_adj"),
+        )
+        .filter(F.abs(F.col("z_adj")) >= threshold)
+    )
+
+
+def q_ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: seasonally-adjusted outliers over ``events``."""
+    return seasonal_adjusted_outliers(load(spark, sf_dir, "events"))
+
+
+SQL_TS_ANOMALY_SEASONAL = f"""
+    WITH cells AS (
+        SELECT event_type, HOUR(ts) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS cn,
+               SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS cs,
+               SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))
+                   * CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))) AS csq
+        FROM events GROUP BY event_type, HOUR(ts)),
+    series AS (
+        SELECT event_type,
+               CAST(SUM(cn) AS BIGINT) AS n,
+               SUM(CAST(ROUND(CAST(csq AS DOUBLE)
+                              - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                                / CAST(cn AS DOUBLE), 9)
+                        AS DECIMAL(28,9))) AS ss_resid
+        FROM cells GROUP BY event_type),
+    sigmas AS (
+        SELECT event_type,
+               SQRT(CAST(ss_resid AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+                   AS sigma
+        FROM series WHERE n > 1)
+    SELECT e.event_id, e.event_type, HOUR(e.ts) AS hod, e.value,
+           ROUND(CAST(c.cs AS DOUBLE) / CAST(c.cn AS DOUBLE), 6)
+               AS seasonal_mean,
+           ROUND((e.value - CAST(c.cs AS DOUBLE) / CAST(c.cn AS DOUBLE))
+                 / s.sigma, 6) AS z_adj
+    FROM events e
+    JOIN cells c ON e.event_type = c.event_type AND HOUR(e.ts) = c.hod
+    JOIN sigmas s ON e.event_type = s.event_type
+    WHERE s.sigma > 0
+      AND ABS(ROUND((e.value - CAST(c.cs AS DOUBLE) / CAST(c.cn AS DOUBLE))
+                    / s.sigma, 6)) >= {SEASONAL_Z}
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
+    "ts_anomaly_seasonal": Query(q_ts_anomaly_seasonal, SQL_TS_ANOMALY_SEASONAL),
     "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),
     "ts_mad": Query(q_ts_mad, SQL_TS_MAD),
     "ts_ohlc": Query(q_ts_ohlc, SQL_TS_OHLC),

@@ -554,3 +554,33 @@ def test_gini_closed_forms(spark):
     got = {r["event_type"]: r["gini"] for r in q_agg_gini(spark, d).collect()}
     assert got["equal"] == 0.0
     assert got["onehot"] == 0.9
+
+
+def test_seasonal_adjusted_flags_offpattern_only(spark):
+    """A series with a strong hour-of-day pattern (9am≈100, 3am≈10 with
+    small jitter): an injected 3am value of 100 is the ONLY flagged
+    event — the hourly rush itself is normal once the seasonal mean is
+    removed."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for d in range(20):
+        for hour, base in ((9, 100.0), (3, 10.0)):
+            eid += 1
+            rows.append(
+                (eid, t0 + timedelta(days=d, hours=hour), 1, "rush",
+                 base + (d % 2), "{}")
+            )
+    eid += 1
+    incident = (eid, t0 + timedelta(days=20, hours=3), 1, "rush", 100.0, "{}")
+    rows.append(incident)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    flagged = T.seasonal_adjusted_outliers(df).collect()
+    assert [r["event_id"] for r in flagged] == [incident[0]]
+    assert flagged[0]["hod"] == 3
