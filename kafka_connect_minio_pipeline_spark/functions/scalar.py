@@ -335,7 +335,54 @@ SQL_SCALAR_URL = r"""
 """
 
 
+def q_scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation kernel family: masks, shifts, population count,
+    XOR mixing, and — the aggregation-side payoff — BIT_XOR as an
+    order-free integrity checksum per bucket (the classic "did both
+    sides see exactly the same id set?" reconciliation primitive, used
+    at scale precisely because XOR is associative/commutative and needs
+    no sort). Everything is JVM-side integer ALU work inside one
+    partial-aggregated groupBy; the 16-bucket output is nibble-indexed.
+    """
+    ev = load(spark, sf_dir, "events")
+    staged = ev.select(
+        (F.col("event_id").bitwiseAND(F.lit(15))).cast("int").alias("nibble"),
+        F.bit_count(F.col("event_id")).alias("bits"),
+        (F.bit_count(F.col("event_id")) % 2).alias("parity"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("mix"),
+        F.shiftright(F.col("event_id"), 4).alias("shifted"),
+    )
+    return staged.groupBy("nibble").agg(
+        F.count("*").alias("n_events"),
+        F.sum("bits").alias("sum_bits"),
+        F.sum("parity").alias("n_odd_parity"),
+        F.expr("bit_xor(mix)").alias("xor_checksum"),
+        F.min("shifted").alias("min_shifted"),
+        F.max("shifted").alias("max_shifted"),
+    )
+
+
+SQL_SCALAR_BITWISE = """
+    WITH staged AS (
+        SELECT CAST(event_id & 15 AS INTEGER) AS nibble,
+               CAST(bit_count(event_id) AS INTEGER) AS bits,
+               CAST(bit_count(event_id) % 2 AS INTEGER) AS parity,
+               xor(event_id, user_id) AS mix,
+               event_id >> 4 AS shifted
+        FROM events)
+    SELECT nibble,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(bits) AS BIGINT) AS sum_bits,
+           CAST(SUM(parity) AS BIGINT) AS n_odd_parity,
+           BIT_XOR(mix) AS xor_checksum,
+           MIN(shifted) AS min_shifted,
+           MAX(shifted) AS max_shifted
+    FROM staged GROUP BY nibble
+"""
+
+
 QUERIES = {
+    "scalar_bitwise": Query(q_scalar_bitwise, SQL_SCALAR_BITWISE),
     "scalar_url": Query(q_scalar_url, SQL_SCALAR_URL),
     "scalar_array": Query(q_scalar_array, SQL_SCALAR_ARRAY),
     "scalar_string": Query(q_scalar_string, SQL_SCALAR_STRING),

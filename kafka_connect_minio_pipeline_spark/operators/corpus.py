@@ -695,7 +695,45 @@ SQL_CORPUS_WEIGHTED_MEDIAN = f"""
 """
 
 
+def q_corpus_shard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-balance report for the shuffle/shard/split assignment: per
+    (split, shard) document counts plus each shard's share WITHIN its
+    split — the check that the order-hash actually spreads documents
+    evenly (a skewed shard is a straggler file at training time, and a
+    drifting split share means the hash bounds are wrong). One bounded
+    aggregation over shuffle_split's output; the share window runs on
+    |splits|×|shards| rows.
+    """
+    assigned = shuffle_split(load(spark, sf_dir, "documents"))
+    cells = assigned.groupBy("split", "shard").agg(F.count("*").alias("n_docs"))
+    wsplit = Window.partitionBy("split")
+    return cells.select(
+        "split",
+        "shard",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(wsplit).cast("double"),
+            6,
+        ).alias("share_in_split"),
+    )
+
+
+SQL_CORPUS_SHARD_SKEW = f"""
+    WITH assigned AS ({SQL_CORPUS_SHUFFLE_SPLIT}),
+    cells AS (
+        SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM assigned GROUP BY split, shard)
+    SELECT split, shard, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY split) AS DOUBLE), 6)
+               AS share_in_split
+    FROM cells
+"""
+
+
 QUERIES = {
+    "corpus_shard_skew": Query(q_corpus_shard_skew, SQL_CORPUS_SHARD_SKEW),
     "corpus_mix_epochs": Query(q_corpus_mix_epochs, _sql_corpus_mix_epochs()),
     "corpus_weighted_median": Query(
         q_corpus_weighted_median, SQL_CORPUS_WEIGHTED_MEDIAN

@@ -519,3 +519,18 @@ def test_pack_eval_fragmentation_monotone_in_budget(spark, sf_dir):
         rs.sort(key=lambda r: r["budget"])
         fr = [r["frac_straddling"] for r in rs]
         assert fr == sorted(fr, reverse=True), (lang, fr)
+
+
+def test_shard_skew_shares_sum_to_one(spark, sf_dir):
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_shard_skew,
+    )
+
+    rows = q_corpus_shard_skew(spark, sf_dir).collect()
+    by_split: dict[str, float] = {}
+    n_shards: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0.0) + r["share_in_split"]
+        n_shards[r["split"]] = n_shards.get(r["split"], 0) + 1
+    for split, s in by_split.items():
+        assert abs(s - 1.0) <= 5e-7 * n_shards[split] + 1e-9, (split, s)

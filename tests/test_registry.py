@@ -48,7 +48,8 @@ def test_ungraded_and_new_queries_in_graded_window():
     must_grade |= {n for n in names if n.startswith(("window_", "setop_", "scalar_"))}
     # r4-latest overflow: registered after the 50-entry window filled;
     # first in line for the ROUND-5 rotation (see registry.py backlog note)
-    must_grade -= {"window_rolling_slope", "window_rolling_median"}
+    must_grade -= {"window_rolling_slope", "window_rolling_median",
+                   "scalar_bitwise"}
     # round-4-new operators
     must_grade |= {
         "graph_triangles", "agg_mode", "text_bm25",
