@@ -1085,9 +1085,77 @@ def _kmeans_sql() -> str:
 SQL_SIMILARITY_KMEANS = _kmeans_sql()
 
 
+def q_similarity_kmeans_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality report: per k-means cluster, its size, majority
+    ground-truth label, and purity — did unsupervised structure recover
+    the labels? The measure-the-pipeline companion to similarity_kmeans
+    (clusters used as dedup buckets or topic groups are only as good as
+    their homogeneity, and purity is the number that says so before a
+    curation pass trusts them).
+
+    The corpus-sized work is the k-means assignment itself (reused
+    unchanged); everything after is a (cluster, label) contingency
+    aggregation — K·|labels| bounded — closed with the mode pattern's
+    max-join + smallest-label tiebreak. Purity is an exact integer
+    ratio rounded once.
+    """
+    assign = kmeans_assign(
+        spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    ).select("vec_id", "cluster")
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cells = (
+        assign.join(labels, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    top = cells.groupBy("cluster").agg(
+        F.max("n").alias("n_majority"), F.sum("n").alias("n_vecs")
+    )
+    return (
+        cells.join(top, ["cluster"])
+        .filter(F.col("n") == F.col("n_majority"))
+        .groupBy("cluster", "n_vecs", "n_majority")
+        .agg(F.min("label").alias("majority_label"))
+        .select(
+            "cluster",
+            "n_vecs",
+            F.col("majority_label").cast("int").alias("majority_label"),
+            "n_majority",
+            F.round(
+                F.col("n_majority").cast("double") / F.col("n_vecs").cast("double"),
+                6,
+            ).alias("purity"),
+        )
+    )
+
+
+SQL_SIMILARITY_KMEANS_EVAL = f"""
+    WITH assign AS ({SQL_SIMILARITY_KMEANS}),
+    cells AS (
+        SELECT a.cluster, e.label, COUNT(*) AS n
+        FROM assign a JOIN embeddings e USING (vec_id)
+        GROUP BY a.cluster, e.label),
+    top AS (
+        SELECT cluster, MAX(n) AS n_majority,
+               CAST(SUM(n) AS BIGINT) AS n_vecs
+        FROM cells GROUP BY cluster)
+    SELECT c.cluster, t.n_vecs,
+           CAST(MIN(c.label) AS INTEGER) AS majority_label,
+           CAST(t.n_majority AS BIGINT) AS n_majority,
+           ROUND(CAST(t.n_majority AS DOUBLE) / CAST(t.n_vecs AS DOUBLE), 6)
+               AS purity
+    FROM cells c JOIN top t
+      ON c.cluster = t.cluster AND c.n = t.n_majority
+    GROUP BY c.cluster, t.n_vecs, t.n_majority
+"""
+
+
 QUERIES = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "similarity_kmeans": Query(q_similarity_kmeans, SQL_SIMILARITY_KMEANS),
+    "similarity_kmeans_eval": Query(
+        q_similarity_kmeans_eval, SQL_SIMILARITY_KMEANS_EVAL
+    ),
     "similarity_rerank_mmr": Query(q_similarity_rerank_mmr, SQL_SIMILARITY_MMR),
     "similarity_ann_eval": Query(q_similarity_ann_eval, SQL_SIMILARITY_ANN_EVAL),
     "similarity_matryoshka_eval": Query(

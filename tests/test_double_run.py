@@ -38,6 +38,7 @@ _STATEFUL = sorted(
              "similarity_kmeans", "pipeline_dq_checks", "text_collocations",
              "dedup_source_overlap", "multimodal_wav_decode", "ts_week_over_week",
              "corpus_weighted_median", "similarity_rerank_mmr",
+             "similarity_kmeans_eval",
              "dedup_threshold_sweep")
 )
 
