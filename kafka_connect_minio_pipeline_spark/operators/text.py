@@ -865,7 +865,64 @@ SQL_TEXT_ZIPF = f"""
 """
 
 
+HASHING_DIM = 16  # small vs the ~31-term synthetic vocab so collisions exist
+
+
+def q_text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit: project the
+    corpus vocabulary onto a fixed ``HASHING_DIM``-bucket feature space (deliberately small
+    against the synthetic vocabulary so the collision arms are real)
+    via the portable md5 hash and report, per occupied bucket, how many
+    DISTINCT terms collide there and how much occurrence mass it
+    carries — the number that decides whether the chosen dim suffices or the
+    vectorizer needs orders more (collisions silently merge unrelated features
+    into one weight).
+
+    Token counting is the usual explode + vocabulary-sized groupBy; the
+    bucket rollup is a second bounded aggregation (≤ HASHING_DIM rows).
+    The hash is the engine-portable md5 prefix, so bucket assignment —
+    and therefore the whole audit — is bit-identical in DuckDB. A real
+    vectorizer keeps (doc_id, bucket, count) as its output; this audit
+    is that relation's corpus-level profile.
+    """
+    from .llmdata import _portable_hash
+
+    counts = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occur"))
+    )
+    bucket = F.pmod(_portable_hash(F.col("token")), F.lit(HASHING_DIM)).cast("int")
+    return (
+        counts.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("n_occur").alias("n_occurrences"),
+            F.min("token").alias("first_term"),
+        )
+    )
+
+
+_TOK_MD5 = "('0x' || substr(md5(token), 1, 15))::BIGINT"
+
+SQL_TEXT_FEATURE_HASHING = f"""
+    WITH counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occur
+        FROM (SELECT UNNEST({SQL_TOKENS.format(col='text')}) AS token
+              FROM documents)
+        GROUP BY token)
+    SELECT CAST({_TOK_MD5} % {HASHING_DIM} AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(n_occur) AS BIGINT) AS n_occurrences,
+           MIN(token) AS first_term
+    FROM counts
+    GROUP BY 1
+"""
+
+
 QUERIES = {
+    "text_feature_hashing": Query(q_text_feature_hashing, SQL_TEXT_FEATURE_HASHING),
     "text_zipf": Query(q_text_zipf, SQL_TEXT_ZIPF),
     "text_bpe_pairs": Query(q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_collocations": Query(q_text_collocations, SQL_TEXT_COLLOCATIONS),
