@@ -29,6 +29,24 @@ def dec2(c: Column) -> Column:
     return c.cast("decimal(18,2)")
 
 
+def dec9(c: Column, precision: int = 28) -> Column:
+    """Pre-round a FLOAT expression to 9 decimals and quantize to
+    DECIMAL(precision,9), making a subsequent SUM order-free and
+    cross-engine exact — the portability idiom for log/ratio terms
+    (entropy, Zipf log-log co-moments, 1/ln(degree) weights, per-cell
+    variance terms) whose raw double sums would accumulate in engine
+    partition order. Mirror in DuckDB as
+    ``CAST(ROUND(expr, 9) AS DECIMAL(precision,9))``.
+
+    Keep ``precision`` ≤ 18 when the quantized values are MULTIPLIED
+    before the sum: (18,9)×(18,9) → (37,18) still fits a decimal128,
+    while wider operands would push the product past precision 38 and
+    Spark silently reduces its scale (a correctness trap, not an
+    error).
+    """
+    return F.round(c, 9).cast(f"decimal({precision},9)")
+
+
 def sum_dec2(c: Column) -> Column:
     """Order-independent exact sum of a cent-exact column, emitted as double.
 

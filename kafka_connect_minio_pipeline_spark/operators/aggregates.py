@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import (
     SQL_SUM_DEC2,
+    dec9,
     SQL_SUM_REVENUE,
     dec2,
     sum_dec2,
@@ -831,7 +832,7 @@ def entropy_close(counts: DataFrame, key: str) -> DataFrame:
     """Close per-group entropy from a (key, category, n) count relation —
     shared by the batch operator and the streaming twin (whose counts are
     monotone mergeable state collapsed at the end)."""
-    term = F.round(F.col("n") * F.log(F.col("n")), 9).cast("decimal(28,9)")
+    term = dec9(F.col("n") * F.log(F.col("n")))
     per_key = counts.groupBy(key).agg(
         F.sum("n").alias("total"),
         F.sum(term).alias("sterm"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import dec9
 from ..registry import Query
 from ..scratch import scratch_dir
 from ..tables import load
@@ -150,6 +151,52 @@ def _oracle_sql() -> str:
 SQL_GRAPH_PAGERANK = _oracle_sql()
 
 
+def wedge_triangles(edges: DataFrame) -> DataFrame:
+    """All triangles x<y<z of a canonical (a<b) edge relation by the
+    compact-forward enumeration — E(x,y)⋈E(y,z) wedges closed by E(x,z);
+    each triangle produced exactly once. Shared by triangle counts,
+    neighborhood-Jaccard, and Adamic-Adar (one enumeration to maintain:
+    the degree-orientation refinement for power-law graphs lands HERE
+    once, not in three copies)."""
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+
+
+def sym_degrees(edges: DataFrame) -> DataFrame:
+    """Node degrees of a canonical (a<b) undirected edge relation."""
+    nbr = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))
+    )
+    return nbr.groupBy("node").agg(F.count("*").alias("d"))
+
+
+# shared oracle fragments mirroring the two helpers
+SQL_TRI_CTES = """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM li x JOIN li y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b)"""
+
+SQL_DEG_CTE = """deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
+        ) GROUP BY node)"""
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts on an undirected graph given as canonical
     edges (a < b) — the classic compact-forward enumeration: every
@@ -162,17 +209,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     (low-degree → high-degree), which caps per-task wedge counts on
     power-law graphs — same plan shape, different orientation key.
     """
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
-        )
-    )
+    tri = wedge_triangles(edges)
     return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("p_partkey"))
         .groupBy("p_partkey")
@@ -216,17 +253,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(part_cooccurrence_edges(spark, sf_dir))
 
 
-SQL_GRAPH_TRIANGLES = """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
-        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        FROM li x JOIN li y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-    tri AS (
-        SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM edges e1
-        JOIN edges e2 ON e1.b = e2.a
-        JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+SQL_GRAPH_TRIANGLES = f"""
+    WITH {SQL_TRI_CTES},
     corners AS (SELECT UNNEST([x, y, z]) AS p_partkey FROM tri)
     SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
     FROM corners GROUP BY p_partkey
@@ -254,17 +282,7 @@ def edge_jaccard_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame:
     heaps, no global sort; ids break score ties deterministically.
     Edges on no triangle score 0 and never surface in the top-k.
     """
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
-        )
-    )
+    tri = wedge_triangles(edges)
     side = F.explode(
         F.array(
             F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
@@ -278,10 +296,7 @@ def edge_jaccard_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
     )
-    nbr = edges.select(F.col("a").alias("node")).union(
-        edges.select(F.col("b").alias("node"))
-    )
-    deg = nbr.groupBy("node").agg(F.count("*").alias("d"))
+    deg = sym_degrees(edges)
     return (
         per_edge.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
@@ -313,17 +328,7 @@ def edge_adamic_adar_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame
     the entropy/zipf portability rule — before one rounded close.
     Top-k is TakeOrdered; ids break score ties.
     """
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-        .join(
-            e3,
-            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
-        )
-        .select(
-            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
-        )
-    )
+    tri = wedge_triangles(edges)
     side = F.explode(
         F.array(
             F.struct(F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")),
@@ -332,13 +337,8 @@ def edge_adamic_adar_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame
         )
     )
     wedges = tri.select(side.alias("e")).select("e.a", "e.b", "e.c")
-    nbr = edges.select(F.col("a").alias("node")).union(
-        edges.select(F.col("b").alias("node"))
-    )
-    deg = nbr.groupBy("node").agg(F.count("*").alias("d"))
-    term = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9).cast(
-        "decimal(18,9)"
-    )
+    deg = sym_degrees(edges)
+    term = dec9(F.lit(1.0) / F.log(F.col("d").cast("double")))
     return (
         wedges.join(deg.select(F.col("node").alias("c"), "d"), "c")
         .select("a", "b", term.alias("t"))
@@ -362,24 +362,12 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_GRAPH_ADAMIC_ADAR = f"""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
-        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        FROM li x JOIN li y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-    tri AS (
-        SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM edges e1
-        JOIN edges e2 ON e1.b = e2.a
-        JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+    WITH {SQL_TRI_CTES},
     wedges AS (
         SELECT x AS a, y AS b, z AS c FROM tri
         UNION ALL SELECT y, z, x FROM tri
         UNION ALL SELECT x, z, y FROM tri),
-    deg AS (
-        SELECT node, COUNT(*) AS d FROM (
-            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
-        ) GROUP BY node)
+    {SQL_DEG_CTE}
     SELECT w.a AS u, w.b AS v,
            CAST(COUNT(*) AS BIGINT) AS n_common,
            ROUND(CAST(SUM(CAST(ROUND(1.0 / LN(CAST(dc.d AS DOUBLE)), 9)
@@ -398,26 +386,14 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_GRAPH_JACCARD = f"""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
-        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        FROM li x JOIN li y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-    tri AS (
-        SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM edges e1
-        JOIN edges e2 ON e1.b = e2.a
-        JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+    WITH {SQL_TRI_CTES},
     per_edge AS (
         SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common FROM (
             SELECT x AS a, y AS b FROM tri
             UNION ALL SELECT y, z FROM tri
             UNION ALL SELECT x, z FROM tri
         ) GROUP BY a, b),
-    deg AS (
-        SELECT node, COUNT(*) AS d FROM (
-            SELECT a AS node FROM edges UNION ALL SELECT b FROM edges
-        ) GROUP BY node)
+    {SQL_DEG_CTE}
     SELECT a AS u, b AS v, n_common,
            ROUND(n_common * 1.0 / (da.d + db.d - n_common), 6) AS jaccard
     FROM per_edge

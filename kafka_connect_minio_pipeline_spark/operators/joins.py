@@ -477,11 +477,16 @@ def cdc_merge(
     latest = changelog.groupBy(key).agg(
         F.max_by(F.struct(F.col("op"), F.col(val)), F.col("ord")).alias("c")
     ).select(key, F.col("c.op").alias("op"), F.col(f"c.{val}").alias("new_val"))
-    joined = base.join(latest, key, "full_outer")
+    # explicit presence marker: "no base row" must be detected by ROW
+    # absence, never by the value being NULL — a snapshot legitimately
+    # holding (k, NULL) is an UPDATE target, not an insert slot
+    joined = base.withColumn("in_base", F.lit(True)).join(
+        latest, key, "full_outer"
+    )
     action = (
         F.when(F.col("op").isNull(), F.lit("kept"))
         .when(F.col("op") == "D", F.lit("deleted"))
-        .when(F.col(val).isNull(), F.lit("inserted"))
+        .when(F.col("in_base").isNull(), F.lit("inserted"))
         .otherwise(F.lit("updated"))
     )
     return (
@@ -541,7 +546,7 @@ SQL_JOIN_CDC_MERGE = f"""
         SELECT COALESCE(b.key, l.key) AS key,
                CASE WHEN l.op IS NULL THEN 'kept'
                     WHEN l.op = 'D' THEN 'deleted'
-                    WHEN b.val IS NULL THEN 'inserted'
+                    WHEN b.key IS NULL THEN 'inserted'
                     ELSE 'updated' END AS action,
                CAST(CASE WHEN l.op = 'U' THEN l.new_val ELSE b.val END
                     AS DOUBLE) AS final_val

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import dec9
 from ..registry import Query
 from ..tables import load, spread
 from .dedup import SQL_TOKENS, tokens, word_ngrams
@@ -796,8 +797,9 @@ def zipf_fit(docs: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
     ranked = counts.select(
         "source", "n", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= top_n)
-    x = F.round(F.log(F.col("rank").cast("double")), 9).cast("decimal(18,9)")
-    y = F.round(F.log(F.col("n").cast("double")), 9).cast("decimal(18,9)")
+    # precision 18: x and y are multiplied before the sum (see dec9)
+    x = dec9(F.log(F.col("rank").cast("double")), precision=18)
+    y = dec9(F.log(F.col("n").cast("double")), precision=18)
     base = ranked.groupBy("source").agg(
         F.count("*").alias("n_terms"),
         F.sum(x).cast("double").alias("sx"),

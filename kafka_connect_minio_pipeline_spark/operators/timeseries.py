@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import dec9
 from ..registry import Query
 from ..tables import load
 
@@ -1628,12 +1629,11 @@ def seasonal_adjusted_outliers(
         F.sum(v6).alias("cs"),
         F.sum(v6 * v6).alias("csq"),
     )
-    cell_term = F.round(
+    cell_term = dec9(
         F.col("csq").cast("double")
         - F.col("cs").cast("double") * F.col("cs").cast("double")
-        / F.col("cn").cast("double"),
-        9,
-    ).cast("decimal(28,9)")
+        / F.col("cn").cast("double")
+    )
     series = cells.groupBy("event_type").agg(
         F.sum("cn").alias("n"),
         F.sum(cell_term).alias("ss_resid"),

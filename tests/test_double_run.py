@@ -38,7 +38,8 @@ _STATEFUL = sorted(
              "similarity_kmeans", "pipeline_dq_checks", "text_collocations",
              "dedup_source_overlap", "multimodal_wav_decode", "ts_week_over_week",
              "corpus_weighted_median", "similarity_rerank_mmr",
-             "similarity_kmeans_eval",
+             "similarity_kmeans_eval", "graph_kcore", "graph_adamic_adar",
+             "ts_changepoint",
              "dedup_threshold_sweep")
 )
 

@@ -393,6 +393,40 @@ def test_interpolate_bounds_on_real_data(spark, sf_dir):
         )
     )
     assert j.filter("NOT ok").count() == 0
+    # the bounds invariant the docstring promises: every non-observed
+    # value lies within [min(prev, next), max(prev, next)] of the
+    # nearest observed neighbors (linearity implies boundedness) —
+    # recomputed here independently via windowed neighbor lookups
+    from pyspark.sql import Window
+
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_val = F.when(F.col("observed"), F.col("value_interp"))
+    checked = interp.select(
+        "user_id",
+        "bucket",
+        "observed",
+        "value_interp",
+        F.last(obs_val, ignorenulls=True).over(wprev).alias("pv"),
+        F.first(obs_val, ignorenulls=True).over(wnext).alias("nv"),
+    ).filter(
+        (~F.col("observed"))
+        & F.col("pv").isNotNull()
+        & F.col("nv").isNotNull()
+    )
+    out_of_bounds = checked.filter(
+        (F.col("value_interp") < F.least("pv", "nv") - F.lit(1e-9))
+        | (F.col("value_interp") > F.greatest("pv", "nv") + F.lit(1e-9))
+    ).count()
+    assert out_of_bounds == 0
 
 
 def test_entropy_closed_forms(spark):
@@ -530,6 +564,23 @@ def test_cdc_merge_hand_computed(spark):
            for r in cdc_merge(base, chg).collect()}
     assert got == {1: ("kept", 10.0), 3: ("updated", 77.0),
                    4: ("inserted", 55.0)}
+
+
+def test_cdc_merge_null_base_value_is_update_not_insert(spark):
+    """A base row whose value is NULL is still a base ROW: an upsert to
+    it must classify as 'updated' (presence is detected by row
+    existence, never by value nullness), and a delete of an absent key
+    stays a silent no-op."""
+    from kafka_connect_minio_pipeline_spark.operators.joins import cdc_merge
+
+    base = spark.createDataFrame([(1, None), (2, 20.0)], "key long, val double")
+    chg = spark.createDataFrame(
+        [(1, "U", 5.0, 1), (9, "D", None, 1)],
+        "key long, op string, val double, ord long",
+    )
+    got = {r["key"]: (r["action"], r["final_val"])
+           for r in cdc_merge(base, chg).collect()}
+    assert got == {1: ("updated", 5.0), 2: ("kept", 20.0)}
 
 
 def test_gini_closed_forms(spark):
