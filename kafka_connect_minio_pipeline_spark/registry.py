@@ -91,7 +91,7 @@ _QUERY_MODULES = (
 # window_rolling_median, ts_concurrency, graph_kcore, agg_skewkurt,
 # join_cdc_merge, stream_entropy, agg_gini, graph_adamic_adar,
 # llm_pack_eval, ts_anomaly_seasonal, scalar_bitwise, corpus_shard_skew,
-# similarity_kmeans_eval, text_feature_hashing,
+# similarity_kmeans_eval, text_feature_hashing, stream_cdc_merge,
 # plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).

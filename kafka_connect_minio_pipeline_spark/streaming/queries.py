@@ -198,6 +198,115 @@ def _sql_stream_countmin() -> str:
     return SQL_SKETCH_COUNTMIN
 
 
+def versioned_merge(cur: DataFrame, changes: DataFrame) -> DataFrame:
+    """One MERGE step of the versioned tombstone store: per key, the
+    winner of (current snapshot row ∪ incoming changes) by the change's
+    ordering key — associative and order-free across batch splits, which
+    is exactly what makes the streaming fixpoint equal the batch MERGE
+    regardless of how (or in what order) the changelog was batched.
+    Base rows carry NULL ord (coalesced below any real change)."""
+    return (
+        cur.unionByName(changes)
+        .groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct("val", "ord_us", "ord_id", "tomb"),
+                F.struct(
+                    F.coalesce(F.col("ord_us"), F.lit(-1)),
+                    F.coalesce(F.col("ord_id"), F.lit(-1)),
+                ),
+            ).alias("w")
+        )
+        .select("key", "w.val", "w.ord_us", "w.ord_id", "w.tomb")
+    )
+
+
+def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink: the events changelog streams into a
+    VERSIONED, TOMBSTONED snapshot of the customer table via
+    foreachBatch — the Delta-style "MERGE INTO per micro-batch" pattern
+    for targets with no native upsert sink.
+
+    Order robustness is the design point: every snapshot row carries the
+    ordering key (event ts, event id) of the change that produced it,
+    and each batch's winner per key is max_by over (current row ∪ batch
+    changes) on that key — so HOWEVER the source splits into
+    micro-batches, even out of event-time order, the fixpoint equals the
+    batch MERGE (the version-column trick real CDC stores use; contrast
+    ts_markov, which is order-SENSITIVE and therefore deliberately not
+    offered as a stream). Deletes persist as tombstones so an
+    out-of-order earlier event can't resurrect a deleted key.
+    Idempotency: batch N always derives version N from version N-1
+    (never from its own possibly-partial prior attempt) and overwrites —
+    re-delivery rewrites identical data. The final read filters
+    tombstones; oracle = the batch cdc_merge's (key, final_val).
+    """
+    import os
+
+    from ..operators.joins import CDC_KEY_SHIFT
+    from ..sources.files import stream_table
+    from ..tables import load
+
+    root = scratch_dir("kcm_cdc_snap_")
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("val"),
+        F.lit(None).cast("long").alias("ord_us"),
+        F.lit(None).cast("long").alias("ord_id"),
+        F.lit(False).alias("tomb"),
+    )
+    base.write.mode("overwrite").parquet(f"{root}/v_base")
+    snap_schema = "key bigint, val decimal(18,2), ord_us bigint, ord_id bigint, tomb boolean"
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        versions = [
+            int(d.split("_")[1])
+            for d in os.listdir(root)
+            if d.startswith("v_") and d != "v_base" and int(d.split("_")[1]) < batch_id
+        ]
+        prev = f"{root}/v_{max(versions)}" if versions else f"{root}/v_base"
+        cur = spark.read.schema(snap_schema).parquet(prev)
+        changes = bdf.select(
+            (F.col("user_id") + F.lit(CDC_KEY_SHIFT)).alias("key"),
+            F.col("value").cast("decimal(18,2)").alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ord_us"),
+            F.col("event_id").alias("ord_id"),
+            (F.col("event_type") == "error").alias("tomb"),
+        )
+        versioned_merge(cur, changes).write.mode("overwrite").parquet(
+            f"{root}/v_{batch_id}"
+        )
+
+    src = stream_table(spark, sf_dir, "events")
+    from .runner import _await_or_raise, _ckpt_dir
+
+    q = (
+        src.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", _ckpt_dir())
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_raise(q, 300)
+    versions = [
+        int(d.split("_")[1])
+        for d in os.listdir(root)
+        if d.startswith("v_") and d != "v_base"
+    ]
+    final = f"{root}/v_{max(versions)}" if versions else f"{root}/v_base"
+    return (
+        spark.read.schema(snap_schema)
+        .parquet(final)
+        .filter(~F.col("tomb"))
+        .select("key", F.col("val").cast("double").alias("final_val"))
+    )
+
+
+def _sql_stream_cdc_merge() -> str:
+    from ..operators.joins import SQL_JOIN_CDC_MERGE
+
+    return f"SELECT key, final_val FROM ({SQL_JOIN_CDC_MERGE})"
+
+
 def q_stream_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-diversity monitoring as a STREAM: the per-(user,
     event_type) counts are monotone mergeable state (a plain streaming
@@ -224,6 +333,7 @@ def _sql_stream_entropy() -> str:
 
 
 QUERIES = {
+    "stream_cdc_merge": Query(q_stream_cdc_merge, _sql_stream_cdc_merge()),
     "stream_entropy": Query(q_stream_entropy, _sql_stream_entropy()),
     "stream_hll": Query(q_stream_hll, _sql_stream_hll()),
     "stream_multimodal": Query(q_stream_multimodal, _sql_stream_multimodal()),

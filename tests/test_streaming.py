@@ -301,3 +301,47 @@ def test_file_sink_incremental_restart_processes_only_new_files(spark, sf_dir):
     assert n2 == expected(a) + expected(b), (n1, n2)
     run_once()                          # nothing new
     assert spark.read.json(out).count() == n2
+
+
+def test_versioned_merge_is_order_robust_across_batch_splits(spark):
+    """Applying the changelog NEWEST-HALF-FIRST through two sequential
+    versioned_merge steps must reach the same snapshot as oldest-first
+    and as one-shot — the version-column max_by is associative and
+    order-free, which is the whole reason the streaming MERGE sink is
+    batch-equivalent however the source batches."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.streaming.queries import (
+        versioned_merge,
+    )
+
+    snap_schema = (
+        "key bigint, val decimal(18,2), ord_us bigint, ord_id bigint,"
+        " tomb boolean"
+    )
+    from decimal import Decimal as D
+
+    base = spark.createDataFrame(
+        [(1, D("10.00"), None, None, False), (2, D("20.00"), None, None, False)],
+        snap_schema,
+    )
+    # key 1: update@t1 then delete@t2 (delete wins); key 3: insert@t1
+    # then update@t3 (update wins); key 2 untouched
+    changes = spark.createDataFrame(
+        [(1, D("11.00"), 1, 101, False), (1, None, 2, 102, True),
+         (3, D("30.00"), 1, 103, False), (3, D("33.00"), 3, 104, False)],
+        snap_schema,
+    )
+    older = changes.filter(F.col("ord_us") <= 1)
+    newer = changes.filter(F.col("ord_us") > 1)
+
+    def final(df):
+        return sorted(
+            (r["key"], float(r["val"]) if r["val"] is not None else None)
+            for r in df.filter(~F.col("tomb")).collect()
+        )
+
+    oneshot = final(versioned_merge(base, changes))
+    oldest_first = final(versioned_merge(versioned_merge(base, older), newer))
+    newest_first = final(versioned_merge(versioned_merge(base, newer), older))
+    assert oneshot == oldest_first == newest_first == [(2, 20.0), (3, 33.0)]
