@@ -340,6 +340,10 @@ def edge_adamic_adar_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame
     deg = sym_degrees(edges)
     term = dec9(F.lit(1.0) / F.log(F.col("d").cast("double")))
     return (
+        # an explicit broadcast of the |V|-row degree relation was A/B'd
+        # same-session at sf0.1 and is a wash (8.3-10.7 s both ways —
+        # wedge GENERATION dominates, and AQE already picks the join
+        # strategy at runtime); left unhinted, measurement in BASELINE.md
         wedges.join(deg.select(F.col("node").alias("c"), "d"), "c")
         .select("a", "b", term.alias("t"))
         .groupBy("a", "b")
