@@ -109,3 +109,93 @@ def test_tfidf_against_python_reference(spark, sf_dir):
         got.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["tfidf"]))
         assert r["df"] == df_counts[r["term"]]
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# hypothesis nets for the r4-final order/selection kernels
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_rolling_median_matches_python_reference(spark, vals):
+    """Exact rolling lower median vs a brute-force Python reference on
+    arbitrary cent-quantized series."""
+    from datetime import datetime, timedelta
+
+    from kafka_connect_minio_pipeline_spark.operators.windows import (
+        ROLL_MED_PRECEDING,
+        rolling_median,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(9, t0 + timedelta(minutes=i), i + 1, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, value double"
+    )
+    got = {r["event_id"]: r["rolling_median"]
+           for r in rolling_median(df).collect()}
+    for i in range(len(vals)):
+        frame = sorted(vals[max(0, i - ROLL_MED_PRECEDING): i + 1])
+        want = frame[(len(frame) + 1) // 2 - 1]
+        assert got[i + 1] == want, (i, frame, got[i + 1], want)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # key
+            st.booleans(),                                # is delete
+            st.floats(min_value=0, max_value=99, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    cut=st.integers(min_value=0, max_value=12),
+)
+def test_versioned_merge_split_equivalence(spark, changes, cut):
+    """ANY two-way split of ANY changelog, applied sequentially in
+    EITHER order, reaches the same surviving-snapshot fixpoint as the
+    one-shot merge — the associativity/order-freeness contract of the
+    streaming MERGE sink, fuzzed."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.streaming.queries import (
+        versioned_merge,
+    )
+
+    schema = (
+        "key bigint, val decimal(18,2), ord_us bigint, ord_id bigint,"
+        " tomb boolean"
+    )
+    base = spark.createDataFrame(
+        [(k, Decimal(f"{10 * k}.00"), None, None, False) for k in (1, 2, 3)],
+        schema,
+    )
+    rows = [
+        (k, None if d else Decimal(f"{round(v, 2):.2f}"), i, 1000 + i, d)
+        for i, (k, d, v) in enumerate(changes)
+    ]
+    all_chg = spark.createDataFrame(rows, schema)
+    lo = spark.createDataFrame(rows[:cut], schema)
+    hi = spark.createDataFrame(rows[cut:], schema)
+
+    def final(df):
+        return sorted(
+            (r["key"], str(r["val"])) for r in df.filter(~F.col("tomb")).collect()
+        )
+
+    oneshot = final(versioned_merge(base, all_chg))
+    assert final(versioned_merge(versioned_merge(base, lo), hi)) == oneshot
+    assert final(versioned_merge(versioned_merge(base, hi), lo)) == oneshot
