@@ -1707,8 +1707,126 @@ SQL_TS_ANOMALY_SEASONAL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+SNAIVE_SEASON_H = 168  # weekly seasonality on the hourly grid
+
+
+def snaive_backtest(ev: DataFrame, season_h: int = SNAIVE_SEASON_H) -> DataFrame:
+    """Backtest of the SEASONAL-NAIVE forecaster (ŷ(t) = y(t − 1 week))
+    on the hourly event rate — the baseline every forecasting system
+    must beat, and the honest way to report it: walk the real history,
+    predict each hour from the same hour last week, and aggregate the
+    errors per series (MAE and sMAPE).
+
+    Events collapse once to the gapless (series, hour) grid (the one
+    data-sized shuffle; zero-count hours are real observations, so the
+    generated calendar matters); the forecast is a lag(season) window
+    per series on the bounded grid and the error rollup is exact: MAE
+    from integer sums, sMAPE terms 2|ŷ−y|/(ŷ+y) pre-rounded to 9
+    decimals and summed as exact decimals (order-free), zero-demand
+    hours where ŷ+y=0 contribute 0 by convention (CASE-guarded — ANSI
+    /0). At 100 TB everything after the collapse is wall-clock-sized.
+    """
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # bounded: hours × types
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    scored = dense.select(
+        "event_type",
+        "hour",
+        "y",
+        F.lag("y", season_h).over(w).alias("yhat"),
+    ).filter(F.col("yhat").isNotNull())
+    abs_err = F.abs(F.col("yhat") - F.col("y"))
+    smape_term = dec9(
+        F.when(
+            (F.col("yhat") + F.col("y")) > 0,
+            F.lit(2.0)
+            * abs_err.cast("double")
+            / (F.col("yhat") + F.col("y")).cast("double"),
+        ).otherwise(F.lit(0.0))
+    )
+    base = scored.groupBy("event_type").agg(
+        F.count("*").alias("n_backtest"),
+        F.sum(abs_err).alias("sum_abs_err"),
+        F.sum(smape_term).alias("sum_smape"),
+    )
+    return base.select(
+        "event_type",
+        "n_backtest",
+        F.round(
+            F.col("sum_abs_err").cast("double") / F.col("n_backtest").cast("double"),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.col("sum_smape").cast("double") / F.col("n_backtest").cast("double"),
+            6,
+        ).alias("smape"),
+    )
+
+
+def q_ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: weekly seasonal-naive backtest per event type."""
+    return snaive_backtest(load(spark, sf_dir, "events"))
+
+
+SQL_TS_FORECAST_SNAIVE = f"""
+    WITH hourly AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY event_type),
+    grid AS (
+        SELECT event_type,
+               UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds),
+    dense AS (
+        SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS y
+        FROM grid g LEFT JOIN hourly h
+          ON g.event_type = h.event_type AND g.hour = h.hour),
+    scored AS (
+        SELECT event_type, y,
+               LAG(y, {SNAIVE_SEASON_H}) OVER (
+                   PARTITION BY event_type ORDER BY hour) AS yhat
+        FROM dense)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_backtest,
+           ROUND(CAST(SUM(ABS(yhat - y)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+           ROUND(CAST(SUM(CAST(ROUND(
+                     CASE WHEN (yhat + y) > 0
+                          THEN 2.0 * CAST(ABS(yhat - y) AS DOUBLE)
+                               / CAST(yhat + y AS DOUBLE)
+                          ELSE 0.0 END, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS smape
+    FROM scored
+    WHERE yhat IS NOT NULL
+    GROUP BY event_type
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
+    "ts_forecast_snaive": Query(q_ts_forecast_snaive, SQL_TS_FORECAST_SNAIVE),
     "ts_anomaly_seasonal": Query(q_ts_anomaly_seasonal, SQL_TS_ANOMALY_SEASONAL),
     "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),
     "ts_mad": Query(q_ts_mad, SQL_TS_MAD),

@@ -635,3 +635,40 @@ def test_seasonal_adjusted_flags_offpattern_only(spark):
     flagged = T.seasonal_adjusted_outliers(df).collect()
     assert [r["event_id"] for r in flagged] == [incident[0]]
     assert flagged[0]["hod"] == 3
+
+
+def test_snaive_perfect_on_periodic_series(spark):
+    """A series that repeats exactly week over week backtests to MAE=0,
+    sMAPE=0; breaking one hour in the second week makes both positive."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 6, 3)  # a Monday, hour 0
+    rows = []
+    eid = 0
+    for week in range(2):
+        for h in range(168):
+            n = 2 if (h % 24) == 9 else 1  # daily bump at 9am, weekly-exact
+            for k in range(n):
+                eid += 1
+                rows.append(
+                    (eid, t0 + timedelta(weeks=week, hours=h, minutes=k),
+                     1, "periodic", 1.0, "{}")
+                )
+    # a broken twin: same shape but one extra burst in week 2 only
+    for week in range(2):
+        for h in range(168):
+            base = 1 + (3 if (week == 1 and h == 40) else 0)
+            for k in range(base):
+                eid += 1
+                rows.append(
+                    (eid, t0 + timedelta(weeks=week, hours=h, minutes=k),
+                     2, "broken", 1.0, "{}")
+                )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["event_type"]: r for r in T.snaive_backtest(df).collect()}
+    assert got["periodic"]["mae"] == 0.0 and got["periodic"]["smape"] == 0.0
+    assert got["broken"]["mae"] > 0.0 and got["broken"]["smape"] > 0.0
