@@ -1045,8 +1045,78 @@ SQL_AGG_GINI = """
 """
 
 
+TOPK_SHARE_K = 10
+
+
+def q_agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: the share of segment
+    account balance held by its top-``TOPK_SHARE_K`` customers — the
+    Pareto question (how dependent is each segment on a few whales?)
+    as one exact report row per segment.
+
+    Per-segment rank is a window PARTITIONED BY SEGMENT with
+    WindowGroupLimit-eligible rank≤K pruning semantics folded into a
+    conditional aggregation instead of a join-back: one exchange
+    carries the rank window AND the closing rollup (same key), sums are
+    cent-exact decimals, and the share is one rounded integer-exact
+    ratio. At 100 TB this is the same single-shuffle envelope as any
+    per-key top-k.
+    """
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    ranked = cust.select(
+        "c_mktsegment",
+        dec2(F.col("c_acctbal")).alias("bal"),
+        F.row_number().over(w).alias("rk"),
+    )
+    topk = F.when(F.col("rk") <= TOPK_SHARE_K, F.col("bal")).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("bal").cast("double").alias("total_bal"),
+            F.sum(topk).cast("double").alias("topk_bal"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "total_bal",
+            "topk_bal",
+            F.round(F.col("topk_bal") / F.col("total_bal"), 6).alias(
+                "topk_share"
+            ),
+        )
+    )
+
+
+SQL_AGG_TOPK_SHARE = f"""
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS rk
+        FROM customer)
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(bal) AS DOUBLE) AS total_bal,
+           CAST(SUM(CASE WHEN rk <= {TOPK_SHARE_K} THEN bal
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS topk_bal,
+           ROUND(CAST(SUM(CASE WHEN rk <= {TOPK_SHARE_K} THEN bal
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(bal) AS DOUBLE), 6) AS topk_share
+    FROM ranked GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
+    "agg_topk_share": Query(q_agg_topk_share, SQL_AGG_TOPK_SHARE),
     "agg_entropy": Query(q_agg_entropy, SQL_AGG_ENTROPY),
     "agg_skewkurt": Query(q_agg_skewkurt, SQL_AGG_SKEWKURT),
     "agg_gini": Query(q_agg_gini, SQL_AGG_GINI),

@@ -1824,8 +1824,80 @@ SQL_TS_FORECAST_SNAIVE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# session survival curve
+# ---------------------------------------------------------------------------
+
+
+def session_survival(df: DataFrame) -> DataFrame:
+    """Session survival curve S(m) = fraction of sessions lasting ≥ m
+    whole minutes — the engagement-duration distribution read the way
+    product analytics wants it (how many sessions survive past minute
+    5?), exactly.
+
+    Sessions come from the shared gap sessionizer; durations bucket to
+    whole minutes, so the curve lives on a BOUNDED relation (max
+    session length in minutes, not session count) and the survivor
+    counts close as a suffix sum over that tiny relation — the
+    unpartitioned window is bounded-cardinality by construction, the
+    cross_corr/token_budget rule. Survival fractions are exact integer
+    ratios rounded once.
+    """
+    sess = sessionize(df)
+    minutes = (F.col("duration_s") / F.lit(60)).cast("bigint").alias("minute")
+    per_min = sess.select(minutes).groupBy("minute").agg(
+        F.count("*").alias("n_sessions")
+    )
+    w = (
+        Window.orderBy("minute")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    total = per_min.agg(F.sum("n_sessions").alias("n_total"))
+    return (
+        per_min.withColumn("n_surviving", F.sum("n_sessions").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "minute",
+            "n_sessions",
+            "n_surviving",
+            F.round(
+                F.col("n_surviving").cast("double") / F.col("n_total").cast("double"),
+                6,
+            ).alias("survival"),
+        )
+    )
+
+
+def q_ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: survival curve of 30-min-gap session durations."""
+    return session_survival(load(spark, sf_dir, "events"))
+
+
+SQL_TS_SURVIVAL = """
+    WITH sess AS ({sessionize}),
+    per_min AS (
+        SELECT CAST(duration_s // 60 AS BIGINT) AS minute,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM sess GROUP BY 1),
+    total AS (SELECT SUM(n_sessions) AS n_total FROM per_min)
+    SELECT minute, n_sessions,
+           CAST(SUM(n_sessions) OVER (
+               ORDER BY minute
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS BIGINT) AS n_surviving,
+           ROUND(CAST(SUM(n_sessions) OVER (
+                     ORDER BY minute
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS survival
+    FROM per_min CROSS JOIN total
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
+    "ts_survival": Query(
+        q_ts_survival, SQL_TS_SURVIVAL.format(sessionize=SQL_SESSIONIZE)
+    ),
     "ts_forecast_snaive": Query(q_ts_forecast_snaive, SQL_TS_FORECAST_SNAIVE),
     "ts_anomaly_seasonal": Query(q_ts_anomaly_seasonal, SQL_TS_ANOMALY_SEASONAL),
     "ts_seasonal": Query(q_ts_seasonal, SQL_TS_SEASONAL),

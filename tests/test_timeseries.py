@@ -672,3 +672,28 @@ def test_snaive_perfect_on_periodic_series(spark):
     got = {r["event_type"]: r for r in T.snaive_backtest(df).collect()}
     assert got["periodic"]["mae"] == 0.0 and got["periodic"]["smape"] == 0.0
     assert got["broken"]["mae"] > 0.0 and got["broken"]["smape"] > 0.0
+
+
+def test_survival_curve_invariants(spark, sf_dir):
+    """S is non-increasing in minute, S at the smallest minute is 1.0,
+    and survivor counts telescope with the per-minute counts."""
+    rows = sorted(T.q_ts_survival(spark, sf_dir).collect(),
+                  key=lambda r: r["minute"])
+    assert rows[0]["survival"] == 1.0
+    surv = [r["survival"] for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_surviving"] - a["n_sessions"] == b["n_surviving"]
+
+
+def test_topk_share_bounds(spark, sf_dir):
+    """Share lies in (0, 1]; segments with <= K customers share exactly 1."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        TOPK_SHARE_K,
+        q_agg_topk_share,
+    )
+
+    for r in q_agg_topk_share(spark, sf_dir).collect():
+        assert 0.0 < r["topk_share"] <= 1.0
+        if r["n_customers"] <= TOPK_SHARE_K:
+            assert r["topk_share"] == 1.0
