@@ -732,6 +732,92 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cascade_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-yield report for the stacked dedup cascade: per layer
+    (1 = exact fingerprint, 2 = MinHash-LSH Jaccard ≥ 0.8, 3 = SimHash
+    Hamming ≤ 1), how many documents the layer flags at all and how
+    many it flags that NO EARLIER layer caught — the number that says
+    whether running the next-more-expensive layer still pays. Layers
+    that flag nothing report explicit zero rows.
+
+    Pure composition of the three registered operators (each already
+    scale-safe and oracle-checked); the cascade close is a union of
+    flagged-id sets, a per-doc MIN(layer), and two bounded counts. At
+    100 TB the cascade cost IS the layers themselves — this report adds
+    one id-sized rollup.
+    """
+    l1 = (
+        q_dedup_exact(spark, sf_dir)
+        .filter(F.col("group_size") > 1)
+        .select("doc_id")
+    )
+    lsh = q_dedup_minhash_lsh(spark, sf_dir)
+    l2 = (
+        lsh.select(F.col("d1").alias("doc_id"))
+        .union(lsh.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    l3 = (
+        q_dedup_simhash(spark, sf_dir)
+        .filter(F.col("n_near") > 0)
+        .select("doc_id")
+    )
+    tagged = (
+        l1.select(F.lit(1).alias("layer"), "doc_id")
+        .union(l2.select(F.lit(2).alias("layer"), "doc_id"))
+        .union(l3.select(F.lit(3).alias("layer"), "doc_id"))
+    )
+    flagged = tagged.groupBy("layer").agg(F.count("*").alias("n_flagged"))
+    news = (
+        tagged.groupBy("doc_id")
+        .agg(F.min("layer").alias("layer"))
+        .groupBy("layer")
+        .agg(F.count("*").alias("n_new"))
+    )
+    layers = spark.createDataFrame([(1,), (2,), (3,)], "layer int")
+    return (
+        layers.join(flagged, "layer", "left")
+        .join(news, "layer", "left")
+        .select(
+            "layer",
+            F.coalesce("n_flagged", F.lit(0)).alias("n_flagged"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+
+
+def _cascade_eval_sql() -> str:
+    return f"""
+    WITH l1 AS (
+        SELECT doc_id FROM ({SQL_DEDUP_EXACT}) WHERE group_size > 1),
+    lsh AS ({SQL_DEDUP_MINHASH}),
+    l2 AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT d1 AS doc_id FROM lsh
+            UNION ALL SELECT d2 AS doc_id FROM lsh)),
+    l3 AS (
+        SELECT doc_id FROM ({{simhash}}) WHERE n_near > 0),
+    tagged AS (
+        SELECT 1 AS layer, doc_id FROM l1
+        UNION ALL SELECT 2, doc_id FROM l2
+        UNION ALL SELECT 3, doc_id FROM l3),
+    flagged AS (
+        SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_flagged
+        FROM tagged GROUP BY layer),
+    news AS (
+        SELECT layer, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+            SELECT doc_id, MIN(layer) AS layer FROM tagged GROUP BY doc_id)
+        GROUP BY layer),
+    layers AS (SELECT UNNEST([1, 2, 3]) AS layer)
+    SELECT layers.layer,
+           COALESCE(n_flagged, 0) AS n_flagged,
+           COALESCE(n_new, 0) AS n_new
+    FROM layers
+    LEFT JOIN flagged USING (layer)
+    LEFT JOIN news USING (layer)
+"""
+
+
 SQL_DEDUP_SIMHASH = f"""
     WITH tok AS (
         SELECT DISTINCT doc_id, t
@@ -1554,6 +1640,10 @@ SQL_DEDUP_SOURCE_OVERLAP = _source_overlap_sql()
 
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
+    "dedup_cascade_eval": Query(
+        q_dedup_cascade_eval,
+        _cascade_eval_sql().format(simhash=SQL_DEDUP_SIMHASH),
+    ),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM, headline=True),
     "dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_minhash_lsh": Query(q_dedup_minhash_lsh, SQL_DEDUP_MINHASH, headline=True),
