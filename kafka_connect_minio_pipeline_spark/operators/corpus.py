@@ -732,7 +732,84 @@ SQL_CORPUS_SHARD_SKEW = f"""
 """
 
 
+def q_corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs that STRADDLE the
+    train/val/test boundary — the eval-contamination mode a plain
+    benchmark decontamination misses (a val doc whose near-twin sits in
+    train inflates every metric). Reports, per unordered split pair,
+    the straddling near-dup count and its share of all near-dup pairs.
+
+    Composes two oracle-checked operators: the MinHash-LSH verified
+    pair set and the deterministic hash split — two broadcast-sized
+    joins of the pair relation against the assignment, then a bounded
+    (≤6-row) rollup with exact shares. The fix for what it finds is
+    llm_dedup_keep_best BEFORE splitting; this query is the check that
+    the pipeline actually did that.
+    """
+    from .dedup import q_dedup_minhash_lsh
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    assign = shuffle_split(load(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+    tagged = (
+        pairs.join(
+            assign.select(F.col("doc_id").alias("d1"), F.col("split").alias("s1")),
+            "d1",
+        )
+        .join(
+            assign.select(F.col("doc_id").alias("d2"), F.col("split").alias("s2")),
+            "d2",
+        )
+        .select(
+            F.least("s1", "s2").alias("split_a"),
+            F.greatest("s1", "s2").alias("split_b"),
+        )
+    )
+    total = tagged.agg(F.count("*").alias("n_pairs_total"))
+    return (
+        tagged.groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leakage"),
+            F.round(
+                F.col("n_pairs").cast("double")
+                / F.col("n_pairs_total").cast("double"),
+                6,
+            ).alias("share"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import SQL_DEDUP_MINHASH
+
+    return f"""
+    WITH pairs AS ({SQL_DEDUP_MINHASH}),
+    assign AS ({SQL_CORPUS_SHUFFLE_SPLIT}),
+    tagged AS (
+        SELECT LEAST(a1.split, a2.split) AS split_a,
+               GREATEST(a1.split, a2.split) AS split_b
+        FROM pairs p
+        JOIN assign a1 ON p.d1 = a1.doc_id
+        JOIN assign a2 ON p.d2 = a2.doc_id),
+    total AS (SELECT COUNT(*) AS n_pairs_total FROM tagged)
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           split_a <> split_b AS is_leakage,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_pairs_total AS DOUBLE), 6)
+               AS share
+    FROM tagged CROSS JOIN total
+    GROUP BY split_a, split_b, n_pairs_total
+"""
+
+
 QUERIES = {
+    "corpus_split_leakage": Query(q_corpus_split_leakage, _split_leakage_sql()),
     "corpus_shard_skew": Query(q_corpus_shard_skew, SQL_CORPUS_SHARD_SKEW),
     "corpus_mix_epochs": Query(q_corpus_mix_epochs, _sql_corpus_mix_epochs()),
     "corpus_weighted_median": Query(
