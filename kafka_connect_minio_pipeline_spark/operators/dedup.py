@@ -732,6 +732,77 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_transitivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-dup relation: of all wedges a–b–c
+    in the verified LSH pair graph, what fraction close into a triangle
+    (a–c also a pair)? High transitivity says near-dup groups are tight
+    cliques and cluster-then-keep-best is safe; low transitivity warns
+    that connected components CHAIN dissimilar documents together (the
+    classic over-merging failure of transitive-closure dedup).
+
+    One wedge self-join of the (small) verified pair relation plus a
+    left join back for closure — everything is pair-set-sized, the
+    corpus-scale cost stays in the LSH layer itself. Single-row report
+    with exact integer counts and one rounded ratio.
+    """
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2").localCheckpoint()
+    sym = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    wedges = (
+        sym.alias("l")
+        .join(
+            sym.alias("r"),
+            (F.col("l.d1") == F.col("r.d1")) & (F.col("l.d2") < F.col("r.d2")),
+        )
+        .select(
+            F.col("l.d2").alias("a"),
+            F.col("l.d1").alias("center"),
+            F.col("r.d2").alias("c"),
+        )
+    )
+    closed = wedges.join(
+        pairs.select(
+            F.col("d1").alias("a"), F.col("d2").alias("c"), F.lit(1).alias("hit")
+        ),
+        ["a", "c"],
+        "left",
+    )
+    return closed.agg(
+        F.lit(pairs.count()).cast("bigint").alias("n_pairs"),
+        F.count("*").alias("n_wedges"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_closed"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+            / F.when(F.count("*") > 0, F.count("*")).cast("double"),
+            6,
+        ).alias("transitivity"),
+    )
+
+
+def _transitivity_eval_sql() -> str:
+    return f"""
+    WITH pairs AS MATERIALIZED (SELECT d1, d2 FROM ({SQL_DEDUP_MINHASH})),
+    sym AS (
+        SELECT d1, d2 FROM pairs
+        UNION ALL SELECT d2 AS d1, d1 AS d2 FROM pairs),
+    wedges AS (
+        SELECT l.d2 AS a, l.d1 AS center, r.d2 AS c
+        FROM sym l JOIN sym r ON l.d1 = r.d1 AND l.d2 < r.d2),
+    closed AS (
+        SELECT w.a, w.c,
+               CASE WHEN p.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM wedges w LEFT JOIN pairs p ON w.a = p.d1 AND w.c = p.d2)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(SUM(hit) AS BIGINT) AS n_closed,
+           ROUND(CAST(SUM(hit) AS DOUBLE)
+                 / CAST(CASE WHEN COUNT(*) > 0 THEN COUNT(*) END AS DOUBLE), 6)
+               AS transitivity
+    FROM closed
+"""
+
+
 def q_dedup_cascade_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marginal-yield report for the stacked dedup cascade: per layer
     (1 = exact fingerprint, 2 = MinHash-LSH Jaccard ≥ 0.8, 3 = SimHash
@@ -1643,6 +1714,9 @@ QUERIES = {
     "dedup_cascade_eval": Query(
         q_dedup_cascade_eval,
         _cascade_eval_sql().format(simhash=SQL_DEDUP_SIMHASH),
+    ),
+    "dedup_transitivity_eval": Query(
+        q_dedup_transitivity_eval, _transitivity_eval_sql()
     ),
     "dedup_ngram_jaccard": Query(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM, headline=True),
     "dedup_clusters": Query(q_dedup_clusters, SQL_DEDUP_CLUSTERS),

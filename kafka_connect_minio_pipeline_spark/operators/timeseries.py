@@ -1893,8 +1893,54 @@ SQL_TS_SURVIVAL = """
 """
 
 
+def q_ts_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap per series — the 2-D
+    calendar profile behind every traffic dashboard (ts_seasonal's
+    hour-only profile can't separate Monday 9am from Sunday 9am). One
+    partial-aggregated groupBy to ≤ 7·24 cells per series; the
+    within-series share closes on that bounded relation. ISO day
+    numbering pinned explicitly (engines disagree on week start).
+    """
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts")).alias("dow_raw"),
+        F.hour(F.col("ts")).alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+    iso_dow = F.when(F.col("dow_raw") == 1, F.lit(7)).otherwise(
+        F.col("dow_raw") - 1
+    )
+    w = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        iso_dow.cast("int").alias("dow"),
+        "hod",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+SQL_TS_DOW_HOUR = """
+    WITH cells AS (
+        SELECT event_type,
+               CAST(ISODOW(ts) AS INTEGER) AS dow,
+               HOUR(ts) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3)
+    SELECT event_type, dow, hod, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 6)
+               AS share
+    FROM cells
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
+    "ts_dow_hour_heatmap": Query(q_ts_dow_hour_heatmap, SQL_TS_DOW_HOUR),
     "ts_survival": Query(
         q_ts_survival, SQL_TS_SURVIVAL.format(sessionize=SQL_SESSIONIZE)
     ),

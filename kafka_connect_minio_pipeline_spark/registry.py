@@ -93,7 +93,7 @@ _QUERY_MODULES = (
 # llm_pack_eval, ts_anomaly_seasonal, scalar_bitwise, corpus_shard_skew,
 # similarity_kmeans_eval, text_feature_hashing, stream_cdc_merge,
 # ts_forecast_snaive, ts_survival, agg_topk_share, dedup_cascade_eval,
-# corpus_split_leakage,
+# corpus_split_leakage, dedup_transitivity_eval, ts_dow_hour_heatmap,
 # plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).

@@ -39,7 +39,7 @@ _STATEFUL = sorted(
              "dedup_source_overlap", "multimodal_wav_decode", "ts_week_over_week",
              "corpus_weighted_median", "similarity_rerank_mmr",
              "similarity_kmeans_eval", "graph_kcore", "graph_adamic_adar",
-             "dedup_cascade_eval", "corpus_split_leakage",
+             "dedup_cascade_eval", "corpus_split_leakage", "dedup_transitivity_eval",
              "ts_changepoint",
              "dedup_threshold_sweep")
 )
