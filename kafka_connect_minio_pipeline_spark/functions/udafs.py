@@ -130,7 +130,117 @@ def q_sentences_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZNORM_OUT = "user_id bigint, event_id bigint, znorm double"
+
+
+def q_udf_grouped_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-normalization of ``value`` via applyInPandas GROUPED
+    MAP — the third pandas escape hatch alongside the GROUPED_AGG UDAF
+    and the UDTF: the whole group arrives as one Arrow batch and the
+    kernel returns transformed ROWS (the shape per-entity normalizers,
+    detrenders, and model-scoring passes take).
+
+    Exactness inside the kernel follows the module rule: moments come
+    from exact int64 CENT sums (order-free — group row order is not
+    deterministic across shuffles), and the per-row z closes in one
+    double tree identical to the oracle's. Single-row groups emit NULL
+    (sample std undefined). Scale: one hash shuffle on the group key,
+    Arrow both ways; state is one group per call — the built-in twin
+    below does the same in pure window algebra with no Python boundary
+    and is the production recommendation.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["cents"].astype("int64")
+        n = len(c)
+        s1 = int(c.sum())
+        s2 = int((c * c).sum())
+        out = pdf[["user_id", "event_id"]].copy()
+        if n < 2:
+            out["znorm"] = None
+            return out
+        mean = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - 1)
+        if var > 0:
+            # math.sqrt, not **0.5: pow(x, 0.5) is not guaranteed
+            # bit-equal to sqrt(x), and the oracle uses SQRT
+            import math
+
+            out["znorm"] = ((c - mean) / math.sqrt(var)).round(6)
+        else:
+            out["znorm"] = None
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(znorm, ZNORM_OUT)
+
+
+def q_udf_grouped_znorm_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in twin of :func:`q_udf_grouped_znorm`: identical moments
+    from the same exact integer-cent sums, computed as one grouped
+    aggregation + join-back — whole-stage codegen, no Python boundary,
+    same oracle."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / n
+    ) / (n - F.lit(1.0))
+    z = (F.col("cents").cast("double") - mean) / F.sqrt(var)
+    return (
+        ev.join(stats, "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            F.when((F.col("n") > 1) & (var > 0), F.round(z, 6)).alias("znorm"),
+        )
+    )
+
+
+SQL_UDF_GROUPED_ZNORM = """
+    WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events),
+    stats AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(cents) AS s1, SUM(cents * cents) AS s2
+        FROM ev GROUP BY user_id)
+    SELECT e.user_id, e.event_id,
+           CASE WHEN n > 1
+                     AND (CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0
+                THEN ROUND((CAST(e.cents AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                           / SQRT((CAST(s2 AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) - 1.0)), 6)
+           END AS znorm
+    FROM ev e JOIN stats USING (user_id)
+"""
+
+
 QUERIES = {
+    "udf_grouped_znorm": Query(q_udf_grouped_znorm, SQL_UDF_GROUPED_ZNORM),
+    "udf_grouped_znorm_builtin": Query(
+        q_udf_grouped_znorm_builtin, SQL_UDF_GROUPED_ZNORM
+    ),
     "udaf_weighted_value": Query(q_udaf_weighted_value, SQL_UDAF_WEIGHTED),
     "udtf_sentences": Query(q_udtf_sentences, SQL_UDTF_SENTENCES),
     "udtf_sentences_builtin": Query(q_sentences_builtin, SQL_UDTF_SENTENCES),
