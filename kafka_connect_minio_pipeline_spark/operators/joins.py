@@ -211,6 +211,102 @@ SQL_JOIN_ASOF = """
 """
 
 
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of: each purchase pairs with the same-user click
+    closest in time in EITHER direction (sensor-fusion alignment, where
+    "latest before" is the wrong default when the next reading is
+    closer). Completes the as-of family: backward (join_asof), bounded
+    (join_asof_tolerance), nearest (here).
+
+    Same single-shuffle plan as join_asof — one (user, ts)-ordered
+    window pass carries BOTH directions (last ignorenulls over the
+    preceding frame + first ignorenulls over the following frame share
+    the exchange and sort), and the nearest pick is a projection. Ties
+    at equal distance take the earlier click; a same-instant click
+    sorts before its purchase, lands in the backward frame at distance
+    0, and wins. Oracle: two DuckDB ASOF joins + the same CASE.
+    """
+    events = load(spark, sf_dir, "events")
+    tagged = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    order = [F.col("ts"), F.col("event_type")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    staged = (
+        tagged.withColumn("back_ts", F.last("click_ts", ignorenulls=True).over(wb))
+        .withColumn("fwd_ts", F.first("click_ts", ignorenulls=True).over(wf))
+        .filter(F.col("event_type") == "purchase")
+    )
+    db = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("back_ts").cast("timestamp")
+    )
+    df_ = F.unix_micros(F.col("fwd_ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    take_back = F.col("fwd_ts").isNull() | (
+        F.col("back_ts").isNotNull() & (db <= df_)
+    )
+    nearest = F.when(take_back, F.col("back_ts")).otherwise(F.col("fwd_ts"))
+    gap_us = F.when(take_back, db).otherwise(df_)
+    return staged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.alias("nearest_click_ts"),
+        F.when(
+            nearest.isNotNull(),
+            F.when(take_back, F.lit("backward")).otherwise(F.lit("forward")),
+        ).alias("direction"),
+        (gap_us / F.lit(1_000_000)).cast("long").alias("gap_s"),
+    )
+
+
+SQL_JOIN_ASOF_NEAREST = """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    b AS (
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS back_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts),
+    f AS (
+        SELECT p.event_id, c.ts AS fwd_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts <= c.ts),
+    staged AS (
+        SELECT b.event_id, b.user_id, b.ts, b.back_ts, f.fwd_ts,
+               epoch_us(b.ts) - epoch_us(b.back_ts) AS db,
+               epoch_us(f.fwd_ts) - epoch_us(b.ts) AS df,
+               (f.fwd_ts IS NULL
+                OR (b.back_ts IS NOT NULL
+                    AND epoch_us(b.ts) - epoch_us(b.back_ts)
+                        <= epoch_us(f.fwd_ts) - epoch_us(b.ts))) AS take_back
+        FROM b JOIN f USING (event_id))
+    SELECT event_id, user_id, ts,
+           CASE WHEN take_back THEN back_ts ELSE fwd_ts END
+               AS nearest_click_ts,
+           CASE WHEN (CASE WHEN take_back THEN back_ts ELSE fwd_ts END)
+                     IS NOT NULL
+                THEN CASE WHEN take_back THEN 'backward' ELSE 'forward' END
+           END AS direction,
+           CAST((CASE WHEN take_back THEN db ELSE df END) // 1000000
+                AS BIGINT) AS gap_s
+    FROM staged
+"""
+
+
 ASOF_TOLERANCE_MIN = 30
 
 
@@ -557,6 +653,7 @@ SQL_JOIN_CDC_MERGE = f"""
 
 QUERIES = {
     "join_cdc_merge": Query(q_join_cdc_merge, SQL_JOIN_CDC_MERGE),
+    "join_asof_nearest": Query(q_join_asof_nearest, SQL_JOIN_ASOF_NEAREST),
     "join_inner_revenue": Query(q_join_inner_revenue, SQL_JOIN_INNER, headline=True),
     "join_left_order_counts": Query(q_join_left_order_counts, SQL_JOIN_LEFT),
     "join_semi": Query(q_join_semi, SQL_JOIN_SEMI),

@@ -858,3 +858,16 @@ def test_pack_eval_budget_sweep_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_nearest_single_window_pass(spark, sf_dir):
+    """Both as-of directions (backward last + forward first) share one
+    (user, ts) exchange+sort — a single Window node, like join_asof."""
+    from kafka_connect_minio_pipeline_spark.operators.joins import (
+        q_join_asof_nearest,
+    )
+
+    plan = formatted_plan(q_join_asof_nearest(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("+- Window (") == 1, plan
