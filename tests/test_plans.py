@@ -871,3 +871,52 @@ def test_asof_nearest_single_window_pass(spark, sf_dir):
     assert plan.count("hashpartitioning") == 1, plan
     tree = plan.split("(1) Scan")[0]
     assert tree.count("+- Window (") == 1, plan
+
+
+def test_anomaly_seasonal_no_window_broadcast_dims(spark, sf_dir):
+    """Cells and sigmas must reach the events as broadcasts; the whole
+    plan carries no Window operator at all."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_anomaly_seasonal,
+    )
+
+    plan = formatted_plan(q_ts_anomaly_seasonal(spark, sf_dir))
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("+- Window (") == 0, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_snaive_scans_events_once(spark, sf_dir):
+    """Everything after the hourly collapse runs on the checkpointed
+    bounded grid — the raw events parquet never appears in the plan."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_forecast_snaive,
+    )
+
+    plan = formatted_plan(q_ts_forecast_snaive(spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan, plan
+
+
+def test_topk_share_single_exchange(spark, sf_dir):
+    """Rank window and closing rollup hash on the segment key — one
+    exchange, no join-back, no global sort."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_topk_share,
+    )
+
+    plan = formatted_plan(q_agg_topk_share(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_survival_curve_windows_are_bounded_only(spark, sf_dir):
+    """The only unpartitioned window runs on the minute-bounded
+    relation; the session totals reach it by broadcast."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_survival,
+    )
+
+    plan = formatted_plan(q_ts_survival(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan or plan.count("rangepartitioning") <= 2, plan
