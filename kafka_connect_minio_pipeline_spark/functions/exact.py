@@ -29,6 +29,15 @@ def dec2(c: Column) -> Column:
     return c.cast("decimal(18,2)")
 
 
+def cents(c: Column) -> Column:
+    """Exact integer cents of a cent-denominated double (the quantization
+    every Python-kernel exactness argument in functions/udafs.py rests
+    on): ROUND(value·100) as long. Values are cent-exact by fixture
+    contract, so the double product sits within 0.5 ulp of an integer
+    and the round can never tie."""
+    return F.round(c * 100).cast("long")
+
+
 def dec9(c: Column, precision: int = 28) -> Column:
     """Pre-round a FLOAT expression to 9 decimals and quantize to
     DECIMAL(precision,9), making a subsequent SUM order-free and

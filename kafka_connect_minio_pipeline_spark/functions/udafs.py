@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.exact import cents
 from ..registry import Query
 from ..tables import load, spread
 
@@ -49,9 +50,9 @@ def q_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted_value_cents = weighted_value_cents_udaf()
     events = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents_col = cents(F.col("value"))
     return (
-        events.select("event_type", cents.alias("cents"), k.alias("k"))
+        events.select("event_type", cents_col.alias("cents"), k.alias("k"))
         .groupBy("event_type")
         # NB: a GROUPED_AGG pandas UDF cannot share agg() with built-in
         # aggregate functions (INVALID_PANDAS_UDF_PLACEMENT) — one UDAF
@@ -152,7 +153,7 @@ def q_udf_grouped_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        cents(F.col("value")).alias("cents"),
     )
 
     def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -164,14 +165,27 @@ def q_udf_grouped_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n < 2:
             out["znorm"] = None
             return out
-        mean = s1 / n
-        var = (s2 - s1 * s1 / n) / (n - 1)
-        if var > 0:
-            # math.sqrt, not **0.5: pow(x, 0.5) is not guaranteed
-            # bit-equal to sqrt(x), and the oracle uses SQRT
-            import math
+        # mirror the ORACLE's double tree exactly: the oracle squares s1
+        # AFTER casting to double, so an exact-integer s1*s1 here would
+        # diverge once s1² exceeds 2^53 (measured: the 1-ulp difference
+        # is amplified by cancellation in s2 − s1²/n and flips the
+        # rounded z in low-variance giant groups)
+        import math
 
-            out["znorm"] = ((c - mean) / math.sqrt(var)).round(6)
+        s1d, s2d, nd = float(s1), float(s2), float(n)
+        mean = s1d / nd
+        var = (s2d - s1d * s1d / nd) / (nd - 1.0)
+        if var > 0:
+            # math.sqrt, not **0.5 (pow is not guaranteed bit-equal);
+            # rounding via floor(|x|·1e6 + 0.5) = C std::round = the
+            # binary-domain half-away DuckDB ROUND applies — pandas'
+            # default .round is half-EVEN and splits at exact ties
+            z = (c - mean) / math.sqrt(var)
+            import numpy as np
+
+            out["znorm"] = np.copysign(
+                np.floor(np.abs(z) * 1e6 + 0.5) / 1e6, z
+            )
         else:
             out["znorm"] = None
         return out
@@ -187,7 +201,7 @@ def q_udf_grouped_znorm_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        cents(F.col("value")).alias("cents"),
     )
     stats = ev.groupBy("user_id").agg(
         F.count("*").alias("n"),

@@ -1086,9 +1086,13 @@ def q_agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "total_bal",
             "topk_bal",
-            F.round(F.col("topk_bal") / F.col("total_bal"), 6).alias(
-                "topk_share"
-            ),
+            # CASE-guard: ANSI mode (Spark 4 default) raises on /0 even
+            # for doubles; a zero-sum segment must read NULL, matching
+            # the oracle's NULLIF-style guard, not crash the report
+            F.when(
+                F.col("total_bal") != 0,
+                F.round(F.col("topk_bal") / F.col("total_bal"), 6),
+            ).alias("topk_share"),
         )
     )
 
@@ -1107,9 +1111,11 @@ SQL_AGG_TOPK_SHARE = f"""
            CAST(SUM(CASE WHEN rk <= {TOPK_SHARE_K} THEN bal
                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
                AS topk_bal,
-           ROUND(CAST(SUM(CASE WHEN rk <= {TOPK_SHARE_K} THEN bal
-                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 / CAST(SUM(bal) AS DOUBLE), 6) AS topk_share
+           CASE WHEN CAST(SUM(bal) AS DOUBLE) <> 0
+                THEN ROUND(CAST(SUM(CASE WHEN rk <= {TOPK_SHARE_K} THEN bal
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                           / CAST(SUM(bal) AS DOUBLE), 6)
+           END AS topk_share
     FROM ranked GROUP BY c_mktsegment
 """
 

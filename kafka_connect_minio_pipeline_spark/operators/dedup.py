@@ -803,6 +803,34 @@ def _transitivity_eval_sql() -> str:
 """
 
 
+SQL_DEDUP_SIMHASH = f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t
+        FROM documents, UNNEST({SQL_TOKENS.format(col='text')}) x(t)),
+    bits AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN (('0x' || substr(md5(t), 1, 8))::BIGINT >> j) & 1 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM tok, UNNEST(RANGE(0, {SIMHASH_BITS})) r(j)
+        GROUP BY 1, 2),
+    sig AS (
+        -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas renders as
+        -- float64 — cast back so the type matches Spark's long
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
+                   AS simhash
+        FROM bits GROUP BY doc_id),
+    near AS (
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
+        FROM sig a JOIN sig b
+          ON a.doc_id <> b.doc_id
+         AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+        GROUP BY 1)
+    SELECT sig.doc_id, simhash, COALESCE(n_near, 0) AS n_near
+    FROM sig LEFT JOIN near ON sig.doc_id = near.doc_id
+"""
+
+
 def q_dedup_cascade_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marginal-yield report for the stacked dedup cascade: per layer
     (1 = exact fingerprint, 2 = MinHash-LSH Jaccard ≥ 0.8, 3 = SimHash
@@ -867,7 +895,7 @@ def _cascade_eval_sql() -> str:
             SELECT d1 AS doc_id FROM lsh
             UNION ALL SELECT d2 AS doc_id FROM lsh)),
     l3 AS (
-        SELECT doc_id FROM ({{simhash}}) WHERE n_near > 0),
+        SELECT doc_id FROM ({SQL_DEDUP_SIMHASH}) WHERE n_near > 0),
     tagged AS (
         SELECT 1 AS layer, doc_id FROM l1
         UNION ALL SELECT 2, doc_id FROM l2
@@ -886,34 +914,6 @@ def _cascade_eval_sql() -> str:
     FROM layers
     LEFT JOIN flagged USING (layer)
     LEFT JOIN news USING (layer)
-"""
-
-
-SQL_DEDUP_SIMHASH = f"""
-    WITH tok AS (
-        SELECT DISTINCT doc_id, t
-        FROM documents, UNNEST({SQL_TOKENS.format(col='text')}) x(t)),
-    bits AS (
-        SELECT doc_id, j,
-               SUM(CASE WHEN (('0x' || substr(md5(t), 1, 8))::BIGINT >> j) & 1 = 1
-                        THEN 1 ELSE -1 END) AS s
-        FROM tok, UNNEST(RANGE(0, {SIMHASH_BITS})) r(j)
-        GROUP BY 1, 2),
-    sig AS (
-        -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas renders as
-        -- float64 — cast back so the type matches Spark's long
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
-                   AS simhash
-        FROM bits GROUP BY doc_id),
-    near AS (
-        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
-        FROM sig a JOIN sig b
-          ON a.doc_id <> b.doc_id
-         AND bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
-        GROUP BY 1)
-    SELECT sig.doc_id, simhash, COALESCE(n_near, 0) AS n_near
-    FROM sig LEFT JOIN near ON sig.doc_id = near.doc_id
 """
 
 
@@ -1711,10 +1711,7 @@ SQL_DEDUP_SOURCE_OVERLAP = _source_overlap_sql()
 
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
-    "dedup_cascade_eval": Query(
-        q_dedup_cascade_eval,
-        _cascade_eval_sql().format(simhash=SQL_DEDUP_SIMHASH),
-    ),
+    "dedup_cascade_eval": Query(q_dedup_cascade_eval, _cascade_eval_sql()),
     "dedup_transitivity_eval": Query(
         q_dedup_transitivity_eval, _transitivity_eval_sql()
     ),

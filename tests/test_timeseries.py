@@ -697,3 +697,34 @@ def test_topk_share_bounds(spark, sf_dir):
         assert 0.0 < r["topk_share"] <= 1.0
         if r["n_customers"] <= TOPK_SHARE_K:
             assert r["topk_share"] == 1.0
+
+
+def test_znorm_kernel_matches_builtin_on_large_low_variance_group(spark):
+    """The review-found divergence shape: a group whose cent sum squared
+    exceeds 2^53 with tiny variance — an exact-integer s1*s1 in the
+    pandas kernel would diverge from the oracle's double tree after
+    cancellation amplification. Kernel and builtin twin must agree
+    bit-for-bit."""
+    from datetime import datetime
+
+    from kafka_connect_minio_pipeline_spark.functions.udafs import (
+        q_udf_grouped_znorm,
+        q_udf_grouped_znorm_builtin,
+    )
+    import os
+    import tempfile
+
+    rows = [
+        (i, datetime(2024, 1, 1), 1, "t", 9500.00 + (i % 2) / 100.0, "{}")
+        for i in range(10_000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    a = sorted(map(str, q_udf_grouped_znorm(spark, d).collect()))
+    b = sorted(map(str, q_udf_grouped_znorm_builtin(spark, d).collect()))
+    assert a == b
