@@ -923,7 +923,70 @@ SQL_TEXT_FEATURE_HASHING = f"""
 """
 
 
+EDGE_TOKENS = 4  # header/footer window: first/last k tokens
+
+
+def q_text_boilerplate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated document HEADERS and FOOTERS — the scraped-data
+    boilerplate mode (same banner / same signature across many pages)
+    that whole-document dedup misses and passage mining only catches if
+    the window happens to align. Fingerprint = md5 of the first/last
+    ``EDGE_TOKENS`` tokens; report every edge shared by ≥2 documents
+    with its span count and an example doc.
+
+    Narrow slice + hash per doc, one vocabulary-of-edges-sized groupBy;
+    the per-doc work is two array slices. Output is the boilerplate
+    removal worklist (strip these prefixes/suffixes before training).
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens(F.col("text"))
+    staged = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, EDGE_TOKENS))).alias("header_fp"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(toks, -EDGE_TOKENS, EDGE_TOKENS),
+            )
+        ).alias("footer_fp"),
+    )
+    edges = staged.select(
+        "doc_id", F.lit("header").alias("edge"), F.col("header_fp").alias("fp")
+    ).unionByName(
+        staged.select(
+            "doc_id", F.lit("footer").alias("edge"), F.col("footer_fp").alias("fp")
+        )
+    )
+    return (
+        edges.groupBy("edge", "fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("example_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+SQL_TEXT_BOILERPLATE = f"""
+    WITH staged AS (
+        SELECT doc_id,
+               md5(array_to_string(toks[1:{EDGE_TOKENS}], ' ')) AS header_fp,
+               md5(array_to_string(toks[-{EDGE_TOKENS}:], ' ')) AS footer_fp
+        FROM (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks
+              FROM documents)),
+    edges AS (
+        SELECT doc_id, 'header' AS edge, header_fp AS fp FROM staged
+        UNION ALL
+        SELECT doc_id, 'footer' AS edge, footer_fp AS fp FROM staged)
+    SELECT edge, fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS example_doc
+    FROM edges GROUP BY edge, fp
+    HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
+    "text_boilerplate_edges": Query(
+        q_text_boilerplate_edges, SQL_TEXT_BOILERPLATE
+    ),
     "text_feature_hashing": Query(q_text_feature_hashing, SQL_TEXT_FEATURE_HASHING),
     "text_zipf": Query(q_text_zipf, SQL_TEXT_ZIPF),
     "text_bpe_pairs": Query(q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),

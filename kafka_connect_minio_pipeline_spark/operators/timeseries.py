@@ -1938,8 +1938,139 @@ SQL_TS_DOW_HOUR = """
 """
 
 
+def q_ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the hourly rate deltas per series —
+    "is this metric wandering randomly or trending/oscillating?": too
+    FEW runs of same-signed changes means momentum, too MANY means
+    mean-reverting oscillation; |z| ≈ 2 flags either.
+
+    Events collapse once to the gapless hourly grid; the delta signs,
+    the zero-drop, and the run-boundary lags are per-series windows on
+    the BOUNDED grid; n⁺/n⁻/R close as exact integers into the classic
+    normal approximation (one shared double tree, CASE-guarded
+    degenerate σ). Everything after the first shuffle is
+    wall-clock-sized.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    signed = dense.select(
+        "event_type",
+        "hour",
+        F.signum(F.col("y") - F.lag("y").over(w)).cast("int").alias("s"),
+    ).filter(F.col("s").isNotNull() & (F.col("s") != 0))
+    runs = signed.select(
+        "event_type",
+        "s",
+        (F.col("s") != F.lag("s").over(w)).cast("int").alias("boundary"),
+    )
+    base = runs.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("n_neg"),
+        (F.sum("boundary") + F.lit(1)).alias("n_runs"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    nn = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / nn + F.lit(1.0)
+    var = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (nn * nn * (nn - F.lit(1.0)))
+    )
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return base.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (var > 0), F.round(z, 6))
+        .alias("z_runs"),
+    )
+
+
+SQL_TS_RUNS_TEST = """
+    WITH hourly AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY event_type),
+    grid AS (
+        SELECT event_type,
+               UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds),
+    dense AS (
+        SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS y
+        FROM grid g LEFT JOIN hourly h
+          ON g.event_type = h.event_type AND g.hour = h.hour),
+    signed AS (
+        SELECT event_type, hour, s FROM (
+            SELECT event_type, hour,
+                   CAST(SIGN(y - LAG(y) OVER (
+                       PARTITION BY event_type ORDER BY hour)) AS INTEGER) AS s
+            FROM dense)
+        WHERE s IS NOT NULL AND s <> 0),
+    runs AS (
+        SELECT event_type, s,
+               CASE WHEN s <> LAG(s) OVER (
+                        PARTITION BY event_type ORDER BY hour)
+                    THEN 1 ELSE 0 END AS boundary
+        FROM signed),
+    base AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+               CAST(SUM(boundary) + 1 AS BIGINT) AS n_runs
+        FROM runs GROUP BY event_type)
+    SELECT event_type, n_pos, n_neg, n_runs,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                     AND 2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                         * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                            - CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE))
+                         / ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+                            * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+                            * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)
+                               - 1.0)) > 0
+                THEN ROUND((CAST(n_runs AS DOUBLE)
+                            - (2.0 * CAST(n_pos AS DOUBLE)
+                               * CAST(n_neg AS DOUBLE)
+                               / (CAST(n_pos AS DOUBLE)
+                                  + CAST(n_neg AS DOUBLE)) + 1.0))
+                           / SQRT(2.0 * CAST(n_pos AS DOUBLE)
+                                  * CAST(n_neg AS DOUBLE)
+                                  * (2.0 * CAST(n_pos AS DOUBLE)
+                                     * CAST(n_neg AS DOUBLE)
+                                     - CAST(n_pos AS DOUBLE)
+                                     - CAST(n_neg AS DOUBLE))
+                                  / ((CAST(n_pos AS DOUBLE)
+                                      + CAST(n_neg AS DOUBLE))
+                                     * (CAST(n_pos AS DOUBLE)
+                                        + CAST(n_neg AS DOUBLE))
+                                     * (CAST(n_pos AS DOUBLE)
+                                        + CAST(n_neg AS DOUBLE) - 1.0))), 6)
+           END AS z_runs
+    FROM base
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
+    "ts_runs_test": Query(q_ts_runs_test, SQL_TS_RUNS_TEST),
     "ts_dow_hour_heatmap": Query(q_ts_dow_hour_heatmap, SQL_TS_DOW_HOUR),
     "ts_survival": Query(
         q_ts_survival, SQL_TS_SURVIVAL.format(sessionize=SQL_SESSIONIZE)

@@ -94,7 +94,8 @@ _QUERY_MODULES = (
 # similarity_kmeans_eval, text_feature_hashing, stream_cdc_merge,
 # ts_forecast_snaive, ts_survival, agg_topk_share, dedup_cascade_eval,
 # corpus_split_leakage, dedup_transitivity_eval, ts_dow_hour_heatmap,
-# udf_grouped_znorm (+_builtin), join_asof_nearest,
+# udf_grouped_znorm (+_builtin), join_asof_nearest, ts_runs_test,
+# text_boilerplate_edges,
 # plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).

@@ -728,3 +728,42 @@ def test_znorm_kernel_matches_builtin_on_large_low_variance_group(spark):
     a = sorted(map(str, q_udf_grouped_znorm(spark, d).collect()))
     b = sorted(map(str, q_udf_grouped_znorm_builtin(spark, d).collect()))
     assert a == b
+
+
+def test_runs_test_detects_momentum_and_oscillation(spark):
+    """A ramp-up-then-down series has 2 runs (strong momentum, z << 0);
+    a strictly alternating series has the maximum run count (z >> 0);
+    a one-signed series yields NULL under the degeneracy guard."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 4, 1)
+    rows = []
+    eid = 0
+
+    def emit(series, h, count):
+        nonlocal eid
+        for k in range(count):
+            eid += 1
+            rows.append((eid, t0 + timedelta(hours=h, minutes=k), 1,
+                         series, 1.0, "{}"))
+
+    for h in range(48):  # momentum: counts ramp 1..24 then 23..0 (+23/-24 runs=2)
+        emit("momentum", h, (h + 1) if h < 24 else (47 - h))
+    for h in range(48):  # oscillation: 1,2,1,2,... every delta flips sign
+        emit("oscillate", h, 1 + (h % 2))
+    for h in range(48):  # monotone: one-signed deltas -> guard yields NULL
+        emit("monotone", h, h + 1)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_type"]: r for r in T.q_ts_runs_test(spark, d).collect()}
+    assert got["momentum"]["n_runs"] == 2 and got["momentum"]["z_runs"] < -3
+    assert got["oscillate"]["z_runs"] > 3
+    assert got["monotone"]["z_runs"] is None
