@@ -1120,9 +1120,96 @@ SQL_AGG_TOPK_SHARE = f"""
 """
 
 
+CI_Z = 1.959964  # 95% two-sided normal quantile, fixed literal
+
+
+def q_agg_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type reach with a WILSON 95% confidence interval: the
+    fraction of users who performed the event in week one, reported the way a
+    decision should read it — a range, not a bare point estimate (the
+    difference between "42% ± noise" and "42%" is the whole reason
+    experiment dashboards exist; Wilson stays sane at extreme rates
+    where the naive ±z√(pq/n) interval leaks outside [0,1]).
+
+    Distinct-user reach per type and the total user count are two hash
+    aggregations; the Wilson bounds close from exact integer counts in
+    one shared double tree (fixed z literal — no cross-engine inverse-
+    normal), rounded once. Linear, two bounded relations.
+    """
+    ev = load(spark, sf_dir, "events")
+    # reach within the FIRST WEEK (fixed anchor): lifetime reach is 1.0
+    # for every type in this data — the windowed rate is the
+    # non-degenerate question ("how many users did X in week 1?")
+    week1 = ev.filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    )
+    reach = (
+        week1.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("k"))
+    )
+    total = ev.agg(F.countDistinct("user_id").alias("n"))
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    z2 = F.lit(CI_Z * CI_Z)
+    p = k / n
+    center = (p + z2 / (F.lit(2.0) * n)) / (F.lit(1.0) + z2 / n)
+    half = (
+        F.lit(CI_Z)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / (F.lit(1.0) + z2 / n)
+    )
+    return (
+        reach.crossJoin(F.broadcast(total))
+        .select(
+            "event_type",
+            "k",
+            "n",
+            F.round(p, 6).alias("rate"),
+            F.round(center - half, 6).alias("ci_lo"),
+            F.round(center + half, 6).alias("ci_hi"),
+        )
+    )
+
+
+SQL_AGG_CONVERSION_CI = f"""
+    WITH reach AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT DISTINCT event_type, user_id FROM events
+              WHERE ts < TIMESTAMP '2024-01-08 00:00:00')
+        GROUP BY event_type),
+    total AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events)
+    SELECT event_type, k, n,
+           ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + {CI_Z * CI_Z} / (2.0 * CAST(n AS DOUBLE)))
+                 / (1.0 + {CI_Z * CI_Z} / CAST(n AS DOUBLE))
+                 - {CI_Z}
+                   * SQRT(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE)
+                          + {CI_Z * CI_Z}
+                            / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 + {CI_Z * CI_Z} / CAST(n AS DOUBLE)), 6) AS ci_lo,
+           ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + {CI_Z * CI_Z} / (2.0 * CAST(n AS DOUBLE)))
+                 / (1.0 + {CI_Z * CI_Z} / CAST(n AS DOUBLE))
+                 + {CI_Z}
+                   * SQRT(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                          * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE)
+                          + {CI_Z * CI_Z}
+                            / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 + {CI_Z * CI_Z} / CAST(n AS DOUBLE)), 6) AS ci_hi
+    FROM reach CROSS JOIN total
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
     "agg_topk_share": Query(q_agg_topk_share, SQL_AGG_TOPK_SHARE),
+    "agg_conversion_ci": Query(q_agg_conversion_ci, SQL_AGG_CONVERSION_CI),
     "agg_entropy": Query(q_agg_entropy, SQL_AGG_ENTROPY),
     "agg_skewkurt": Query(q_agg_skewkurt, SQL_AGG_SKEWKURT),
     "agg_gini": Query(q_agg_gini, SQL_AGG_GINI),
