@@ -621,7 +621,85 @@ SQL_SKETCH_QUANTILE = f"""
 """
 
 
+KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # portable-hash space as ONE shared double
+_KMV_NUM = (KMV_K - 1) * _KMV_SPACE  # estimator numerator, precomputed
+
+
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch — the
+    ORDER-STATISTICS family beside HLL's register maxima: keep the k
+    smallest hash values ever seen; if the kth-smallest sits at fraction
+    f of the hash space, distinctness ≈ (k−1)/f. Bottom-k sets merge by
+    union + re-take-bottom-k (min-merge — a property test proves the
+    per-stratum union reaches the global sketch), and unlike HLL the
+    SAME sketch also yields a uniform sample of the distinct keys.
+
+    Plan: hash + distinct (one shuffle), bottom-k via orderBy+limit
+    (TakeOrdered per-partition heads, never a global sort), scalar
+    close. Fewer-than-k distincts degenerate to the EXACT count (the
+    sf0.001 corpus exercises that arm; sf0.01 exercises the estimator).
+    Exact integer kth-min; the estimate closes in one shared double
+    division — bit-reproduced by DuckDB like every sketch here.
+    """
+    ev = load(spark, sf_dir, "events")
+    hashes = ev.select(
+        _portable_hash(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h")
+    ).distinct()
+    bottom = hashes.orderBy("h").limit(KMV_K)
+    sketch = bottom.agg(
+        F.count("*").alias("k_used"), F.max("h").alias("kth_min")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est = F.when(
+        F.col("k_used") < KMV_K, F.col("k_used").cast("double")
+    ).otherwise(F.lit(_KMV_NUM) / F.col("kth_min").cast("double"))
+    return (
+        sketch.crossJoin(F.broadcast(exact))
+        .select(
+            "k_used",
+            "kth_min",
+            F.round(est, 4).alias("est_distinct"),
+            "exact_distinct",
+            F.round(
+                (est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
+SQL_SKETCH_KMV = f"""
+    WITH hashes AS (
+        SELECT DISTINCT ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                        1, 15))::BIGINT AS h
+        FROM events),
+    bottom AS (SELECT h FROM hashes ORDER BY h LIMIT {KMV_K}),
+    sketch AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+               MAX(h) AS kth_min
+        FROM bottom),
+    exact AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events)
+    SELECT k_used, kth_min,
+           ROUND(CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                      ELSE {_KMV_NUM!r} / CAST(kth_min AS DOUBLE) END, 4)
+               AS est_distinct,
+           exact_distinct,
+           ROUND((CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
+                       ELSE {_KMV_NUM!r} / CAST(kth_min AS DOUBLE) END
+                  - CAST(exact_distinct AS DOUBLE))
+                 / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+    FROM sketch CROSS JOIN exact
+"""
+
+
 QUERIES = {
+    "sketch_kmv": Query(q_sketch_kmv, SQL_SKETCH_KMV),
     "sketch_bloom_join": Query(q_sketch_bloom_join, SQL_SKETCH_BLOOM),
     "sketch_countmin": Query(q_sketch_countmin, SQL_SKETCH_COUNTMIN),
     "sketch_hll": Query(q_sketch_hll, SQL_SKETCH_HLL),

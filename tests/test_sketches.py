@@ -141,3 +141,60 @@ def test_hll_setops_intersection_within_error(spark, sf_dir):
     rel = abs(row.hll_inter - row.n_exact_inter) / row.n_exact_inter
     assert rel < 0.15, (row.hll_inter, row.n_exact_inter)
     assert row.hll_union >= max(row.hll_a, row.hll_b) - 1e-9
+
+
+def test_kmv_bottomk_union_merge_reaches_global_sketch(spark, sf_dir):
+    """Mergeability: per-stratum bottom-k sets, unioned and re-cut to
+    bottom-k, must reproduce the GLOBAL kth-min exactly — every global
+    bottom-k element is in its own stratum's bottom-k, so the min-merge
+    loses nothing. This is what lets each partition/file ship k values
+    and the coordinator close the estimate."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        _portable_hash,
+    )
+    from kafka_connect_minio_pipeline_spark.operators.sketches import KMV_K
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    h = _portable_hash(
+        F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+    ).alias("h")
+    global_kth = (
+        ev.select(h).distinct().orderBy("h").limit(KMV_K)
+        .agg(F.max("h")).collect()[0][0]
+    )
+    per_stratum = (
+        ev.select(F.col("event_type"), h)
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .select("h")
+        .distinct()
+    )
+    merged_kth = (
+        per_stratum.orderBy("h").limit(KMV_K).agg(F.max("h")).collect()[0][0]
+    )
+    assert merged_kth == global_kth
+
+
+def test_kmv_error_within_4_sigma(spark, sf_dir):
+    """KMV relative error has std ≈ 1/sqrt(k-1); the observed error must
+    sit within 4σ (same contract style as the HLL net)."""
+    from kafka_connect_minio_pipeline_spark.operators.sketches import (
+        KMV_K,
+        q_sketch_kmv,
+    )
+
+    [r] = q_sketch_kmv(spark, sf_dir).collect()
+    if r["k_used"] < KMV_K:
+        assert r["rel_error"] == 0.0  # exact arm
+    else:
+        assert abs(r["rel_error"]) <= 4.0 / (KMV_K - 1) ** 0.5
