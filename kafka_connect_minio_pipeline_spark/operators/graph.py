@@ -383,6 +383,69 @@ SQL_GRAPH_ADAMIC_ADAR = f"""
 """
 
 
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient C(v) = 2·T(v)/(d(v)·(d(v)−1))
+    — how much of each node's neighborhood is itself connected; with
+    degree stats and assortativity this completes the standard topology
+    card (high C + short paths = small-world; C≈0 = tree/bipartite-ish).
+
+    Pure composition of the shared helpers: triangle counts from the
+    compact-forward enumeration, degrees from the symmetrized relation,
+    one left join (triangle-free nodes score 0). The ratio is an exact
+    integer rational closed in one rounded double; degree-1 nodes are
+    NULL (undefined neighborhood). Costs nothing beyond the triangle
+    pass at any scale.
+    """
+    tri = wedge_triangles(edges)
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = sym_degrees(edges)
+    d = F.col("d").cast("double")
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                F.round(
+                    F.lit(2.0) * F.coalesce("n_tri", F.lit(0)).cast("double")
+                    / (d * (d - F.lit(1.0))),
+                    6,
+                ),
+            ).alias("clustering"),
+        )
+    )
+
+
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: clustering coefficients on the co-occurrence
+    graph."""
+    return clustering_coefficients(part_cooccurrence_edges(spark, sf_dir))
+
+
+SQL_GRAPH_CLUSTERING = f"""
+    WITH {SQL_TRI_CTES},
+    per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (SELECT UNNEST([x, y, z]) AS node FROM tri)
+        GROUP BY node),
+    {SQL_DEG_CTE}
+    SELECT d.node, d.d,
+           CAST(COALESCE(p.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.d >= 2
+                THEN ROUND(2.0 * CAST(COALESCE(p.n_tri, 0) AS DOUBLE)
+                           / (CAST(d.d AS DOUBLE)
+                              * (CAST(d.d AS DOUBLE) - 1.0)), 6)
+           END AS clustering
+    FROM deg d LEFT JOIN per_node p USING (node)
+"""
+
+
 def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: the 100 strongest co-purchase ties (per-edge
     neighborhood Jaccard) on the part co-occurrence graph."""
@@ -781,6 +844,7 @@ QUERIES = {
     "graph_triangles": Query(q_graph_triangles, SQL_GRAPH_TRIANGLES),
     "graph_jaccard": Query(q_graph_jaccard, SQL_GRAPH_JACCARD),
     "graph_adamic_adar": Query(q_graph_adamic_adar, SQL_GRAPH_ADAMIC_ADAR),
+    "graph_clustering": Query(q_graph_clustering, SQL_GRAPH_CLUSTERING),
     "graph_khop": Query(q_graph_khop, SQL_GRAPH_KHOP),
     "graph_degree_stats": Query(q_graph_degree_stats, SQL_GRAPH_DEGREE_STATS),
     "graph_lpa": Query(q_graph_lpa, SQL_GRAPH_LPA),

@@ -95,7 +95,7 @@ _QUERY_MODULES = (
 # ts_forecast_snaive, ts_survival, agg_topk_share, dedup_cascade_eval,
 # corpus_split_leakage, dedup_transitivity_eval, ts_dow_hour_heatmap,
 # udf_grouped_znorm (+_builtin), join_asof_nearest, ts_runs_test,
-# text_boilerplate_edges, agg_conversion_ci, sketch_kmv,
+# text_boilerplate_edges, agg_conversion_ci, sketch_kmv, graph_clustering,
 # plus the
 # three rotated-out materially-changed re-grades (sketch_hll,
 # stream_hll, embedding_quantize).

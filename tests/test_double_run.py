@@ -40,7 +40,7 @@ _STATEFUL = sorted(
              "corpus_weighted_median", "similarity_rerank_mmr",
              "similarity_kmeans_eval", "graph_kcore", "graph_adamic_adar",
              "dedup_cascade_eval", "corpus_split_leakage", "dedup_transitivity_eval",
-             "udf_grouped_znorm",
+             "udf_grouped_znorm", "graph_clustering", "sketch_kmv",
              "ts_changepoint",
              "dedup_threshold_sweep")
 )

@@ -181,3 +181,20 @@ def test_adamic_adar_weights_rare_neighbors(spark):
     assert got[(1, 2)] == round(round(1 / math.log(2), 9), 6)
     assert got[(4, 5)] == round(round(1 / math.log(5), 9), 6)
     assert got[(1, 2)] > got[(4, 5)]
+
+
+def test_clustering_closed_forms(spark):
+    """A 4-clique scores 1.0 everywhere; a star center scores 0 (no
+    neighbor-neighbor edges); a leaf (degree 1) is NULL."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    star = [(10, x) for x in (11, 12, 13)]
+    edges = spark.createDataFrame(clique + star, "a long, b long")
+    got = {r["node"]: r["clustering"]
+           for r in clustering_coefficients(edges).collect()}
+    assert all(got[n] == 1.0 for n in (1, 2, 3, 4))
+    assert got[10] == 0.0
+    assert got[11] is None
