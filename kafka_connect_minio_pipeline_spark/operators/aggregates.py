@@ -1143,11 +1143,11 @@ def q_agg_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     week1 = ev.filter(
         F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
     )
-    reach = (
-        week1.select("event_type", "user_id")
-        .distinct()
-        .groupBy("event_type")
-        .agg(F.count("*").alias("k"))
+    # countDistinct on BOTH sides: distinct()+count(*) would count a
+    # NULL user_id in the numerator that the denominator excludes,
+    # letting k exceed n and the Wilson sqrt go NaN
+    reach = week1.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("k")
     )
     total = ev.agg(F.countDistinct("user_id").alias("n"))
     k = F.col("k").cast("double")
@@ -1175,9 +1175,9 @@ def q_agg_conversion_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_AGG_CONVERSION_CI = f"""
     WITH reach AS (
-        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k
-        FROM (SELECT DISTINCT event_type, user_id FROM events
-              WHERE ts < TIMESTAMP '2024-01-08 00:00:00')
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
         GROUP BY event_type),
     total AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events)
     SELECT event_type, k, n,

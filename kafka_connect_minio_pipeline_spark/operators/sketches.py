@@ -663,10 +663,14 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kth_min",
             F.round(est, 4).alias("est_distinct"),
             "exact_distinct",
-            F.round(
-                (est - F.col("exact_distinct").cast("double"))
-                / F.col("exact_distinct").cast("double"),
-                6,
+            # CASE-guard: ANSI /0 on an empty slice (exact_distinct=0)
+            F.when(
+                F.col("exact_distinct") > 0,
+                F.round(
+                    (est - F.col("exact_distinct").cast("double"))
+                    / F.col("exact_distinct").cast("double"),
+                    6,
+                ),
             ).alias("rel_error"),
         )
     )
@@ -690,10 +694,14 @@ SQL_SKETCH_KMV = f"""
                       ELSE {_KMV_NUM!r} / CAST(kth_min AS DOUBLE) END, 4)
                AS est_distinct,
            exact_distinct,
-           ROUND((CASE WHEN k_used < {KMV_K} THEN CAST(k_used AS DOUBLE)
-                       ELSE {_KMV_NUM!r} / CAST(kth_min AS DOUBLE) END
-                  - CAST(exact_distinct AS DOUBLE))
-                 / CAST(exact_distinct AS DOUBLE), 6) AS rel_error
+           CASE WHEN exact_distinct > 0
+                THEN ROUND((CASE WHEN k_used < {KMV_K}
+                                 THEN CAST(k_used AS DOUBLE)
+                                 ELSE {_KMV_NUM!r} / CAST(kth_min AS DOUBLE)
+                            END
+                            - CAST(exact_distinct AS DOUBLE))
+                           / CAST(exact_distinct AS DOUBLE), 6)
+           END AS rel_error
     FROM sketch CROSS JOIN exact
 """
 

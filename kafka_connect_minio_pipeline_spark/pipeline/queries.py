@@ -263,9 +263,12 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("check_name"),
             "n_total",
             "n_violations",
-            F.round(F.col("n_violations") / F.col("n_total"), 6).alias(
-                "violation_rate"
-            ),
+            # CASE-guard: an empty table under check must read as a NULL
+            # rate, not an ANSI divide-by-zero crash of the whole report
+            F.when(
+                F.col("n_total") > 0,
+                F.round(F.col("n_violations") / F.col("n_total"), 6),
+            ).alias("violation_rate"),
         )
 
     orders_orphans = orders.join(

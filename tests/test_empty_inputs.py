@@ -32,5 +32,8 @@ def empty_sf_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_total_on_empty_tables(spark, empty_sf_dir, name):
     df = _QUERIES[name].fn(spark, empty_sf_dir)
-    assert df.count() >= 0
+    # collect(), NOT count(): count lets Catalyst prune the projection,
+    # which hid a projection-level ANSI divide-by-zero (sketch_kmv) —
+    # totality means the full row materializes
+    assert len(df.collect()) >= 0
     assert len(df.schema.fields) > 0

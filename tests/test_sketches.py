@@ -149,6 +149,7 @@ def test_kmv_bottomk_union_merge_reaches_global_sketch(spark, sf_dir):
     bottom-k element is in its own stratum's bottom-k, so the min-merge
     loses nothing. This is what lets each partition/file ship k values
     and the coordinator close the estimate."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from kafka_connect_minio_pipeline_spark.operators.llmdata import (
@@ -171,8 +172,7 @@ def test_kmv_bottomk_union_merge_reaches_global_sketch(spark, sf_dir):
         .withColumn(
             "rn",
             F.row_number().over(
-                __import__("pyspark.sql.window", fromlist=["Window"])
-                .Window.partitionBy("event_type").orderBy("h")
+                Window.partitionBy("event_type").orderBy("h")
             ),
         )
         .filter(F.col("rn") <= KMV_K)
