@@ -381,7 +381,74 @@ SQL_SCALAR_BITWISE = """
 """
 
 
+MAP_BUSY_MIN = 10  # busy-hour threshold for the map_filter demo
+
+
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type kernel — the last Spark type surface: build each
+    series' hour-of-day→count MAP with map_from_entries over a
+    SORTED entry array (deterministic construction), then drive the
+    higher-order map functions — aggregate over map_values for the
+    total, map_filter for busy hours, transform_values for shares —
+    and explode back to rows so the result is relationally
+    oracle-comparable (DuckDB's MAP surface differs; the EXPLODED
+    contract is the portable one, and it's also how a map column
+    lands in parquet-adjacent systems).
+
+    One partial-agg shuffle to ≤24 cells/series, one per-series map
+    build; everything after is narrow map algebra on 24-entry maps.
+    """
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour(F.col("ts")).alias("hod")
+    ).agg(F.count("*").alias("n"))
+    maps = cells.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("hod", "n")))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values(F.col("m")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    busy = F.map_filter(F.col("m"), lambda k, v: v >= MAP_BUSY_MIN)
+    staged = maps.select(
+        "event_type",
+        F.size(F.col("m")).alias("n_hours_present"),
+        total.alias("n_events"),
+        F.explode(busy).alias("hod", "n"),
+    )
+    return staged.select(
+        "event_type",
+        "n_hours_present",
+        "n_events",
+        "hod",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("n_events").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+SQL_SCALAR_MAP = f"""
+    WITH cells AS (
+        SELECT event_type, HOUR(ts) AS hod, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    series AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS INTEGER) AS n_hours_present,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM cells GROUP BY event_type)
+    SELECT c.event_type, s.n_hours_present, s.n_events, c.hod, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(s.n_events AS DOUBLE), 6) AS share
+    FROM cells c JOIN series s USING (event_type)
+    WHERE c.n >= {MAP_BUSY_MIN}
+"""
+
+
 QUERIES = {
+    "scalar_map": Query(q_scalar_map, SQL_SCALAR_MAP),
     "scalar_bitwise": Query(q_scalar_bitwise, SQL_SCALAR_BITWISE),
     "scalar_url": Query(q_scalar_url, SQL_SCALAR_URL),
     "scalar_array": Query(q_scalar_array, SQL_SCALAR_ARRAY),

@@ -49,7 +49,7 @@ def test_ungraded_and_new_queries_in_graded_window():
     # r4-latest overflow: registered after the 50-entry window filled;
     # first in line for the ROUND-5 rotation (see registry.py backlog note)
     must_grade -= {"window_rolling_slope", "window_rolling_median",
-                   "scalar_bitwise"}
+                   "scalar_bitwise", "scalar_map"}
     # round-4-new operators
     must_grade |= {
         "graph_triangles", "agg_mode", "text_bm25",
