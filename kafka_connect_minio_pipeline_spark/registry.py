@@ -80,7 +80,11 @@ _QUERY_MODULES = (
 #         order under the every-run local parity net.
 #
 # ROUND-5 ROTATION BACKLOG (window overflow — local-parity green, no
-# driver row yet; pin these FIRST next round): graph_degree_stats,
+# driver row yet). The backlog now EXCEEDS one 50-entry window; round-5
+# priority order: (1) never-driver-graded round-4 operators below, in
+# list order; (2) the three materially-changed re-grades at the end;
+# (3) anything left spills to round 6 under the every-run local nets.
+# Pin these FIRST next round: graph_degree_stats,
 # graph_lpa, pipeline_dq_checks, text_collocations, similarity_kmeans,
 # dedup_source_overlap, agg_benford, multimodal_wav_decode,
 # text_readability, agg_unpivot, multimodal_decode_errors,
