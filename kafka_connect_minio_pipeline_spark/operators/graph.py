@@ -174,12 +174,17 @@ def wedge_triangles(edges: DataFrame) -> DataFrame:
 def _adjacency(edges: DataFrame) -> DataFrame:
     """Per-node SORTED full-neighborhood arrays + degree — the
     edge-iterator representation: a pair scorer joins each edge against
-    the two endpoint rows (|V|-row relation, broadcastable at ~avg-deg·8
-    bytes per node) and intersects the arrays in place, replacing the
-    3-way wedge join's two extra shuffles with narrow array algebra.
-    Measured 7.6→5.3 s (Jaccard) / 9.0→~6 s (Adamic-Adar) at sf0.1; on a
-    graph whose hub adjacency outgrows a row, fall back to
-    :func:`wedge_triangles` (kept for the corner-counting operators)."""
+    the two endpoint rows and intersects the arrays in place, replacing
+    the 3-way wedge join's two extra shuffles with narrow array algebra
+    (measured 7.6→5.3 s Jaccard / 9.0→5.7 Adamic-Adar at sf0.1 WITH the
+    scorers' explicit broadcasts — the array column's size estimate
+    exceeds the auto threshold, so unhinted plans degrade to slower
+    shuffle joins at this scale). The REAL scale constraint is TOTAL
+    broadcast payload O(|E|) ids, and the explicit hint bypasses the
+    8 GB broadcast limit checks: on a graph whose edge multiset
+    outgrows executor broadcast budgets, switch the pair scorers back
+    to :func:`wedge_triangles` (kept for the corner-counting
+    operators) — a documented code choice, not an automatic fallback."""
     directed = edges.select(F.col("a").alias("s"), F.col("b").alias("d")).unionAll(
         edges.select(F.col("b").alias("s"), F.col("a").alias("d"))
     )
@@ -350,14 +355,15 @@ def edge_adamic_adar_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame
     neighbor counts far more than sharing a hub (neighborhood Jaccard's
     blind spot on graphs with popular nodes).
 
-    Same scale shape as :func:`edge_jaccard_topk`: candidates restricted
-    to adjacent pairs via the compact-forward triangle enumeration (|E|
-    candidates, never the quadratic wedge fanout), each triangle
-    crediting its three edges with the OPPOSITE corner as the common
-    neighbor. The 1/ln(deg) terms are float, so they're pre-rounded to
-    9 decimals and summed as exact DECIMAL(18,9) — order-free addition,
-    the entropy/zipf portability rule — before one rounded close.
-    Top-k is TakeOrdered; ids break score ties.
+    Same scale shape as :func:`edge_jaccard_topk`: candidates are the
+    adjacent pairs (|E|, never the quadratic wedge fanout), scored by
+    the edge-iterator design — broadcast adjacency arrays intersected
+    per edge, the common-neighbor LIST exploded, and each neighbor's
+    1/ln(deg) weight joined from the same adjacency relation. The
+    weights are float, so they're pre-rounded to 9 decimals and summed
+    as exact decimals — order-free addition, the entropy/zipf
+    portability rule — before one rounded close. Top-k is TakeOrdered;
+    ids break score ties.
     """
     adj = _adjacency(edges)
     common = (
@@ -375,10 +381,17 @@ def edge_adamic_adar_topk(edges: DataFrame, k: int = JACCARD_TOP_K) -> DataFrame
         )
         .select("a", "b", F.explode(F.array_intersect("na", "nb")).alias("c"))
     )
-    deg = sym_degrees(edges)
+    # the adjacency relation already carries each node's degree — reuse
+    # it for the common-neighbor weight instead of a second
+    # sym_degrees union+groupBy over the edge relation
     term = dec9(F.lit(1.0) / F.log(F.col("d").cast("double")))
     return (
-        common.join(F.broadcast(deg.select(F.col("node").alias("c"), "d")), "c")
+        common.join(
+            F.broadcast(
+                adj.select(F.col("s").alias("c"), F.col("deg").alias("d"))
+            ),
+            "c",
+        )
         .select("a", "b", term.alias("t"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"), F.sum("t").alias("aa_sum"))

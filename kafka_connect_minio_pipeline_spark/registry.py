@@ -102,8 +102,11 @@ _QUERY_MODULES = (
 # text_boilerplate_edges, agg_conversion_ci, sketch_kmv, graph_clustering,
 # scalar_map,
 # plus the
-# three rotated-out materially-changed re-grades (sketch_hll,
-# stream_hll, embedding_quantize).
+# materially-changed re-grades: sketch_hll, stream_hll,
+# embedding_quantize (rotated out mid-r4), and graph_jaccard +
+# graph_adamic_adar (pair scorers rewritten to adjacency-array
+# intersection AFTER the r4 validation runs — their existing driver
+# rows grade the old wedge-join code).
 _GRADE_FIRST = (
     "scalar_array",
     "window_rank",
