@@ -1,9 +1,12 @@
 """User-defined aggregate surface (SURVEY.md §2.4 UDF/UDAF row).
 
 The reference has zero UDFs — its one SMT decomposes into built-ins
-(SURVEY A8-A16) — so this module exists to prove the escape hatch: a
-GROUPED_AGG pandas UDF (Arrow-batched, whole group per call, no partial
-aggregation) for aggregation logic Spark's built-ins can't express.
+(SURVEY A8-A16) — so this module exists to prove the escape hatches:
+a GROUPED_AGG pandas UDF (Arrow-batched custom aggregate), a Python
+UDTF (row-generating table function), and an applyInPandas GROUPED MAP
+(whole group in, transformed rows out) — each registered beside a
+built-in twin or SQL oracle so the Python boundary's cost and
+exactness story is measured, not assumed.
 
 Exactness design: float sums are order-dependent and group row order is
 not deterministic across shuffles, so the kernel does its arithmetic on
