@@ -1206,10 +1206,89 @@ SQL_AGG_CONVERSION_CI = f"""
 """
 
 
+TRIM_PCT = 10  # percent trimmed from EACH tail
+
+
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment 10%-trimmed mean of account balance — the robust
+    average that survives whales and write-off outliers where the plain
+    mean swings (and the standard robust-location estimator between
+    mean and median).
+
+    Trim bounds are RANK-based and exact: per-segment row_number + count
+    over one window pass, keep ranks in (⌊n·p⌋, n−⌊n·p⌋], close the mean
+    from cent-exact decimal sums — the rank window and the closing
+    groupBy share the single segment-keyed exchange (the topk_share
+    envelope). Plain mean reported beside it so the robustness delta is
+    visible in the same row.
+    """
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wall = Window.partitionBy("c_mktsegment")
+    ranked = cust.select(
+        "c_mktsegment",
+        dec2(F.col("c_acctbal")).alias("bal"),
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wall).alias("n"),
+    )
+    cut = F.floor(F.col("n") * TRIM_PCT / 100).cast("long")
+    keep = (F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut)
+    kept_bal = F.when(keep, F.col("bal")).otherwise(F.lit(0).cast("decimal(18,2)"))
+    base = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        F.sum("bal").cast("double").alias("sum_all"),
+        F.sum(kept_bal).cast("double").alias("sum_kept"),
+    )
+    return base.select(
+        "c_mktsegment",
+        "n_rows",
+        "n_kept",
+        F.round(F.col("sum_all") / F.col("n_rows").cast("double"), 6).alias(
+            "mean_bal"
+        ),
+        F.when(
+            F.col("n_kept") > 0,
+            F.round(F.col("sum_kept") / F.col("n_kept").cast("double"), 6),
+        ).alias("trimmed_mean_bal"),
+    )
+
+
+SQL_AGG_TRIMMED_MEAN = f"""
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey) AS rk,
+               COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer),
+    base AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN rk > n * {TRIM_PCT} // 100
+                                  AND rk <= n - n * {TRIM_PCT} // 100
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(bal) AS DOUBLE) AS sum_all,
+               CAST(SUM(CASE WHEN rk > n * {TRIM_PCT} // 100
+                                  AND rk <= n - n * {TRIM_PCT} // 100
+                             THEN bal ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS sum_kept
+        FROM ranked GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n_rows, n_kept,
+           ROUND(sum_all / CAST(n_rows AS DOUBLE), 6) AS mean_bal,
+           CASE WHEN n_kept > 0
+                THEN ROUND(sum_kept / CAST(n_kept AS DOUBLE), 6)
+           END AS trimmed_mean_bal
+    FROM base
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
     "agg_topk_share": Query(q_agg_topk_share, SQL_AGG_TOPK_SHARE),
     "agg_conversion_ci": Query(q_agg_conversion_ci, SQL_AGG_CONVERSION_CI),
+    "agg_trimmed_mean": Query(q_agg_trimmed_mean, SQL_AGG_TRIMMED_MEAN),
     "agg_entropy": Query(q_agg_entropy, SQL_AGG_ENTROPY),
     "agg_skewkurt": Query(q_agg_skewkurt, SQL_AGG_SKEWKURT),
     "agg_gini": Query(q_agg_gini, SQL_AGG_GINI),

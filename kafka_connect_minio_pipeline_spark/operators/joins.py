@@ -171,6 +171,62 @@ SQL_JOIN_RANGE = """
 """
 
 
+def q_join_role_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLE-PLAYING dimension join (the TPC-H Q7 shape): the same nation
+    dimension participates twice under different roles — the customer's
+    nation and the supplier's nation — giving trade volume by ordered
+    (cust_nation, supp_nation) pair. The alias-disambiguation pattern
+    every star schema needs for date/geo dims reused across roles.
+
+    Plan: lineitem joins supplier (broadcast) and its order's customer;
+    the nation dim broadcasts TWICE under distinct aliases — two
+    independent BroadcastHashJoins over the same 25-row relation, zero
+    fact-side shuffle for either role. Revenue sums are the cent-exact
+    decimals; one partial-agg shuffle closes the pair matrix.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", revenue(
+            F.col("l_extendedprice"), F.col("l_discount")
+        ).alias("rev")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation_c = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    nation_s = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_JOIN_ROLE_DIMS = f"""
+    SELECT nc.n_name AS cust_nation,
+           ns.n_name AS supp_nation,
+           {SQL_SUM_REVENUE} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    GROUP BY nc.n_name, ns.n_name
+"""
+
+
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every purchase event, the latest click by the same
     user at-or-before the purchase timestamp.
@@ -654,6 +710,7 @@ SQL_JOIN_CDC_MERGE = f"""
 QUERIES = {
     "join_cdc_merge": Query(q_join_cdc_merge, SQL_JOIN_CDC_MERGE),
     "join_asof_nearest": Query(q_join_asof_nearest, SQL_JOIN_ASOF_NEAREST),
+    "join_role_dims": Query(q_join_role_dims, SQL_JOIN_ROLE_DIMS),
     "join_inner_revenue": Query(q_join_inner_revenue, SQL_JOIN_INNER, headline=True),
     "join_left_order_counts": Query(q_join_left_order_counts, SQL_JOIN_LEFT),
     "join_semi": Query(q_join_semi, SQL_JOIN_SEMI),
