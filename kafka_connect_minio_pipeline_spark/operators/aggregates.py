@@ -1284,11 +1284,122 @@ SQL_AGG_TRIMMED_MEAN = f"""
 """
 
 
+def q_agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey outlier fences per segment: rank-exact quartiles (type-1,
+    value at rank ⌈p·n⌉ — no interpolation, so cross-engine exact),
+    IQR, the 1.5·IQR fences, and how many rows fall outside each — the
+    boxplot-and-flag report robust monitoring is built on.
+
+    One rank window per segment (shared exchange with the closing
+    rollup, the trimmed-mean envelope): the quartile values surface via
+    conditional MAX window functions at the two target ranks, fences
+    close per row, and the outlier counts fold into the final segment
+    rollup — no second scan, no join-back.
+    """
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wall = Window.partitionBy("c_mktsegment")
+    n = F.count("*").over(wall)
+    ranked = cust.select(
+        "c_mktsegment",
+        dec2(F.col("c_acctbal")).alias("bal"),
+        F.row_number().over(w).alias("rk"),
+        F.ceil(n * F.lit(0.25)).alias("r1"),
+        F.ceil(n * F.lit(0.75)).alias("r3"),
+    )
+    # two stacked selects over the SAME partition spec: quartiles first,
+    # then fences + outlier indicators over the quartile columns —
+    # Catalyst plans both Window passes behind ONE exchange + sort (the
+    # sessionize precedent), and the closing groupBy collapses each
+    # segment's identical rows. No join-back, no second scan.
+    quart = ranked.select(
+        "c_mktsegment",
+        "bal",
+        F.max(F.when(F.col("rk") == F.col("r1"), F.col("bal")))
+        .over(wall)
+        .cast("double")
+        .alias("q1"),
+        F.max(F.when(F.col("rk") == F.col("r3"), F.col("bal")))
+        .over(wall)
+        .cast("double")
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(1.5) * iqr
+    hi = F.col("q3") + F.lit(1.5) * iqr
+    return (
+        quart.select(
+            "c_mktsegment",
+            "bal",
+            "q1",
+            "q3",
+            lo.alias("fence_lo"),
+            hi.alias("fence_hi"),
+        )
+        .groupBy("c_mktsegment", "q1", "q3", "fence_lo", "fence_hi")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("bal").cast("double") < F.col("fence_lo"), 1).otherwise(0)
+            ).alias("n_below"),
+            F.sum(
+                F.when(F.col("bal").cast("double") > F.col("fence_hi"), 1).otherwise(0)
+            ).alias("n_above"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_rows",
+            "q1",
+            "q3",
+            F.round("fence_lo", 6).alias("fence_lo"),
+            F.round("fence_hi", 6).alias("fence_hi"),
+            "n_below",
+            "n_above",
+        )
+    )
+
+
+SQL_AGG_TUKEY = """
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey) AS rk,
+               CAST(CEIL(COUNT(*) OVER (PARTITION BY c_mktsegment) * 0.25)
+                    AS BIGINT) AS r1,
+               CAST(CEIL(COUNT(*) OVER (PARTITION BY c_mktsegment) * 0.75)
+                    AS BIGINT) AS r3
+        FROM customer),
+    base AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MAX(CASE WHEN rk = r1 THEN bal END) AS DOUBLE) AS q1,
+               CAST(MAX(CASE WHEN rk = r3 THEN bal END) AS DOUBLE) AS q3
+        FROM ranked GROUP BY c_mktsegment),
+    fences AS (
+        SELECT c_mktsegment, n_rows, q1, q3,
+               q1 - 1.5 * (q3 - q1) AS fence_lo,
+               q3 + 1.5 * (q3 - q1) AS fence_hi
+        FROM base)
+    SELECT f.c_mktsegment, f.n_rows, f.q1, f.q3,
+           ROUND(f.fence_lo, 6) AS fence_lo,
+           ROUND(f.fence_hi, 6) AS fence_hi,
+           CAST(SUM(CASE WHEN CAST(r.bal AS DOUBLE) < f.fence_lo
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN CAST(r.bal AS DOUBLE) > f.fence_hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM ranked r JOIN fences f USING (c_mktsegment)
+    GROUP BY f.c_mktsegment, f.n_rows, f.q1, f.q3, f.fence_lo, f.fence_hi
+"""
+
+
 QUERIES = {
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
     "agg_topk_share": Query(q_agg_topk_share, SQL_AGG_TOPK_SHARE),
     "agg_conversion_ci": Query(q_agg_conversion_ci, SQL_AGG_CONVERSION_CI),
     "agg_trimmed_mean": Query(q_agg_trimmed_mean, SQL_AGG_TRIMMED_MEAN),
+    "agg_tukey_fences": Query(q_agg_tukey_fences, SQL_AGG_TUKEY),
     "agg_entropy": Query(q_agg_entropy, SQL_AGG_ENTROPY),
     "agg_skewkurt": Query(q_agg_skewkurt, SQL_AGG_SKEWKURT),
     "agg_gini": Query(q_agg_gini, SQL_AGG_GINI),

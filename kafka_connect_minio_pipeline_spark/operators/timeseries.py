@@ -2068,8 +2068,90 @@ SQL_TS_RUNS_TEST = """
 """
 
 
+def q_ts_silence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTAGE detection: maximal runs of ZERO-event hours per series,
+    with start/end/duration — the complement of the activity islands
+    (ts_islands finds when a series was alive; ops wants when it went
+    DARK, which only exists on the gapless generated grid where a
+    silent hour is a row, not an absence).
+
+    Hourly collapse once (the data-sized shuffle), then the islands
+    trick on the zero hours: hour-index − row_number within the silent
+    subset is constant per maximal silent run — one per-series window,
+    one bounded rollup. Everything after the collapse is
+    wall-clock-sized.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).alias("y")
+    )
+    silent = dense.filter(F.col("y") == 0)
+    hidx = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', hour)"
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy("hour")
+    runs = silent.select(
+        "event_type",
+        "hour",
+        (hidx - F.row_number().over(w)).alias("run_key"),
+    )
+    return (
+        runs.groupBy("event_type", "run_key")
+        .agg(
+            F.min("hour").cast("timestamp_ntz").alias("dark_from"),
+            F.max("hour").cast("timestamp_ntz").alias("dark_to"),
+            F.count("*").alias("n_dark_hours"),
+        )
+        .drop("run_key")
+    )
+
+
+SQL_TS_SILENCE = """
+    WITH hourly AS (
+        SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    bounds AS (
+        SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM hourly GROUP BY event_type),
+    grid AS (
+        SELECT event_type,
+               UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds),
+    dense AS (
+        SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS y
+        FROM grid g LEFT JOIN hourly h
+          ON g.event_type = h.event_type AND g.hour = h.hour),
+    runs AS (
+        SELECT event_type, hour,
+               DATE_DIFF('hour', TIMESTAMP '2024-01-01 00:00:00', hour)
+                 - ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY hour) AS run_key
+        FROM dense WHERE y = 0)
+    SELECT event_type,
+           MIN(hour) AS dark_from,
+           MAX(hour) AS dark_to,
+           CAST(COUNT(*) AS BIGINT) AS n_dark_hours
+    FROM runs
+    GROUP BY event_type, run_key
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
+    "ts_silence_windows": Query(q_ts_silence_windows, SQL_TS_SILENCE),
     "ts_runs_test": Query(q_ts_runs_test, SQL_TS_RUNS_TEST),
     "ts_dow_hour_heatmap": Query(q_ts_dow_hour_heatmap, SQL_TS_DOW_HOUR),
     "ts_survival": Query(
