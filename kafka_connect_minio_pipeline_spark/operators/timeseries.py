@@ -2149,9 +2149,84 @@ SQL_TS_SILENCE = """
 """
 
 
+def q_ts_uptime_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series availability rollup — the SLO one-liner ops actually
+    reads: covered hours, dark hours, availability %, number of
+    outages, and the longest outage, all from the silence-window
+    machinery in one more bounded aggregation. Availability is an
+    exact integer ratio rounded once; a series with no dark hours
+    reports zero outages and availability 1.0 (explicitly, via the
+    left join against the grid totals — silence rows alone would drop
+    it).
+    """
+    dark = q_ts_silence_windows(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    totals = (
+        ev.groupBy("event_type")
+        .agg(
+            (
+                F.expr(
+                    "timestampdiff(HOUR, date_trunc('hour', min(ts)),"
+                    " date_trunc('hour', max(ts)))"
+                )
+                + F.lit(1)
+            ).alias("n_hours")
+        )
+    )
+    outages = dark.groupBy("event_type").agg(
+        F.count("*").alias("n_outages"),
+        F.sum("n_dark_hours").alias("dark_hours"),
+        F.max("n_dark_hours").alias("longest_outage_h"),
+    )
+    return (
+        totals.join(outages, "event_type", "left")
+        .select(
+            "event_type",
+            "n_hours",
+            F.coalesce("n_outages", F.lit(0)).alias("n_outages"),
+            F.coalesce("dark_hours", F.lit(0)).alias("dark_hours"),
+            F.coalesce("longest_outage_h", F.lit(0)).alias("longest_outage_h"),
+            F.round(
+                (F.col("n_hours") - F.coalesce("dark_hours", F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_hours").cast("double"),
+                6,
+            ).alias("availability"),
+        )
+    )
+
+
+SQL_TS_UPTIME = f"""
+    WITH dark AS ({{silence}}),
+    totals AS (
+        SELECT event_type,
+               DATE_DIFF('hour', DATE_TRUNC('hour', MIN(ts)),
+                         DATE_TRUNC('hour', MAX(ts))) + 1 AS n_hours
+        FROM events GROUP BY event_type),
+    outages AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_outages,
+               CAST(SUM(n_dark_hours) AS BIGINT) AS dark_hours,
+               CAST(MAX(n_dark_hours) AS BIGINT) AS longest_outage_h
+        FROM dark GROUP BY event_type)
+    SELECT t.event_type,
+           CAST(t.n_hours AS BIGINT) AS n_hours,
+           COALESCE(o.n_outages, 0) AS n_outages,
+           COALESCE(o.dark_hours, 0) AS dark_hours,
+           COALESCE(o.longest_outage_h, 0) AS longest_outage_h,
+           ROUND(CAST(t.n_hours - COALESCE(o.dark_hours, 0) AS DOUBLE)
+                 / CAST(t.n_hours AS DOUBLE), 6) AS availability
+    FROM totals t LEFT JOIN outages o USING (event_type)
+"""
+
+
 QUERIES = {
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
     "ts_silence_windows": Query(q_ts_silence_windows, SQL_TS_SILENCE),
+    "ts_uptime_report": Query(
+        q_ts_uptime_report, SQL_TS_UPTIME.format(silence=SQL_TS_SILENCE)
+    ),
     "ts_runs_test": Query(q_ts_runs_test, SQL_TS_RUNS_TEST),
     "ts_dow_hour_heatmap": Query(q_ts_dow_hour_heatmap, SQL_TS_DOW_HOUR),
     "ts_survival": Query(

@@ -101,7 +101,7 @@ _QUERY_MODULES = (
 # udf_grouped_znorm (+_builtin), join_asof_nearest, ts_runs_test,
 # text_boilerplate_edges, agg_conversion_ci, sketch_kmv, graph_clustering,
 # scalar_map, join_role_dims, agg_trimmed_mean, ts_silence_windows,
-# agg_tukey_fences,
+# agg_tukey_fences, ts_uptime_report,
 # plus the
 # materially-changed re-grades: sketch_hll, stream_hll,
 # embedding_quantize (rotated out mid-r4), and graph_jaccard +
