@@ -940,13 +940,19 @@ def q_text_boilerplate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
+    # Footer start is clamped to 1: Spark's slice(toks, -k, k) returns []
+    # when |toks| < k (md5('') — every short doc would falsely cluster as
+    # one shared footer), while the oracle's toks[-k:] returns the whole
+    # list. greatest(1, |toks|-k+1) makes both engines take the full
+    # token list for short docs — the cross-engine exactness contract.
+    footer_start = F.greatest(F.lit(1), F.size(toks) - F.lit(EDGE_TOKENS - 1))
     staged = docs.select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.slice(toks, 1, EDGE_TOKENS))).alias("header_fp"),
         F.md5(
             F.concat_ws(
                 " ",
-                F.slice(toks, -EDGE_TOKENS, EDGE_TOKENS),
+                F.slice(toks, footer_start, EDGE_TOKENS),
             )
         ).alias("footer_fp"),
     )
@@ -967,8 +973,13 @@ def q_text_boilerplate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_BOILERPLATE = f"""
     WITH staged AS (
         SELECT doc_id,
-               md5(array_to_string(toks[1:{EDGE_TOKENS}], ' ')) AS header_fp,
-               md5(array_to_string(toks[-{EDGE_TOKENS}:], ' ')) AS footer_fp
+               -- COALESCE: DuckDB's array_to_string([]) is NULL where
+               -- Spark's concat_ws is '' — zero-token docs must hash to
+               -- md5('') in both engines
+               md5(COALESCE(array_to_string(toks[1:{EDGE_TOKENS}], ' '), ''))
+                   AS header_fp,
+               md5(COALESCE(array_to_string(toks[-{EDGE_TOKENS}:], ' '), ''))
+                   AS footer_fp
         FROM (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks
               FROM documents)),
     edges AS (

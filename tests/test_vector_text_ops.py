@@ -111,3 +111,52 @@ def test_bpe_pairs_count_multiplicity(spark, tmp_path):
     got = {r.pair: r.n_occ for r in q_text_bpe_pairs(spark, str(tmp_path)).collect()}
     # 'aaa' → aa twice; 'ab' ×3 → ab 3; 'bb' once; 1-char 'x' contributes none
     assert got == {"aa": 2, "ab": 3, "bb": 1}
+
+
+def test_boilerplate_footer_short_docs_cross_engine(spark, tmp_path):
+    """ADVICE r4 regression: for docs shorter than EDGE_TOKENS the footer
+    fingerprint must hash the FULL token list (DuckDB toks[-k:] semantics),
+    not md5('') — an unguarded Spark slice(toks, -k, k) returns [] on short
+    docs, falsely clustering every short doc as one shared footer. Checked
+    cross-engine on a corpus of 0/1/2/3-token docs plus genuine repeats."""
+    import duckdb
+
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        SQL_TEXT_BOILERPLATE,
+        q_text_boilerplate_edges,
+    )
+    from tests.oracle_utils import _canon
+
+    rows = [
+        (1, "alpha beta gamma"),      # 3-token repeat → shared header+footer
+        (2, "alpha beta gamma"),
+        (3, "solo"),                  # 1-token repeat
+        (4, "solo"),
+        (5, ""),                      # empty docs: md5('') both engines
+        (6, ""),
+        (7, "only once short"),       # short but unique → must NOT surface
+        (8, "a proper five token document here"),  # long repeat (control)
+        (9, "a proper five token document here"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = q_text_boilerplate_edges(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        want = con.execute(SQL_TEXT_BOILERPLATE).fetchdf()
+    finally:
+        con.close()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got) == _canon(want)
+    # the unguarded bug collapses docs 3,4,5,6,7 into one md5('') footer
+    # group of 5; the guarded form keeps ''-docs and 'solo'-docs distinct
+    by_edge = {
+        (r.edge, r.n_docs) for r in got.itertuples()
+    }
+    assert ("footer", 5) not in by_edge
+    assert ("footer", 2) in by_edge  # each genuine repeat pair surfaces
