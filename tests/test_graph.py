@@ -198,3 +198,32 @@ def test_clustering_closed_forms(spark):
     assert all(got[n] == 1.0 for n in (1, 2, 3, 4))
     assert got[10] == 0.0
     assert got[11] is None
+
+
+def test_pair_scorer_paths_identical_sf001(spark):
+    """VERDICT r4 item 2 done-criterion: broadcast and wedge paths must
+    produce bit-identical top-k rows at sf0.01 (integer counts, one
+    double close, decimal order-free sums — nothing order-sensitive)."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        edge_adamic_adar_topk,
+        edge_jaccard_topk,
+        part_cooccurrence_edges,
+    )
+
+    edges = part_cooccurrence_edges(spark, "/root/testdata/sf0.01")
+    for fn in (edge_jaccard_topk, edge_adamic_adar_topk):
+        b = fn(edges, mode="broadcast").collect()
+        w = fn(edges, mode="wedge").collect()
+        assert b == w, (fn.__name__, b[:3], w[:3])
+
+
+def test_pair_scorer_rejects_unknown_mode(spark, sf_dir):
+    import pytest as _pytest
+
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        edge_jaccard_topk,
+        part_cooccurrence_edges,
+    )
+
+    with _pytest.raises(ValueError, match="unknown pair-scorer mode"):
+        edge_jaccard_topk(part_cooccurrence_edges(spark, sf_dir), mode="turbo")

@@ -920,3 +920,29 @@ def test_survival_curve_windows_are_bounded_only(spark, sf_dir):
     plan = formatted_plan(q_ts_survival(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_pair_scorer_broadcast_gated_by_session_budget(spark, sf_dir):
+    """The adjacency broadcast is no longer an unconditional hint: auto
+    mode broadcasts only when the O(|E|) payload fits the
+    autoBroadcastJoinThreshold-scaled budget, and a session that
+    DISABLES broadcast joins (threshold -1) must get a plan with no
+    broadcast exchange anywhere — the wedge formulation."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        _adjacency_fits_broadcast,
+        edge_jaccard_topk,
+        part_cooccurrence_edges,
+    )
+
+    edges = part_cooccurrence_edges(spark, sf_dir)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        assert _adjacency_fits_broadcast(edges)
+        assert_in_plan(edge_jaccard_topk(edges), "BroadcastHashJoin")
+        spark.conf.set(key, "-1")
+        assert not _adjacency_fits_broadcast(edges)
+        plan = formatted_plan(edge_jaccard_topk(edges))
+        assert "Broadcast" not in plan, plan
+    finally:
+        spark.conf.set(key, old)
