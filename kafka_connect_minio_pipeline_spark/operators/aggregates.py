@@ -1394,7 +1394,169 @@ SQL_AGG_TUKEY = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+BOOT_B = 100  # bootstrap replicates
+BOOT_LO_RANK = 3  # ceil(0.025 * B): lower 95% CI bound (discrete quantile)
+BOOT_HI_RANK = 98  # ceil(0.975 * B)
+# Cumulative Poisson(1) CDF scaled to the 60-bit hash space, floor'd to
+# exact integer literals: replicate weights come from ONE integer
+# comparison chain per (row, replicate) — no float anywhere in the draw,
+# so Spark and DuckDB produce identical weights by construction.
+# P(X<=k) for k=0..7; residual mass above 7 (~1e-5) caps the weight at 8.
+_POIS_T = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+    1152909688087595776,
+)
+
+
+def _poisson_weight(h):
+    """Inverse-CDF Poisson(1) draw from a 60-bit uniform hash column."""
+    w = F.lit(8)
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(h < F.lit(_POIS_T[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+_SQL_POIS_CASE = (
+    "CASE "
+    + " ".join(f"WHEN h < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    + " ELSE 8 END"
+)
+
+
+def q_agg_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean per-line revenue
+    (1995Q1) via the POISSON bootstrap — the resampling scheme that
+    actually works on distributed data: the classic bootstrap needs n
+    draws from a global index (one shuffle per replicate), while
+    Poisson(1) weights are independent per row, so ALL B replicates
+    materialize in one pass — each row explodes into (row, b) with a
+    deterministic hash-drawn weight, then one partial-aggregated
+    groupBy b. This is the standard large-scale uncertainty estimate
+    for pipeline metrics ("did mean revenue / doc quality really move
+    between snapshots, or is it inside the noise?").
+
+    Exactness: weights come from integer threshold comparisons on the
+    portable 60-bit hash (no float in the draw); each replicate's
+    weighted revenue sum is exact decimal; the replicate MEANS are one
+    identical double tree; the CI bounds are discrete order statistics
+    (rank 3 / 98 of 100) — no quantile interpolation to diverge on.
+    Scale: B multiplies map-side work only; the shuffle carries
+    B × partitions partial rows and the close runs on B rows. The
+    shipdate filter prunes at the parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1995-03-31")
+    )
+    x = dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))
+    staged = li.select(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+        x.alias("x"),
+    )
+    rep = staged.select(
+        "rk", "x", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("rk"), F.col("b").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    means = (
+        rep.select("b", _poisson_weight(h).alias("w"), "x")
+        .groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("sx"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select(
+            "b",
+            (F.col("sx").cast("double") / F.col("sw").cast("double")).alias("m"),
+        )
+    )
+    ranked = means.select(
+        "m",
+        "b",
+        F.row_number().over(Window.orderBy(F.col("m").asc(), F.col("b").asc())).alias("r"),
+    )
+    point = staged.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum("x").cast("double") / F.count("*")).alias("point_mean"),
+    )
+    ci = ranked.agg(
+        F.round(F.min(F.when(F.col("r") == BOOT_LO_RANK, F.col("m"))), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.min(F.when(F.col("r") == BOOT_HI_RANK, F.col("m"))), 6).alias(
+            "ci_hi"
+        ),
+        F.count("*").alias("n_replicates"),
+    )
+    return (
+        point.crossJoin(ci)
+        .filter(F.col("n_rows") > 0)
+        .select(
+            "n_rows",
+            F.round("point_mean", 6).alias("point_mean"),
+            "ci_lo",
+            "ci_hi",
+            "n_replicates",
+        )
+    )
+
+
+SQL_AGG_POISSON_BOOTSTRAP = f"""
+    WITH staged AS (
+        SELECT CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR) AS rk,
+               CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2))) AS x
+        FROM lineitem
+        WHERE l_shipdate >= '1995-01-01' AND l_shipdate <= '1995-03-31'),
+    rep AS (
+        SELECT rk, x, b,
+               ('0x' || substr(md5(rk || '|' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM staged CROSS JOIN (SELECT UNNEST(RANGE({BOOT_B})) AS b)),
+    means AS (
+        SELECT b,
+               CAST(SUM(({_SQL_POIS_CASE}) * x) AS DOUBLE)
+                   / CAST(SUM({_SQL_POIS_CASE}) AS DOUBLE) AS m
+        FROM rep GROUP BY b
+        HAVING SUM({_SQL_POIS_CASE}) > 0),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC, b ASC) AS r FROM means),
+    point AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(x) AS DOUBLE) / COUNT(*) AS point_mean
+        FROM staged),
+    ci AS (
+        SELECT ROUND(MIN(CASE WHEN r = {BOOT_LO_RANK} THEN m END), 6) AS ci_lo,
+               ROUND(MIN(CASE WHEN r = {BOOT_HI_RANK} THEN m END), 6) AS ci_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_replicates
+        FROM ranked)
+    SELECT n_rows, ROUND(point_mean, 6) AS point_mean, ci_lo, ci_hi, n_replicates
+    FROM point CROSS JOIN ci
+    WHERE n_rows > 0
+"""
+
+
 QUERIES = {
+    "agg_poisson_bootstrap": Query(
+        q_agg_poisson_bootstrap, SQL_AGG_POISSON_BOOTSTRAP
+    ),
     "agg_mode": Query(q_agg_mode, SQL_AGG_MODE),
     "agg_topk_share": Query(q_agg_topk_share, SQL_AGG_TOPK_SHARE),
     "agg_conversion_ci": Query(q_agg_conversion_ci, SQL_AGG_CONVERSION_CI),

@@ -808,7 +808,94 @@ def _split_leakage_sql() -> str:
 """
 
 
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 25  # docs kept per source
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = WSAMPLE_K,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group —
+    the Efraimidis-Spirakis A-ES scheme: each row draws a reproducible
+    uniform u from the portable hash and the k rows with the largest
+    key u^(1/w) are an exact weight-proportional sample. Keys are
+    compared as ln(u)/w (monotone transform, one double tree both
+    engines evaluate bit-identically), so heavier documents win
+    proportionally more often while any single run stays rerun-identical
+    on any cluster size — the quality-weighted subsampling step of a
+    curation pipeline ("keep 25 docs per source, favor longer ones")
+    with no RNG state and no driver pass.
+
+    Scale shape: one narrow projection (hash + one ln per row), one
+    rank-k window per group. Spark's WindowGroupLimit rewrite turns the
+    row_number ≤ k filter into per-partition partial top-k BEFORE the
+    exchange, so the shuffle carries at most k·partitions rows per
+    group, not the corpus — the two-phase distributed top-k for free
+    (plan-pinned in tests/test_plans.py). Weights are clamped to ≥1:
+    weight 0 would make the key -inf but still sampleable; the clamp
+    keeps the total order clean.
+    """
+    u = (
+        _portable_hash(F.concat(F.lit("ws|"), F.col(id_col).cast("string")))
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_HASH_SPACE))
+    w = F.greatest(F.lit(1), F.col(weight_col)).cast("double")
+    key = F.log(u) / w
+    staged = df.select(
+        group_col, id_col, F.col(weight_col).alias("weight"), key.alias("k")
+    )
+    win = Window.partitionBy(group_col).orderBy(F.col("k").desc(), id_col)
+    return (
+        staged.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            group_col,
+            id_col,
+            "weight",
+            "sample_rank",
+            F.round("k", 9).alias("sample_key"),
+        )
+    )
+
+
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: 25 docs per source, weight ∝ n_chars."""
+    return weighted_sample_per_group(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    )
+
+
+SQL_CORPUS_WEIGHTED_SAMPLE = f"""
+    WITH staged AS (
+        SELECT source, doc_id, n_chars AS weight,
+               LN((CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT AS DOUBLE) + 1.0)
+                  / {float(1 << 60)!r})
+               / CAST(GREATEST(1, n_chars) AS DOUBLE) AS k
+        FROM documents),
+    ranked AS (
+        SELECT source, doc_id, weight, k,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY k DESC, doc_id)
+                    AS INTEGER) AS sample_rank
+        FROM staged)
+    SELECT source, doc_id, weight, sample_rank, ROUND(k, 9) AS sample_key
+    FROM ranked WHERE sample_rank <= {WSAMPLE_K}
+"""
+
+
 QUERIES = {
+    "corpus_weighted_sample": Query(
+        q_corpus_weighted_sample, SQL_CORPUS_WEIGHTED_SAMPLE
+    ),
     "corpus_split_leakage": Query(q_corpus_split_leakage, _split_leakage_sql()),
     "corpus_shard_skew": Query(q_corpus_shard_skew, SQL_CORPUS_SHARD_SKEW),
     "corpus_mix_epochs": Query(q_corpus_mix_epochs, _sql_corpus_mix_epochs()),

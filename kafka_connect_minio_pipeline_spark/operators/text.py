@@ -994,7 +994,95 @@ SQL_TEXT_BOILERPLATE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# unigram LM quality score (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram language-model score — the CCNet-style
+    quality filter: train a unigram LM on the corpus itself (add-one
+    smoothed), score every document by mean negative log-likelihood per
+    token, and surface perplexity. Documents full of rare/garbled tokens
+    score high (surprising under the corpus distribution) and get cut;
+    this is the standard first statistical quality gate of a
+    web-scale curation pipeline, one notch above heuristic ratios
+    (`text_quality`) and far cheaper than a neural scorer.
+
+    Two corpus passes, both collapsing early: (1) the unigram table —
+    one partial-aggregated groupBy token (vocabulary-sized output);
+    (2) per-doc (doc, token, tf) counts joined against the unigram
+    table on token (vocabulary-sized build side, shuffle join — AQE
+    broadcasts it when small) and one groupBy doc_id. The corpus-sized
+    relations never meet each other, only the vocab relation. Exactness:
+    each tf·ln p term is rounded to 9 decimals and summed as exact
+    decimal (order-free — the dec9 portability rule), one double close.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    unigram = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    stats = unigram.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("vocab")
+    )
+    ln_p = F.log(
+        (F.col("cnt").cast("double") + F.lit(1.0))
+        / (F.col("n_total").cast("double") + F.col("vocab").cast("double"))
+    )
+    term = dec9(F.col("tf").cast("double") * ln_p)
+    per_doc = (
+        tf.join(unigram, "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_tokens"), F.sum(term).alias("s"))
+    )
+    nll = -(F.col("s").cast("double")) / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(nll, 6).alias("nll_per_token"),
+        F.round(F.exp(nll), 4).alias("ppl"),
+    )
+
+
+SQL_TEXT_UNIGRAM_LOGPROB = f"""
+    WITH tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, UNNEST({{toks}}) AS token FROM documents)
+        GROUP BY doc_id, token),
+    unigram AS (
+        SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+    stats AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM unigram),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               SUM(CAST(ROUND(CAST(tf AS DOUBLE)
+                              * LN((CAST(cnt AS DOUBLE) + 1.0)
+                                   / (CAST(n_total AS DOUBLE)
+                                      + CAST(vocab AS DOUBLE))), 9)
+                        AS DECIMAL(28,9))) AS s
+        FROM tf JOIN unigram USING (token) CROSS JOIN stats
+        GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           ROUND(-(CAST(s AS DOUBLE)) / CAST(n_tokens AS DOUBLE), 6)
+               AS nll_per_token,
+           ROUND(EXP(-(CAST(s AS DOUBLE)) / CAST(n_tokens AS DOUBLE)), 4)
+               AS ppl
+    FROM per_doc
+"""
+
+
 QUERIES = {
+    "text_unigram_logprob": Query(
+        q_text_unigram_logprob,
+        SQL_TEXT_UNIGRAM_LOGPROB.format(toks=SQL_TOKENS.format(col="text")),
+    ),
     "text_boilerplate_edges": Query(
         q_text_boilerplate_edges, SQL_TEXT_BOILERPLATE
     ),

@@ -86,8 +86,10 @@ _QUERY_MODULES = (
 # agg_conversion_ci, sketch_kmv, scalar_map, join_role_dims,
 # agg_trimmed_mean, ts_silence_windows, agg_tukey_fences,
 # ts_uptime_report, plus the r4 materially-changed re-grades that have
-# waited two rounds: sketch_hll, stream_hll, embedding_quantize, and
-# any query materially changed during round 5 itself.
+# waited two rounds: sketch_hll, stream_hll, embedding_quantize, the
+# round-5-new operators (corpus_weighted_sample, text_unigram_logprob,
+# agg_poisson_bootstrap — local-parity green at sf0.001 AND sf0.01 on
+# landing), and any query materially changed during round 5 itself.
 _GRADE_FIRST = (
     "graph_jaccard",
     "graph_adamic_adar",

@@ -68,6 +68,10 @@ def test_ungraded_and_new_queries_in_graded_window():
         "agg_conversion_ci", "sketch_kmv", "scalar_map", "join_role_dims",
         "agg_trimmed_mean", "ts_silence_windows", "agg_tukey_fences",
         "ts_uptime_report",
+        # round-5-new operators: registered after the r5 window was
+        # pinned; first in line for r6 alongside the stale re-grades
+        "corpus_weighted_sample", "text_unigram_logprob",
+        "agg_poisson_bootstrap",
     }
     missing = (never - r6_spill) - set(window)
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
