@@ -227,3 +227,19 @@ def test_pair_scorer_rejects_unknown_mode(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="unknown pair-scorer mode"):
         edge_jaccard_topk(part_cooccurrence_edges(spark, sf_dir), mode="turbo")
+
+
+def test_conf_bytes_parses_spark_size_formats():
+    """Every format Spark emits for a size conf must parse: bare bytes,
+    b/k/m/g suffixes (what spark.conf.get returns varies by how the conf
+    was set), and -1 (broadcast disabled)."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import _conf_bytes
+
+    assert _conf_bytes("10485760") == 10 << 20
+    assert _conf_bytes("10485760b") == 10 << 20
+    assert _conf_bytes("10MB") == 10 << 20
+    assert _conf_bytes("10m") == 10 << 20
+    assert _conf_bytes("1g") == 1 << 30
+    assert _conf_bytes("512k") == 512 << 10
+    assert _conf_bytes("-1") == -1
+    assert _conf_bytes(" 2gb ") == 2 << 30

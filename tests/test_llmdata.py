@@ -534,3 +534,51 @@ def test_shard_skew_shares_sum_to_one(spark, sf_dir):
         n_shards[r["split"]] = n_shards.get(r["split"], 0) + 1
     for split, s in by_split.items():
         assert abs(s - 1.0) <= 5e-7 * n_shards[split] + 1e-9, (split, s)
+
+
+def test_weighted_sample_favors_heavy_docs(spark, tmp_path):
+    """A-ES contract: with one overwhelming weight the heavy doc must be
+    sampled (rank 1 — its key ln(u)/w is ~0, beating any unit-weight
+    key), and with k >= n the sample is everything, rank-ordered."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "s", 1 if i else 10**9) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = weighted_sample_per_group(df, k=5).collect()
+    assert len(got) == 5
+    assert got[0].doc_id == 0 or any(r.doc_id == 0 and r.sample_rank == 1 for r in got)
+    full = weighted_sample_per_group(df, k=100).collect()
+    assert len(full) == 40
+    assert sorted(r.sample_rank for r in full) == list(range(1, 41))
+
+
+def test_weighted_sample_equal_weights_is_hash_uniform(spark):
+    """With all weights equal, ln(u)/w ordering reduces to ordering by u
+    alone — the sample must equal the top-k of the salted portable hash
+    (the same uniform order llm_sample_* uses), independently derived."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        weighted_sample_per_group,
+    )
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import _portable_hash
+
+    df = spark.createDataFrame(
+        [(i, "s", 7) for i in range(200)], "doc_id long, source string, n_chars long"
+    )
+    got = {r.doc_id for r in weighted_sample_per_group(df, k=10).collect()}
+    want = {
+        r.doc_id
+        for r in df.select(
+            "doc_id",
+            _portable_hash(
+                F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy(F.col("h").desc())
+        .limit(10)
+        .collect()
+    }
+    assert got == want

@@ -198,3 +198,47 @@ def test_kmv_error_within_4_sigma(spark, sf_dir):
         assert r["rel_error"] == 0.0  # exact arm
     else:
         assert abs(r["rel_error"]) <= 4.0 / (KMV_K - 1) ** 0.5
+
+
+def test_poisson_bootstrap_ci_brackets_point(spark, sf_dir):
+    """Bootstrap contract on the real fixture: bounds ordered, the CI
+    brackets the point estimate (a 95% interval from 100 replicates of
+    a well-behaved mean), and exactly B replicates materialize."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        BOOT_B,
+        q_agg_poisson_bootstrap,
+    )
+
+    row = q_agg_poisson_bootstrap(spark, sf_dir).collect()[0]
+    assert row.n_replicates == BOOT_B
+    assert row.ci_lo < row.ci_hi
+    assert row.ci_lo < row.point_mean < row.ci_hi
+
+
+def test_poisson_weights_mean_near_one(spark):
+    """The hash-drawn Poisson(1) weights must average ~1 with variance
+    ~1 over a large deterministic sample (the inverse-CDF thresholds
+    are right) — the property that makes each replicate an unbiased
+    resample."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        _poisson_weight,
+    )
+
+    h = F.conv(
+        F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    stats = (
+        spark.range(200_000)
+        .select(_poisson_weight(h).cast("double").alias("w"))
+        .agg(
+            F.avg("w").alias("mu"),
+            F.var_pop("w").alias("v"),
+            F.max("w").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert abs(stats.mu - 1.0) < 0.01, stats
+    assert abs(stats.v - 1.0) < 0.02, stats
+    assert stats.mx <= 8

@@ -160,3 +160,26 @@ def test_boilerplate_footer_short_docs_cross_engine(spark, tmp_path):
     }
     assert ("footer", 5) not in by_edge
     assert ("footer", 2) in by_edge  # each genuine repeat pair surfaces
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark, tmp_path):
+    """LM contract: a document made of corpus-rare tokens must carry a
+    higher per-token NLL (and perplexity) than one made of the corpus's
+    most common token; ppl must equal exp(nll) after its own rounding."""
+    import math
+
+    from kafka_connect_minio_pipeline_spark.operators.text import QUERIES
+
+    common = " ".join(["the"] * 50)
+    docs = [(i, common) for i in range(9)] + [(9, "zyx wvu tsr qpo nml")]
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r.doc_id: r
+        for r in QUERIES["text_unigram_logprob"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[9].nll_per_token > got[0].nll_per_token
+    assert got[9].ppl > got[0].ppl
+    for r in got.values():
+        assert abs(r.ppl - round(math.exp(r.nll_per_token), 4)) < 2e-4
