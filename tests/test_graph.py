@@ -243,3 +243,21 @@ def test_conf_bytes_parses_spark_size_formats():
     assert _conf_bytes("512k") == 512 << 10
     assert _conf_bytes("-1") == -1
     assert _conf_bytes(" 2gb ") == 2 << 30
+
+
+def test_staged_edges_cache_isolates_inputs(spark):
+    """The session stage cache is keyed by input dir: the sf0.001 and
+    sf0.01 co-occurrence relations must come back distinct (a key bug
+    would silently serve one corpus's edges to the other's queries) and
+    a repeated call must reuse the same staged files."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        _STAGE_CACHE,
+        part_cooccurrence_edges,
+    )
+
+    a = part_cooccurrence_edges(spark, "/root/testdata/sf0.001").count()
+    b = part_cooccurrence_edges(spark, "/root/testdata/sf0.01").count()
+    assert a != b
+    before = dict(_STAGE_CACHE)
+    assert part_cooccurrence_edges(spark, "/root/testdata/sf0.001").count() == a
+    assert dict(_STAGE_CACHE) == before  # no re-stage on the second call

@@ -946,3 +946,41 @@ def test_pair_scorer_broadcast_gated_by_session_budget(spark, sf_dir):
         assert "Broadcast" not in plan, plan
     finally:
         spark.conf.set(key, old)
+
+
+def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
+    """corpus_weighted_sample's rank-k filter must compile to Spark's
+    WindowGroupLimit rewrite — per-partition partial top-k BEFORE the
+    group exchange — so the shuffle carries k·partitions rows per
+    source, never the corpus."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_weighted_sample,
+    )
+
+    plan = formatted_plan(q_corpus_weighted_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_poisson_bootstrap_partial_aggregates_replicates(spark, sf_dir):
+    """The replicate groupBy must partial-aggregate (map-side combine
+    over the ×B explode) and the shipdate filter must reach the scan."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_poisson_bootstrap,
+    )
+
+    df = q_agg_poisson_bootstrap(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "partial" in plan.lower(), plan
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_unigram_logprob_prunes_scan(spark, sf_dir):
+    """The LM score reads only (doc_id, text) from documents — lang,
+    source, n_chars must be pruned from the scan."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_unigram_logprob,
+    )
+
+    plan = formatted_plan(q_text_unigram_logprob(spark, sf_dir))
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" in read and "n_chars" not in read and "source" not in read, read
