@@ -892,7 +892,113 @@ SQL_CORPUS_WEIGHTED_SAMPLE = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# distribution drift between corpus snapshots (PSI)
+# ---------------------------------------------------------------------------
+
+DRIFT_VOCAB_K = 200  # tokens compared: top-K by combined count
+_DRIFT_SALT = "drift|"  # independent hash stream from split/shuffle/sample
+
+
+def q_corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots via the
+    Population Stability Index — the "did the new crawl/filter shift
+    what the model will read?" check a curation team runs before
+    swapping a data source: PSI_t = (p_t − q_t)·ln(p_t/q_t) per token,
+    large contributors are the drifted vocabulary. With no second
+    snapshot in the fixtures, the two sides are a deterministic
+    hash-half split of ``documents`` (independent salt, so they're two
+    iid samples — the null distribution; a real deployment points the
+    two sides at two snapshot paths and keeps everything downstream).
+
+    Scale shape: the corpus collapses once to per-(token) conditional
+    counts (one partial-agg shuffle; the split flag is a pure hash of
+    doc_id so both "snapshots" are counted in the same pass). Vocab
+    selection is TakeOrdered top-K; probabilities and PSI terms close
+    on K rows. Add-one smoothing keeps ln finite when a token lives in
+    only one snapshot; dec9 rounding makes every term hash-exact.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    half = _portable_hash(
+        F.concat(F.lit(_DRIFT_SALT), F.col("doc_id").cast("string"))
+    ) < int(0.5 * _HASH_SPACE)
+    tok = docs.select(
+        half.alias("is_base"), F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("n_new"),
+    )
+    top = counts.orderBy(
+        (F.col("n_base") + F.col("n_new")).desc(), F.col("token")
+    ).limit(DRIFT_VOCAB_K)
+    stats = top.agg(
+        F.sum("n_base").alias("tb"),
+        F.sum("n_new").alias("tn"),
+        F.count("*").alias("v"),
+    )
+    p = (F.col("n_base").cast("double") + F.lit(1.0)) / (
+        F.col("tb").cast("double") + F.col("v").cast("double")
+    )
+    q = (F.col("n_new").cast("double") + F.lit(1.0)) / (
+        F.col("tn").cast("double") + F.col("v").cast("double")
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "token",
+        "n_base",
+        "n_new",
+        F.round(p, 9).alias("p_base"),
+        F.round(q, 9).alias("p_new"),
+        F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+    )
+
+
+SQL_CORPUS_DRIFT_PSI = """
+    WITH tok AS (
+        SELECT ('0x' || substr(md5('drift|' || CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT < {half} AS is_base,
+               UNNEST({toks}) AS token
+        FROM documents),
+    counts AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+        FROM tok GROUP BY token),
+    top AS (
+        SELECT * FROM counts
+        ORDER BY (n_base + n_new) DESC, token LIMIT {k}),
+    stats AS (
+        SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+               CAST(SUM(n_new) AS BIGINT) AS tn,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM top)
+    SELECT token, n_base, n_new,
+           ROUND((CAST(n_base AS DOUBLE) + 1.0)
+                 / (CAST(tb AS DOUBLE) + CAST(v AS DOUBLE)), 9) AS p_base,
+           ROUND((CAST(n_new AS DOUBLE) + 1.0)
+                 / (CAST(tn AS DOUBLE) + CAST(v AS DOUBLE)), 9) AS p_new,
+           ROUND(((CAST(n_base AS DOUBLE) + 1.0)
+                      / (CAST(tb AS DOUBLE) + CAST(v AS DOUBLE))
+                  - (CAST(n_new AS DOUBLE) + 1.0)
+                      / (CAST(tn AS DOUBLE) + CAST(v AS DOUBLE)))
+                 * LN(((CAST(n_base AS DOUBLE) + 1.0)
+                           / (CAST(tb AS DOUBLE) + CAST(v AS DOUBLE)))
+                      / ((CAST(n_new AS DOUBLE) + 1.0)
+                             / (CAST(tn AS DOUBLE) + CAST(v AS DOUBLE)))), 9)
+               AS psi_term
+    FROM top CROSS JOIN stats
+"""
+
+
 QUERIES = {
+    "corpus_drift_psi": Query(
+        q_corpus_drift_psi,
+        SQL_CORPUS_DRIFT_PSI.format(
+            half=int(0.5 * _HASH_SPACE),
+            toks=SQL_TOKENS.format(col="text"),
+            k=DRIFT_VOCAB_K,
+        ),
+    ),
     "corpus_weighted_sample": Query(
         q_corpus_weighted_sample, SQL_CORPUS_WEIGHTED_SAMPLE
     ),

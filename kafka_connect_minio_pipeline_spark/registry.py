@@ -88,7 +88,7 @@ _QUERY_MODULES = (
 # ts_uptime_report, plus the r4 materially-changed re-grades that have
 # waited two rounds: sketch_hll, stream_hll, embedding_quantize, the
 # round-5-new operators (corpus_weighted_sample, text_unigram_logprob,
-# agg_poisson_bootstrap — local-parity green at sf0.001 AND sf0.01 on
+# agg_poisson_bootstrap, corpus_drift_psi — local-parity green at sf0.001 AND sf0.01 on
 # landing), and any query materially changed during round 5 itself.
 _GRADE_FIRST = (
     "graph_jaccard",

@@ -71,7 +71,7 @@ def test_ungraded_and_new_queries_in_graded_window():
         # round-5-new operators: registered after the r5 window was
         # pinned; first in line for r6 alongside the stale re-grades
         "corpus_weighted_sample", "text_unigram_logprob",
-        "agg_poisson_bootstrap",
+        "agg_poisson_bootstrap", "corpus_drift_psi",
     }
     missing = (never - r6_spill) - set(window)
     assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
