@@ -163,8 +163,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_EXACT = f"""
     WITH fp AS (
         SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(
-                   {SQL_TOKENS.format(col='text')})), ' ')) AS fingerprint
+               md5(COALESCE(array_to_string(list_sort(list_distinct(
+                   {SQL_TOKENS.format(col='text')})), ' '), '')) AS fingerprint
         FROM documents),
     canon AS (
         SELECT fingerprint, MIN(doc_id) AS canonical_id,

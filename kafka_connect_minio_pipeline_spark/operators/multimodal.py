@@ -191,9 +191,9 @@ SQL_MULTIMODAL_RESIZE = f"""
     SELECT doc_id,
            CAST(n AS INTEGER) AS n_bytes_in,
            CAST((n + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS INTEGER) AS n_bytes_out,
-           MD5(array_to_string(
+           MD5(COALESCE(array_to_string(
                [SUBSTRING(text, i, 1) FOR i IN RANGE(1, n + 1)
-                IF (i - 1) % {RESIZE_STRIDE} = 0], '')) AS out_md5
+                IF (i - 1) % {RESIZE_STRIDE} = 0], ''), '')) AS out_md5
     FROM t
 """
 

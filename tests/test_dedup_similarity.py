@@ -535,3 +535,38 @@ def test_weighted_median_property(spark):
                 break
         assert got["total_tokens"] == total, rows
         assert got["weighted_median_len"] == want, (rows, got, want)
+
+
+def test_exact_dedup_empty_docs_cross_engine(spark, tmp_path):
+    """r5 proactive sibling of the ADVICE footer bug: DuckDB's
+    array_to_string([]) is NULL where Spark's concat_ws is '', so
+    zero-token docs must still fingerprint to md5('') in BOTH engines
+    (and group together) — checked cross-engine on a corpus with empty
+    and whitespace-only documents."""
+    import duckdb
+
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        SQL_DEDUP_EXACT,
+        q_dedup_exact,
+    )
+    from tests.oracle_utils import _canon
+
+    rows = [(1, ""), (2, "   "), (3, "real content here"), (4, "real content here")]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = q_dedup_exact(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        want = con.execute(SQL_DEDUP_EXACT).fetchdf()
+    finally:
+        con.close()
+    assert _canon(got) == _canon(want)
+    by_id = {r.doc_id: r for r in got.itertuples()}
+    # both zero-token docs share the md5('') fingerprint group
+    assert by_id[1].fingerprint == by_id[2].fingerprint
+    assert by_id[2].is_dup and not by_id[1].is_dup

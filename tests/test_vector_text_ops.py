@@ -183,3 +183,36 @@ def test_unigram_logprob_rare_tokens_score_higher(spark, tmp_path):
     assert got[9].ppl > got[0].ppl
     for r in got.values():
         assert abs(r.ppl - round(math.exp(r.nll_per_token), 4)) < 2e-4
+
+
+def test_resize_empty_payload_cross_engine(spark, tmp_path):
+    """r5 proactive sibling of the ADVICE footer bug: an empty payload
+    must resize to md5('') in BOTH engines (DuckDB's array_to_string([])
+    is NULL; the oracle coalesces it) — zero-byte objects are routine in
+    a real object store."""
+    import duckdb
+
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import (
+        SQL_MULTIMODAL_RESIZE,
+        q_multimodal_resize,
+    )
+    from tests.oracle_utils import _canon
+
+    spark.createDataFrame(
+        [(1, "", "web"), (2, "abcdefghij", "web")],
+        "doc_id long, text string, source string",
+    ).coalesce(1).write.parquet(f"{tmp_path}/documents.parquet")
+    got = q_multimodal_resize(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        want = con.execute(SQL_MULTIMODAL_RESIZE).fetchdf()
+    finally:
+        con.close()
+    assert _canon(got) == _canon(want)
+    empty = got[got.doc_id == 1].iloc[0]
+    assert empty.n_bytes_out == 0
+    assert empty.out_md5 == "d41d8cd98f00b204e9800998ecf8427e"
