@@ -78,13 +78,17 @@ def decode_audio(payload: bytes) -> "object":
 
 
 def fake_decode_features(payload: bytes) -> dict:
-    """Deterministic stand-in decoder: byte statistics as 'features'."""
+    """Deterministic stand-in decoder: byte statistics as 'features'.
+
+    Zero-byte payloads (routine in a real object store) have UNDEFINED
+    statistics — emitted as NULL, matching the SQL oracle's empty-list
+    semantics, instead of fabricating 0s that look like real bytes."""
     n = len(payload)
     return {
         "n_bytes": n,
-        "mean_byte": (sum(payload) / n) if n else 0.0,
-        "max_byte": max(payload) if n else 0,
-        "head_byte": payload[0] if n else 0,
+        "mean_byte": (sum(payload) / n) if n else None,
+        "max_byte": max(payload) if n else None,
+        "head_byte": payload[0] if n else None,
     }
 
 
@@ -153,7 +157,9 @@ SQL_MULTIMODAL_FEATURES = """
            CAST(LIST_MAX(LIST_TRANSFORM(
                RANGE(1, OCTET_LENGTH(ENCODE(text)) + 1),
                i -> ORD(SUBSTRING(text, i, 1)))) AS INTEGER) AS max_byte,
-           CAST(ORD(SUBSTRING(text, 1, 1)) AS INTEGER) AS head_byte
+           -- ORD('') is -1 in DuckDB; zero-byte payloads have NULL stats
+           CASE WHEN OCTET_LENGTH(ENCODE(text)) > 0
+                THEN CAST(ORD(SUBSTRING(text, 1, 1)) AS INTEGER) END AS head_byte
     FROM documents
 """
 

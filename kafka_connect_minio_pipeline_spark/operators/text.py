@@ -44,14 +44,23 @@ def quality_features(docs: DataFrame) -> DataFrame:
     ))
     n_chars = F.length(F.col("text"))
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
-    stop_ratio = F.round(n_stop / n_tokens, 6)
-    alpha_ratio = F.round(alpha_chars / n_chars, 6)
-    avg_tok_len = F.round(alpha_chars / n_tokens, 6)
-    score = F.round(
-        (alpha_chars / n_chars) * 0.5
-        + (n_stop / n_tokens) * 0.3
-        + F.least(n_tokens / F.lit(32.0), F.lit(1.0)) * 0.2,
-        6,
+    # Zero-token / zero-char guards (r5): under Spark's default ANSI mode
+    # an unguarded ratio is a runtime DIVIDE_BY_ZERO — ONE empty or
+    # whitespace-only document would kill a corpus-wide quality job. The
+    # ratios are undefined there, so both engines emit NULL.
+    has_toks = n_tokens > 0
+    has_chars = n_chars > 0
+    stop_ratio = F.when(has_toks, F.round(n_stop / n_tokens, 6))
+    alpha_ratio = F.when(has_chars, F.round(alpha_chars / n_chars, 6))
+    avg_tok_len = F.when(has_toks, F.round(alpha_chars / n_tokens, 6))
+    score = F.when(
+        has_toks & has_chars,
+        F.round(
+            (alpha_chars / n_chars) * 0.5
+            + (n_stop / n_tokens) * 0.3
+            + F.least(n_tokens / F.lit(32.0), F.lit(1.0)) * 0.2,
+            6,
+        ),
     )
     return docs.select(
         "doc_id",
@@ -82,13 +91,17 @@ SQL_TEXT_QUALITY = f"""
     SELECT doc_id, lang,
            CAST(LEN(toks) AS INTEGER) AS n_tokens,
            CAST(n_chars AS BIGINT) AS n_chars,
-           ROUND(LEN(LIST_FILTER(toks, t -> t IN ({_STOP_SQL}))) * 1.0
-                 / LEN(toks), 6) AS stopword_ratio,
-           ROUND(alpha_chars * 1.0 / n_chars, 6) AS alpha_ratio,
-           ROUND(alpha_chars * 1.0 / LEN(toks), 6) AS avg_token_len,
-           ROUND((alpha_chars * 1.0 / n_chars) * 0.5
-                 + (LEN(LIST_FILTER(toks, t -> t IN ({_STOP_SQL}))) * 1.0 / LEN(toks)) * 0.3
-                 + LEAST(LEN(toks) / 32.0, 1.0) * 0.2, 6) AS quality_score
+           CASE WHEN LEN(toks) > 0 THEN
+               ROUND(LEN(LIST_FILTER(toks, t -> t IN ({_STOP_SQL}))) * 1.0
+                     / LEN(toks), 6) END AS stopword_ratio,
+           CASE WHEN n_chars > 0 THEN
+               ROUND(alpha_chars * 1.0 / n_chars, 6) END AS alpha_ratio,
+           CASE WHEN LEN(toks) > 0 THEN
+               ROUND(alpha_chars * 1.0 / LEN(toks), 6) END AS avg_token_len,
+           CASE WHEN LEN(toks) > 0 AND n_chars > 0 THEN
+               ROUND((alpha_chars * 1.0 / n_chars) * 0.5
+                     + (LEN(LIST_FILTER(toks, t -> t IN ({_STOP_SQL}))) * 1.0 / LEN(toks)) * 0.3
+                     + LEAST(LEN(toks) / 32.0, 1.0) * 0.2, 6) END AS quality_score
     FROM t
 """
 

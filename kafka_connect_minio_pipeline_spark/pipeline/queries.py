@@ -170,11 +170,17 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), t -> t IN ({stop_in}))"
         )
     )
-    score = F.round(
-        (alpha_chars / n_chars) * 0.5
-        + (n_stop / n_tokens) * 0.3
-        + F.least(n_tokens / F.lit(32.0), F.lit(1.0)) * 0.2,
-        6,
+    # r5 ANSI guard: one empty/whitespace-only doc must not kill the
+    # whole corpus job with DIVIDE_BY_ZERO; the score is undefined there
+    # (NULL), and q_pass's `AND n_tokens >= 5` collapses NULL to FALSE.
+    score = F.when(
+        (n_tokens > 0) & (n_chars > 0),
+        F.round(
+            (alpha_chars / n_chars) * 0.5
+            + (n_stop / n_tokens) * 0.3
+            + F.least(n_tokens / F.lit(32.0), F.lit(1.0)) * 0.2,
+            6,
+        ),
     )
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
     staged = docs.select(
@@ -212,11 +218,12 @@ CORPUS_CLEAN_SQL = """
         FROM documents),
     staged AS (
         SELECT doc_id, lang,
-               (ROUND((alpha_chars * 1.0 / n_chars) * 0.5
-                      + (LEN(LIST_FILTER(toks, s -> s IN
-                            ('the','a','of','to','and','in','is','it'))) * 1.0
-                         / LEN(toks)) * 0.3
-                      + LEAST(LEN(toks) / 32.0, 1.0) * 0.2, 6) >= 0.5
+               (CASE WHEN LEN(toks) > 0 AND n_chars > 0 THEN
+                    ROUND((alpha_chars * 1.0 / n_chars) * 0.5
+                          + (LEN(LIST_FILTER(toks, s -> s IN
+                                ('the','a','of','to','and','in','is','it'))) * 1.0
+                             / LEN(toks)) * 0.3
+                          + LEAST(LEN(toks) / 32.0, 1.0) * 0.2, 6) END >= 0.5
                 AND LEN(toks) >= 5) AS q_pass,
                md5(array_to_string(list_sort(list_distinct(toks)), ' '))
                    AS fingerprint

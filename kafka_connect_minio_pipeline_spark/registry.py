@@ -89,7 +89,13 @@ _QUERY_MODULES = (
 # waited two rounds: sketch_hll, stream_hll, embedding_quantize, the
 # round-5-new operators (corpus_weighted_sample, text_unigram_logprob,
 # agg_poisson_bootstrap, corpus_drift_psi — local-parity green at sf0.001 AND sf0.01 on
-# landing), and any query materially changed during round 5 itself.
+# landing), and the queries materially changed by the round-5 degenerate-
+# input hardening (ANSI zero-division guards + NULL-on-empty oracle
+# alignment; each re-verified at sf0.01 on landing): text_quality,
+# pipeline_corpus_clean, llm_corpus_pipeline, multimodal_features,
+# stream_multimodal, stream_quality, llm_rag_chunk, multimodal_resize,
+# dedup_exact, text_boilerplate_edges (graded THIS round — its r5 row
+# already covers the footer fix).
 _GRADE_FIRST = (
     "graph_jaccard",
     "graph_adamic_adar",
