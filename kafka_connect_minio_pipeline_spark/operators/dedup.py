@@ -940,7 +940,12 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     em = load(spark, sf_dir, "embeddings")
     d = to_double(F.col("embedding"))
-    base = em.select("vec_id", F.col("embedding"), dot(d, d).alias("norm_sq"))
+    # norm_sq > 0: zero vectors are unscorable (ANSI DIVIDE_BY_ZERO
+    # otherwise) — same exclusion as similarity._with_norms, mirrored
+    # in the oracle
+    base = em.select("vec_id", F.col("embedding"), dot(d, d).alias("norm_sq")).filter(
+        F.col("norm_sq") > 0
+    )
     a = base.alias("a")
     b = base.alias("b")
     da = to_double(F.col("a.embedding"))
@@ -962,7 +967,9 @@ SQL_DEDUP_EMBEDDING = f"""
         SELECT vec_id, embedding,
                list_dot_product(CAST(embedding AS DOUBLE[]),
                                 CAST(embedding AS DOUBLE[])) AS norm_sq
-        FROM embeddings)
+        FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0)
     SELECT a.vec_id AS v1, b.vec_id AS v2,
            ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
                                   CAST(b.embedding AS DOUBLE[]))
@@ -1013,8 +1020,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load(spark, sf_dir, "embeddings")
     d = to_double(F.col("embedding"))
-    base = spread(em, "vec_id").select(
-        "vec_id", "embedding", dot(d, d).alias("norm_sq")
+    base = (
+        spread(em, "vec_id")
+        .select("vec_id", "embedding", dot(d, d).alias("norm_sq"))
+        .filter(F.col("norm_sq") > 0)  # zero vectors unscorable; see 5a
     )
     sigs = lsh_signatures(
         spread(em, "vec_id"),

@@ -30,8 +30,19 @@ N_QUERIES = 8  # batch operator: vec_id < 8 are the query set
 
 
 def _with_norms(em: DataFrame) -> DataFrame:
+    """(vec_id, embedding, norm_sq) with ZERO VECTORS EXCLUDED.
+
+    Cosine is undefined on a zero vector, and under Spark's default ANSI
+    mode the norm division is a runtime DIVIDE_BY_ZERO — one zero vector
+    (a routine embedding-service failure artifact at corpus scale) would
+    otherwise kill every similarity job. Excluding unscorable vectors is
+    the only total semantics; every consumer's oracle mirrors the filter
+    (norm_sq > 0 ⇔ any nonzero component, since squares are
+    non-negative)."""
     d = to_double(F.col("embedding"))
-    return em.select("vec_id", "embedding", dot(d, d).alias("norm_sq"))
+    return em.select("vec_id", "embedding", dot(d, d).alias("norm_sq")).filter(
+        F.col("norm_sq") > 0
+    )
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +74,10 @@ SQL_SIMILARITY_TOPK = f"""
         SELECT embedding AS q_emb,
                list_dot_product(CAST(embedding AS DOUBLE[]),
                                 CAST(embedding AS DOUBLE[])) AS q_norm
-        FROM embeddings WHERE vec_id = 0)
+        FROM embeddings
+        WHERE vec_id = 0
+          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0)
     SELECT vec_id,
            ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[]))
                  / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -71,6 +85,8 @@ SQL_SIMILARITY_TOPK = f"""
                     * SQRT(q_norm)), 6) AS cos_sim
     FROM embeddings, q
     WHERE vec_id <> 0
+      AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0
     ORDER BY cos_sim DESC, vec_id
     LIMIT {TOP_K}
 """
@@ -116,7 +132,9 @@ SQL_SIMILARITY_TOPK_BATCH = f"""
         SELECT vec_id, embedding,
                list_dot_product(CAST(embedding AS DOUBLE[]),
                                 CAST(embedding AS DOUBLE[])) AS norm_sq
-        FROM embeddings),
+        FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id,
                ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]),
@@ -196,7 +214,9 @@ def lsh_sigs_sql_cte(
         )
     sigs = "\n        UNION ALL ".join(branches)
     return f"""emb AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0),
     sigs AS (
         {sigs})"""
 
@@ -338,7 +358,9 @@ SQL_SIMILARITY_KNN_LABEL = f"""
         SELECT vec_id, embedding, label,
                list_dot_product(CAST(embedding AS DOUBLE[]),
                                 CAST(embedding AS DOUBLE[])) AS norm_sq
-        FROM embeddings),
+        FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0),
     scored AS (
         SELECT q.vec_id AS query_id, q.label AS q_label,
                c.vec_id, c.label AS nbr_label,
@@ -772,11 +794,15 @@ def _topk3_sql(base_cte: str) -> str:
             FROM (SELECT vec_id, embedding,
                          list_dot_product(CAST(embedding AS DOUBLE[]),
                                           CAST(embedding AS DOUBLE[])) AS norm_sq
-                  FROM {base_cte}) c
+                  FROM {base_cte}
+                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0) c
             JOIN (SELECT vec_id, embedding,
                          list_dot_product(CAST(embedding AS DOUBLE[]),
                                           CAST(embedding AS DOUBLE[])) AS norm_sq
-                  FROM {base_cte}) q
+                  FROM {base_cte}
+                  WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0) q
               ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id))
     WHERE rank <= 3"""
 
@@ -928,7 +954,10 @@ def _mmr_sql() -> str:
         SELECT embedding AS q_emb,
                list_dot_product(CAST(embedding AS DOUBLE[]),
                                 CAST(embedding AS DOUBLE[])) AS q_norm
-        FROM embeddings WHERE vec_id = 0),
+        FROM embeddings
+        WHERE vec_id = 0
+          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0),
     pool AS (
         SELECT vec_id, embedding,
                list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -938,7 +967,10 @@ def _mmr_sql() -> str:
                      / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
                                               CAST(embedding AS DOUBLE[])))
                         * SQRT(q_norm)), 6) AS rel
-        FROM embeddings, q WHERE vec_id <> 0
+        FROM embeddings, q
+        WHERE vec_id <> 0
+          AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                            CAST(embedding AS DOUBLE[])) > 0
         ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}),
     sims AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,

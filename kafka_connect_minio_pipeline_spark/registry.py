@@ -94,8 +94,11 @@ _QUERY_MODULES = (
 # alignment; each re-verified at sf0.01 on landing): text_quality,
 # pipeline_corpus_clean, llm_corpus_pipeline, multimodal_features,
 # stream_multimodal, stream_quality, llm_rag_chunk, multimodal_resize,
-# dedup_exact, text_boilerplate_edges (graded THIS round — its r5 row
-# already covers the footer fix).
+# dedup_exact, the zero-vector-guarded similarity family
+# (similarity_topk/_batch/_ann_lsh/_ann_eval/_matryoshka_eval/
+# _knn_label_eval/_rerank_mmr, dedup_embedding_cosine/_lsh), and
+# text_boilerplate_edges (graded THIS round — its r5 row already
+# covers the footer fix).
 _GRADE_FIRST = (
     "graph_jaccard",
     "graph_adamic_adar",

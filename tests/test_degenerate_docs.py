@@ -77,3 +77,60 @@ def test_query_survives_degenerate_docs(spark, degen_dir, name):
         assert_matches_oracle(q.fn(spark, degen_dir), q.oracle, degen_dir)
     else:
         assert q.fn(spark, degen_dir).count() >= 0
+
+
+# --- degenerate embeddings: zero vector, constant vector, exact duplicate ---
+
+_EMB_NAMES = sorted(
+    n
+    for n, q in _QUERIES.items()
+    if (q.oracle is not None and "embedding" in q.oracle.lower())
+    or n.startswith(("similarity", "dedup_embedding", "embedding"))
+)
+
+
+@pytest.fixture(scope="session")
+def degen_emb_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("degen_emb"))
+    for f in os.listdir(SF_SRC):
+        shutil.copy(f"{SF_SRC}/{f}", f"{d}/{f}")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (
+                SELECT * FROM '{d}/embeddings.parquet'
+                UNION ALL
+                SELECT * FROM (
+                    SELECT 900001 AS vec_id,
+                           list_transform(range(64),
+                                          x -> CAST(0.0 AS FLOAT)) AS embedding,
+                           0 AS label
+                    UNION ALL
+                    SELECT 900002,
+                           list_transform(range(64), x -> CAST(0.5 AS FLOAT)), 1
+                    UNION ALL
+                    SELECT 900003,
+                           (SELECT embedding FROM '{d}/embeddings.parquet'
+                            WHERE vec_id = 0), 2
+                )
+            ) TO '{d}/embeddings_new.parquet' (FORMAT PARQUET)
+            """
+        )
+    finally:
+        con.close()
+    os.replace(f"{d}/embeddings_new.parquet", f"{d}/embeddings.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", _EMB_NAMES)
+def test_query_survives_degenerate_embeddings(spark, degen_emb_dir, name):
+    """A ZERO VECTOR (embedding-service failure artifact) must not kill
+    or diverge any similarity operator: cosine is undefined there, the
+    vector is excluded on both engines, everything else scores
+    normally. First run found 10 ANSI DIVIDE_BY_ZERO crashes."""
+    q = _QUERIES[name]
+    if q.oracle is not None:
+        assert_matches_oracle(q.fn(spark, degen_emb_dir), q.oracle, degen_emb_dir)
+    else:
+        assert q.fn(spark, degen_emb_dir).count() >= 0
