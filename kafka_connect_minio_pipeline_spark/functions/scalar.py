@@ -149,7 +149,10 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SCALAR_JSON = """
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+    -- json_valid guard: DuckDB json functions CRASH on malformed JSON
+    -- where Spark get_json_object/from_json yield NULL; the guard makes
+    -- both engines treat a bad document as NULL-extracted
+    SELECT CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS INTEGER) % 10 AS k_bucket,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -212,11 +215,11 @@ def q_scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SCALAR_JSON_TYPED = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+           CAST(SUM(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS INTEGER)) AS BIGINT)
                AS sum_k,
-           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
-           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
-           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL
+           MIN(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS INTEGER)) AS min_k,
+           MAX(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS INTEGER)) AS max_k,
+           CAST(SUM(CASE WHEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
     FROM events GROUP BY event_type
 """

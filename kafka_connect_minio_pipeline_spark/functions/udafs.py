@@ -38,8 +38,13 @@ def weighted_value_cents_udaf():
 
     @pandas_udf("double")
     def weighted_value_cents(cents: pd.Series, weight: pd.Series) -> float:
-        w = weight.astype("int64")
-        num = int((cents.astype("int64") * w).sum())
+        # rows with an undefined weight or value (e.g. malformed props
+        # JSON -> NULL k) are excluded from BOTH numerator and
+        # denominator — the SQL oracle's NULL-skipping SUM semantics;
+        # an unguarded astype("int64") would throw on the first NaN
+        mask = weight.notna() & cents.notna()
+        w = weight[mask].astype("int64")
+        num = int((cents[mask].astype("int64") * w).sum())
         den = int(w.sum())
         return float("nan") if den == 0 else num / den / 100.0
 
@@ -67,8 +72,8 @@ def q_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_UDAF_WEIGHTED = """
     SELECT event_type,
            SUM(CAST(ROUND(value * 100) AS BIGINT)
-               * CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0
-           / SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) / 100.0
+               * CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) * 1.0
+           / SUM(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) / 100.0
                AS weighted_value
     FROM events GROUP BY event_type
 """

@@ -96,7 +96,9 @@ _QUERY_MODULES = (
 # stream_multimodal, stream_quality, llm_rag_chunk, multimodal_resize,
 # dedup_exact, the zero-vector-guarded similarity family
 # (similarity_topk/_batch/_ann_lsh/_ann_eval/_matryoshka_eval/
-# _knn_label_eval/_rerank_mmr, dedup_embedding_cosine/_lsh), and
+# _knn_label_eval/_rerank_mmr, dedup_embedding_cosine/_lsh), the
+# json_valid-guarded scalar_json/scalar_json_typed/udaf_weighted_value,
+# and
 # text_boilerplate_edges (graded THIS round — its r5 row already
 # covers the footer fix).
 _GRADE_FIRST = (

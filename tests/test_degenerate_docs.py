@@ -134,3 +134,59 @@ def test_query_survives_degenerate_embeddings(spark, degen_emb_dir, name):
         assert_matches_oracle(q.fn(spark, degen_emb_dir), q.oracle, degen_emb_dir)
     else:
         assert q.fn(spark, degen_emb_dir).count() >= 0
+
+
+# --- degenerate events: malformed props JSON, empty event_type, ---------
+# --- duplicate (user, ts) triple, zero value, single-event user ---------
+
+_EV_NAMES = sorted(
+    n
+    for n, q in _QUERIES.items()
+    if (q.oracle is not None and "events" in q.oracle.lower())
+    or n.startswith(("ts_", "stream_", "udaf"))
+)
+
+
+@pytest.fixture(scope="session")
+def degen_ev_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("degen_ev"))
+    for f in os.listdir(SF_SRC):
+        shutil.copy(f"{SF_SRC}/{f}", f"{d}/{f}")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (
+                SELECT * FROM '{d}/events.parquet'
+                UNION ALL
+                SELECT * FROM (VALUES
+                    (900001, TIMESTAMP '2024-01-05 00:00:00', 900001,
+                     'click', 0.00, '{{not json'),
+                    (900002, TIMESTAMP '2024-01-05 12:00:00', 900002,
+                     '', 1.00, '{{"k": 1}}'),
+                    (900003, TIMESTAMP '2024-01-05 12:00:00', 900002,
+                     'click', 2.00, '{{"k": 2}}'),
+                    (900004, TIMESTAMP '2024-01-05 12:00:00', 900002,
+                     'click', 2.00, '{{"k": 3}}')
+                ) v(event_id, ts, user_id, event_type, value, props)
+            ) TO '{d}/events_new.parquet' (FORMAT PARQUET)
+            """
+        )
+    finally:
+        con.close()
+    os.replace(f"{d}/events_new.parquet", f"{d}/events.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", _EV_NAMES)
+def test_query_survives_degenerate_events(spark, degen_ev_dir, name):
+    """Malformed props JSON must extract as NULL in BOTH engines (DuckDB
+    json functions crash unguarded; Spark yields NULL), the grouped-agg
+    pandas kernel must not astype-throw on the resulting NaN weights,
+    and duplicate-timestamp / zero-value / single-event-user rows must
+    flow through every time-series operator. First run found 3 crashes."""
+    q = _QUERIES[name]
+    if q.oracle is not None:
+        assert_matches_oracle(q.fn(spark, degen_ev_dir), q.oracle, degen_ev_dir)
+    else:
+        assert q.fn(spark, degen_ev_dir).count() >= 0
