@@ -582,3 +582,20 @@ def test_weighted_sample_equal_weights_is_hash_uniform(spark):
         .collect()
     }
     assert got == want
+
+
+def test_drift_psi_terms_nonnegative_and_null_distribution(spark, sf_dir):
+    """PSI contract: every per-token term is >= 0 ((p-q) and ln(p/q)
+    always share sign), and on the null distribution (two iid hash
+    halves of the same corpus) the TOTAL drift must be small — far
+    below the conventional 0.1 'moderate shift' alarm threshold."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_drift_psi,
+    )
+
+    rows = q_corpus_drift_psi(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.psi_term >= 0 for r in rows)
+    assert all(r.n_base + r.n_new > 0 for r in rows)
+    total = sum(r.psi_term for r in rows)
+    assert total < 0.1, total
