@@ -133,7 +133,9 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured kernel: get_json_object over events.props (the A22
     existence-test generalized), grouped stats per extracted bucket."""
     events = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    # try_cast: a VALID-JSON document with a non-numeric k ('{"k":"abc"}')
+    # must extract as NULL, not throw CAST_INVALID_INPUT under ANSI mode
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
     return (
         events.select(
             (k % 10).alias("k_bucket"),
@@ -152,7 +154,7 @@ SQL_SCALAR_JSON = """
     -- json_valid guard: DuckDB json functions CRASH on malformed JSON
     -- where Spark get_json_object/from_json yield NULL; the guard makes
     -- both engines treat a bad document as NULL-extracted
-    SELECT CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS INTEGER) % 10 AS k_bucket,
+    SELECT TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS INTEGER) % 10 AS k_bucket,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -215,11 +217,13 @@ def q_scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SCALAR_JSON_TYPED = """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS INTEGER)) AS BIGINT)
+           CAST(SUM(TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS INTEGER)) AS BIGINT)
                AS sum_k,
-           MIN(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS INTEGER)) AS min_k,
-           MAX(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS INTEGER)) AS max_k,
-           CAST(SUM(CASE WHEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) IS NULL
+           MIN(TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS INTEGER)) AS min_k,
+           MAX(TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS INTEGER)) AS max_k,
+           -- null check runs on the TRY_CAST result so a non-numeric k
+           -- counts as null exactly like Spark's typed from_json field
+           CAST(SUM(CASE WHEN TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS INTEGER) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
     FROM events GROUP BY event_type
 """

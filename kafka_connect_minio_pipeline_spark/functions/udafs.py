@@ -57,7 +57,7 @@ def q_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python kernel only sees exact integers."""
     weighted_value_cents = weighted_value_cents_udaf()
     events = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     cents_col = cents(F.col("value"))
     return (
         events.select("event_type", cents_col.alias("cents"), k.alias("k"))
@@ -72,8 +72,8 @@ def q_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_UDAF_WEIGHTED = """
     SELECT event_type,
            SUM(CAST(ROUND(value * 100) AS BIGINT)
-               * CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) * 1.0
-           / SUM(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) / 100.0
+               * TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS BIGINT)) * 1.0
+           / SUM(TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS BIGINT)) / 100.0
                AS weighted_value
     FROM events GROUP BY event_type
 """

@@ -167,7 +167,13 @@ def degen_ev_dir(tmp_path_factory) -> str:
                     (900003, TIMESTAMP '2024-01-05 12:00:00', 900002,
                      'click', 2.00, '{{"k": 2}}'),
                     (900004, TIMESTAMP '2024-01-05 12:00:00', 900002,
-                     'click', 2.00, '{{"k": 3}}')
+                     'click', 2.00, '{{"k": 3}}'),
+                    (900005, TIMESTAMP '2024-01-05 13:00:00', 900005,
+                     'click', 1.00, '{{"k": "abc"}}'),
+                    (900006, TIMESTAMP '2024-01-05 14:00:00', 900006,
+                     'click', 1.00, '{{"k": 12.7}}'),
+                    (900007, TIMESTAMP '2024-01-05 15:00:00', 900007,
+                     'click', 1.00, '{{"v": 9}}')
                 ) v(event_id, ts, user_id, event_type, value, props)
             ) TO '{d}/events_new.parquet' (FORMAT PARQUET)
             """
