@@ -314,8 +314,13 @@ def interleave(
         "shard_id",
         F.row_number()
         .over(
+            # asc_nulls_last on the stratum tiebreak: Spark's ASC default
+            # is NULLS FIRST, DuckDB's is NULLS LAST — a NULL-stratum row
+            # would silently shift every later shard_pos by one
             Window.partitionBy("shard_id").orderBy(
-                "order_key", stratum_col, "doc_id"
+                F.col("order_key").asc(),
+                F.col(stratum_col).asc_nulls_last(),
+                F.col("doc_id").asc(),
             )
         )
         .cast("int")

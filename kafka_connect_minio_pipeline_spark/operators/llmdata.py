@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import Query
-from ..tables import load, spread
+from ..tables import load, load_meta, spread
 from .dedup import SQL_TOKENS, tokens, word_ngrams
 
 # ---------------------------------------------------------------------------
@@ -77,8 +77,12 @@ def sample_stratified(
 
 
 def q_llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry binding: 20% per-language sample of ``documents``."""
-    return sample_stratified(load(spark, sf_dir, "documents"))
+    """Registry binding: 20% per-language sample of ``documents``.
+
+    Catalog-style load (``load_meta``): sampling is metadata-only, so
+    the scan must stay pruned to (doc_id, lang) — the full contract's
+    text filter would drag the wide content column into every scan."""
+    return sample_stratified(load_meta(spark, sf_dir, "documents", "lang"))
 
 
 _HASH_SPACE = 1 << 60  # _portable_hash is 15 hex chars = 60 bits
@@ -100,10 +104,11 @@ def sample_hash_threshold(
 
 
 def q_llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry binding: hash-threshold 20% sample (scale path)."""
-    return sample_hash_threshold(load(spark, sf_dir, "documents")).select(
-        "doc_id", "lang"
-    )
+    """Registry binding: hash-threshold 20% sample (scale path);
+    catalog-style load, same pruning rationale as the stratified twin."""
+    return sample_hash_threshold(
+        load_meta(spark, sf_dir, "documents", "lang")
+    ).select("doc_id", "lang")
 
 
 SQL_SAMPLE_HASH = f"""

@@ -257,11 +257,17 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    from ..tables import load_raw
+
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
-    events = load(spark, sf_dir, "events")
-    documents = load(spark, sf_dir, "documents")
+    # the audit reads the PRE-contract view: load() enforces the NOT
+    # NULL required-field contract, so it could never see the very
+    # violations these checks exist to count
+    events = load_raw(spark, sf_dir, "events")
+    documents = load_raw(spark, sf_dir, "documents")
+    embeddings = load_raw(spark, sf_dir, "embeddings")
 
     def check(name: str, total_df: DataFrame, viol_df: DataFrame) -> DataFrame:
         t = total_df.agg(F.count("*").alias("n_total"))
@@ -315,6 +321,19 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "documents_empty_text",
             documents,
             documents.filter(F.length(F.col("text")) == 0),
+        ),
+        # the ingestion contract's own accounting (tables.REQUIRED_FIELDS):
+        # rates the loader silently enforces must be visible HERE
+        check(
+            "documents_null_text",
+            documents,
+            documents.filter(F.col("text").isNull()),
+        ),
+        check("events_null_ts", events, events.filter(F.col("ts").isNull())),
+        check(
+            "embeddings_null_vector",
+            embeddings,
+            embeddings.filter(F.col("embedding").isNull()),
         ),
     ]
     out = checks[0]
@@ -379,6 +398,25 @@ DQ_CHECKS_SQL = """
             WHERE LENGTH(text) = 0),
            ROUND((SELECT COUNT(*) FROM documents WHERE LENGTH(text) = 0) * 1.0
                  / (SELECT COUNT(*) FROM documents), 6)
+    UNION ALL
+    SELECT 'documents_null_text',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE text IS NULL),
+           ROUND((SELECT COUNT(*) FROM documents WHERE text IS NULL) * 1.0
+                 / (SELECT COUNT(*) FROM documents), 6)
+    UNION ALL
+    SELECT 'events_null_ts',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE ts IS NULL),
+           ROUND((SELECT COUNT(*) FROM events WHERE ts IS NULL) * 1.0
+                 / (SELECT COUNT(*) FROM events), 6)
+    UNION ALL
+    SELECT 'embeddings_null_vector',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE embedding IS NULL),
+           ROUND((SELECT COUNT(*) FROM embeddings WHERE embedding IS NULL) * 1.0
+                 / (SELECT COUNT(*) FROM embeddings), 6)
 """
 
 

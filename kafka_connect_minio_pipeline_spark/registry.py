@@ -98,6 +98,10 @@ _QUERY_MODULES = (
 # (similarity_topk/_batch/_ann_lsh/_ann_eval/_matryoshka_eval/
 # _knn_label_eval/_rerank_mmr, dedup_embedding_cosine/_lsh), the
 # json_valid-guarded scalar_json/scalar_json_typed/udaf_weighted_value,
+# the ingestion-contract wave (every query's scan gains the
+# REQUIRED_FIELDS IsNotNull pushdown; specifically changed:
+# pipeline_dq_checks +3 contract checks via load_raw, corpus_interleave
+# nulls-last tiebreak, llm_sample_stratified/_hash via load_meta),
 # and
 # text_boilerplate_edges (graded THIS round — its r5 row already
 # covers the footer fix).

@@ -40,4 +40,8 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # same nanos-or-micros→NTZ normalization as tables.load
         sdf = sdf.withColumn("ts", _normalize_ts(schema["ts"].dataType))
-    return sdf
+    # same NOT NULL required-field contract as tables.load — a NULL
+    # event-time would otherwise corrupt watermarks/windows mid-stream
+    from ..tables import _contract
+
+    return _contract(sdf, name)

@@ -93,8 +93,48 @@ def _normalize_ts(dtype: T.DataType) -> F.Column:
     return F.col("ts").cast("timestamp_ntz")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table with normalized types."""
+# Ingestion contract: REQUIRED (NOT NULL) fields per synthetic table.
+# A NULL in a required field is an upstream producer defect — a key you
+# can't group on, a timestamp you can't window, a payload you can't
+# decode. The loader enforces the contract the way a warehouse schema's
+# NOT NULL constraint would: violating rows never reach the operators
+# (a full-registry probe measured 24 crashes + 10 silent cross-engine
+# divergences from single NULL rows otherwise). Observability lives in
+# ``pipeline_dq_checks`` (null/blank-rate battery) — the accounting view
+# a deployment alerts on; optional fields (props, label, n_chars) stay
+# nullable and every operator tolerates them. The IsNotNull conjunction
+# pushes down to the parquet scan (free — Catalyst adds most of these
+# for join/agg keys anyway). TPC-H tables carry the generator's own
+# integrity contract and are left as-is.
+# Contract width is a SCAN-width decision: a required field's IsNotNull
+# filter forces the parquet scan to read that column even in queries
+# that project it away, so the contract covers only the fields whose
+# NULLs are truly unrepresentable downstream (keys, content, event
+# time). documents.lang/source stay nullable — a NULL groups as its own
+# bucket identically in both engines, and keeping them out of the
+# contract preserves (doc_id, text)-only pruning for the text family.
+REQUIRED_FIELDS = {
+    "documents": ("doc_id", "text"),
+    "embeddings": ("vec_id", "embedding"),
+    "events": ("event_id", "ts", "user_id", "event_type", "value"),
+}
+
+# Key-only contract for catalog/metadata queries (see load_meta).
+KEY_FIELD = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
+
+
+def _contract(df: DataFrame, name: str) -> DataFrame:
+    for c in REQUIRED_FIELDS.get(name, ()):
+        df = df.filter(F.col(c).isNotNull())
+    return df
+
+
+def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Type-normalized load WITHOUT the NOT NULL contract — the
+    pre-ingestion view. Only the data-quality audit should read this:
+    ``pipeline_dq_checks`` must SEE contract violations to count them,
+    while every analytic operator reads :func:`load` and can assume the
+    contract holds."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
     _ensure_session_confs(spark)
@@ -102,6 +142,31 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = df.withColumn("ts", _normalize_ts(df.schema["ts"].dataType))
     return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table with normalized types and the NOT NULL
+    contract on required fields (see ``REQUIRED_FIELDS``)."""
+    return _contract(load_raw(spark, sf_dir, name), name)
+
+
+def load_meta(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame:
+    """Catalog-style load for metadata-only queries: select ``cols`` and
+    enforce only the KEY field's NOT NULL — the full contract's content
+    filter (e.g. documents.text IS NOT NULL) would force the scan to
+    read the WIDE content column a metadata query never touches,
+    destroying column pruning. This mirrors a real pipeline's shape:
+    sampling/splitting runs over the catalog before any content fetch,
+    so a content-defective row can still be sampled and is dropped at
+    the (content-reading) consumption stage."""
+    key = KEY_FIELD[name]
+    if key not in cols:
+        cols = (key, *cols)
+    return (
+        load_raw(spark, sf_dir, name)
+        .select(*cols)
+        .filter(F.col(key).isNotNull())
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

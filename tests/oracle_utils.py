@@ -81,3 +81,40 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str) -> None:
     assert not mismatches, (
         f"{len(mismatches)}/{len(g)} rows differ; first 3: {mismatches[:3]}"
     )
+
+
+def run_duckdb_contract(sql: str, sf_dir: str) -> pd.DataFrame:
+    """Like :func:`run_duckdb`, but views apply the engine's ingestion
+    contract (tables.REQUIRED_FIELDS NOT NULL filters) — the comparison
+    basis for fixtures that contain contract-violating rows. The
+    pre-contract audit query (pipeline_dq_checks) must be compared via
+    run_duckdb instead."""
+    from kafka_connect_minio_pipeline_spark.tables import REQUIRED_FIELDS
+
+    con = duckdb.connect()
+    try:
+        for t in TABLE_NAMES:
+            where = " AND ".join(
+                f"{c} IS NOT NULL" for c in REQUIRED_FIELDS.get(t, ())
+            )
+            w = f" WHERE {where}" if where else ""
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'{w}"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def assert_matches_contract_oracle(spark_df, sql: str, sf_dir: str) -> None:
+    got = spark_df.toPandas()
+    want = run_duckdb_contract(sql, sf_dir)
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"column mismatch: spark={sorted(got.columns)} duckdb={sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"row count: spark={len(got)} duckdb={len(want)}"
+    g, w = _canon(got), _canon(want)
+    mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b]
+    assert not mismatches, (
+        f"{len(mismatches)}/{len(g)} rows differ; first 3: {mismatches[:3]}"
+    )

@@ -196,3 +196,123 @@ def test_query_survives_degenerate_events(spark, degen_ev_dir, name):
         assert_matches_oracle(q.fn(spark, degen_ev_dir), q.oracle, degen_ev_dir)
     else:
         assert q.fn(spark, degen_ev_dir).count() >= 0
+
+
+# --- NULL required fields: the ingestion contract leg ---------------------
+#
+# Rows with NULL required fields (tables.REQUIRED_FIELDS) are enforced
+# away by the loader — the warehouse NOT NULL constraint — so every
+# analytic query must behave exactly as if those rows never arrived
+# (compared against CONTRACT-FILTERED oracle views), while the
+# pre-contract audit (pipeline_dq_checks) must SEE and count them
+# (compared against raw views). First probe without the contract: 24
+# crashes + 10 silent divergences from five NULL rows.
+
+from oracle_utils import assert_matches_contract_oracle
+
+_NULL_NAMES = sorted(set(_DOC_NAMES) | set(_EMB_NAMES) | set(_EV_NAMES))
+
+
+@pytest.fixture(scope="session")
+def degen_null_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("degen_null"))
+    for f in os.listdir(SF_SRC):
+        shutil.copy(f"{SF_SRC}/{f}", f"{d}/{f}")
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"""
+            COPY (
+                SELECT * FROM '{d}/events.parquet'
+                UNION ALL
+                SELECT * FROM (VALUES
+                    (900020, TIMESTAMP '2024-01-06 00:00:00', NULL,
+                     'click', 1.00, '{{"k": 1}}'),
+                    (900021, TIMESTAMP '2024-01-06 01:00:00', 900021,
+                     NULL, 1.00, '{{"k": 1}}'),
+                    (900022, TIMESTAMP '2024-01-06 02:00:00', 900022,
+                     'click', NULL, '{{"k": 1}}'),
+                    (900023, TIMESTAMP '2024-01-06 03:00:00', 900023,
+                     'click', 1.00, NULL),
+                    (900024, NULL, 900024, 'click', 1.00, '{{"k": 1}}')
+                ) v(event_id, ts, user_id, event_type, value, props)
+            ) TO '{d}/ev2.parquet' (FORMAT PARQUET)
+            """
+        )
+        con.execute(
+            f"""
+            COPY (
+                SELECT * FROM '{d}/documents.parquet'
+                UNION ALL
+                SELECT * FROM (VALUES
+                    (900030, NULL, 'en', 'degen', 0),
+                    (900031, 'some text here', NULL, NULL, 14)
+                ) v(doc_id, text, lang, source, n_chars)
+            ) TO '{d}/doc2.parquet' (FORMAT PARQUET)
+            """
+        )
+        con.execute(
+            f"""
+            COPY (
+                SELECT * FROM '{d}/embeddings.parquet'
+                UNION ALL
+                SELECT 900040 AS vec_id, NULL AS embedding, NULL AS label
+            ) TO '{d}/emb2.parquet' (FORMAT PARQUET)
+            """
+        )
+    finally:
+        con.close()
+    os.replace(f"{d}/ev2.parquet", f"{d}/events.parquet")
+    os.replace(f"{d}/doc2.parquet", f"{d}/documents.parquet")
+    os.replace(f"{d}/emb2.parquet", f"{d}/embeddings.parquet")
+    return d
+
+
+# Catalog-style queries read via load_meta (key-contract only, to keep
+# the scan pruned of the wide text column) — they legitimately still see
+# a NULL-text doc's metadata, so their comparison basis filters only the
+# key field.
+_CATALOG_QUERIES = {"llm_sample_stratified", "llm_sample_hash"}
+
+
+def _run_duckdb_key_only(sql: str, sf_dir: str):
+    from kafka_connect_minio_pipeline_spark.tables import KEY_FIELD, TABLE_NAMES
+
+    con = duckdb.connect()
+    try:
+        for t in TABLE_NAMES:
+            w = f" WHERE {KEY_FIELD[t]} IS NOT NULL" if t in KEY_FIELD else ""
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'{w}"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", _NULL_NAMES)
+def test_query_survives_null_required_fields(spark, degen_null_dir, name):
+    q = _QUERIES[name]
+    if q.oracle is None:
+        assert q.fn(spark, degen_null_dir).count() >= 0
+    elif name == "pipeline_dq_checks":
+        # the audit reads PRE-contract data: compare against raw views
+        # and require it to actually count the planted violations
+        assert_matches_oracle(q.fn(spark, degen_null_dir), q.oracle, degen_null_dir)
+        rows = {r.check_name: r.n_violations
+                for r in q.fn(spark, degen_null_dir).collect()}
+        assert rows["events_null_user"] == 1
+        assert rows["events_null_ts"] == 1
+        assert rows["documents_null_text"] == 1
+        assert rows["embeddings_null_vector"] == 1
+    elif name in _CATALOG_QUERIES:
+        from oracle_utils import _canon
+
+        got = q.fn(spark, degen_null_dir).toPandas()
+        want = _run_duckdb_key_only(q.oracle, degen_null_dir)
+        assert sorted(got.columns) == sorted(want.columns)
+        assert _canon(got) == _canon(want)
+    else:
+        assert_matches_contract_oracle(
+            q.fn(spark, degen_null_dir), q.oracle, degen_null_dir
+        )
