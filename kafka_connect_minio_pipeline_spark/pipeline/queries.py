@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import Query
-from ..tables import load, spread
+from ..tables import EVENT_TIME_BOUNDS, load, spread
 from .profile import (
     RECONCILE_SQL,
     TRANSFORM_SQL,
@@ -257,7 +257,7 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ..tables import load_raw
+    from ..tables import EVENT_TIME_BOUNDS, load_raw
 
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -331,6 +331,15 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         check("events_null_ts", events, events.filter(F.col("ts").isNull())),
         check(
+            "events_ts_out_of_range",
+            events,
+            events.filter(
+                F.col("ts").isNotNull()
+                & ((F.col("ts") < EVENT_TIME_BOUNDS[0])
+                   | (F.col("ts") >= EVENT_TIME_BOUNDS[1]))
+            ),
+        ),
+        check(
             "embeddings_null_vector",
             embeddings,
             embeddings.filter(F.col("embedding").isNull()),
@@ -342,7 +351,7 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-DQ_CHECKS_SQL = """
+DQ_CHECKS_SQL = f"""
     SELECT 'orders_orphan_custkey' AS check_name,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_total,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
@@ -410,6 +419,16 @@ DQ_CHECKS_SQL = """
            (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE ts IS NULL),
            ROUND((SELECT COUNT(*) FROM events WHERE ts IS NULL) * 1.0
                  / (SELECT COUNT(*) FROM events), 6)
+    UNION ALL
+    SELECT 'events_ts_out_of_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE ts IS NOT NULL AND (ts < TIMESTAMP '{EVENT_TIME_BOUNDS[0]}'
+                                      OR ts >= TIMESTAMP '{EVENT_TIME_BOUNDS[1]}')),
+           ROUND((SELECT COUNT(*) FROM events
+                  WHERE ts IS NOT NULL AND (ts < TIMESTAMP '{EVENT_TIME_BOUNDS[0]}'
+                                            OR ts >= TIMESTAMP '{EVENT_TIME_BOUNDS[1]}'))
+                 * 1.0 / (SELECT COUNT(*) FROM events), 6)
     UNION ALL
     SELECT 'embeddings_null_vector',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings),

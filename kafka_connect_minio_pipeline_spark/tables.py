@@ -122,10 +122,37 @@ REQUIRED_FIELDS = {
 # Key-only contract for catalog/metadata queries (see load_meta).
 KEY_FIELD = {"documents": "doc_id", "embeddings": "vec_id", "events": "event_id"}
 
+# Event-time sanity window, half-open [lo, hi). Two distinct failure
+# modes motivate it: (1) pandas/Arrow stateful ops overflow on
+# timestamps past 2262 (ns epoch range) — one year-2300 row kills a
+# streaming job; (2) time-GRID operators (gapfill / interpolate)
+# materialize O(span) rows, so one misparsed epoch (seconds read as
+# millis lands in year ~56000) turns a minute grid into billions of
+# rows. A probe with a single year-2300 event hung the events family
+# outright. Out-of-window events are upstream corruption; the dq
+# battery counts them (events_ts_out_of_range).
+EVENT_TIME_BOUNDS = ("1990-01-01", "2100-01-01")
+
+# DuckDB WHERE fragments mirroring the full load() contract, keyed by
+# table — the single source the test oracles derive contract views from.
+CONTRACT_SQL_WHERE = {
+    "documents": "doc_id IS NOT NULL AND text IS NOT NULL",
+    "embeddings": "vec_id IS NOT NULL AND embedding IS NOT NULL",
+    "events": (
+        "event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL"
+        " AND event_type IS NOT NULL AND value IS NOT NULL"
+        f" AND ts >= TIMESTAMP '{EVENT_TIME_BOUNDS[0]}'"
+        f" AND ts < TIMESTAMP '{EVENT_TIME_BOUNDS[1]}'"
+    ),
+}
+
 
 def _contract(df: DataFrame, name: str) -> DataFrame:
     for c in REQUIRED_FIELDS.get(name, ()):
         df = df.filter(F.col(c).isNotNull())
+    if name == "events":
+        lo, hi = EVENT_TIME_BOUNDS
+        df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
     return df
 
 

@@ -89,14 +89,12 @@ def run_duckdb_contract(sql: str, sf_dir: str) -> pd.DataFrame:
     basis for fixtures that contain contract-violating rows. The
     pre-contract audit query (pipeline_dq_checks) must be compared via
     run_duckdb instead."""
-    from kafka_connect_minio_pipeline_spark.tables import REQUIRED_FIELDS
+    from kafka_connect_minio_pipeline_spark.tables import CONTRACT_SQL_WHERE
 
     con = duckdb.connect()
     try:
         for t in TABLE_NAMES:
-            where = " AND ".join(
-                f"{c} IS NOT NULL" for c in REQUIRED_FIELDS.get(t, ())
-            )
+            where = CONTRACT_SQL_WHERE.get(t, "")
             w = f" WHERE {where}" if where else ""
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'{w}"

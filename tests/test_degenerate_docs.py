@@ -234,7 +234,11 @@ def degen_null_dir(tmp_path_factory) -> str:
                      'click', NULL, '{{"k": 1}}'),
                     (900023, TIMESTAMP '2024-01-06 03:00:00', 900023,
                      'click', 1.00, NULL),
-                    (900024, NULL, 900024, 'click', 1.00, '{{"k": 1}}')
+                    (900024, NULL, 900024, 'click', 1.00, '{{"k": 1}}'),
+                    (900025, TIMESTAMP '2300-01-01 00:00:00', 900025,
+                     'click', 1.00, '{{"k": 1}}'),
+                    (900026, TIMESTAMP '1900-01-01 00:00:00', 900026,
+                     'click', 1.00, '{{"k": 1}}')
                 ) v(event_id, ts, user_id, event_type, value, props)
             ) TO '{d}/ev2.parquet' (FORMAT PARQUET)
             """
@@ -305,6 +309,9 @@ def test_query_survives_null_required_fields(spark, degen_null_dir, name):
         assert rows["events_null_ts"] == 1
         assert rows["documents_null_text"] == 1
         assert rows["embeddings_null_vector"] == 1
+        # year-2300 (Arrow ns overflow; grid explosion) and year-1900
+        # events: enforced away by EVENT_TIME_BOUNDS, counted here
+        assert rows["events_ts_out_of_range"] == 2
     elif name in _CATALOG_QUERIES:
         from oracle_utils import _canon
 
