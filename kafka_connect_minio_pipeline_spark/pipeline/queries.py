@@ -269,6 +269,21 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_raw(spark, sf_dir, "documents")
     embeddings = load_raw(spark, sf_dir, "embeddings")
 
+    def key_unique(name: str, df: DataFrame, key: str) -> DataFrame:
+        agg = df.agg(
+            F.count("*").alias("n_total"),
+            (F.count("*") - F.countDistinct(key)).alias("n_violations"),
+        )
+        return agg.select(
+            F.lit(name).alias("check_name"),
+            "n_total",
+            "n_violations",
+            F.when(
+                F.col("n_total") > 0,
+                F.round(F.col("n_violations") / F.col("n_total"), 6),
+            ).alias("violation_rate"),
+        )
+
     def check(name: str, total_df: DataFrame, viol_df: DataFrame) -> DataFrame:
         t = total_df.agg(F.count("*").alias("n_total"))
         v = viol_df.agg(F.count("*").alias("n_violations"))
@@ -344,6 +359,12 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             embeddings,
             embeddings.filter(F.col("embedding").isNull()),
         ),
+        # primary-key uniqueness: a duplicated key silently FANS OUT
+        # every downstream join — the corruption mode no per-row guard
+        # can catch; violations = surplus rows beyond one per key
+        key_unique("documents_dup_doc_id", documents, "doc_id"),
+        key_unique("events_dup_event_id", events, "event_id"),
+        key_unique("embeddings_dup_vec_id", embeddings, "vec_id"),
     ]
     out = checks[0]
     for c in checks[1:]:
@@ -436,6 +457,27 @@ DQ_CHECKS_SQL = f"""
             WHERE embedding IS NULL),
            ROUND((SELECT COUNT(*) FROM embeddings WHERE embedding IS NULL) * 1.0
                  / (SELECT COUNT(*) FROM embeddings), 6)
+    UNION ALL
+    SELECT 'documents_dup_doc_id',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+            FROM documents),
+           ROUND((SELECT COUNT(*) - COUNT(DISTINCT doc_id) FROM documents)
+                 * 1.0 / (SELECT COUNT(*) FROM documents), 6)
+    UNION ALL
+    SELECT 'events_dup_event_id',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+            FROM events),
+           ROUND((SELECT COUNT(*) - COUNT(DISTINCT event_id) FROM events)
+                 * 1.0 / (SELECT COUNT(*) FROM events), 6)
+    UNION ALL
+    SELECT 'embeddings_dup_vec_id',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings),
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT)
+            FROM embeddings),
+           ROUND((SELECT COUNT(*) - COUNT(DISTINCT vec_id) FROM embeddings)
+                 * 1.0 / (SELECT COUNT(*) FROM embeddings), 6)
 """
 
 
