@@ -101,7 +101,8 @@ _QUERY_MODULES = (
 # the ingestion-contract wave (every query's scan gains the
 # REQUIRED_FIELDS IsNotNull pushdown; specifically changed:
 # pipeline_dq_checks +3 contract checks via load_raw, corpus_interleave
-# nulls-last tiebreak, llm_sample_stratified/_hash via load_meta),
+# nulls-last tiebreak, llm_sample_stratified/_hash via load_meta,
+# dedup_edit_distance bounded-levenshtein verify),
 # and
 # text_boilerplate_edges (graded THIS round — its r5 row already
 # covers the footer fix).
