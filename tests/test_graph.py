@@ -261,3 +261,23 @@ def test_staged_edges_cache_isolates_inputs(spark):
     before = dict(_STAGE_CACHE)
     assert part_cooccurrence_edges(spark, "/root/testdata/sf0.001").count() == a
     assert dict(_STAGE_CACHE) == before  # no re-stage on the second call
+
+
+def test_staged_edges_cache_survives_eviction(spark):
+    """RAM-backed scratch (/dev/shm) can be evicted mid-session: the
+    stage cache must detect the missing directory and re-stage instead
+    of handing out a dangling path."""
+    import shutil
+
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        _STAGE_CACHE,
+        part_cooccurrence_edges,
+    )
+
+    n = part_cooccurrence_edges(spark, "/root/testdata/sf0.001").count()
+    key = next(
+        k for k in _STAGE_CACHE
+        if k[1].endswith("sf0.001") and k[2] == "cooc_edges"
+    )
+    shutil.rmtree(_STAGE_CACHE[key])
+    assert part_cooccurrence_edges(spark, "/root/testdata/sf0.001").count() == n
