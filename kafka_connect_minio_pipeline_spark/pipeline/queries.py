@@ -257,7 +257,7 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ..tables import EVENT_TIME_BOUNDS, load_raw
+    from ..tables import EVENT_TIME_BOUNDS, _has_nonfinite, load_raw
 
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -362,6 +362,14 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # primary-key uniqueness: a duplicated key silently FANS OUT
         # every downstream join — the corruption mode no per-row guard
         # can catch; violations = surplus rows beyond one per key
+        check(
+            "embeddings_nonfinite_vector",
+            embeddings,
+            embeddings.filter(
+                F.col("embedding").isNotNull()
+                & _has_nonfinite(F.col("embedding"))
+            ),
+        ),
         key_unique("documents_dup_doc_id", documents, "doc_id"),
         key_unique("events_dup_event_id", events, "event_id"),
         key_unique("embeddings_dup_vec_id", embeddings, "vec_id"),
@@ -457,6 +465,18 @@ DQ_CHECKS_SQL = f"""
             WHERE embedding IS NULL),
            ROUND((SELECT COUNT(*) FROM embeddings WHERE embedding IS NULL) * 1.0
                  / (SELECT COUNT(*) FROM embeddings), 6)
+    UNION ALL
+    SELECT 'embeddings_nonfinite_vector',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding,
+                      x -> x IS NULL OR isnan(x) OR isinf(x))) > 0),
+           ROUND((SELECT COUNT(*) FROM embeddings
+                  WHERE embedding IS NOT NULL
+                    AND len(list_filter(embedding,
+                            x -> x IS NULL OR isnan(x) OR isinf(x))) > 0)
+                 * 1.0 / (SELECT COUNT(*) FROM embeddings), 6)
     UNION ALL
     SELECT 'documents_dup_doc_id',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),

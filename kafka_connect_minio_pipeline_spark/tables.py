@@ -137,7 +137,11 @@ EVENT_TIME_BOUNDS = ("1990-01-01", "2100-01-01")
 # table — the single source the test oracles derive contract views from.
 CONTRACT_SQL_WHERE = {
     "documents": "doc_id IS NOT NULL AND text IS NOT NULL",
-    "embeddings": "vec_id IS NOT NULL AND embedding IS NOT NULL",
+    "embeddings": (
+        "vec_id IS NOT NULL AND embedding IS NOT NULL"
+        " AND len(list_filter(embedding,"
+        " x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+    ),
     "events": (
         "event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL"
         " AND event_type IS NOT NULL AND value IS NOT NULL"
@@ -153,7 +157,22 @@ def _contract(df: DataFrame, name: str) -> DataFrame:
     if name == "events":
         lo, hi = EVENT_TIME_BOUNDS
         df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    if name == "embeddings":
+        # finite components required: a NaN/Inf/NULL element (failed
+        # embedding service, corrupt float) crashes ANSI casts in the
+        # non-normalizing vector ops and hits the one cross-engine
+        # comparison crack (DuckDB totally orders NaN ABOVE all values
+        # where Spark's NaN comparisons are IEEE-false). No extra scan
+        # width: the embedding column is already contract-read.
+        df = df.filter(~_has_nonfinite(F.col("embedding")))
     return df
+
+
+def _has_nonfinite(arr: F.Column) -> F.Column:
+    return F.exists(
+        arr,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
 
 
 def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -261,6 +261,19 @@ def degen_null_dir(tmp_path_factory) -> str:
                 SELECT * FROM '{d}/embeddings.parquet'
                 UNION ALL
                 SELECT 900040 AS vec_id, NULL AS embedding, NULL AS label
+                UNION ALL
+                SELECT 900041,
+                       list_transform(range(64),
+                                      x -> CAST('nan' AS FLOAT)), 0
+                UNION ALL
+                SELECT 900042,
+                       list_transform(range(64),
+                                      x -> CAST('inf' AS FLOAT)), 1
+                UNION ALL
+                SELECT 900043,
+                       list_concat([CAST('nan' AS FLOAT)],
+                                   list_transform(range(63),
+                                                  x -> CAST(0.5 AS FLOAT))), 2
             ) TO '{d}/emb2.parquet' (FORMAT PARQUET)
             """
         )
@@ -312,6 +325,9 @@ def test_query_survives_null_required_fields(spark, degen_null_dir, name):
         # year-2300 (Arrow ns overflow; grid explosion) and year-1900
         # events: enforced away by EVENT_TIME_BOUNDS, counted here
         assert rows["events_ts_out_of_range"] == 2
+        # all-NaN, all-Inf, and one-NaN-component vectors: enforced
+        # away by the finite-components contract, counted here
+        assert rows["embeddings_nonfinite_vector"] == 3
     elif name in _CATALOG_QUERIES:
         from oracle_utils import _canon
 
