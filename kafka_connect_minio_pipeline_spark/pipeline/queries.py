@@ -363,6 +363,15 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every downstream join — the corruption mode no per-row guard
         # can catch; violations = surplus rows beyond one per key
         check(
+            "events_nonfinite_value",
+            events,
+            events.filter(
+                F.col("value").isNotNull()
+                & (F.isnan(F.col("value"))
+                   | (F.abs(F.col("value")) == F.lit(float("inf"))))
+            ),
+        ),
+        check(
             "embeddings_nonfinite_vector",
             embeddings,
             embeddings.filter(
@@ -465,6 +474,14 @@ DQ_CHECKS_SQL = f"""
             WHERE embedding IS NULL),
            ROUND((SELECT COUNT(*) FROM embeddings WHERE embedding IS NULL) * 1.0
                  / (SELECT COUNT(*) FROM embeddings), 6)
+    UNION ALL
+    SELECT 'events_nonfinite_value',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE value IS NOT NULL AND NOT isfinite(value)),
+           ROUND((SELECT COUNT(*) FROM events
+                  WHERE value IS NOT NULL AND NOT isfinite(value)) * 1.0
+                 / (SELECT COUNT(*) FROM events), 6)
     UNION ALL
     SELECT 'embeddings_nonfinite_vector',
            (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings),

@@ -147,6 +147,7 @@ CONTRACT_SQL_WHERE = {
         " AND event_type IS NOT NULL AND value IS NOT NULL"
         f" AND ts >= TIMESTAMP '{EVENT_TIME_BOUNDS[0]}'"
         f" AND ts < TIMESTAMP '{EVENT_TIME_BOUNDS[1]}'"
+        " AND isfinite(value)"
     ),
 }
 
@@ -157,6 +158,13 @@ def _contract(df: DataFrame, name: str) -> DataFrame:
     if name == "events":
         lo, hi = EVENT_TIME_BOUNDS
         df = df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        # finite metric required: a NaN/Inf value crashes the exact
+        # decimal/integer-cents casts in BOTH engines (18 queries in
+        # the probe); value is a narrow, already-contract-read column
+        df = df.filter(
+            ~(F.isnan(F.col("value"))
+              | (F.abs(F.col("value")) == F.lit(float("inf"))))
+        )
     if name == "embeddings":
         # finite components required: a NaN/Inf/NULL element (failed
         # embedding service, corrupt float) crashes ANSI casts in the

@@ -238,7 +238,11 @@ def degen_null_dir(tmp_path_factory) -> str:
                     (900025, TIMESTAMP '2300-01-01 00:00:00', 900025,
                      'click', 1.00, '{{"k": 1}}'),
                     (900026, TIMESTAMP '1900-01-01 00:00:00', 900026,
-                     'click', 1.00, '{{"k": 1}}')
+                     'click', 1.00, '{{"k": 1}}'),
+                    (900027, TIMESTAMP '2024-01-07 00:00:00', 900027,
+                     'click', CAST('nan' AS DOUBLE), '{{"k": 1}}'),
+                    (900028, TIMESTAMP '2024-01-07 01:00:00', 900028,
+                     'click', CAST('inf' AS DOUBLE), '{{"k": 1}}')
                 ) v(event_id, ts, user_id, event_type, value, props)
             ) TO '{d}/ev2.parquet' (FORMAT PARQUET)
             """
@@ -328,6 +332,9 @@ def test_query_survives_null_required_fields(spark, degen_null_dir, name):
         # all-NaN, all-Inf, and one-NaN-component vectors: enforced
         # away by the finite-components contract, counted here
         assert rows["embeddings_nonfinite_vector"] == 3
+        # NaN and Inf metric values: 18 exact-decimal queries crashed
+        # on these in the probe; enforced away, counted here
+        assert rows["events_nonfinite_value"] == 2
     elif name in _CATALOG_QUERIES:
         from oracle_utils import _canon
 
