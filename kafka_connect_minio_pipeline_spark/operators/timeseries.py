@@ -321,7 +321,11 @@ def zscore_outliers(
     s_d, sq_d, n = F.col("s").cast("double"), F.col("sq").cast("double"), F.col("n")
     mean = s_d / n
     var = (sq_d - s_d * s_d / n) / (n - F.lit(1))
-    z = (F.col(value_col) - mean) / F.sqrt(var)
+    # var > 0 guard: a CONSTANT-valued series has zero variance — its
+    # z-score is 0/0, an ANSI DIVIDE_BY_ZERO crash unguarded (found by
+    # the degenerate-events net) and definitionally has no outliers;
+    # NULL z drops at the threshold filter on both engines
+    z = F.when(var > 0, (F.col(value_col) - mean) / F.sqrt(var))
     return (
         df.select(id_col, key_col, value_col)
         .join(stats.filter(F.col("n") > 1), key_col)
@@ -349,10 +353,13 @@ SQL_TS_ZSCORE = f"""
         FROM events GROUP BY user_id),
     scored AS (
         SELECT e.event_id, e.user_id, e.value,
-               ROUND((e.value - CAST(s AS DOUBLE) / n)
-                     / SQRT((CAST(sq AS DOUBLE)
-                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-                            / (n - 1)), 6) AS zscore
+               CASE WHEN (CAST(sq AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                         / (n - 1) > 0 THEN
+                   ROUND((e.value - CAST(s AS DOUBLE) / n)
+                         / SQRT((CAST(sq AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                / (n - 1)), 6) END AS zscore
         FROM events e JOIN stats USING (user_id)
         WHERE n > 1)
     SELECT * FROM scored WHERE ABS(zscore) >= {Z_THRESHOLD}

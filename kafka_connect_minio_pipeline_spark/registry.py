@@ -102,7 +102,8 @@ _QUERY_MODULES = (
 # REQUIRED_FIELDS IsNotNull pushdown; specifically changed:
 # pipeline_dq_checks +3 contract checks via load_raw, corpus_interleave
 # nulls-last tiebreak, llm_sample_stratified/_hash via load_meta,
-# dedup_edit_distance bounded-levenshtein verify),
+# dedup_edit_distance bounded-levenshtein verify, stream_session
+# exact-gap boundary oracle, ts_zscore zero-variance guard),
 # and
 # text_boilerplate_edges (graded THIS round — its r5 row already
 # covers the footer fix).

@@ -104,8 +104,13 @@ def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSION = """
     WITH marked AS (
         SELECT user_id, ts,
+               -- STRICT > mirrors Spark's session_window boundary: an
+               -- event at exactly last_event + gap still lands inside
+               -- the open window [last, last+gap) extension — touching
+               -- windows coalesce. '>=' here silently split sessions at
+               -- exact-gap spacing (found by the events fuzz net).
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL '5 minutes'
+                         > INTERVAL '5 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events),

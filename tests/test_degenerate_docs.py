@@ -173,7 +173,11 @@ def degen_ev_dir(tmp_path_factory) -> str:
                     (900006, TIMESTAMP '2024-01-05 14:00:00', 900006,
                      'click', 1.00, '{{"k": 12.7}}'),
                     (900007, TIMESTAMP '2024-01-05 15:00:00', 900007,
-                     'click', 1.00, '{{"v": 9}}')
+                     'click', 1.00, '{{"v": 9}}'),
+                    (900008, TIMESTAMP '2024-01-05 16:00:00', 900008,
+                     'click', 1.00, '{{"k": 4}}'),
+                    (900009, TIMESTAMP '2024-01-05 16:05:00', 900008,
+                     'click', 1.00, '{{"k": 5}}')
                 ) v(event_id, ts, user_id, event_type, value, props)
             ) TO '{d}/events_new.parquet' (FORMAT PARQUET)
             """
@@ -190,7 +194,10 @@ def test_query_survives_degenerate_events(spark, degen_ev_dir, name):
     json functions crash unguarded; Spark yields NULL), the grouped-agg
     pandas kernel must not astype-throw on the resulting NaN weights,
     and duplicate-timestamp / zero-value / single-event-user rows must
-    flow through every time-series operator. First run found 3 crashes."""
+    flow through every time-series operator, and an EXACT-gap event pair
+    (16:00, 16:05 at a 5-min gap) pins the session boundary: Spark merges
+    touching windows, so the oracle must split on strict >, not >=.
+    First run found 3 crashes; the fuzz net later caught the boundary."""
     q = _QUERIES[name]
     if q.oracle is not None:
         assert_matches_oracle(q.fn(spark, degen_ev_dir), q.oracle, degen_ev_dir)
