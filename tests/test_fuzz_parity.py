@@ -102,3 +102,89 @@ def test_fuzz_corpus_parity(spark, fuzz_dirs, name):
             con.close()
         assert sorted(got.columns) == sorted(want.columns), (name, d)
         assert _canon(got) == _canon(want), (name, d)
+
+
+# --- events fuzz: heavy timestamp collisions ------------------------------
+#
+# Few users, a handful of MINUTE-granularity timestamps with many exact
+# duplicates, empty event types, negative/zero cent-exact values, and
+# malformed/NULL props. This generator (different seed) caught the
+# session-window boundary bug: Spark coalesces touching windows, the
+# oracle split on >= at exact-gap spacing.
+
+_EV_TARGETS = (
+    "stream_session", "stream_tumbling", "stream_sliding", "ts_sessionize",
+    "ts_zscore", "ts_gapfill", "ts_islands", "ts_scd2", "ts_funnel",
+    "agg_time_rollup", "scalar_json", "udaf_weighted_value",
+    "window_running_distinct", "ts_dow_hour_heatmap",
+)
+
+
+def _rand_events(rng: random.Random):
+    n = rng.randrange(150, 500)
+    base_ts = [
+        "2024-01-0%d %02d:%02d:00"
+        % (rng.randrange(1, 8), rng.randrange(24), rng.randrange(60))
+        for _ in range(rng.randrange(3, 12))
+    ]
+    return [
+        (i, rng.choice(base_ts), rng.randrange(1, 6),
+         rng.choice(["click", "view", "purchase", "error", ""]),
+         round(rng.choice([-1, 1]) * rng.randrange(0, 10000) / 100.0, 2),
+         rng.choice(['{"k": %d}' % rng.randrange(100), "{bad", None]))
+        for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="session")
+def fuzz_ev_dirs(tmp_path_factory) -> list[str]:
+    import pandas as pd
+
+    dirs = []
+    for seed in (901, 902):
+        rng = random.Random(seed)
+        d = str(tmp_path_factory.mktemp(f"fuzzev{seed}"))
+        for f in os.listdir(SF_SRC):
+            if f != "events.parquet":
+                shutil.copy(f"{SF_SRC}/{f}", f"{d}/{f}")
+        con = duckdb.connect()
+        try:
+            con.register(
+                "t",
+                pd.DataFrame(
+                    _rand_events(rng),
+                    columns=["event_id", "ts", "user_id", "event_type",
+                             "value", "props"],
+                ),
+            )
+            con.execute(
+                f"""COPY (SELECT event_id::BIGINT AS event_id,
+                          ts::TIMESTAMP AS ts, user_id::BIGINT AS user_id,
+                          event_type, "value"::DOUBLE AS "value", props
+                          FROM t)
+                    TO '{d}/events.parquet' (FORMAT PARQUET)"""
+            )
+        finally:
+            con.close()
+        dirs.append(d)
+    return dirs
+
+
+@pytest.mark.parametrize("name", sorted(_EV_TARGETS))
+def test_fuzz_events_parity(spark, fuzz_ev_dirs, name):
+    q = all_queries(strict=False)[name]
+    for d in fuzz_ev_dirs:
+        got = q.fn(spark, d).toPandas()
+        con = duckdb.connect()
+        try:
+            for t in TABLE_NAMES:
+                w = CONTRACT_SQL_WHERE.get(t, "")
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+                    + (f" WHERE {w}" if w else "")
+                )
+            want = con.execute(q.oracle).fetchdf()
+        finally:
+            con.close()
+        assert sorted(got.columns) == sorted(want.columns), (name, d)
+        assert _canon(got) == _canon(want), (name, d)
