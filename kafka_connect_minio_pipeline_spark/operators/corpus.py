@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import Query
-from ..tables import load, spread
+from ..tables import load, load_meta, spread
 from .dedup import SQL_TOKENS, tokens, word_ngrams
 from .llmdata import _HASH_SPACE, _portable_hash
 
@@ -72,7 +72,10 @@ def shuffle_split(
 
 def q_corpus_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: shuffle/shard/split layout of ``documents``."""
-    return shuffle_split(load(spark, sf_dir, "documents"))
+    # catalog-style load: layout assignment is pure doc_id metadata —
+    # the contract's text filter would drag the content column into
+    # what should be the narrowest scan in the repo
+    return shuffle_split(load_meta(spark, sf_dir, "documents"))
 
 
 _MD5 = "('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
@@ -330,7 +333,8 @@ def interleave(
 
 def q_corpus_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: weighted language interleave of ``documents``."""
-    return interleave(load(spark, sf_dir, "documents"))
+    # catalog-style load: interleave ordering is (doc_id, lang) metadata
+    return interleave(load_meta(spark, sf_dir, "documents", "lang"))
 
 
 _W_CASE = (
@@ -873,8 +877,10 @@ def weighted_sample_per_group(
 
 def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: 25 docs per source, weight ∝ n_chars."""
+    # catalog-style load: the sample key is (doc_id, source, n_chars)
+    # metadata; no spread — three narrow columns need no compute fanout
     return weighted_sample_per_group(
-        spread(load(spark, sf_dir, "documents"), "doc_id")
+        load_meta(spark, sf_dir, "documents", "source", "n_chars")
     )
 
 

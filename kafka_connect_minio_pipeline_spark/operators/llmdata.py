@@ -467,7 +467,8 @@ def q_llm_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: resample ``documents`` to TARGET_MIX; emits the
     kept (doc_id, lang) pairs joined with their stratum's keep_rate so
     both the rate computation and its application are hash-verified."""
-    docs = load(spark, sf_dir, "documents")
+    # catalog-style load: mix rates and application are (doc_id, lang)
+    docs = load_meta(spark, sf_dir, "documents", "lang")
     rates = target_mix_rates(docs)
     return apply_mix(docs, rates).join(F.broadcast(rates), "lang").select(
         "doc_id", "lang", "n_docs", "target_share", "keep_rate"

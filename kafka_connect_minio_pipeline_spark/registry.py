@@ -103,7 +103,9 @@ _QUERY_MODULES = (
 # pipeline_dq_checks +3 contract checks via load_raw, corpus_interleave
 # nulls-last tiebreak, llm_sample_stratified/_hash via load_meta,
 # dedup_edit_distance bounded-levenshtein verify, stream_session
-# exact-gap boundary oracle, ts_zscore zero-variance guard),
+# exact-gap boundary oracle, ts_zscore zero-variance guard,
+# catalog load_meta conversions for corpus_shuffle_split /
+# corpus_interleave / corpus_weighted_sample / llm_target_mix),
 # and
 # text_boilerplate_edges (graded THIS round — its r5 row already
 # covers the footer fix).

@@ -300,7 +300,10 @@ def degen_null_dir(tmp_path_factory) -> str:
 # the scan pruned of the wide text column) — they legitimately still see
 # a NULL-text doc's metadata, so their comparison basis filters only the
 # key field.
-_CATALOG_QUERIES = {"llm_sample_stratified", "llm_sample_hash"}
+_CATALOG_QUERIES = {
+    "llm_sample_stratified", "llm_sample_hash", "corpus_shuffle_split",
+    "corpus_interleave", "corpus_weighted_sample", "llm_target_mix",
+}
 
 
 def _run_duckdb_key_only(sql: str, sf_dir: str):
