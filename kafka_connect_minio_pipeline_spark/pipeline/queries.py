@@ -257,7 +257,7 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ..tables import EVENT_TIME_BOUNDS, _has_nonfinite, load_raw
+    from ..tables import EVENT_TIME_BOUNDS, _has_nonfinite, _has_out_of_range, load_raw
 
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -379,6 +379,14 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & _has_nonfinite(F.col("embedding"))
             ),
         ),
+        check(
+            "embeddings_component_out_of_range",
+            embeddings,
+            embeddings.filter(
+                F.col("embedding").isNotNull()
+                & _has_out_of_range(F.col("embedding"))
+            ),
+        ),
         key_unique("documents_dup_doc_id", documents, "doc_id"),
         key_unique("events_dup_event_id", events, "event_id"),
         key_unique("embeddings_dup_vec_id", embeddings, "vec_id"),
@@ -493,6 +501,18 @@ DQ_CHECKS_SQL = f"""
                   WHERE embedding IS NOT NULL
                     AND len(list_filter(embedding,
                             x -> x IS NULL OR isnan(x) OR isinf(x))) > 0)
+                 * 1.0 / (SELECT COUNT(*) FROM embeddings), 6)
+    UNION ALL
+    SELECT 'embeddings_component_out_of_range',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding,
+                      x -> abs(x) >= 1000000000.0)) > 0),
+           ROUND((SELECT COUNT(*) FROM embeddings
+                  WHERE embedding IS NOT NULL
+                    AND len(list_filter(embedding,
+                            x -> abs(x) >= 1000000000.0)) > 0)
                  * 1.0 / (SELECT COUNT(*) FROM embeddings), 6)
     UNION ALL
     SELECT 'documents_dup_doc_id',

@@ -140,7 +140,8 @@ CONTRACT_SQL_WHERE = {
     "embeddings": (
         "vec_id IS NOT NULL AND embedding IS NOT NULL"
         " AND len(list_filter(embedding,"
-        " x -> x IS NULL OR isnan(x) OR isinf(x))) = 0"
+        " x -> x IS NULL OR isnan(x) OR isinf(x)"
+        " OR abs(x) >= 1000000000.0)) = 0"
     ),
     "events": (
         "event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL"
@@ -166,6 +167,7 @@ def _contract(df: DataFrame, name: str) -> DataFrame:
               | (F.abs(F.col("value")) == F.lit(float("inf"))))
         )
     if name == "embeddings":
+        df = df.filter(~_has_out_of_range(F.col("embedding")))
         # finite components required: a NaN/Inf/NULL element (failed
         # embedding service, corrupt float) crashes ANSI casts in the
         # non-normalizing vector ops and hits the one cross-engine
@@ -181,6 +183,19 @@ def _has_nonfinite(arr: F.Column) -> F.Column:
         arr,
         lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
     )
+
+
+# Magnitude cap for embedding components. Real embedding models emit
+# unit-ish scales; a 1e30+ component is upstream corruption, and the
+# decimal(16,6) quantization the cross-engine-exact centroid/k-means
+# sums rest on holds |x| < 1e10 (a probe with 1e37 components crashed
+# all three with NUMERIC_VALUE_OUT_OF_RANGE). 1e9 leaves an order of
+# magnitude of headroom below the representation limit.
+EMB_COMPONENT_MAX = 1e9
+
+
+def _has_out_of_range(arr: F.Column) -> F.Column:
+    return F.exists(arr, lambda x: F.abs(x) >= F.lit(EMB_COMPONENT_MAX))
 
 
 def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
