@@ -134,8 +134,14 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     existence-test generalized), grouped stats per extracted bucket."""
     events = load(spark, sf_dir, "events")
     # try_cast: a VALID-JSON document with a non-numeric k ('{"k":"abc"}')
-    # must extract as NULL, not throw CAST_INVALID_INPUT under ANSI mode
-    k = F.get_json_object(F.col("props"), "$.k").try_cast("int")
+    # must extract as NULL, not throw CAST_INVALID_INPUT under ANSI mode.
+    # The rlike pre-guard is the SHARED acceptance grammar with the
+    # oracle: Spark's try_cast trims ≤U+0020 padding (' 12 ' → 12) while
+    # the oracle's regex rejects it — guarding BOTH engines on the same
+    # '^[+-]?[0-9]+$' makes the accepted language identical by
+    # construction instead of by matching two trim semantics.
+    s = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(s.rlike(r"^[+-]?[0-9]+$"), s).try_cast("int")
     return (
         events.select(
             (k % 10).alias("k_bucket"),
@@ -215,15 +221,21 @@ def q_scalar_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SCALAR_JSON_TYPED = """
+    -- Spark's typed from_json(props, 'k int') accepts ONLY plain JSON
+    -- integer number tokens: a string-wrapped '"12"', a float 7.0, or a
+    -- padded value all parse to NULL. The oracle mirrors that grammar
+    -- with json_type ∈ (UBIGINT, BIGINT) — not a regex over the
+    -- stringified value, which would wrongly accept '"12"'. Int32
+    -- overflow nulls out on both sides via TRY_CAST.
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS INTEGER)) AS BIGINT)
+           CAST(SUM(TRY_CAST(CASE WHEN (CASE WHEN json_valid(props) THEN json_type(props, '$.k') END) IN ('UBIGINT', 'BIGINT') THEN json_extract_string(props, '$.k') END AS INTEGER)) AS BIGINT)
                AS sum_k,
-           MIN(TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS INTEGER)) AS min_k,
-           MAX(TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS INTEGER)) AS max_k,
-           -- null check runs on the TRY_CAST result so a non-numeric k
+           MIN(TRY_CAST(CASE WHEN (CASE WHEN json_valid(props) THEN json_type(props, '$.k') END) IN ('UBIGINT', 'BIGINT') THEN json_extract_string(props, '$.k') END AS INTEGER)) AS min_k,
+           MAX(TRY_CAST(CASE WHEN (CASE WHEN json_valid(props) THEN json_type(props, '$.k') END) IN ('UBIGINT', 'BIGINT') THEN json_extract_string(props, '$.k') END AS INTEGER)) AS max_k,
+           -- null check runs on the TRY_CAST result so a non-integer k
            -- counts as null exactly like Spark's typed from_json field
-           CAST(SUM(CASE WHEN TRY_CAST(CASE WHEN regexp_matches((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END), '^[+-]?[0-9]+$') THEN (CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) END AS INTEGER) IS NULL
+           CAST(SUM(CASE WHEN TRY_CAST(CASE WHEN (CASE WHEN json_valid(props) THEN json_type(props, '$.k') END) IN ('UBIGINT', 'BIGINT') THEN json_extract_string(props, '$.k') END AS INTEGER) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
     FROM events GROUP BY event_type
 """

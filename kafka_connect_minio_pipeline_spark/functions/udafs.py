@@ -57,7 +57,11 @@ def q_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python kernel only sees exact integers."""
     weighted_value_cents = weighted_value_cents_udaf()
     events = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
+    # rlike pre-guard = the SHARED integer-acceptance grammar with the
+    # oracle's regex (see scalar.py q_scalar_json): try_cast alone would
+    # trim ' 12 ' where the oracle regex rejects it.
+    s = F.get_json_object(F.col("props"), "$.k")
+    k = F.when(s.rlike(r"^[+-]?[0-9]+$"), s).try_cast("long")
     cents_col = cents(F.col("value"))
     return (
         events.select("event_type", cents_col.alias("cents"), k.alias("k"))

@@ -264,7 +264,8 @@ def _conf_bytes(val: str) -> int:
             s = s[: -len(suf)]
             mult = m
             break
-    return int(float(s)) * mult
+    # multiply BEFORE truncating: '1.5g' is 1.5 GiB, not int('1.5')=1 GiB
+    return int(float(s) * mult)
 
 
 def _adjacency_fits_broadcast(edges: DataFrame) -> bool:

@@ -359,9 +359,6 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             embeddings,
             embeddings.filter(F.col("embedding").isNull()),
         ),
-        # primary-key uniqueness: a duplicated key silently FANS OUT
-        # every downstream join — the corruption mode no per-row guard
-        # can catch; violations = surplus rows beyond one per key
         check(
             "events_nonfinite_value",
             events,
@@ -387,6 +384,9 @@ def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & _has_out_of_range(F.col("embedding"))
             ),
         ),
+        # primary-key uniqueness: a duplicated key silently FANS OUT
+        # every downstream join — the corruption mode no per-row guard
+        # can catch; violations = surplus rows beyond one per key
         key_unique("documents_dup_doc_id", documents, "doc_id"),
         key_unique("events_dup_event_id", events, "event_id"),
         key_unique("embeddings_dup_vec_id", embeddings, "vec_id"),

