@@ -213,10 +213,20 @@ def load_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+import os
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table with normalized types and the NOT NULL
-    contract on required fields (see ``REQUIRED_FIELDS``)."""
-    return _contract(load_raw(spark, sf_dir, name), name)
+    contract on required fields (see ``REQUIRED_FIELDS``).
+
+    ``SPARK_GRAFT_NO_CONTRACT=1`` bypasses the contract — a DIAGNOSTIC
+    knob only (bench A/B isolating the contract's scan cost, VERDICT r5
+    item 2); correctness guarantees do not hold under it."""
+    raw = load_raw(spark, sf_dir, name)
+    if os.environ.get("SPARK_GRAFT_NO_CONTRACT") == "1":
+        return raw
+    return _contract(raw, name)
 
 
 def load_meta(spark: SparkSession, sf_dir: str, name: str, *cols: str) -> DataFrame:
