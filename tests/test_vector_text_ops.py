@@ -113,6 +113,92 @@ def test_bpe_pairs_count_multiplicity(spark, tmp_path):
     assert got == {"aa": 2, "ab": 3, "bb": 1}
 
 
+def _py_bpe(words: dict[str, int], n_merges: int) -> dict[str, list[str]]:
+    """Independent pure-Python BPE reference: same spec as
+    bpe_learn_segment (max weight, lexicographically smallest wrapped
+    pair on ties, left-to-right non-overlapping collapse) but a totally
+    different mechanism (explicit symbol lists, no strings/replace)."""
+    seqs = {w: list(w) for w in words}
+    for _ in range(n_merges):
+        counts: dict[str, int] = {}
+        for w, syms in seqs.items():
+            for a, b in zip(syms, syms[1:]):
+                key = f"<{a}><{b}>"
+                counts[key] = counts.get(key, 0) + words[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda k: (-counts[k], k))
+        a, b = best[1:-1].split("><")
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return seqs
+
+
+def test_bpe_apply_roundtrip_known_tokenizations(spark, tmp_path):
+    """apply ∘ train reproduces known tokenizations (VERDICT r6 item 1):
+    on the classic BPE corpus {low×5, lower×2, newest×6, widest×3} the
+    learned segmentations must equal an independent pure-Python BPE's —
+    including the hand-checkable first merges (es before st on the 9-9
+    tie, then est, then lo on the 7-7 tie) — and the per-doc encode
+    counts must be exactly the summed segment counts."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        BPE_MERGES,
+        bpe_learn_segment,
+        q_text_bpe_apply,
+    )
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    ref = _py_bpe(freqs, BPE_MERGES)
+    # reference sanity, merges derived by hand: merge 1 is es (weight 9,
+    # beats st on the lexicographic tie), merge 2 est, merge 3 lo (7,
+    # beats ow on tie)
+    assert _py_bpe(freqs, 1)["newest"] == ["n", "e", "w", "es", "t"]
+    assert _py_bpe(freqs, 2)["newest"] == ["n", "e", "w", "est"]
+    assert _py_bpe(freqs, 3)["low"] == ["lo", "w"]
+
+    words = spark.createDataFrame(list(freqs.items()), "word string, cnt long")
+    got = {
+        r.word: r.seq[1:-1].split("><")
+        for r in bpe_learn_segment(words).collect()
+    }
+    assert got == ref
+
+    docs = [
+        (1, "low lower newest"),
+        (2, "widest widest low"),
+        (3, "newest"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {
+        r.doc_id: (r.n_words, r.n_chars_alnum, r.n_bpe)
+        for r in q_text_bpe_apply(spark, str(tmp_path)).collect()
+    }
+    corpus_freqs: dict[str, int] = {}
+    for _, text in docs:
+        for w in text.split():
+            corpus_freqs[w] = corpus_freqs.get(w, 0) + 1
+    corpus_ref = _py_bpe(corpus_freqs, BPE_MERGES)
+    expect = {
+        doc_id: (
+            len(text.split()),
+            sum(len(w) for w in text.split()),
+            sum(len(corpus_ref[w]) for w in text.split()),
+        )
+        for doc_id, text in docs
+    }
+    assert out == expect
+
+
 def test_boilerplate_footer_short_docs_cross_engine(spark, tmp_path):
     """ADVICE r4 regression: for docs shorter than EDGE_TOKENS the footer
     fingerprint must hash the FULL token list (DuckDB toks[-k:] semantics),
