@@ -5,10 +5,12 @@ Three tiers:
 - brute-force top-k for one query vector — the correctness spec;
 - batch top-k (many queries at once) via broadcast + per-query window —
   the shape a reranker / eval harness actually runs;
-- random-hyperplane LSH ANN — the 100 TB path: multi-table signatures
-  bucket the corpus so each query scores only its bucket union, not the
-  full corpus. Engine-specific hashes → rows-only for the driver; recall
-  vs. the brute-force operator is asserted in tests/test_similarity.py.
+- random-hyperplane LSH ANN and IVF cell-probe ANN — the 100 TB paths:
+  signatures/cells bucket the corpus so each query scores only its
+  bucket union, not the full corpus. Both are fully oracle-checked
+  (fixed-literal planes; decimal-exact dataflow quantizer) and recall
+  vs. the brute-force operator is asserted in
+  tests/test_dedup_similarity.py.
 
 All cosine math is the shared double-fold from functions/vectors.py
 (bit-identical to the DuckDB oracle's list_dot_product on DOUBLE[]).
@@ -399,110 +401,173 @@ SQL_SIMILARITY_KNN_LABEL = f"""
 
 IVF_CELLS = 16
 IVF_PROBE = 2  # cells searched per query
-IVF_ITERS = 3  # Lloyd iterations (deterministic init → deterministic result)
-
-
-def _assign_cells(em: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """Nearest-centroid assignment, Arrow-batched: one BLAS matmul per
-    batch against the broadcast centroid matrix (centroids always fit the
-    driver/executors — C×D doubles — regardless of corpus size)."""
-    sc = em.sparkSession.sparkContext
-    bc = sc.broadcast(np.ascontiguousarray(centroids, dtype=np.float64))
-
-    def run(batches):
-        import pandas as pd  # noqa: F811 — worker-side import
-
-        M = bc.value
-        cn = (M * M).sum(axis=1)  # ||c||^2 per centroid
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-            # argmin_c ||x - c||^2 == argmin_c (||c||^2 - 2 x·c); ||x||^2 constant
-            cell = (cn - 2.0 * (X @ M.T)).argmin(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].values, "cell": cell.astype("int32")}
-            )
-
-    return em.select("vec_id", "embedding").mapInPandas(run, "vec_id long, cell int")
-
-
+IVF_ITERS = 2  # Lloyd iterations (deterministic init → deterministic result;
+#                2 rounds over a 128-points-per-cell sample is the quality
+#                FAISS-style coarse quantizers train to, and each round is
+#                a fixed plan-depth/scheduling cost — the kmeans_assign
+#                iteration count)
 IVF_TRAIN_SAMPLE = 2048  # quantizer training sample (FAISS-style)
 
 
-def ivf_train_sample(spark: SparkSession, sf_dir: str) -> tuple[list, np.ndarray]:
-    """ONE bounded collect feeding both quantizer training and the query
-    vectors (the queries are vec_id < N_QUERIES ⊂ the vec_id-ordered
-    sample) — the only driver round-trip the IVF query makes besides the
-    final result."""
-    em = load(spark, sf_dir, "embeddings")
-    sample = (
-        em.orderBy("vec_id")
-        .limit(IVF_TRAIN_SAMPLE)
-        .select("vec_id", "embedding")
-        .collect()
+def _ivf_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v double[]) — the staged relation the IVF steps read."""
+    return spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    X = np.array([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
-    return sample, X
 
 
-def ivf_centroids(X: np.ndarray) -> np.ndarray:
-    """Deterministic k-means coarse quantizer trained on a bounded sample.
+def _cell_score() -> F.Column:
+    """argmin_c ||v-c||² == argmin_c (||c||² - 2 v·c): the per-vector
+    ||v||² term is a constant shift that cancels in every comparison, so
+    neither engine computes it — one 64-dim fold per (vector, cell)
+    saved on the corpus-sized assignment pass. The ORDER among cells is
+    float-formula-dependent, so the oracle uses the IDENTICAL two-term
+    expression (never the three-term one)."""
+    return F.col("dcc") - 2 * dot(F.col("v"), F.col("c"))
 
-    The quantizer needs O(cells) representative points, not the corpus —
-    the standard IVF design (FAISS trains on ~30-256 points per centroid)
-    — Lloyd runs driver-side in numpy on the sample. Corpus-scale work is
-    then a SINGLE distributed assignment pass, instead of IVF_ITERS
-    passes + per-iteration driver round-trips. At 100 TB the sample is
-    still 2048 rows."""
-    cent = X[:IVF_CELLS].copy()
+
+def _with_cc(cents: DataFrame) -> DataFrame:
+    return cents.withColumn("dcc", dot(F.col("c"), F.col("c")))
+
+
+def ivf_quantizer(e: DataFrame) -> DataFrame:
+    """Deterministic coarse quantizer as PURE DATAFLOW: IVF_ITERS Lloyd
+    rounds over the bounded training relation (vec_id < IVF_TRAIN_SAMPLE
+    — the quantizer needs O(cells) representative points, not the corpus;
+    FAISS trains on ~30-256 points per centroid, and at 100 TB the
+    training relation is still ≤2048 rows). Returns (k, c double[]).
+
+    This replaces the r2-r6 driver-side numpy Lloyd: same algorithm, but
+    expressed in the decimal-exact relational algebra ``kmeans_assign``
+    proved cross-engine — assign is a broadcast of the C-row centroid
+    relation with the min-struct argmin over the shared sequential double
+    fold (map-side partial agg, and v carried through first(): exact,
+    since v is functionally dependent on the vec_id group key — no
+    join-back shuffle); update is the order-free decimal(16,6) mean per
+    (cell, dim). The DuckDB oracle reproduces every centroid
+    bit-for-bit, so the WHOLE IVF query is hash-checked instead of
+    rows-only. Seeding: the IVF_CELLS smallest vec_ids, k = vec_id (the
+    oracle CTE c0). An emptied cell drops out of the next round on both
+    engines (the numpy version kept its stale centroid — spec
+    simplification, identical both sides). Training cost is
+    scale-invariant: the sample never grows, so at 100 TB it is a ~2 s
+    constant ahead of the corpus-sized passes.
+
+    Rejected alternatives (measured at sf0.1): inlining centroids as
+    plan literals — the lsh_signatures fixed-planes trick — loses badly
+    here whether via array_sort of (score, k) structs (27 s: falls out
+    of codegen into interpreted HOF evaluation) or flat least() with
+    per-round driver reshaping (6.7 s: megabyte expression trees
+    recompiled and redeserialized per task per pass); the broadcast join
+    keeps the fold inside codegen and the plan small. The round lineage
+    is LINEAR, so rounds stay one lazy plan and only the ends
+    materialize (training relation, final centroids)."""
+    # compute-spread before the checkpoint: the filtered sample is one
+    # scan partition (single parquet file locally; one row-group slice at
+    # scale), and every training fold below would otherwise run on one
+    # core — same rationale as tables.spread
+    n = e.sparkSession.sparkContext.defaultParallelism
+    s = (
+        e.filter(F.col("vec_id") < IVF_TRAIN_SAMPLE)
+        .repartition(n, F.col("vec_id"))
+        .localCheckpoint()
+    )
+    cents = s.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("k"), F.col("v").alias("c")
+    )
     for _ in range(IVF_ITERS):
-        d = (cent * cent).sum(axis=1) - 2.0 * (X @ cent.T)  # ||x||² constant
-        cells = d.argmin(axis=1)
-        for c in range(IVF_CELLS):
-            members = X[cells == c]
-            if len(members):  # empty cells keep their old centroid
-                cent[c] = members.mean(axis=0)
-    return cent
+        assigned = (
+            s.crossJoin(F.broadcast(_with_cc(cents)))
+            .withColumn("score", _cell_score())
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct("score", "k")).alias("b"),
+                F.first("v").alias("v"),
+            )
+            .select(F.col("b.k").alias("k"), "v")
+        )
+        cents = (
+            assigned.select("k", F.posexplode("v").alias("pos", "x"))
+            .groupBy("k", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(16,6)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .groupBy("k")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st["m"],
+                ).alias("c")
+            )
+        )
+    return cents.localCheckpoint()  # bounded: ≤ IVF_CELLS rows
+
+
+def ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """The inverted file: every vector → its nearest cell (one distributed
+    pass, broadcast centroids, map-side-combined min-struct argmin — the
+    corpus never shuffles wider than its pre-combined N rows). At scale
+    this relation is what gets written out partitioned BY cell, so a
+    probe reads only its cells' partitions instead of the corpus."""
+    best = (
+        e.crossJoin(F.broadcast(_with_cc(cents)))
+        .withColumn("score", _cell_score())
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("score", "k")).alias("b"))
+    )
+    return best.select("vec_id", F.col("b.k").cast("int").alias("cell"))
+
+
+def _probe_cells(e: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """Per query vector: its ``n`` nearest cells (query relation is
+    N_QUERIES rows — a row_number window over C·|Q| rows is free)."""
+    d = (
+        e.crossJoin(F.broadcast(_with_cc(cents)))
+        .withColumn("score", _cell_score())
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "k")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .select("vec_id", "k")
+    )
 
 
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 for the first 8 queries via IVF cell-probe search.
 
-    Train a 16-cell coarse quantizer, assign every vector to its nearest
-    cell (the inverted file), then score each query only against the
-    IVF_PROBE closest cells' vectors — at scale the inverted file is
-    partitioned BY cell, so a probe reads only its cells' partitions
-    instead of the corpus. Exact cosine rerank on the candidates; same
-    output shape as the LSH variant. Engine-specific float argmins →
-    rows-only for the driver; recall vs. brute force asserted in tests."""
-    sample, X = ivf_train_sample(spark, sf_dir)
-    if len(sample) == 0:
-        # no vectors → no quantizer to train and nothing to search:
-        # empty result with the query's schema, not a numpy shape error
-        return spark.createDataFrame(
-            [], "query_id long, vec_id long, cos_sim double, rank int"
-        )
-    cent = ivf_centroids(X)
-    em = _with_norms(load(spark, sf_dir, "embeddings"))
-    assigned = _assign_cells(spread(load(spark, sf_dir, "embeddings"), "vec_id"), cent)
-
-    # query → its IVF_PROBE nearest cells (8×64 doubles: driver-side math;
-    # query vectors come from the already-collected training sample)
-    qrows = [r for r in sample if r["vec_id"] < N_QUERIES]
-    cn = (cent * cent).sum(axis=1)
-    probe_rows = []
-    for r in qrows:
-        x = np.asarray(r["embedding"], dtype=np.float64)
-        order = np.argsort(cn - 2.0 * (cent @ x), kind="stable")[:IVF_PROBE]
-        probe_rows.extend((r["vec_id"], int(c)) for c in order)
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
-
+    Train the 16-cell coarse quantizer (:func:`ivf_quantizer` — bounded
+    training relation, decimal-exact dataflow Lloyd), assign every vector
+    to its nearest cell (the inverted file), then score each query only
+    against its IVF_PROBE closest cells' vectors — at scale the inverted
+    file is partitioned BY cell, so a probe reads only its cells'
+    partitions instead of the corpus. Exact cosine rerank on the
+    candidates; same output shape as the LSH variant. Since r7 the
+    quantizer, probes, and rerank are all cross-engine-exact dataflow, so
+    the driver hash-checks the full result (previously rows-only); recall
+    vs. brute force stays asserted in tests/test_dedup_similarity.py."""
+    # training/probe relations read the PLAIN load (the vec_id filter
+    # prunes at the scan); only the corpus-sized assignment pass pays the
+    # compute-spread repartition
+    plain = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cents = ivf_quantizer(plain)
+    assigned = ivf_assign(_ivf_relation(spark, sf_dir), cents)
+    probes = _probe_cells(
+        plain.filter(F.col("vec_id") < N_QUERIES), cents, IVF_PROBE
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("k").cast("int").alias("cell")
+    )
     cand = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
+    em = _with_norms(load(spark, sf_dir, "embeddings"))
     qn = em.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -525,6 +590,82 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB twin of the full IVF pipeline: unrolled Lloyd rounds on the
+    bounded training CTE (the kmeans_assign oracle pattern), one
+    assignment pass, per-query probe ranking, exact cosine rerank. The
+    cell score is the TWO-term ||c||² - 2 v·c (see _cell_score — must
+    match the Spark expression, not merely its argmin)."""
+    dist = (
+        "list_dot_product(c.c, c.c)"
+        " - 2 * list_dot_product(e.v, c.c)"
+    )
+    sdist = dist.replace("e.", "s.")
+    qdist = dist.replace("e.", "q.")
+    rounds = []
+    prev_c = "c0"
+    for i in range(1, IVF_ITERS + 1):
+        rounds.append(f"""
+    a{i} AS (
+        SELECT vec_id, k FROM (
+            SELECT s.vec_id, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {sdist}, c.k) AS rn
+            FROM s CROSS JOIN {prev_c} c) WHERE rn = 1),
+    u{i} AS (
+        SELECT a.k, i AS pos,
+               CAST(SUM(CAST(s.v[i] AS DECIMAL(16,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM a{i} a JOIN s USING (vec_id),
+             LATERAL UNNEST(generate_series(1, len(s.v))) t(i)
+        GROUP BY a.k, i),
+    c{i} AS (SELECT k, LIST(m ORDER BY pos) AS c FROM u{i} GROUP BY k)""")
+        prev_c = f"c{i}"
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v FROM e WHERE vec_id < {IVF_TRAIN_SAMPLE}),
+    c0 AS (SELECT vec_id AS k, v AS c FROM s
+           WHERE vec_id < {IVF_CELLS}),{",".join(rounds)},
+    assigned AS (
+        SELECT vec_id, k AS cell FROM (
+            SELECT e.vec_id, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.k) AS rn
+            FROM e CROSS JOIN {prev_c} c) WHERE rn = 1),
+    probes AS (
+        SELECT query_id, k AS cell FROM (
+            SELECT q.vec_id AS query_id, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {qdist}, c.k) AS rn
+            FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN {prev_c} c) WHERE rn <= {IVF_PROBE}),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.query_id),
+    norms AS (
+        SELECT vec_id, v, list_dot_product(v, v) AS norm_sq FROM e
+        WHERE list_dot_product(v, v) > 0),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               ROUND(list_dot_product(v.v, q.v)
+                     / (SQRT(v.norm_sq) * SQRT(q.norm_sq)), 6) AS cos_sim
+        FROM cand c
+        JOIN norms v ON c.vec_id = v.vec_id
+        JOIN norms q ON c.query_id = q.vec_id)
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+            AS rank
+        FROM scored)
+    WHERE rank <= 3
+"""
+
+
+SQL_ANN_IVF = _ann_ivf_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1198,7 +1339,7 @@ QUERIES = {
         q_similarity_topk_batch, SQL_SIMILARITY_TOPK_BATCH, headline=True
     ),
     "similarity_ann_lsh": Query(q_similarity_ann_lsh, SQL_ANN_LSH),
-    "similarity_ann_ivf": Query(q_similarity_ann_ivf, None, headline=True),
+    "similarity_ann_ivf": Query(q_similarity_ann_ivf, SQL_ANN_IVF, headline=True),
     "similarity_knn_label_eval": Query(
         q_similarity_knn_label_eval, SQL_SIMILARITY_KNN_LABEL
     ),

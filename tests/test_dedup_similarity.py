@@ -103,11 +103,8 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     # scale property: probing IVF_PROBE of IVF_CELLS cells must not score
     # the whole corpus
     n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    _, X = similarity.ivf_train_sample(spark, sf_dir)
-    cent = similarity.ivf_centroids(X)
-    from kafka_connect_minio_pipeline_spark.tables import load
-
-    assigned = similarity._assign_cells(load(spark, sf_dir, "embeddings"), cent)
+    e = similarity._ivf_relation(spark, sf_dir)
+    assigned = similarity.ivf_assign(e, similarity.ivf_quantizer(e))
     biggest = assigned.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
     assert similarity.IVF_PROBE * biggest < n_corpus, "cells do not partition corpus"
 
