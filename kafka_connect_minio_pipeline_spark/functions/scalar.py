@@ -138,10 +138,13 @@ def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The rlike pre-guard is the SHARED acceptance grammar with the
     # oracle: Spark's try_cast trims ≤U+0020 padding (' 12 ' → 12) while
     # the oracle's regex rejects it — guarding BOTH engines on the same
-    # '^[+-]?[0-9]+$' makes the accepted language identical by
-    # construction instead of by matching two trim semantics.
+    # integer grammar makes the accepted language identical by
+    # construction instead of by matching two trim semantics. The Spark
+    # side anchors with \z, not $: java.util.regex '$' also matches
+    # before a final trailing newline ('12\n' would pass and trim to 12)
+    # where the oracle's RE2 '$' is end-of-string (ADVICE r6).
     s = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(s.rlike(r"^[+-]?[0-9]+$"), s).try_cast("int")
+    k = F.when(s.rlike(r"^[+-]?[0-9]+\z"), s).try_cast("int")
     return (
         events.select(
             (k % 10).alias("k_bucket"),

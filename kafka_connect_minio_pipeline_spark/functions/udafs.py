@@ -59,9 +59,11 @@ def q_udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events")
     # rlike pre-guard = the SHARED integer-acceptance grammar with the
     # oracle's regex (see scalar.py q_scalar_json): try_cast alone would
-    # trim ' 12 ' where the oracle regex rejects it.
+    # trim ' 12 ' where the oracle regex rejects it; \z anchor because
+    # java regex '$' would accept a trailing-newline value the oracle's
+    # RE2 '$' rejects (ADVICE r6).
     s = F.get_json_object(F.col("props"), "$.k")
-    k = F.when(s.rlike(r"^[+-]?[0-9]+$"), s).try_cast("long")
+    k = F.when(s.rlike(r"^[+-]?[0-9]+\z"), s).try_cast("long")
     cents_col = cents(F.col("value"))
     return (
         events.select("event_type", cents_col.alias("cents"), k.alias("k"))

@@ -183,7 +183,9 @@ def degen_ev_dir(tmp_path_factory) -> str:
                     (900011, TIMESTAMP '2024-01-05 17:05:00', 900011,
                      'click', 1.00, '{{"k": "12"}}'),
                     (900012, TIMESTAMP '2024-01-05 17:10:00', 900012,
-                     'click', 1.00, '{{"k": 12345678901234}}')
+                     'click', 1.00, '{{"k": 12345678901234}}'),
+                    (900013, TIMESTAMP '2024-01-05 17:15:00', 900013,
+                     'click', 1.00, '{{"k": "12\n"}}')
                 ) v(event_id, ts, user_id, event_type, value, props)
             ) TO '{d}/events_new.parquet' (FORMAT PARQUET)
             """
@@ -203,9 +205,12 @@ def test_query_survives_degenerate_events(spark, degen_ev_dir, name):
     flow through every time-series operator, and an EXACT-gap event pair
     (16:00, 16:05 at a 5-min gap) pins the session boundary: Spark merges
     touching windows, so the oracle must split on strict >, not >=.
-    Padded (' 12 '), string-wrapped ('"12"'), and int32-overflow k
-    values pin the shared integer-acceptance grammar across both
-    engines (ADVICE r5: try_cast trims where the oracle regex rejects).
+    Padded (' 12 '), string-wrapped ('"12"'), trailing-newline
+    ('"12\\n"' — json-decodes to a real newline; java regex '$' would
+    accept it, so the Spark guard anchors \\z, ADVICE r6), and
+    int32-overflow k values pin the shared integer-acceptance grammar
+    across both engines (ADVICE r5: try_cast trims where the oracle
+    regex rejects).
     First run found 3 crashes; the fuzz net later caught the boundary."""
     q = _QUERIES[name]
     if q.oracle is not None:
