@@ -224,6 +224,34 @@ def decode_avro(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def decode_kafka_frames(
+    raw: DataFrame,
+    avro_schema: dict[str, Any] = USERS_AVRO_SCHEMA,
+    spark_schema: T.StructType = USERS_SPARK_SCHEMA,
+) -> DataFrame:
+    """Everything downstream of the Kafka socket (A2 post-source path +
+    A16 meta passthrough): Confluent frame split → registry-id/payload
+    extraction → Avro decode, with the Kafka metadata columns (key /
+    partition / timestamp) carried beside the decoded fields.
+
+    Factored out of :func:`kafka_avro_stream` so the bytes-exact
+    integration fixture (tests/test_sources.py) can drive the IDENTICAL
+    plan from a recorded-bytes file stream shaped like the Kafka source
+    relation — leaving only the socket itself environment-gated. ``raw``
+    must carry the Kafka source's columns (key binary, value binary,
+    partition int, timestamp timestamp); batch or streaming both work
+    (the transformation is stateless)."""
+    framed = split_confluent_frame(raw, "value")
+    meta = framed.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("timestamp").alias("kafka_timestamp"),
+        "schema_id",
+        "payload",
+    )
+    return decode_avro(meta, avro_schema, spark_schema)
+
+
 def kafka_avro_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -250,12 +278,4 @@ def kafka_avro_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    framed = split_confluent_frame(raw, "value")
-    meta = framed.select(
-        F.col("key").cast("string").alias("kafka_key"),
-        F.col("partition").alias("kafka_partition"),
-        F.col("timestamp").alias("kafka_timestamp"),
-        "schema_id",
-        "payload",
-    )
-    return decode_avro(meta, avro_schema, spark_schema)
+    return decode_kafka_frames(raw, avro_schema, spark_schema)

@@ -293,3 +293,86 @@ def test_schema_evolution_drill(spark, monkeypatch, tmp_path):
     assert set(back) == set(rows)
     assert back["id_8"]["phone_number"] == "+1-555-0008"
     assert back["id_1"]["phone_number"] is None
+
+
+def test_kafka_bytes_exact_e2e_fixture(spark, tmp_path):
+    """Bytes-exact A2/A16 integration fixture (VERDICT r6 item 3): real
+    registry-framed Avro bytes from the producer fixture, laid out in the
+    EXACT relation shape the Kafka source emits (key/value binary,
+    partition, timestamp, topic, offset), replayed as a FILE STREAM
+    through decode_kafka_frames — the identical post-socket plan
+    kafka_avro_stream builds — into a memory sink. Pins the full 5-byte
+    frame strip + unsigned schema-id read + Avro decode + Kafka meta
+    passthrough chain; only the socket itself stays environment-gated
+    (no broker/spark-sql-kafka jar in this sandbox,
+    test_kafka_stream_builder_requires_kafka_jar above).
+
+    Reference semantics: producer/producer.py:40-69 (key = user_id
+    string, value = Confluent wire format with magic 0x0 + big-endian
+    schema id + Avro body)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    kafka_schema = T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("timestampType", T.IntegerType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    recorded = [
+        (
+            row[0].encode(),                      # key = user_id (producer)
+            ra.encode_user(_user(*row), schema_id=2_200_000_007),  # >2^31
+            "users",
+            i % 3,
+            i,
+            t0 + dt.timedelta(seconds=i),
+            0,
+        )
+        for i, row in enumerate(GOLDEN)
+    ]
+    # one corrupt frame (wrong magic byte): must be DROPPED by the frame
+    # split, never reach the decoder
+    recorded.append(
+        (b"corrupt", b"\x01garbage", "users", 0, 999, t0, 0)
+    )
+    src = str(tmp_path / "recorded_frames")
+    spark.createDataFrame(recorded, kafka_schema).write.parquet(src)
+
+    stream = spark.readStream.schema(kafka_schema).parquet(src)
+    decoded = ra.decode_kafka_frames(stream)
+    assert decoded.isStreaming
+    q = (
+        decoded.writeStream.format("memory")
+        .queryName("kafka_e2e_fixture")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["user_id"]: r for r in spark.sql(
+        "SELECT * FROM kafka_e2e_fixture").collect()}
+
+    assert len(out) == 9  # corrupt frame dropped, all 9 users decoded
+    for i, row in enumerate(GOLDEN):
+        u = _user(*row)
+        r = out[u["user_id"]]
+        # A16 meta passthrough, bytes-exact
+        assert r["kafka_key"] == u["user_id"]
+        assert r["kafka_partition"] == i % 3
+        assert r["kafka_timestamp"] == t0 + dt.timedelta(seconds=i)
+        # unsigned 32-bit registry id survives (would wrap negative as int)
+        assert r["schema_id"] == 2_200_000_007
+        # decoded fields equal the produced record, nulls included
+        for f in ("user_id", "first_name", "last_name", "email", "age",
+                  "raw_password_hash", "internal_tracking_code"):
+            assert r[f] == u[f], f
+        assert r["address"]["street"] == u["address"]["street"]
+        assert r["address"]["city"] == u["address"]["city"]
+        assert r["address"]["zip_code"] == u["address"]["zip_code"]
