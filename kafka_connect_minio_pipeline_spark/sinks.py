@@ -23,6 +23,43 @@ from pyspark.sql import DataFrame
 MB = 1024 * 1024
 
 
+def object_store_committer_confs(scheme: str = "s3a") -> dict[str, str]:
+    """The session confs a real object-store deployment sets so that
+    partitioned/compacted writes commit safely WITHOUT directory renames
+    — the semantic gap between a filesystem and S3/MinIO (reference
+    target: ``connectors/s3-sink.json:8-20`` writes to a MinIO bucket).
+
+    Rename-based FileOutputCommitter is both slow (O(files) copies on
+    S3) and unsafe (non-atomic rename → partial results visible on task
+    retry); the S3A "magic" committer stages task output under a magic
+    path and completes multipart uploads only at job commit —
+    exactly-once object-store output, the cloud twin of the streaming
+    sink's checkpoint+commit-log discipline (SURVEY A7).
+
+    These confs are DOCUMENTATION-AS-CODE for this sandbox: the
+    ``spark-hadoop-cloud`` module that provides
+    ``PathOutputCommitProtocol`` is not baked into the container, so
+    tests pin the recipe's content and exercise the sink through
+    scheme-qualified ``file://`` URIs instead (rename commit is safe on
+    a real filesystem); on a cluster with the cloud jar, passing these
+    to ``SparkSession.builder.config`` and swapping the sink URI to
+    ``s3a://bucket/path`` is the ENTIRE migration (see SCALING.md
+    "Object-store sink").
+    """
+    return {
+        # route Spark's commit protocol through the Hadoop PathOutputCommitter
+        "spark.sql.sources.commitProtocolClass":
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+        "spark.sql.parquet.output.committer.class":
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+        # pick the magic committer for the object-store scheme
+        f"spark.hadoop.fs.{scheme}.committer.name": "magic",
+        f"spark.hadoop.fs.{scheme}.committer.magic.enabled": "true",
+        f"spark.hadoop.mapreduce.outputcommitter.factory.scheme.{scheme}":
+            "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory",
+    }
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
