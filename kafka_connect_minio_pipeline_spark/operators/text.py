@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import dec9
 from ..registry import Query
-from ..tables import load, spread
+from ..tables import load, load_meta, spread
 from .dedup import SQL_TOKENS, tokens, word_ngrams
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
@@ -638,11 +638,15 @@ BPE_MERGES = 8  # learned merge rounds (fixed constant, unrolled identically
 BPE_WORD_RE = "\\A[a-z0-9]+\\z"
 
 
-def bpe_learn_segment(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
-    """Learn ``n_merges`` BPE merges over a (word, cnt) relation and
-    return each word's final segmentation — the train half of a byte-pair
-    tokenizer as pure dataflow (the inference half is
-    :func:`q_text_bpe_apply`).
+def _bpe_rounds(
+    words: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Learn ``n_merges`` BPE merges over a (word, cnt) relation; return
+    (final segmentations, per-round 1-row winner relations (pr, w) — pr
+    NULL when the pair supply was exhausted) — the train half of a
+    byte-pair tokenizer as pure dataflow (the inference half is
+    :func:`q_text_bpe_apply`; the winner list is the merge TABLE
+    ``q_text_bpe_vocab`` emits).
 
     Representation: a word's symbol sequence is ONE string with every
     symbol wrapped, ``hello → "<h><e><l><l><o>"``. Merging the winning
@@ -677,6 +681,7 @@ def bpe_learn_segment(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame
         " i -> concat('<', element_at(syms, i), '><', element_at(syms, i + 1), '>'))"
         " ELSE CAST(array() AS ARRAY<STRING>) END"
     )
+    winners: list[DataFrame] = []
     for _ in range(n_merges):
         staged = cur.withColumn(
             "syms", F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><")
@@ -687,8 +692,11 @@ def bpe_learn_segment(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame
             .agg(F.sum("cnt").alias("w"))
             .orderBy(F.col("w").desc(), "pr")
             .limit(1)
-            .agg(F.min("pr").alias("pr"))  # exactly 1 row; NULL when no pairs
+            # exactly 1 row; NULLs when no pairs (min of the 1-row limit
+            # is that row, min of zero rows is NULL)
+            .agg(F.min("pr").alias("pr"), F.min("w").alias("w"))
         )
+        winners.append(best)
         tgt = F.coalesce(F.col("pr"), F.lit("\x01"))
         cur = (
             staged.crossJoin(F.broadcast(best))
@@ -701,7 +709,48 @@ def bpe_learn_segment(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame
             )
             .localCheckpoint()  # bounded: |vocab| rows
         )
+    return cur, winners
+
+
+def bpe_learn_segment(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame:
+    """Final per-word segmentations only (see :func:`_bpe_rounds`)."""
+    cur, _ = _bpe_rounds(words, n_merges)
     return cur
+
+
+def _corpus_words(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(doc-word rows, checkpointed (word, cnt) vocabulary) — pass 1 of
+    the tokenizer pipeline, shared by the vocab/apply/fertility queries."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    dw = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike(BPE_WORD_RE))
+    words = dw.groupBy("word").agg(F.count("*").alias("cnt")).localCheckpoint()
+    return dw, words
+
+
+def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned MERGE TABLE itself as a first-class relation —
+    (merge_rank, pair, n_occ): the ordered list of byte-pair merges a
+    trained tokenizer ships as its vocabulary artifact, with each
+    winner's corpus weight at the time it won. Rounds out the tokenizer
+    triple: ``text_bpe_pairs`` (pre-merge statistics), this (the train
+    artifact), ``text_bpe_apply`` (encode). One corpus pass (the word
+    collapse); everything after is vocabulary-sized; the per-round
+    winner relations come straight from the already-checkpointed merge
+    loop, so emitting the table re-runs nothing corpus-shaped. The
+    DuckDB oracle reads the same winners off its unrolled round CTEs."""
+    _, words = _corpus_words(spark, sf_dir)
+    _, winners = _bpe_rounds(words)
+    out = None
+    for m, best in enumerate(winners, start=1):
+        row = best.select(
+            F.lit(m).cast("int").alias("merge_rank"),
+            F.col("pr").alias("pair"),
+            F.col("w").cast("bigint").alias("n_occ"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.filter(F.col("pair").isNotNull())
 
 
 def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,13 +770,7 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     never touches the corpus. The DuckDB oracle unrolls the identical
     rounds, so the whole encode — merge table included — hash-matches.
     """
-    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    dw = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
-    ).filter(F.col("word").rlike(BPE_WORD_RE))
-    words = (
-        dw.groupBy("word").agg(F.count("*").alias("cnt")).localCheckpoint()
-    )
+    dw, words = _corpus_words(spark, sf_dir)
     vocab = bpe_learn_segment(words).select(
         "word",
         F.size(
@@ -745,7 +788,57 @@ def q_text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply_sql(n_merges: int = BPE_MERGES) -> str:
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report per language — tokens-per-word and
+    chars-per-token of the corpus-trained BPE encoder, the standard
+    numbers a tokenizer eval publishes before a vocab ships (high
+    fertility on a language = that language pays more sequence length
+    per word — the multilingual-cost metric). Built on the encode pass:
+    per-doc BPE counts grouped by ``documents.lang`` via a
+    metadata-pruned join (load_meta — the lang lookup never re-reads
+    the text column). NULL lang groups as its own bucket, identically
+    in both engines."""
+    dw, words = _corpus_words(spark, sf_dir)
+    vocab = bpe_learn_segment(words).select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><")
+        ).alias("n_syms"),
+    )
+    perdoc = (
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_syms").alias("n_bpe"),
+        )
+    )
+    lang = load_meta(spark, sf_dir, "documents", "lang")
+    return (
+        perdoc.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+            F.round(
+                F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+def _bpe_cte_chain(n_merges: int = BPE_MERGES) -> tuple[str, str]:
+    """(CTE body, final-segmentation CTE name) shared by the
+    vocab/apply/fertility oracles — the DuckDB twin of
+    :func:`_corpus_words` + :func:`_bpe_rounds`. Each round's winner CTE
+    b{m} always holds exactly one row: the wrapped winning pair (sentinel
+    chr(1) when the pair supply is exhausted — matches the Spark
+    coalesce) and its weight."""
     rounds = []
     prev = "s0"
     for m in range(1, n_merges + 1):
@@ -759,15 +852,21 @@ def _bpe_apply_sql(n_merges: int = BPE_MERGES) -> str:
              LATERAL UNNEST(generate_series(1, len(syms) - 1)) t(i)
         GROUP BY 1),
     b{m} AS (
-        SELECT COALESCE(
-            (SELECT pr FROM p{m} ORDER BY w DESC, pr LIMIT 1), chr(1)) AS pr),
+        -- exactly ONE reference to p{m}: a second scalar subquery here
+        -- doubles the reference count per round, and DuckDB's CTE
+        -- inlining then re-evaluates the whole prefix 2^rounds times
+        -- (measured: >60 s at sf0.001 vs milliseconds); the 1-row
+        -- left join keeps b{m} total when p{m} is empty
+        SELECT COALESCE(t.pr, chr(1)) AS pr, t.w
+        FROM (VALUES (1)) d(x)
+        LEFT JOIN (SELECT pr, w FROM p{m}
+                   ORDER BY w DESC, pr LIMIT 1) t ON TRUE),
     s{m} AS (
         SELECT word, cnt, replace(seq, b.pr, replace(b.pr, '><', '')) AS seq
         FROM {prev}, b{m} b)""")
         prev = f"s{m}"
     toks = SQL_TOKENS.format(col="text")
-    return f"""
-    WITH dw AS (
+    chain = f"""dw AS (
         SELECT doc_id, t.w AS word
         FROM (SELECT doc_id, {toks} AS toks FROM documents),
              UNNEST(toks) t(w)
@@ -775,7 +874,14 @@ def _bpe_apply_sql(n_merges: int = BPE_MERGES) -> str:
     w0 AS (SELECT word, COUNT(*) AS cnt FROM dw GROUP BY 1),
     s0 AS (SELECT word, cnt,
                   regexp_replace(word, '(.)', '<\\1>', 'g') AS seq
-           FROM w0),{",".join(rounds)}
+           FROM w0),{",".join(rounds)}"""
+    return chain, prev
+
+
+def _bpe_apply_sql(n_merges: int = BPE_MERGES) -> str:
+    chain, prev = _bpe_cte_chain(n_merges)
+    return f"""
+    WITH {chain}
     SELECT d.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(LENGTH(d.word)) AS BIGINT) AS n_chars_alnum,
@@ -786,7 +892,47 @@ def _bpe_apply_sql(n_merges: int = BPE_MERGES) -> str:
 """
 
 
+def _bpe_vocab_sql(n_merges: int = BPE_MERGES) -> str:
+    chain, _ = _bpe_cte_chain(n_merges)
+    arms = "\n    UNION ALL ".join(
+        f"SELECT CAST({m} AS INTEGER) AS merge_rank, pr AS pair,"
+        f" CAST(w AS BIGINT) AS n_occ FROM b{m} WHERE pr <> chr(1)"
+        for m in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {chain}
+    {arms}
+"""
+
+
+def _bpe_fertility_sql(n_merges: int = BPE_MERGES) -> str:
+    chain, prev = _bpe_cte_chain(n_merges)
+    return f"""
+    WITH {chain},
+    perdoc AS (
+        SELECT d.doc_id,
+               COUNT(*) AS n_words,
+               SUM(LENGTH(d.word)) AS n_chars,
+               SUM(len(string_split(substr(v.seq, 2, length(v.seq) - 2),
+                                    '><'))) AS n_bpe
+        FROM dw d JOIN {prev} v USING (word)
+        GROUP BY d.doc_id)
+    SELECT doc.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_words) AS BIGINT) AS total_words,
+           CAST(SUM(p.n_bpe) AS BIGINT) AS total_bpe,
+           ROUND(CAST(SUM(p.n_bpe) AS DOUBLE) / SUM(p.n_words), 6)
+               AS fertility,
+           ROUND(CAST(SUM(p.n_chars) AS DOUBLE) / SUM(p.n_bpe), 6)
+               AS chars_per_token
+    FROM perdoc p JOIN documents doc USING (doc_id)
+    GROUP BY doc.lang
+"""
+
+
 SQL_TEXT_BPE_APPLY = _bpe_apply_sql()
+SQL_TEXT_BPE_VOCAB = _bpe_vocab_sql()
+SQL_TEXT_BPE_FERTILITY = _bpe_fertility_sql()
 
 
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,6 +1408,8 @@ QUERIES = {
     "text_zipf": Query(q_text_zipf, SQL_TEXT_ZIPF),
     "text_bpe_pairs": Query(q_text_bpe_pairs, SQL_TEXT_BPE_PAIRS),
     "text_bpe_apply": Query(q_text_bpe_apply, SQL_TEXT_BPE_APPLY),
+    "text_bpe_vocab": Query(q_text_bpe_vocab, SQL_TEXT_BPE_VOCAB),
+    "text_bpe_fertility": Query(q_text_bpe_fertility, SQL_TEXT_BPE_FERTILITY),
     "text_collocations": Query(q_text_collocations, SQL_TEXT_COLLOCATIONS),
     "text_readability": Query(q_text_readability, SQL_TEXT_READABILITY),
     "text_bm25": Query(q_text_bm25, SQL_TEXT_BM25),

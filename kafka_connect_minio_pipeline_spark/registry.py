@@ -68,29 +68,33 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. Priority this round:
-#   1-5:   round-7 new/changed — text_bpe_apply (NEW, VERDICT r6
-#          item 1), similarity_ann_ivf (oracle upgrade: numpy Lloyd
-#          quantizer → decimal-exact dataflow, item 2), and
-#          scalar_json / scalar_json_typed / udaf_weighted_value
-#          (integer-acceptance grammar re-anchored \Z, ADVICE r6);
-#   6-34:  every remaining round-2-vintage row (profile family,
+#   1-7:   round-7 new/changed — the tokenizer triple completion
+#          text_bpe_apply / text_bpe_vocab / text_bpe_fertility (NEW,
+#          VERDICT r6 item 1 + extensions), similarity_ann_ivf (oracle
+#          upgrade: numpy Lloyd quantizer → decimal-exact dataflow,
+#          item 2), and scalar_json / scalar_json_typed /
+#          udaf_weighted_value (integer-acceptance grammar re-anchored
+#          \z, ADVICE r6);
+#   8-36:  every remaining round-2-vintage row (profile family,
 #          early streaming family, text r2 cohort, ts r2 cohort,
 #          llm r2 cohort, dedup_ngram_jaccard, similarity_centroids,
 #          multimodal meta/frame_sample) — code unchanged, rows move
 #          from r2 to current;
-#  35-50:  the named r3 straggler udtf_sentences plus the oldest
-#          r3 rows in name order (agg family, corpus r3 cohort).
+#  37-50:  the named r3 straggler udtf_sentences plus the oldest
+#          r3 rows in name order (agg family).
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-5: round-7 new/changed
+    # 1-7: round-7 new/changed
     "text_bpe_apply",
+    "text_bpe_vocab",
+    "text_bpe_fertility",
     "similarity_ann_ivf",
     "scalar_json",
     "scalar_json_typed",
     "udaf_weighted_value",
-    # 6-34: round-2-vintage rows (oldest standing)
+    # 8-36: round-2-vintage rows (oldest standing)
     "dedup_ngram_jaccard",
     "llm_decontaminate",
     "llm_pack_sequences",
@@ -120,7 +124,7 @@ _GRADE_FIRST = (
     "ts_gapfill",
     "ts_scd2",
     "ts_sessionize",
-    # 35-50: r3 stragglers (udtf_sentences named in VERDICT r6, then
+    # 37-50: r3 stragglers (udtf_sentences named in VERDICT r6, then
     # oldest r3 rows in name order)
     "udtf_sentences",
     "agg_approx_distinct",
@@ -136,8 +140,6 @@ _GRADE_FIRST = (
     "agg_rollup",
     "agg_stats",
     "agg_time_rollup",
-    "corpus_bigram_novelty",
-    "corpus_repetition",
 )
 
 

@@ -113,12 +113,16 @@ def test_bpe_pairs_count_multiplicity(spark, tmp_path):
     assert got == {"aa": 2, "ab": 3, "bb": 1}
 
 
-def _py_bpe(words: dict[str, int], n_merges: int) -> dict[str, list[str]]:
+def _py_bpe_full(
+    words: dict[str, int], n_merges: int
+) -> tuple[dict[str, list[str]], list[tuple[str, int]]]:
     """Independent pure-Python BPE reference: same spec as
     bpe_learn_segment (max weight, lexicographically smallest wrapped
     pair on ties, left-to-right non-overlapping collapse) but a totally
-    different mechanism (explicit symbol lists, no strings/replace)."""
+    different mechanism (explicit symbol lists, no strings/replace).
+    Returns (segmentations, ordered merge table [(wrapped pair, w)])."""
     seqs = {w: list(w) for w in words}
+    merges: list[tuple[str, int]] = []
     for _ in range(n_merges):
         counts: dict[str, int] = {}
         for w, syms in seqs.items():
@@ -128,6 +132,7 @@ def _py_bpe(words: dict[str, int], n_merges: int) -> dict[str, list[str]]:
         if not counts:
             break
         best = min(counts, key=lambda k: (-counts[k], k))
+        merges.append((best, counts[best]))
         a, b = best[1:-1].split("><")
         for w, syms in seqs.items():
             out, i = [], 0
@@ -139,7 +144,11 @@ def _py_bpe(words: dict[str, int], n_merges: int) -> dict[str, list[str]]:
                     out.append(syms[i])
                     i += 1
             seqs[w] = out
-    return seqs
+    return seqs, merges
+
+
+def _py_bpe(words: dict[str, int], n_merges: int) -> dict[str, list[str]]:
+    return _py_bpe_full(words, n_merges)[0]
 
 
 def test_bpe_apply_roundtrip_known_tokenizations(spark, tmp_path):
@@ -187,7 +196,7 @@ def test_bpe_apply_roundtrip_known_tokenizations(spark, tmp_path):
     for _, text in docs:
         for w in text.split():
             corpus_freqs[w] = corpus_freqs.get(w, 0) + 1
-    corpus_ref = _py_bpe(corpus_freqs, BPE_MERGES)
+    corpus_ref, corpus_merges = _py_bpe_full(corpus_freqs, BPE_MERGES)
     expect = {
         doc_id: (
             len(text.split()),
@@ -197,6 +206,19 @@ def test_bpe_apply_roundtrip_known_tokenizations(spark, tmp_path):
         for doc_id, text in docs
     }
     assert out == expect
+
+    # the emitted merge TABLE equals the reference's ordered merges
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_bpe_vocab,
+    )
+
+    vocab = {
+        r.merge_rank: (r.pair, r.n_occ)
+        for r in q_text_bpe_vocab(spark, str(tmp_path)).collect()
+    }
+    assert vocab == {
+        m + 1: pw for m, pw in enumerate(corpus_merges)
+    }
 
 
 def test_boilerplate_footer_short_docs_cross_engine(spark, tmp_path):
