@@ -12,8 +12,8 @@ parquet scan prune to (doc_id, text[, lang]).
   (letters | digits | single non-space symbol), aggregated per language.
 - n-gram profile: global top-20 word bigrams — explode + count + top-k.
 - language-ID: corpus-trained character-bigram Naive-Bayes-ish scorer
-  (rows-only: float log-sum ordering is engine-specific; determinism and
-  self-consistency are asserted in tests/test_text.py).
+  (oracle-checked since r7 via dec9 order-free log sums; determinism and
+  self-consistency additionally asserted in tests).
 """
 
 from __future__ import annotations
@@ -323,11 +323,24 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     language-ID shape (Cavnar-Trenkle style) as joins + aggregations —
     train and apply are both distributed; nothing driver-side.
 
-    rows-only: cross-engine float log-sum ties make hash equality
-    meaningless; tests assert determinism and exact self-consistency.
+    Oracle-checked since r7 (previously rows-only): each per-(doc, lang,
+    bigram) log contribution is rounded to 9 decimals and summed as
+    exact DECIMAL(28,9) — the order-free dec9 portability rule
+    ``text_unigram_logprob`` proved for the identical n·ln(p) shape —
+    so scores, and therefore the argmax (ties → smaller lang), are
+    engine-identical. The r7 rewrite also fixed a latent short-doc bug:
+    ``sequence(1, length-1)`` steps BACKWARD in Spark for length < 2
+    (the guard ``text_bpe_pairs`` documents), minting junk bigrams from
+    0-and-1-char documents where the oracle's generate_series is empty.
     """
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    chars2 = F.expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+    chars2 = F.when(
+        F.length("text") >= 2,
+        F.expr(
+            "transform(sequence(1, length(text) - 1),"
+            " i -> substring(text, i, 2))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     doc_bg = docs.select("doc_id", "lang", F.explode(chars2).alias("bg"))
     # per-language bigram log-probabilities (add-one smoothed)
     lang_counts = doc_bg.groupBy("lang", "bg").agg(F.count("*").alias("c"))
@@ -342,7 +355,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .join(F.broadcast(profile), "bg")
         .groupBy("doc_id", "p_lang")
-        .agg(F.sum(F.col("n") * F.col("logp")).alias("score"))
+        .agg(F.sum(dec9(F.col("n") * F.col("logp"))).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("p_lang"))
     pred = (
@@ -351,6 +364,37 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("p_lang").alias("predicted_lang"))
     )
     return docs.select("doc_id", "lang").join(pred, "doc_id")
+
+
+SQL_TEXT_LANGID = """
+    WITH bg AS (
+        SELECT doc_id, lang, substring(text, i, 2) AS bg
+        FROM documents,
+             LATERAL UNNEST(generate_series(1, length(text) - 1)) t(i)),
+    lang_counts AS (
+        SELECT lang, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    lang_totals AS (
+        SELECT lang, SUM(c) AS total FROM lang_counts GROUP BY 1),
+    profile AS (
+        SELECT lc.lang AS p_lang, bg,
+               LN((c + 1) / (total + 1.0)) AS logp
+        FROM lang_counts lc JOIN lang_totals USING (lang)),
+    docbg AS (
+        SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    scored AS (
+        SELECT doc_id, p_lang,
+               SUM(CAST(ROUND(n * logp, 9) AS DECIMAL(28,9))) AS score
+        FROM docbg JOIN profile USING (bg)
+        GROUP BY 1, 2),
+    pred AS (
+        SELECT doc_id, p_lang AS predicted_lang FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, p_lang) AS rn
+            FROM scored)
+        WHERE rn = 1)
+    SELECT d.doc_id, d.lang, predicted_lang
+    FROM documents d JOIN pred USING (doc_id)
+"""
 
 
 TFIDF_TOP_K = 3
@@ -1421,5 +1465,5 @@ QUERIES = {
     "text_fingerprint": Query(q_text_fingerprint, SQL_TEXT_FINGERPRINT, headline=True),
     "text_normalize": Query(q_text_normalize, SQL_TEXT_NORMALIZE),
     "text_tfidf": Query(q_text_tfidf, SQL_TEXT_TFIDF),
-    "text_langid": Query(q_text_langid, None),
+    "text_langid": Query(q_text_langid, SQL_TEXT_LANGID),
 }
