@@ -32,6 +32,11 @@ TARGETS = (
     "llm_rag_chunk", "text_zipf", "corpus_weighted_sample",
     "corpus_drift_psi", "dedup_ngram_jaccard", "text_pretokenize",
     "corpus_repetition", "text_token_stats",
+    # r7: the tokenizer triple (the fuzz alphabet includes the '<'/'>'
+    # wrapper chars — exactly what the alnum word filter must keep out
+    # of the merge loop) and the newly oracle-checked language-ID
+    "text_bpe_apply", "text_bpe_vocab", "text_bpe_fertility",
+    "text_langid",
 )
 
 _CHARS = (
