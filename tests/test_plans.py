@@ -984,3 +984,53 @@ def test_unigram_logprob_prunes_scan(spark, sf_dir):
     plan = formatted_plan(q_text_unigram_logprob(spark, sf_dir))
     read = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "text" in read and "n_chars" not in read and "source" not in read, read
+
+
+def test_bpe_apply_prunes_scan_and_broadcasts_vocab(spark, sf_dir):
+    """The BPE encode pass must read only (doc_id, text) — never the
+    lang/source/n_chars metadata — and join the vocabulary-sized
+    segmentation table by broadcast, not sort-merge."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_bpe_apply,
+    )
+
+    df = q_text_bpe_apply(spark, sf_dir)
+    plan = formatted_plan(df)
+    schemas = [
+        seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    ), schemas
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
+
+
+def test_bpe_fertility_lang_scan_is_metadata_only(spark, sf_dir):
+    """The fertility report's lang lookup must come from a
+    (doc_id, lang)-only scan — re-reading the wide text column for a
+    metadata join is the classic pruning failure."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_bpe_fertility,
+    )
+
+    plan = formatted_plan(q_text_bpe_fertility(spark, sf_dir))
+    schemas = [
+        seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    lang_scans = [s for s in schemas if "lang" in s]
+    assert lang_scans and all("text" not in s for s in lang_scans), schemas
+
+
+def test_ivf_assignment_is_broadcast_no_corpus_self_join(spark, sf_dir):
+    """IVF cell assignment must broadcast the centroid relation (the
+    corpus side never shuffles wider than its pre-combined rows) and the
+    whole query must contain no sort-merge self-join of the corpus."""
+    from kafka_connect_minio_pipeline_spark.operators.similarity import (
+        q_similarity_ann_ivf,
+    )
+
+    df = q_similarity_ann_ivf(spark, sf_dir)
+    assert_in_plan(df, "BroadcastNestedLoopJoin")  # centroid crossJoin
+    assert_not_in_plan(df, "SortMergeJoin")
+    assert_not_in_plan(df, "CartesianProduct")
