@@ -242,3 +242,24 @@ def test_poisson_weights_mean_near_one(spark):
     assert abs(stats.mu - 1.0) < 0.01, stats
     assert abs(stats.v - 1.0) < 0.02, stats
     assert stats.mx <= 8
+
+
+def test_approx_distinct_within_rsd_bound(spark, sf_dir):
+    """agg_approx_distinct is the registry's single remaining rows-only
+    query (Spark HLL++ register internals are engine-specific by
+    nature) — so pin its MEANING here instead: the estimate it returns
+    beside the exact count must sit within a generous multiple of the
+    requested 2% rsd for every group."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_approx_distinct,
+    )
+
+    rows = q_agg_approx_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        bound = max(0.1 * r["exact_parts"], 5)  # 5x the 2% rsd, floor 5
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= bound, dict(
+            flag=r["l_returnflag"],
+            approx=r["approx_parts"],
+            exact=r["exact_parts"],
+        )
