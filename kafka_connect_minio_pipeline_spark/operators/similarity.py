@@ -1323,8 +1323,352 @@ SQL_SIMILARITY_KMEANS_EVAL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the FAISS IVF-PQ compression path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (64-dim vectors → 8 × 8-dim sub-vectors)
+PQ_SUBDIM = 8
+PQ_K = 16  # codes per subspace codebook (M·K = 128 codebook rows total)
+PQ_ITERS = 2  # Lloyd rounds per subspace (same budget as ivf_quantizer)
+PQ_TRAIN_SAMPLE = 2048  # bounded training relation (FAISS-style)
+ADC_SHORTLIST = 32  # ADC candidates kept per query for the exact rerank
+
+
+def _pq_subs(e: DataFrame) -> DataFrame:
+    """(vec_id, sub int, sv double[]) — every vector split into its PQ_M
+    contiguous sub-vectors. One posexplode of an array-of-slices: narrow,
+    codegen-friendly, no shuffle."""
+    return e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+            )
+        ).alias("sub", "sv"),
+    )
+
+
+def _code_score() -> F.Column:
+    """argmin_c ||sv-c||² via the two-term ||c||² - 2 sv·c (the per-row
+    ||sv||² shift cancels — same rationale and exact expression shape as
+    :func:`_cell_score`, which the oracle must mirror term-for-term)."""
+    return F.col("dcc") - 2 * dot(F.col("sv"), F.col("c"))
+
+
+def _with_dcc(books: DataFrame) -> DataFrame:
+    return books.withColumn("dcc", dot(F.col("c"), F.col("c")))
+
+
+def pq_codebooks(e: DataFrame) -> DataFrame:
+    """Per-subspace codebooks as pure dataflow: PQ_ITERS Lloyd rounds over
+    the bounded training relation, all PQ_M subspaces trained in ONE plan
+    (the subspace id is just another group key). Returns
+    (sub, code, c double[]) — ≤ PQ_M·PQ_K rows.
+
+    Product quantization (Jégou et al., PAMI 2011 — the FAISS IVF-PQ
+    design) is the 100 TB memory story for vector search: an M-byte code
+    per vector replaces the 4·D-byte float embedding (here 8 codes vs
+    256 bytes, 32×), and training cost is scale-invariant because the
+    sample never grows. Same decimal-exact algebra as
+    :func:`ivf_quantizer` — broadcast codebook join, min-struct argmin
+    over the shared sequential fold, order-free decimal(16,6) means — so
+    the DuckDB oracle reproduces every codebook bit-for-bit. Seeding:
+    per subspace, the PQ_K smallest vec_ids' sub-vectors (code =
+    vec_id); an emptied code drops out of later rounds on both engines."""
+    n = e.sparkSession.sparkContext.defaultParallelism
+    s = (
+        _pq_subs(e.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE))
+        .repartition(n, F.col("vec_id"), F.col("sub"))
+        .localCheckpoint()
+    )
+    books = s.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("c")
+    )
+    for _ in range(PQ_ITERS):
+        assigned = (
+            s.join(F.broadcast(_with_dcc(books)), "sub")
+            .withColumn("score", _code_score())
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min(F.struct("score", "code")).alias("b"),
+                # sv is functionally dependent on the (vec_id, sub) group
+                # key — first() is exact, no join-back shuffle
+                F.first("sv").alias("sv"),
+            )
+            .select("sub", F.col("b.code").alias("code"), "sv")
+        )
+        books = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(16,6)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda st: st["m"],
+                ).alias("c")
+            )
+        )
+    return books.localCheckpoint()  # bounded: ≤ PQ_M·PQ_K rows
+
+
+def pq_encode(e: DataFrame, books: DataFrame) -> DataFrame:
+    """The PQ code table: every vector → (vec_id, sub, code), its nearest
+    codebook entry per subspace. One distributed pass: broadcast the
+    ≤ M·K-row codebook, map-side-combined min-struct argmin — the corpus
+    never shuffles wider than its pre-combined N·M code rows, and at
+    scale THIS narrow relation (plus the codebook) is what gets stored
+    instead of the raw float embeddings."""
+    best = (
+        _pq_subs(e)
+        .join(F.broadcast(_with_dcc(books)), "sub")
+        .withColumn("score", _code_score())
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("score", "code")).alias("b"))
+    )
+    return best.select(
+        "vec_id", "sub", F.col("b.code").cast("int").alias("code")
+    )
+
+
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook-quality report: per (subspace, code) cell, how many
+    vectors encode to it and their mean squared reconstruction error —
+    the distortion number a 100 TB deployment reads before swapping raw
+    embeddings for M-byte codes (companion to embedding_quantize's
+    scalar-int8 study; PQ is the FAISS-style vector-codebook variant).
+
+    The corpus-sized work is one encode pass (broadcast codebook,
+    two-term argmin); distortion adds the per-row ||sv||² fold so the
+    reported number is the TRUE squared distance ||sv||² + (||c||² -
+    2 sv·c). The mean is the order-free decimal(16,6) sum, rounded
+    once — hash-exact cross-engine."""
+    plain = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    books = pq_codebooks(plain)
+    best = (
+        _pq_subs(_ivf_relation(spark, sf_dir))
+        .withColumn("dsv", dot(F.col("sv"), F.col("sv")))
+        .join(F.broadcast(_with_dcc(books)), "sub")
+        .withColumn("score", _code_score())
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min(F.struct("score", "code")).alias("b"),
+            F.first("dsv").alias("dsv"),
+        )
+    )
+    return (
+        best.select(
+            F.col("sub").cast("int").alias("sub"),
+            F.col("b.code").cast("int").alias("code"),
+            (F.col("dsv") + F.col("b.score")).alias("d"),
+        )
+        .groupBy("sub", "code")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("d").cast("decimal(16,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_distortion"),
+        )
+    )
+
+
+def _pq_train_sql() -> str:
+    """Shared oracle CTE chain ending in the trained codebook ``b{last}``
+    plus the corpus subspace relation ``csubs``. Linear references only
+    (each round CTE consumed exactly once; the cheap base CTEs are the
+    sole multi-reference ones) — the exponential-inlining trap doesn't
+    apply."""
+    score = "list_dot_product(b.c, b.c) - 2 * list_dot_product(s.sv, b.c)"
+    rounds = []
+    prev_b = "b0"
+    for i in range(1, PQ_ITERS + 1):
+        rounds.append(f"""
+    a{i} AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                                      ORDER BY {score}, b.code) AS rn
+            FROM subs s JOIN {prev_b} b USING (sub)) WHERE rn = 1),
+    u{i} AS (
+        SELECT a.sub, a.code, i AS pos,
+               CAST(SUM(CAST(s.sv[i] AS DECIMAL(16,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM a{i} a JOIN subs s ON a.vec_id = s.vec_id AND a.sub = s.sub,
+             LATERAL UNNEST(generate_series(1, {PQ_SUBDIM})) t(i)
+        GROUP BY a.sub, a.code, i),
+    b{i} AS (SELECT sub, code, LIST(m ORDER BY pos) AS c
+             FROM u{i} GROUP BY sub, code)""")
+        prev_b = f"b{i}"
+    slice_expr = (
+        f"list_slice(v, m * {PQ_SUBDIM} + 1, (m + 1) * {PQ_SUBDIM})"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    csubs AS (
+        SELECT vec_id, CAST(m AS INTEGER) AS sub, {slice_expr} AS sv
+        FROM e, LATERAL UNNEST(generate_series(0, {PQ_M - 1})) t(m)),
+    subs AS (SELECT * FROM csubs WHERE vec_id < {PQ_TRAIN_SAMPLE}),
+    b0 AS (SELECT sub, vec_id AS code, sv AS c FROM subs
+           WHERE vec_id < {PQ_K}),{",".join(rounds)}"""
+
+
+_PQ_FINAL_B = f"b{PQ_ITERS}"
+
+SQL_EMBEDDING_PQ = f"""{_pq_train_sql()},
+    best AS (
+        SELECT sub, code, dsv + score AS d FROM (
+            SELECT s.sub, b.code,
+                   list_dot_product(s.sv, s.sv) AS dsv,
+                   list_dot_product(b.c, b.c)
+                       - 2 * list_dot_product(s.sv, b.c) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                       ORDER BY list_dot_product(b.c, b.c)
+                                - 2 * list_dot_product(s.sv, b.c),
+                                b.code) AS rn
+            FROM csubs s JOIN {_PQ_FINAL_B} b USING (sub)) WHERE rn = 1)
+    SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(d AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_distortion
+    FROM best GROUP BY sub, code
+"""
+
+
+def q_similarity_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 for the first N_QUERIES queries via PQ asymmetric
+    distance computation (ADC) with exact rerank — the memory-bound
+    complement to IVF's compute-bound cell probe: the query stays a raw
+    float vector, the corpus scan touches only its M-code table, and
+    each candidate's approximate distance is M lookup-table adds instead
+    of a D-dim float fold.
+
+    Plan: train codebooks (bounded), encode the corpus (one broadcast
+    pass), build the per-query lookup table (|Q|·M·K ≤ 1024 rows —
+    broadcast), join the code table to the LUT on (sub, code) and sum
+    the M partial distances per (query, vector), keep the ADC_SHORTLIST
+    best per query, then rerank the shortlist by exact cosine — the
+    FAISS search shape (approximate scan → exact rerank of a bounded
+    candidate set). The per-query ||q_m||² terms are a constant shift
+    that cancels in ADC ranking, so both engines compute the
+    rank-equivalent two-term form (same rationale as _cell_score);
+    partials are cast to decimal(16,6) BEFORE the sum so the M-way
+    addition is order-free — shortlist membership and the final scores
+    are hash-exact cross-engine. At scale nothing but the narrow code
+    table is scanned until the ≤ ADC_SHORTLIST·|Q| rerank rows."""
+    plain = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    books = pq_codebooks(plain)
+    codes = pq_encode(_ivf_relation(spark, sf_dir), books)
+    qsubs = _pq_subs(plain.filter(F.col("vec_id") < N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "sub", "sv"
+    )
+    lut = (
+        qsubs.join(_with_dcc(books), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            _code_score().cast("decimal(16,6)").alias("d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    qn = em.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    cos = cosine_from_parts(
+        dot(to_double(F.col("embedding")), to_double(F.col("q_emb"))),
+        F.col("norm_sq"),
+        F.col("q_norm"),
+    )
+    reranked = (
+        shortlist.join(em, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+SQL_ANN_ADC = f"""{_pq_train_sql()},
+    codes AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                       ORDER BY list_dot_product(b.c, b.c)
+                                - 2 * list_dot_product(s.sv, b.c),
+                                b.code) AS rn
+            FROM csubs s JOIN {_PQ_FINAL_B} b USING (sub)) WHERE rn = 1),
+    lut AS (
+        SELECT q.vec_id AS query_id, q.sub, b.code,
+               CAST(list_dot_product(b.c, b.c)
+                    - 2 * list_dot_product(q.sv, b.c) AS DECIMAL(16,6)) AS d
+        FROM (SELECT * FROM csubs WHERE vec_id < {N_QUERIES}) q
+        JOIN {_PQ_FINAL_B} b USING (sub)),
+    scored AS (
+        SELECT l.query_id, c.vec_id, SUM(l.d) AS adc
+        FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= {ADC_SHORTLIST}),
+    norms AS (
+        SELECT vec_id, v, list_dot_product(v, v) AS norm_sq FROM e
+        WHERE list_dot_product(v, v) > 0),
+    reranked AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(list_dot_product(v.v, q.v)
+                     / (SQRT(v.norm_sq) * SQRT(q.norm_sq)), 6) AS cos_sim
+        FROM shortlist s
+        JOIN norms v ON s.vec_id = v.vec_id
+        JOIN norms q ON s.query_id = q.vec_id)
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+            AS rank
+        FROM reranked)
+    WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "embedding_pq": Query(q_embedding_pq, SQL_EMBEDDING_PQ),
+    "similarity_ann_adc": Query(q_similarity_ann_adc, SQL_ANN_ADC),
     "similarity_kmeans": Query(q_similarity_kmeans, SQL_SIMILARITY_KMEANS),
     "similarity_kmeans_eval": Query(
         q_similarity_kmeans_eval, SQL_SIMILARITY_KMEANS_EVAL

@@ -68,28 +68,35 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. Priority this round:
-#   1-7:   round-7 new/changed — the tokenizer triple completion
+#   1-9:   round-7 new/changed — the tokenizer triple completion
 #          text_bpe_apply / text_bpe_vocab / text_bpe_fertility (NEW,
-#          VERDICT r6 item 1 + extensions), similarity_ann_ivf (oracle
-#          upgrade: numpy Lloyd quantizer → decimal-exact dataflow,
-#          item 2), and scalar_json / scalar_json_typed /
-#          udaf_weighted_value (integer-acceptance grammar re-anchored
-#          \z, ADVICE r6);
-#   8-36:  every remaining round-2-vintage row (profile family,
+#          VERDICT r6 item 1 + extensions), the product-quantization
+#          pair embedding_pq / similarity_ann_adc (NEW),
+#          similarity_ann_ivf (oracle upgrade: numpy Lloyd quantizer →
+#          decimal-exact dataflow, item 2), and scalar_json /
+#          scalar_json_typed / udaf_weighted_value (integer-acceptance
+#          grammar re-anchored \z, ADVICE r6);
+#   10-38: every remaining round-2-vintage row (profile family,
 #          early streaming family, text r2 cohort, ts r2 cohort,
 #          llm r2 cohort, dedup_ngram_jaccard, similarity_centroids,
 #          multimodal meta/frame_sample) — code unchanged, rows move
 #          from r2 to current;
-#  37-50:  the named r3 straggler udtf_sentences plus the oldest
-#          r3 rows in name order (agg family).
+#  39-50:  the named r3 straggler udtf_sentences plus the oldest
+#          r3 rows in name order (agg family; agg_stats/agg_time_rollup
+#          rotated out to make room for the PQ pair — their r3 rows
+#          stay covered by the local parity net).
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-7: round-7 new/changed
+    # 1-9: round-7 new/changed (the tokenizer triple, the IVF oracle
+    # upgrade, the PQ pair embedding_pq / similarity_ann_adc, and the
+    # \z grammar re-anchor)
     "text_bpe_apply",
     "text_bpe_vocab",
     "text_bpe_fertility",
+    "embedding_pq",
+    "similarity_ann_adc",
     "similarity_ann_ivf",
     "scalar_json",
     "scalar_json_typed",
@@ -138,8 +145,6 @@ _GRADE_FIRST = (
     "agg_pivot",
     "agg_pricing_summary",
     "agg_rollup",
-    "agg_stats",
-    "agg_time_rollup",
 )
 
 
