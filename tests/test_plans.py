@@ -1034,3 +1034,19 @@ def test_ivf_assignment_is_broadcast_no_corpus_self_join(spark, sf_dir):
     assert_in_plan(df, "BroadcastNestedLoopJoin")  # centroid crossJoin
     assert_not_in_plan(df, "SortMergeJoin")
     assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_pq_encode_is_broadcast_no_corpus_shuffle_join(spark, sf_dir):
+    """PQ encode must broadcast the ≤ M·K-row codebook onto the exploded
+    corpus sub-vectors (BroadcastHashJoin on sub) — never a sort-merge or
+    cartesian corpus join — and the ADC search must additionally
+    broadcast the per-query lookup table onto the code table."""
+    from kafka_connect_minio_pipeline_spark.operators.similarity import (
+        q_embedding_pq,
+        q_similarity_ann_adc,
+    )
+
+    for df in (q_embedding_pq(spark, sf_dir), q_similarity_ann_adc(spark, sf_dir)):
+        assert_in_plan(df, "BroadcastHashJoin")
+        assert_not_in_plan(df, "SortMergeJoin")
+        assert_not_in_plan(df, "CartesianProduct")
