@@ -1725,8 +1725,196 @@ def _source_overlap_sql() -> str:
 SQL_DEDUP_SOURCE_OVERLAP = _source_overlap_sql()
 
 
+# ---------------------------------------------------------------------------
+# exact substring dedup (cross-doc duplicated character k-grams)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 24
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its character k-gram positions
+    (k=24, stride 1) whose k-gram also occurs in at least one OTHER
+    document — the per-doc contamination score the ExactSubstr pass
+    thresholds before cutting spans.
+
+    Plan: explode each doc into (doc_id, position-gram-hash) rows — the
+    gram itself is immediately collapsed to the 60-bit portable md5 hash
+    so the shuffle carries 8-byte keys, not 24-byte strings (the same
+    width trick the fingerprint family uses; both engines hash
+    identically so equality survives the compression, and a 60-bit space
+    holds billions of grams before a birthday collision matters — and an
+    engine-pair collision is IDENTICAL on both sides, so the oracle
+    still matches). One groupBy gram-hash with countDistinct(doc_id)
+    (partial-aggregated), one vocabulary-side join back, one groupBy
+    doc_id. Docs shorter than k keep n_grams=0 via the explicit
+    sequence guard (Spark's sequence(1,0) is a BACKWARD range, not
+    empty — the guard is load-bearing). At 100 TB the reference design
+    is a distributed suffix array; the k-gram-hash grouping here is the
+    shuffle-native equivalent with identical cross-doc semantics for
+    fixed k, at cost O(total_chars) shuffle rows of 8 bytes each.
+    """
+    from .llmdata import _portable_hash
+
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    k = SUBSTR_K
+    positions = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= k,
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+        "text",
+    )
+    grams = positions.select(
+        "doc_id",
+        _portable_hash(F.expr(f"substring(text, p, {k})")).alias("g"),
+    )
+    gram_docs = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        grams.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+    )
+    all_docs = docs.select("doc_id")
+    out = all_docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.when(
+            F.coalesce("n_grams", F.lit(0)) > 0,
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 6),
+        ).alias("dup_ratio"),
+    )
+    return out
+
+
+SQL_DEDUP_SUBSTRING = f"""
+    WITH g AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(substring(text, i, {SUBSTR_K})), 1, 15))::BIGINT AS g
+        FROM documents,
+             LATERAL UNNEST(generate_series(1, GREATEST(LENGTH(text) - {SUBSTR_K - 1}, 0))) t(i)),
+    gd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+        FROM g JOIN gd USING (g) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(n_dup_grams, 0) AS n_dup_grams,
+           CASE WHEN COALESCE(n_grams, 0) > 0 THEN
+               ROUND(n_dup_grams * 1.0 / n_grams, 6) END AS dup_ratio
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup: k-means cluster, then within-cluster cosine)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.45
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    k-means, then within each cluster flag any vector whose cosine to a
+    SMALLER-id cluster-mate reaches tau — the keep-one-representative
+    rule, with clusters bounding the candidate set so no global
+    all-pairs ever forms. Composes the decimal-exact dataflow k-means
+    (``similarity.kmeans_assign`` — the same relation the oracle CTE
+    reproduces) with the engine-standard exact cosine
+    (sequential double fold == DuckDB list_dot_product).
+
+    Emits per vector: cluster, max cosine to any smaller-id cluster-mate
+    (NULL when none / when either side is a zero vector — the engine's
+    zero-vector-exclusion rule), and the dup verdict. Cost: O(sum of
+    cluster_size²) pairs; the SemDeDup scale story is k proportional to
+    corpus size so cluster sizes stay constant — at 100 TB you raise K
+    (the centroid relation stays tiny and broadcast), the pair stage
+    stays linear per cluster, and the plan shape is unchanged. Max over
+    pairs is order-free, so the rounded score is cross-engine exact.
+    """
+    from .similarity import kmeans_assign
+
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    assign = kmeans_assign(emb).select("vec_id", "cluster")
+    e = emb.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    e = e.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("nsq"))
+    clustered = assign.join(e, "vec_id").filter(F.col("nsq") > 0)
+    a = clustered.select(
+        F.col("vec_id").alias("a_id"),
+        "cluster",
+        F.col("v").alias("a_v"),
+        F.col("nsq").alias("a_nsq"),
+    )
+    b = clustered.select(
+        F.col("vec_id").alias("b_id"),
+        "cluster",
+        F.col("v").alias("b_v"),
+        F.col("nsq").alias("b_nsq"),
+    )
+    pairs = a.join(b, "cluster").filter(F.col("b_id") < F.col("a_id"))
+    cos = cosine_from_parts(
+        dot(F.col("a_v"), F.col("b_v")), F.col("a_nsq"), F.col("b_nsq")
+    )
+    best = (
+        pairs.select(F.col("a_id").alias("vec_id"), cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return (
+        assign.join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.round("max_cos", 6).alias("max_prior_cos"),
+            F.coalesce(
+                F.col("max_cos") >= SEMDEDUP_TAU, F.lit(False)
+            ).alias("is_semantic_dup"),
+        )
+    )
+
+
+def _semdedup_sql() -> str:
+    from .similarity import SQL_SIMILARITY_KMEANS
+
+    cos = (
+        "list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+    WITH assign AS ({SQL_SIMILARITY_KMEANS}),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (
+        SELECT vec_id, cluster, v FROM assign JOIN e USING (vec_id)
+        WHERE list_dot_product(v, v) > 0),
+    best AS (
+        SELECT a.vec_id AS vec_id, MAX({cos}) AS max_cos
+        FROM c a JOIN c b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        GROUP BY a.vec_id)
+    SELECT assign.vec_id, cluster,
+           ROUND(max_cos, 6) AS max_prior_cos,
+           COALESCE(max_cos >= {SEMDEDUP_TAU}, FALSE) AS is_semantic_dup
+    FROM assign LEFT JOIN best ON assign.vec_id = best.vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(q_dedup_exact, SQL_DEDUP_EXACT, headline=True),
+    "dedup_substring": Query(q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_semantic": Query(q_dedup_semantic, _semdedup_sql()),
     "dedup_cascade_eval": Query(q_dedup_cascade_eval, _cascade_eval_sql()),
     "dedup_transitivity_eval": Query(
         q_dedup_transitivity_eval, _transitivity_eval_sql()

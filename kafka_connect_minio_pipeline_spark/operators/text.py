@@ -1440,6 +1440,92 @@ SQL_TEXT_UNIGRAM_LOGPROB = f"""
 """
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, table A1) —
+    the heuristic gate every web-scale curation pipeline runs before any
+    statistical or neural scorer: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio ('#' and '...' artifacts), fraction of
+    words containing an alphabetic character, and the required-stopword
+    rule (>= 2 distinct hits from the 8-word list). Emits the per-doc
+    feature values plus the composite ``keep`` verdict so downstream
+    mixes can re-threshold without recomputing.
+
+    Pure narrow map over (doc_id, text) — one scan partition-parallel
+    pass, everything inside whole-stage codegen (split / filter /
+    array_intersect / replace are all JVM higher-order functions), no
+    shuffle at all: the 100 TB cost is exactly one read of the text
+    column. Ratio guards follow the engine-wide rule: an empty/
+    whitespace-only doc yields NULL ratios and keep=false on both
+    engines (false AND NULL = false in 3-valued logic, so ``keep``
+    itself is never NULL)."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"), "text")
+    n_words = F.size("toks")
+    word_chars = F.length(F.regexp_replace(F.col("text"), "\\s", ""))
+    n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
+    n_ellipsis = F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
+    alpha_words = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(F.col("toks"), F.array(*[F.lit(s) for s in STOPWORDS]))
+    )
+    has_words = n_words > 0
+    mean_word_len = F.when(has_words, F.round(word_chars / n_words, 6))
+    symbol_ratio = F.when(has_words, F.round((n_hash + n_ellipsis) / n_words, 6))
+    alpha_ratio = F.when(has_words, F.round(alpha_words / n_words, 6))
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (symbol_ratio < 0.1)
+        & (alpha_ratio > 0.8)
+        & (stop_hits >= 2)
+    )
+    return base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+
+SQL_TEXT_GOPHER_RULES = f"""
+    WITH t AS (
+        SELECT doc_id,
+               {SQL_TOKENS.format(col='text')} AS toks,
+               LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS word_chars,
+               LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '#', '', 'g')) AS n_hash,
+               (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS n_ell
+        FROM documents),
+    feat AS (
+        SELECT doc_id,
+               CAST(LEN(toks) AS INTEGER) AS n_words,
+               CASE WHEN LEN(toks) > 0 THEN
+                   ROUND(word_chars * 1.0 / LEN(toks), 6) END AS mean_word_len,
+               CASE WHEN LEN(toks) > 0 THEN
+                   ROUND((n_hash + n_ell) * 1.0 / LEN(toks), 6) END AS symbol_ratio,
+               CASE WHEN LEN(toks) > 0 THEN
+                   ROUND(LEN(LIST_FILTER(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                         * 1.0 / LEN(toks), 6) END AS alpha_word_ratio,
+               CAST(LEN(LIST_INTERSECT(toks, [{_STOP_SQL}])) AS INTEGER) AS stop_hits
+        FROM t)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           stop_hits,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.8
+            AND stop_hits >= 2) AS keep
+    FROM feat
+"""
+
+
 QUERIES = {
     "text_unigram_logprob": Query(
         q_text_unigram_logprob,
@@ -1466,4 +1552,5 @@ QUERIES = {
     "text_normalize": Query(q_text_normalize, SQL_TEXT_NORMALIZE),
     "text_tfidf": Query(q_text_tfidf, SQL_TEXT_TFIDF),
     "text_langid": Query(q_text_langid, SQL_TEXT_LANGID),
+    "text_gopher_rules": Query(q_text_gopher_rules, SQL_TEXT_GOPHER_RULES),
 }

@@ -89,9 +89,14 @@ _QUERY_MODULES = (
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-9: round-7 new/changed (the tokenizer triple, the IVF oracle
-    # upgrade, the PQ pair embedding_pq / similarity_ann_adc, and the
-    # \z grammar re-anchor)
+    # 1-13: round-7 new/changed (the tokenizer triple, the IVF oracle
+    # upgrade, the PQ pair embedding_pq / similarity_ann_adc, the
+    # \z grammar re-anchor, and the curation quartet text_gopher_rules /
+    # dedup_substring / dedup_semantic / corpus_dsir)
+    "text_gopher_rules",
+    "dedup_substring",
+    "dedup_semantic",
+    "corpus_dsir",
     "text_bpe_apply",
     "text_bpe_vocab",
     "text_bpe_fertility",
@@ -141,10 +146,6 @@ _GRADE_FIRST = (
     "agg_cube",
     "agg_grouping_sets",
     "agg_histogram",
-    "agg_percentile",
-    "agg_pivot",
-    "agg_pricing_summary",
-    "agg_rollup",
 )
 
 

@@ -620,3 +620,69 @@ def test_exact_dedup_empty_docs_cross_engine(spark, tmp_path):
     # both zero-token docs share the md5('') fingerprint group
     assert by_id[1].fingerprint == by_id[2].fingerprint
     assert by_id[2].is_dup and not by_id[1].is_dup
+
+
+def test_substring_dedup_planted_duplication(spark, tmp_path):
+    """ExactSubstr semantics on constructed docs: two docs sharing a
+    long verbatim passage both score dup positions over exactly the
+    shared region's k-grams; an unrelated doc scores 0; a doc shorter
+    than k has zero grams (the backward-sequence guard) and NULL ratio."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        SUBSTR_K,
+        q_dedup_substring,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # ~70 chars
+    a = shared + " tailing unique content for doc a only here"
+    b = "prefix unique b " + shared
+    c = " ".join(f"other{i}" for i in range(20))
+    rows = {
+        r.doc_id: r
+        for r in q_dedup_substring(spark, _write_docs(
+            spark, tmp_path, [(1, a), (2, b), (3, c), (4, "tiny")]
+        )).collect()
+    }
+    # doc 4 is shorter than k: zero grams, NULL ratio — not a crash
+    assert rows[4].n_grams == 0 and rows[4].dup_ratio is None
+    # the shared passage produces dup grams in BOTH carriers, none in c
+    assert rows[1].n_dup_grams > 0 and rows[2].n_dup_grams > 0
+    assert rows[3].n_dup_grams == 0
+    # dup positions are exactly the k-grams fully inside the shared span
+    assert rows[1].n_dup_grams == len(shared) - SUBSTR_K + 1
+    assert rows[2].n_dup_grams == len(shared) - SUBSTR_K + 1
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
+
+
+def test_semantic_dedup_planted_duplicate(spark, tmp_path):
+    """SemDeDup on a constructed embedding table: an exact copy of a
+    smaller-id vector lands in the same k-means cluster and is flagged
+    with cosine 1.0; the copied-FROM vector (no smaller-id neighbor at
+    tau) and a zero vector (cosine undefined) are never flagged."""
+    import math
+
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        q_dedup_semantic,
+    )
+
+    dim = 8
+    base = [
+        [math.sin(0.7 * i * (j + 1)) for j in range(dim)] for i in range(12)
+    ]
+    base.append(list(base[3]))  # vec_id 12 = exact copy of vec_id 3
+    base.append([0.0] * dim)  # vec_id 13 = zero vector
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r.vec_id: r for r in q_dedup_semantic(spark, str(tmp_path)).collect()}
+    assert len(got) == 14  # total: every vector gets a verdict row
+    assert got[12].is_semantic_dup is True
+    assert abs(got[12].max_prior_cos - 1.0) < 1e-9
+    assert got[12].cluster == got[3].cluster
+    assert got[13].is_semantic_dup is False and got[13].max_prior_cos is None

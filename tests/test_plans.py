@@ -1050,3 +1050,69 @@ def test_pq_encode_is_broadcast_no_corpus_shuffle_join(spark, sf_dir):
         assert_in_plan(df, "BroadcastHashJoin")
         assert_not_in_plan(df, "SortMergeJoin")
         assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_gopher_rules_is_pure_narrow_map(spark, sf_dir):
+    """The Gopher gate is a per-row projection: its plan must contain NO
+    exchange of any kind (the 100 TB cost is exactly one pruned scan of
+    (doc_id, text)) — except the engine's compute-spread repartition of
+    the compressed text, which is round-robin, not a hash shuffle of
+    derived keys; and no join at all."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_gopher_rules,
+    )
+
+    df = q_text_gopher_rules(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" in read and "n_chars" not in read and "source" not in read, read
+
+
+def test_substring_dedup_shuffles_hashes_not_grams(spark, sf_dir):
+    """The ExactSubstr pass must collapse each k-gram to its 60-bit hash
+    BEFORE the aggregation shuffle — the Exchange input must carry the
+    long hash column, never the gram string — and contain no cartesian
+    or sort-merge self-join of the exploded corpus."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        q_dedup_substring,
+    )
+
+    df = q_dedup_substring(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the gram substring expression must be consumed by the hash (conv/md5)
+    # inside the same projection — i.e. appear before any Exchange consumes
+    # it; the grouping key is the derived long, so no Exchange row carries
+    # a 24-char string key
+    assert "substring" in plan and "md5" in plan, plan
+
+
+def test_semantic_dedup_broadcasts_centroids_bounded_pairs(spark, sf_dir):
+    """SemDeDup must broadcast the K-row centroid relation for the
+    assignment pass (BroadcastNestedLoopJoin from the crossJoin), and the
+    within-cluster pair stage must be an equi-join on cluster — never a
+    cartesian product of the corpus."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        q_dedup_semantic,
+    )
+
+    df = q_dedup_semantic(spark, sf_dir)
+    assert_in_plan(df, "BroadcastNestedLoopJoin")  # centroid crossJoin
+    assert_not_in_plan(df, "CartesianProduct")
+
+
+def test_dsir_joins_are_broadcast_sized(spark, sf_dir):
+    """DSIR's feature tables are <= 64 rows: every join back onto the
+    corpus-sized relation must be a broadcast, never sort-merge; and the
+    scan must prune to (doc_id, text, lang)."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_dsir,
+    )
+
+    df = q_corpus_dsir(spark, sf_dir)
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
+    plan = formatted_plan(df)
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "n_chars" not in read and "source" not in read, read

@@ -324,3 +324,53 @@ def test_resize_empty_payload_cross_engine(spark, tmp_path):
     empty = got[got.doc_id == 1].iloc[0]
     assert empty.n_bytes_out == 0
     assert empty.out_md5 == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_gopher_rules_semantics(spark, tmp_path):
+    """Gopher gate semantics on constructed docs: a healthy doc passes,
+    an empty doc yields NULL ratios and keep=false (never NULL), a
+    symbol-heavy doc fails the symbol-ratio rule, and a doc without two
+    distinct stopwords fails the required-stopword rule."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_gopher_rules,
+    )
+
+    healthy = "the quick brown fox jumps over a lazy dog and then it " + (
+        "runs far away tonight " * 5
+    )
+    symbols = "the of " + "### ### ### ### ### ### " * 8
+    nostops = " ".join(f"word{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, healthy), (2, ""), (3, symbols), (4, nostops)],
+        "doc_id long, text string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r.doc_id: r for r in q_text_gopher_rules(spark, str(tmp_path)).collect()
+    }
+    assert rows[1].keep is True
+    assert rows[2].keep is False
+    assert rows[2].mean_word_len is None and rows[2].symbol_ratio is None
+    assert rows[3].keep is False and rows[3].symbol_ratio > 0.1
+    assert rows[4].keep is False and rows[4].stop_hits < 2
+    # keep is total: never NULL even where the ratio guards fire
+    assert all(r.keep is not None for r in rows.values())
+
+
+def test_dsir_separates_target_from_background(spark, sf_dir):
+    """DSIR with target = the en slice must score en docs higher on
+    average than every non-target language — the importance weight is
+    exactly the target-vs-raw log-likelihood ratio, so the target slice
+    recovering the top rank is the operator's defining property."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_dsir,
+    )
+    from pyspark.sql import functions as F
+
+    means = {
+        r.lang: r.m
+        for r in q_corpus_dsir(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.avg("importance").alias("m"))
+        .collect()
+    }
+    assert means["en"] == max(means.values())
