@@ -396,6 +396,55 @@ SQL_SIMILARITY_KNN_LABEL = f"""
 
 
 # ---------------------------------------------------------------------------
+# trained-model cache (the FAISS train / add / search separation)
+# ---------------------------------------------------------------------------
+
+# (applicationId, id(session), sf_dir, kind, hyperparams, shuffle conf)
+#   -> (session strong-ref, localCheckpointed bounded model relation)
+_MODEL_CACHE: dict[tuple, tuple] = {}
+_MODEL_CACHE_MAX = 64  # many (session, sf, param) combos only under pytest
+
+
+def _trained(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Train-once cache for the bounded ANN model relations (IVF coarse
+    centroids, PQ codebooks).
+
+    FAISS separates train() from add()/search(): the quantizer/codebook
+    is a deployment artifact trained once and reused by every index
+    build and every query, not retrained per search. r7 trained these
+    bounded (≤2048-row-sample) models per query call, which put a ~2 s
+    Lloyd-round scheduling constant in front of EVERY IVF/PQ query
+    (BASELINE.md round 7 — the r7 bench regression). The models are
+    deterministic pure dataflow (decimal-exact, order-free), so a cached
+    relation is bit-identical to a retrained one — the DuckDB oracles,
+    which retrain per statement, still hash-match, and the cached plan
+    is the same LogicalRDD scan a fresh ``localCheckpoint`` yields, so
+    plan pins are unaffected.
+
+    Key fields keep the cache honest: applicationId + id(session) scope
+    it to one live SparkContext/session (the strong session ref in the
+    value pins ``id`` against reuse); the training hyperparameters (so a
+    monkeypatched PQ_K=1 study never sees K=16 codebooks); and the
+    shuffle-partition conf, so the parallelism-invariance net still
+    trains fresh under each partitioning it checks rather than silently
+    reusing one run's model. At 100 TB the same artifact is a written
+    table keyed the same way; the in-session dict is the local stand-in.
+    """
+    full_key = (
+        spark.sparkContext.applicationId,
+        id(spark),
+        spark.conf.get("spark.sql.shuffle.partitions", ""),
+    ) + key
+    hit = _MODEL_CACHE.get(full_key)
+    if hit is None:
+        if len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+            _MODEL_CACHE.clear()  # stale contexts dominate by then
+        hit = (spark, build())
+        _MODEL_CACHE[full_key] = hit
+    return hit[1]
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN (the other scale path: coarse quantizer + cell-probe search)
 # ---------------------------------------------------------------------------
 
@@ -506,6 +555,16 @@ def ivf_quantizer(e: DataFrame) -> DataFrame:
     return cents.localCheckpoint()  # bounded: ≤ IVF_CELLS rows
 
 
+def ivf_centroids(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """The trained coarse quantizer for (session, sf) — train-once via
+    :func:`_trained` (see its docstring for why reuse is exact)."""
+    return _trained(
+        spark,
+        (sf_dir, "ivf_centroids", IVF_CELLS, IVF_ITERS, IVF_TRAIN_SAMPLE),
+        lambda: ivf_quantizer(e),
+    )
+
+
 def ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """The inverted file: every vector → its nearest cell (one distributed
     pass, broadcast centroids, map-side-combined min-struct argmin — the
@@ -539,8 +598,10 @@ def _probe_cells(e: DataFrame, cents: DataFrame, n: int) -> DataFrame:
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 for the first 8 queries via IVF cell-probe search.
 
-    Train the 16-cell coarse quantizer (:func:`ivf_quantizer` — bounded
-    training relation, decimal-exact dataflow Lloyd), assign every vector
+    Fetch the 16-cell coarse quantizer (:func:`ivf_centroids` — bounded
+    training relation, decimal-exact dataflow Lloyd, trained ONCE per
+    (session, sf) and shared with the IVF-PQ composition — the FAISS
+    train/add/search separation; see :func:`_trained`), assign every vector
     to its nearest cell (the inverted file), then score each query only
     against its IVF_PROBE closest cells' vectors — at scale the inverted
     file is partitioned BY cell, so a probe reads only its cells'
@@ -555,7 +616,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain = load(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    cents = ivf_quantizer(plain)
+    cents = ivf_centroids(spark, sf_dir, plain)
     assigned = ivf_assign(_ivf_relation(spark, sf_dir), cents)
     probes = _probe_cells(
         plain.filter(F.col("vec_id") < N_QUERIES), cents, IVF_PROBE
@@ -1418,6 +1479,16 @@ def pq_codebooks(e: DataFrame) -> DataFrame:
     return books.localCheckpoint()  # bounded: ≤ PQ_M·PQ_K rows
 
 
+def pq_books(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """The trained PQ codebooks for (session, sf) — train-once via
+    :func:`_trained` (see its docstring for why reuse is exact)."""
+    return _trained(
+        spark,
+        (sf_dir, "pq_codebooks", PQ_M, PQ_K, PQ_ITERS, PQ_TRAIN_SAMPLE),
+        lambda: pq_codebooks(e),
+    )
+
+
 def pq_encode(e: DataFrame, books: DataFrame) -> DataFrame:
     """The PQ code table: every vector → (vec_id, sub, code), its nearest
     codebook entry per subspace. One distributed pass: broadcast the
@@ -1452,7 +1523,7 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain = load(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    books = pq_codebooks(plain)
+    books = pq_books(spark, sf_dir, plain)
     best = (
         _pq_subs(_ivf_relation(spark, sf_dir))
         .withColumn("dsv", dot(F.col("sv"), F.col("sv")))
@@ -1553,7 +1624,9 @@ def q_similarity_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     each candidate's approximate distance is M lookup-table adds instead
     of a D-dim float fold.
 
-    Plan: train codebooks (bounded), encode the corpus (one broadcast
+    Plan: fetch the train-once codebooks (:func:`pq_books` — bounded
+    training, shared per (session, sf) with ``embedding_pq`` and the
+    IVF-PQ composition), encode the corpus (one broadcast
     pass), build the per-query lookup table (|Q|·M·K ≤ 1024 rows —
     broadcast), join the code table to the LUT on (sub, code) and sum
     the M partial distances per (query, vector), keep the ADC_SHORTLIST
@@ -1569,7 +1642,7 @@ def q_similarity_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain = load(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
-    books = pq_codebooks(plain)
+    books = pq_books(spark, sf_dir, plain)
     codes = pq_encode(_ivf_relation(spark, sf_dir), books)
     qsubs = _pq_subs(plain.filter(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("query_id"), "sub", "sv"

@@ -140,7 +140,12 @@ def test_ann_adc_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_ann_adc_deterministic(spark, sf_dir):
+    # clear the train-once model cache between runs so BOTH passes train
+    # the codebooks from scratch — this is the end-to-end trainer
+    # determinism check, not just the search side
+    similarity._MODEL_CACHE.clear()
     a = {tuple(r) for r in similarity.q_similarity_ann_adc(spark, sf_dir).collect()}
+    similarity._MODEL_CACHE.clear()
     b = {tuple(r) for r in similarity.q_similarity_ann_adc(spark, sf_dir).collect()}
     assert a == b
 
@@ -163,8 +168,11 @@ def test_pq_distortion_shrinks_with_finer_codebooks(spark, sf_dir, monkeypatch):
 
 
 def test_ann_ivf_deterministic(spark, sf_dir):
+    # fresh quantizer training on both passes (see test_ann_adc_deterministic)
+    similarity._MODEL_CACHE.clear()
     a = {(r["query_id"], r["vec_id"]) for r in
          similarity.q_similarity_ann_ivf(spark, sf_dir).collect()}
+    similarity._MODEL_CACHE.clear()
     b = {(r["query_id"], r["vec_id"]) for r in
          similarity.q_similarity_ann_ivf(spark, sf_dir).collect()}
     assert a == b
