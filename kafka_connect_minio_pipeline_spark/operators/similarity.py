@@ -653,56 +653,76 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_ivf_sql() -> str:
-    """DuckDB twin of the full IVF pipeline: unrolled Lloyd rounds on the
-    bounded training CTE (the kmeans_assign oracle pattern), one
-    assignment pass, per-query probe ranking, exact cosine rerank. The
-    cell score is the TWO-term ||c||² - 2 v·c (see _cell_score — must
-    match the Spark expression, not merely its argmin)."""
-    dist = (
+def _ivf_train_ctes(prefix: str = "") -> str:
+    """CTE fragment ``s, c0, {p}a1, {p}u1, c1, …`` ending in
+    ``c{IVF_ITERS}`` — the unrolled bounded Lloyd chain (the
+    kmeans_assign oracle pattern). Assumes an ``e AS (vec_id, v)`` CTE
+    is already defined. Round CTEs take a ``prefix`` so the fragment
+    composes with the PQ training chain (which owns the bare
+    ``a{i}``/``u{i}`` names) inside the IVF-PQ oracle; each chained CTE
+    is referenced exactly once (linear — the exponential-inlining trap
+    does not apply; ``s`` is a cheap base filter)."""
+    sdist = (
         "list_dot_product(c.c, c.c)"
-        " - 2 * list_dot_product(e.v, c.c)"
+        " - 2 * list_dot_product(s.v, c.c)"
     )
-    sdist = dist.replace("e.", "s.")
-    qdist = dist.replace("e.", "q.")
     rounds = []
     prev_c = "c0"
     for i in range(1, IVF_ITERS + 1):
         rounds.append(f"""
-    a{i} AS (
+    {prefix}a{i} AS (
         SELECT vec_id, k FROM (
             SELECT s.vec_id, c.k,
                    ROW_NUMBER() OVER (PARTITION BY s.vec_id
                                       ORDER BY {sdist}, c.k) AS rn
             FROM s CROSS JOIN {prev_c} c) WHERE rn = 1),
-    u{i} AS (
+    {prefix}u{i} AS (
         SELECT a.k, i AS pos,
                CAST(SUM(CAST(s.v[i] AS DECIMAL(16,6))) AS DOUBLE)
                    / COUNT(*) AS m
-        FROM a{i} a JOIN s USING (vec_id),
+        FROM {prefix}a{i} a JOIN s USING (vec_id),
              LATERAL UNNEST(generate_series(1, len(s.v))) t(i)
         GROUP BY a.k, i),
-    c{i} AS (SELECT k, LIST(m ORDER BY pos) AS c FROM u{i} GROUP BY k)""")
+    c{i} AS (SELECT k, LIST(m ORDER BY pos) AS c
+             FROM {prefix}u{i} GROUP BY k)""")
         prev_c = f"c{i}"
+    return f"""
+    s AS (SELECT vec_id, v FROM e WHERE vec_id < {IVF_TRAIN_SAMPLE}),
+    c0 AS (SELECT vec_id AS k, v AS c FROM s
+           WHERE vec_id < {IVF_CELLS}),{",".join(rounds)}"""
+
+
+_IVF_FINAL_C = f"c{IVF_ITERS}"
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB twin of the full IVF pipeline: unrolled Lloyd rounds on the
+    bounded training CTE (:func:`_ivf_train_ctes`), one assignment pass,
+    per-query probe ranking, exact cosine rerank. The cell score is the
+    TWO-term ||c||² - 2 v·c (see _cell_score — must match the Spark
+    expression, not merely its argmin)."""
+    dist = (
+        "list_dot_product(c.c, c.c)"
+        " - 2 * list_dot_product(e.v, c.c)"
+    )
+    qdist = dist.replace("e.", "q.")
     return f"""
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    s AS (SELECT vec_id, v FROM e WHERE vec_id < {IVF_TRAIN_SAMPLE}),
-    c0 AS (SELECT vec_id AS k, v AS c FROM s
-           WHERE vec_id < {IVF_CELLS}),{",".join(rounds)},
+    {_ivf_train_ctes()},
     assigned AS (
         SELECT vec_id, k AS cell FROM (
             SELECT e.vec_id, c.k,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
                                       ORDER BY {dist}, c.k) AS rn
-            FROM e CROSS JOIN {prev_c} c) WHERE rn = 1),
+            FROM e CROSS JOIN {_IVF_FINAL_C} c) WHERE rn = 1),
     probes AS (
         SELECT query_id, k AS cell FROM (
             SELECT q.vec_id AS query_id, c.k,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                       ORDER BY {qdist}, c.k) AS rn
             FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
-            CROSS JOIN {prev_c} c) WHERE rn <= {IVF_PROBE}),
+            CROSS JOIN {_IVF_FINAL_C} c) WHERE rn <= {IVF_PROBE}),
     cand AS (
         SELECT p.query_id, a.vec_id
         FROM assigned a JOIN probes p USING (cell)
@@ -1738,6 +1758,259 @@ SQL_ANN_ADC = f"""{_pq_train_sql()},
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed FAISS index (coarse cells + PQ codes + ADC search)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index(e: DataFrame, cents: DataFrame, books: DataFrame) -> DataFrame:
+    """(vec_id, cell, sub, code) — the IVF-PQ index relation: every
+    vector's coarse cell plus its M-code PQ encoding, built in ONE
+    linear pass. The cell assignment carries ``v`` through ``first()``
+    (exact — functionally dependent on the vec_id group key) so the PQ
+    encode follows directly, with ``cell`` likewise carried through the
+    encode group — no corpus⨝corpus join-back anywhere. Two map-side-
+    combined shuffles total (argmin per vec_id; argmin per vec_id,sub),
+    both broadcasts bounded (≤ IVF_CELLS cents; ≤ M·K codebook rows).
+
+    At 100 TB this relation IS the stored index (Jégou et al. 2011;
+    the FAISS IndexIVFPQ add() product): written partitioned BY cell so
+    a probe reads only its cells' partitions, M bytes per vector instead
+    of 4·D — raw floats are touched again only for the bounded rerank.
+    This is the non-residual IVFPQ variant (codes quantize the raw
+    vector, not the cell residual — FAISS's by_residual=False), so the
+    codebooks are exactly the ones ``embedding_pq`` already audits."""
+    assigned = (
+        e.crossJoin(F.broadcast(_with_cc(cents)))
+        .withColumn("score", _cell_score())
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("score", "k")).alias("b"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", F.col("b.k").cast("int").alias("cell"), "v")
+    )
+    subs = assigned.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+            )
+        ).alias("sub", "sv"),
+    )
+    best = (
+        subs.join(F.broadcast(_with_dcc(books)), "sub")
+        .withColumn("score", _code_score())
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min(F.struct("score", "code")).alias("b"),
+            F.first("cell").alias("cell"),
+        )
+    )
+    return best.select(
+        "vec_id", "cell", "sub", F.col("b.code").cast("int").alias("code")
+    )
+
+
+def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 via the composed FAISS IVF-PQ index: probe the
+    IVF_PROBE nearest coarse cells per query, ADC-score ONLY the probed
+    cells' vectors against the M-code table, shortlist, exact-cosine
+    rerank — `similarity_ann_ivf`'s candidate pruning and
+    `similarity_ann_adc`'s memory-bound scan composed into the actual
+    FAISS IndexIVFPQ search shape (Jégou et al., PAMI 2011).
+
+    Both trained models come from the train-once cache
+    (:func:`ivf_centroids`, :func:`pq_books`) — shared with the
+    stand-alone IVF/PQ queries, bit-identical to the per-statement
+    retrain the oracle performs. The search joins are all bounded
+    broadcasts: probes ≤ |Q|·IVF_PROBE rows, LUT ≤ |Q|·M·K rows; the
+    index relation is the only corpus-sized input and at scale is
+    partition-pruned by cell (see :func:`ivfpq_index`). ADC partials
+    are decimal(16,6) before the M-way sum (order-free), so shortlist
+    membership and final scores are hash-exact cross-engine. Recall vs
+    brute force is reported by `similarity_ann_ivfpq_eval` and asserted
+    in tests/test_dedup_similarity.py."""
+    plain = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cents = ivf_centroids(spark, sf_dir, plain)
+    books = pq_books(spark, sf_dir, plain)
+    idx = ivfpq_index(_ivf_relation(spark, sf_dir), cents, books)
+    queries = plain.filter(F.col("vec_id") < N_QUERIES)
+    probes = _probe_cells(queries, cents, IVF_PROBE).select(
+        F.col("vec_id").alias("query_id"), F.col("k").cast("int").alias("cell")
+    )
+    lut = (
+        _pq_subs(queries)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(_with_dcc(books), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            _code_score().cast("decimal(16,6)").alias("d"),
+        )
+    )
+    scored = (
+        idx.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    qn = em.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    cos = cosine_from_parts(
+        dot(to_double(F.col("embedding")), to_double(F.col("q_emb"))),
+        F.col("norm_sq"),
+        F.col("q_norm"),
+    )
+    reranked = (
+        shortlist.join(em, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# the combined oracle: the PQ training chain (e, csubs, subs, b*) plus the
+# IVF training chain (s, c0.., round CTEs prefixed "i" to avoid colliding
+# with the PQ rounds' bare a{i}/u{i}), then assignment, probes, codes, LUT,
+# ADC within probed cells, shortlist, exact rerank
+SQL_ANN_IVFPQ = f"""{_pq_train_sql()},{_ivf_train_ctes("i")},
+    assigned AS (
+        SELECT vec_id, k AS cell FROM (
+            SELECT e.vec_id, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(c.c, c.c)
+                                - 2 * list_dot_product(e.v, c.c),
+                                c.k) AS rn
+            FROM e CROSS JOIN {_IVF_FINAL_C} c) WHERE rn = 1),
+    probes AS (
+        SELECT query_id, k AS cell FROM (
+            SELECT q.vec_id AS query_id, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(c.c, c.c)
+                                - 2 * list_dot_product(q.v, c.c),
+                                c.k) AS rn
+            FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN {_IVF_FINAL_C} c) WHERE rn <= {IVF_PROBE}),
+    codes AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                       ORDER BY list_dot_product(b.c, b.c)
+                                - 2 * list_dot_product(s.sv, b.c),
+                                b.code) AS rn
+            FROM csubs s JOIN {_PQ_FINAL_B} b USING (sub)) WHERE rn = 1),
+    lut AS (
+        SELECT q.vec_id AS query_id, q.sub, b.code,
+               CAST(list_dot_product(b.c, b.c)
+                    - 2 * list_dot_product(q.sv, b.c) AS DECIMAL(16,6)) AS d
+        FROM (SELECT * FROM csubs WHERE vec_id < {N_QUERIES}) q
+        JOIN {_PQ_FINAL_B} b USING (sub)),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM assigned a JOIN probes p USING (cell)
+        WHERE a.vec_id <> p.query_id),
+    scored AS (
+        SELECT n.query_id, n.vec_id, SUM(l.d) AS adc
+        FROM cand n
+        JOIN codes c ON n.vec_id = c.vec_id
+        JOIN lut l ON l.query_id = n.query_id
+                  AND l.sub = c.sub AND l.code = c.code
+        GROUP BY n.query_id, n.vec_id),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= {ADC_SHORTLIST}),
+    norms AS (
+        SELECT vec_id, v, list_dot_product(v, v) AS norm_sq FROM e
+        WHERE list_dot_product(v, v) > 0),
+    reranked AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(list_dot_product(v.v, q.v)
+                     / (SQRT(v.norm_sq) * SQRT(q.norm_sq)), 6) AS cos_sim
+        FROM shortlist s
+        JOIN norms v ON s.vec_id = v.vec_id
+        JOIN norms q ON s.query_id = q.vec_id)
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+            AS rank
+        FROM reranked)
+    WHERE rank <= 3
+"""
+
+
+def q_similarity_ann_ivfpq_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the composed IVF-PQ index against exact brute force,
+    per query — the index-quality row a deployment reads next to
+    `similarity_ann_eval` (LSH) before committing to cell/probe/code
+    knobs: IVF-PQ loses recall BOTH to unprobed cells and to code-level
+    distance distortion, so it needs its own measurement, not the LSH
+    one. Same free comparison shape: left-semi join + two tiny
+    aggregations over k·|Q| rows."""
+    truth = q_similarity_topk_batch(spark, sf_dir).select("query_id", "vec_id")
+    ann = q_similarity_ann_ivfpq(spark, sf_dir).select("query_id", "vec_id")
+    hits = truth.join(ann, ["query_id", "vec_id"], "left_semi")
+    n_truth = truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return (
+        n_truth.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_ANN_IVFPQ_EVAL = f"""
+    WITH truth AS (
+        SELECT query_id, vec_id FROM ({SQL_SIMILARITY_TOPK_BATCH})),
+    ann AS (
+        SELECT query_id, vec_id FROM ({SQL_ANN_IVFPQ})),
+    hits AS (
+        SELECT t.query_id, t.vec_id FROM truth t
+        WHERE EXISTS (SELECT 1 FROM ann a
+                      WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id)),
+    nt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+           FROM truth GROUP BY query_id),
+    nh AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+           FROM hits GROUP BY query_id)
+    SELECT nt.query_id, n_truth,
+           COALESCE(n_hit, 0) AS n_hit,
+           ROUND(COALESCE(n_hit, 0) * 1.0 / n_truth, 6) AS recall
+    FROM nt LEFT JOIN nh USING (query_id)
+"""
+
+
 QUERIES = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "embedding_pq": Query(q_embedding_pq, SQL_EMBEDDING_PQ),
@@ -1757,6 +2030,10 @@ QUERIES = {
     ),
     "similarity_ann_lsh": Query(q_similarity_ann_lsh, SQL_ANN_LSH),
     "similarity_ann_ivf": Query(q_similarity_ann_ivf, SQL_ANN_IVF, headline=True),
+    "similarity_ann_ivfpq": Query(q_similarity_ann_ivfpq, SQL_ANN_IVFPQ),
+    "similarity_ann_ivfpq_eval": Query(
+        q_similarity_ann_ivfpq_eval, SQL_ANN_IVFPQ_EVAL
+    ),
     "similarity_knn_label_eval": Query(
         q_similarity_knn_label_eval, SQL_SIMILARITY_KNN_LABEL
     ),

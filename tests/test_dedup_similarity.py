@@ -139,6 +139,37 @@ def test_ann_adc_recall_vs_bruteforce(spark, sf_dir):
     assert orphan == 0
 
 
+def test_ann_ivfpq_recall_and_index_contract(spark, sf_dir):
+    """Composed IVF-PQ vs exact top-3: recall above the random floor
+    (measured 0.79-0.88 across sf0.001/0.01/0.1), the eval query's
+    recall column is consistent with its counts, and the index relation
+    carries exactly M codes per vector with ONE cell per vector."""
+    exact = similarity.q_similarity_topk_batch(spark, sf_dir)
+    ann = similarity.q_similarity_ann_ivfpq(spark, sf_dir)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.3, f"IVF-PQ recall@3 {recall:.2f}"
+    ev = similarity.q_similarity_ann_ivfpq_eval(spark, sf_dir).collect()
+    assert sum(r["n_hit"] for r in ev) == len(a & e)
+    for r in ev:
+        assert abs(r["recall"] - r["n_hit"] / r["n_truth"]) < 1e-6
+    plain = similarity.load(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.to_double(F.col("embedding")).alias("v")
+    )
+    idx = similarity.ivfpq_index(
+        similarity._ivf_relation(spark, sf_dir),
+        similarity.ivf_centroids(spark, sf_dir, plain),
+        similarity.pq_books(spark, sf_dir, plain),
+    )
+    n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert idx.count() == n_corpus * similarity.PQ_M
+    assert (
+        idx.groupBy("vec_id").agg(F.countDistinct("cell").alias("nc"))
+        .filter(F.col("nc") != 1).count() == 0
+    ), "a vector maps to more than one coarse cell"
+
+
 def test_ann_adc_deterministic(spark, sf_dir):
     # clear the train-once model cache between runs so BOTH passes train
     # the codebooks from scratch — this is the end-to-end trainer

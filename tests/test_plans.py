@@ -1052,6 +1052,22 @@ def test_pq_encode_is_broadcast_no_corpus_shuffle_join(spark, sf_dir):
         assert_not_in_plan(df, "CartesianProduct")
 
 
+def test_ivfpq_search_is_all_broadcast(spark, sf_dir):
+    """The composed IVF-PQ search: the only corpus-sized relation is the
+    index build (centroid crossJoin = BroadcastNestedLoopJoin, codebook
+    join = BroadcastHashJoin); probes and the ADC lookup table broadcast
+    onto it — never a sort-merge or unbounded cartesian join anywhere."""
+    from kafka_connect_minio_pipeline_spark.operators.similarity import (
+        q_similarity_ann_ivfpq,
+    )
+
+    df = q_similarity_ann_ivfpq(spark, sf_dir)
+    assert_in_plan(df, "BroadcastNestedLoopJoin")  # ≤16-row centroid crossJoin
+    assert_in_plan(df, "BroadcastHashJoin")
+    assert_not_in_plan(df, "SortMergeJoin")
+    assert_not_in_plan(df, "CartesianProduct")
+
+
 def test_gopher_rules_is_pure_narrow_map(spark, sf_dir):
     """The Gopher gate is a per-row projection: its plan must contain NO
     exchange of any kind (the 100 TB cost is exactly one pruned scan of
