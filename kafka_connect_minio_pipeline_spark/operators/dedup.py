@@ -1732,6 +1732,34 @@ SQL_DEDUP_SOURCE_OVERLAP = _source_overlap_sql()
 SUBSTR_K = 24
 
 
+def substring_gram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, g) — every character k-gram position (1-based,
+    stride 1) with the gram collapsed to its 60-bit portable md5 hash
+    BEFORE any shuffle (8-byte keys instead of 24-byte strings). The
+    shared base relation of the ExactSubstr score (`dedup_substring`)
+    and transform (`llm_substring_clean`). Docs shorter than k emit no
+    rows via the explicit sequence guard (Spark's sequence(1,0) is a
+    BACKWARD range, not empty — the guard is load-bearing)."""
+    from .llmdata import _portable_hash
+
+    k = SUBSTR_K
+    positions = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") >= k,
+                F.sequence(F.lit(1), F.length("text") - (k - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+        "text",
+    )
+    return positions.select(
+        "doc_id",
+        "p",
+        _portable_hash(F.expr(f"substring(text, p, {k})")).alias("g"),
+    )
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): for
@@ -1756,24 +1784,8 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-native equivalent with identical cross-doc semantics for
     fixed k, at cost O(total_chars) shuffle rows of 8 bytes each.
     """
-    from .llmdata import _portable_hash
-
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    k = SUBSTR_K
-    positions = docs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.length("text") >= k,
-                F.sequence(F.lit(1), F.length("text") - (k - 1)),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("p"),
-        "text",
-    )
-    grams = positions.select(
-        "doc_id",
-        _portable_hash(F.expr(f"substring(text, p, {k})")).alias("g"),
-    )
+    grams = substring_gram_rows(docs).select("doc_id", "g")
     gram_docs = grams.groupBy("g").agg(
         F.countDistinct("doc_id").alias("nd")
     )

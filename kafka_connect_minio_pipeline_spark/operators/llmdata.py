@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import Query
 from ..tables import load, load_meta, spread
-from .dedup import SQL_TOKENS, tokens, word_ngrams
+from .dedup import SQL_TOKENS, SUBSTR_K, substring_gram_rows, tokens, word_ngrams
 
 # ---------------------------------------------------------------------------
 # 1. deterministic stratified sampling
@@ -1172,8 +1172,185 @@ SQL_LLM_PACK_EVAL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# ExactSubstr span removal (the transform behind dedup_substring's score)
+# ---------------------------------------------------------------------------
+
+
+def q_llm_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr deduplication as the actual TRANSFORM (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    cut every character position covered by a cross-doc-duplicated
+    k-gram (k=24) out of the text, emitting the cleaned text plus span
+    accounting — `dedup_substring` is the score, this is the edit.
+
+    Plan: the shared 8-byte gram-hash relation (`substring_gram_rows`),
+    one groupBy gram with countDistinct(doc_id) to find duplicated
+    grams, a semi-shaped join back to positions, then per-doc span
+    algebra: overlapping/adjacent covered ranges [p, p+k) merge into
+    maximal islands (running max-end window — the same adjacent-run
+    merge `llm_span_corruption` uses), the KEPT segments are the
+    complement (lag window + per-doc tail), and the cleaned text is the
+    ordered concatenation of kept substrings. Every post-gram relation
+    is island/segment-sized (≪ positions); text is re-read only in the
+    final vocabulary-sized join back to `documents`, so the corpus text
+    column is scanned twice total (gram pass, stitch pass) and the
+    shuffle never carries it beside the 8-byte gram keys. Invariant
+    (asserted in tests): len(text) - len(cleaned_text) == chars_removed,
+    and re-scoring the cleaned corpus drives the duplicated-gram count
+    to ~0 (seam-adjacent new grams can survive — the paper's iterate-
+    to-fixpoint caveat)."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    k = SUBSTR_K
+    grams = substring_gram_rows(docs)
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    dup_pos = grams.join(dup_grams, "g").select("doc_id", "p")
+    wp = Window.partitionBy("doc_id").orderBy("p")
+    prev_e = F.max(F.col("p") + (k - 1)).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup_pos.select(
+        "doc_id",
+        "p",
+        (F.col("p") + (k - 1)).alias("e"),
+        (prev_e.isNull() | (F.col("p") > prev_e + 1)).cast("int").alias("brk"),
+    )
+    islands = (
+        marked.withColumn("isl", F.sum("brk").over(wp))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("p").alias("s"), F.max("e").alias("e"))
+    )
+    # kept segments from ONE window pass (no union): each island emits
+    # its after-gap segment [e+1, next_s-1] (tail when no next island —
+    # ke NULL, resolved to len(text) at the stitch join), and the FIRST
+    # island additionally emits the head segment [1, s-1]
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    neighbors = islands.select(
+        "doc_id",
+        "s",
+        "e",
+        F.lag("s").over(ws).alias("prev_s"),
+        F.lead("s").over(ws).alias("next_s"),
+    )
+    head = F.when(
+        F.col("prev_s").isNull(),
+        F.struct(F.lit(1).alias("ks"), (F.col("s") - 1).alias("ke")),
+    )
+    after = F.struct(
+        (F.col("e") + 1).alias("ks"), (F.col("next_s") - 1).alias("ke")
+    )
+    segs = (
+        neighbors.select("doc_id", F.explode(F.array(head, after)).alias("sg"))
+        .filter(F.col("sg").isNotNull())
+        .select("doc_id", F.col("sg.ks").alias("ks"), F.col("sg.ke").alias("ke"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "ks",
+            F.coalesce("ke", F.length("text")).alias("ke"),
+            "text",
+        )
+        .filter(F.col("ke") >= F.col("ks"))
+        .select(
+            "doc_id",
+            "ks",
+            F.expr("substring(text, ks, ke - ks + 1)").alias("seg"),
+        )
+    )
+    stitched = segs.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ks", "seg"))),
+                lambda st: st["seg"],
+            ),
+            "",
+        ).alias("ctext")
+    )
+    spans = islands.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("chars_removed"),
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(spans, "doc_id", "left")
+        .join(stitched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("chars_removed", F.lit(0).cast("long")).alias(
+                "chars_removed"
+            ),
+            F.when(F.col("n_spans").isNull(), F.col("text"))
+            .otherwise(F.coalesce("ctext", F.lit("")))
+            .alias("cleaned_text"),
+        )
+    )
+
+
+SQL_SUBSTRING_CLEAN = f"""
+    WITH g AS (
+        SELECT doc_id, i AS p,
+               ('0x' || substr(md5(substring(text, i, {SUBSTR_K})), 1, 15))::BIGINT AS g
+        FROM documents,
+             LATERAL UNNEST(generate_series(1, GREATEST(LENGTH(text) - {SUBSTR_K - 1}, 0))) t(i)),
+    gd AS (SELECT g FROM g GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    dp AS (SELECT doc_id, p FROM g JOIN gd USING (g)),
+    m AS (
+        SELECT doc_id, p, p + {SUBSTR_K - 1} AS e,
+               CASE WHEN MAX(p + {SUBSTR_K - 1}) OVER w IS NULL
+                         OR p > MAX(p + {SUBSTR_K - 1}) OVER w + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM dp
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl0 AS (
+        SELECT doc_id, p, e,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isl
+        FROM m),
+    isl AS (
+        SELECT doc_id, isl, MIN(p) AS s, MAX(e) AS e
+        FROM isl0 GROUP BY doc_id, isl),
+    body AS (
+        SELECT doc_id,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+                   AS ks,
+               s - 1 AS ke
+        FROM isl),
+    tail AS (
+        SELECT doc_id, MAX(e) + 1 AS ks, NULL AS ke
+        FROM isl GROUP BY doc_id),
+    segs AS (SELECT * FROM body UNION ALL SELECT * FROM tail),
+    parts AS (
+        SELECT s.doc_id,
+               STRING_AGG(SUBSTRING(d.text, s.ks,
+                                    COALESCE(s.ke, LENGTH(d.text)) - s.ks + 1),
+                          '' ORDER BY s.ks) AS ctext
+        FROM segs s JOIN documents d USING (doc_id)
+        WHERE COALESCE(s.ke, LENGTH(d.text)) >= s.ks
+        GROUP BY s.doc_id),
+    spanagg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS chars_removed
+        FROM isl GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(sp.n_spans, 0) AS n_spans,
+           COALESCE(sp.chars_removed, 0) AS chars_removed,
+           CASE WHEN sp.doc_id IS NULL THEN d.text
+                ELSE COALESCE(p.ctext, '') END AS cleaned_text
+    FROM documents d
+    LEFT JOIN spanagg sp USING (doc_id)
+    LEFT JOIN parts p USING (doc_id)
+"""
+
+
 QUERIES = {
     "llm_pack_eval": Query(q_llm_pack_eval, SQL_LLM_PACK_EVAL),
+    "llm_substring_clean": Query(q_llm_substring_clean, SQL_SUBSTRING_CLEAN),
     "llm_rag_chunk": Query(q_llm_rag_chunk, SQL_RAG_CHUNK),
     "llm_dataset_card": Query(q_llm_dataset_card, SQL_DATASET_CARD),
     "llm_span_corruption": Query(q_llm_span_corruption, SQL_SPAN_CORRUPTION),

@@ -599,3 +599,51 @@ def test_drift_psi_terms_nonnegative_and_null_distribution(spark, sf_dir):
     assert all(r.n_base + r.n_new > 0 for r in rows)
     total = sum(r.psi_term for r in rows)
     assert total < 0.1, total
+
+
+def test_substring_clean_removes_duplicated_spans(spark, sf_dir):
+    """ExactSubstr transform invariants (Lee et al. 2022): (a) exact
+    length accounting — len(text) - len(cleaned_text) == chars_removed
+    for every doc, with untouched docs byte-identical; (b) effectiveness
+    — re-scoring the CLEANED corpus with the same gram logic leaves at
+    most a sliver of duplicated gram positions (seam-adjacent new grams
+    may survive one pass; the paper iterates to fixpoint)."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        substring_gram_rows,
+    )
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_substring_clean,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    cleaned = q_llm_substring_clean(spark, sf_dir)
+    orig = load(spark, sf_dir, "documents").select("doc_id", "text")
+    joined = cleaned.join(orig, "doc_id").select(
+        "doc_id", "n_spans", "chars_removed", "cleaned_text", "text"
+    )
+    bad_len = joined.filter(
+        F.length("text") - F.length("cleaned_text") != F.col("chars_removed")
+    ).count()
+    assert bad_len == 0, "length accounting broken"
+    bad_noop = joined.filter(
+        (F.col("n_spans") == 0) & (F.col("cleaned_text") != F.col("text"))
+    ).count()
+    assert bad_noop == 0, "untouched doc was edited"
+    assert joined.filter(F.col("n_spans") > 0).count() > 0, "fixture vacuous"
+
+    def dup_gram_positions(docs):
+        g = substring_gram_rows(docs)
+        gd = (
+            g.groupBy("g")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("g")
+        )
+        return g.join(gd, "g").count()
+
+    before = dup_gram_positions(orig)
+    after = dup_gram_positions(
+        cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
+    )
+    assert before > 0, "fixture has no cross-doc duplicated grams"
+    assert after <= 0.05 * before, f"clean left {after}/{before} dup positions"
