@@ -41,11 +41,26 @@ from ..tables import load, spread
 # ---------------------------------------------------------------------------
 
 
+# Java's \s is [ \t\n\x0B\f\r] but RE2's (DuckDB) omits vertical tab
+# \x0B, so a shared-grammar regex spelled \s diverges on documents
+# containing \x0B (ADVICE r7). Every regex shared with an oracle spells
+# the class out; WS_CHARS composes it into other classes (BPE_ISH) and
+# WS_EXPR is the doubled-backslash form for Spark SQL string literals
+# (which process escapes — the text.py:~115 trap).
+WS_CHARS = " \\t\\n\\x0B\\f\\r"
+WS_CLASS = f"[{WS_CHARS}]"
+WS_EXPR = WS_CLASS.replace("\\", "\\\\")
+
+
 def tokens(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), "\\s+"), lambda x: x != "")
+    return F.filter(F.split(F.lower(col), WS_CLASS + "+"), lambda x: x != "")
 
 
-SQL_TOKENS = "list_filter(string_split_regex(lower({col}), '\\s+'), x -> x <> '')"
+SQL_TOKENS = (
+    "list_filter(string_split_regex(lower({col}), '"
+    + WS_CLASS
+    + "+'), x -> x <> '')"
+)
 
 
 def word_ngrams(toks: Column, n: int) -> Column:

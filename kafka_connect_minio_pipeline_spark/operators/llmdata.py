@@ -25,7 +25,15 @@ from pyspark.sql import functions as F
 
 from ..registry import Query
 from ..tables import load, load_meta, spread
-from .dedup import SQL_TOKENS, SUBSTR_K, substring_gram_rows, tokens, word_ngrams
+from .dedup import (
+    SQL_TOKENS,
+    SUBSTR_K,
+    WS_CLASS,
+    WS_EXPR,
+    substring_gram_rows,
+    tokens,
+    word_ngrams,
+)
 
 # ---------------------------------------------------------------------------
 # 1. deterministic stratified sampling
@@ -526,7 +534,7 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_in = ",".join(f"'{s}'" for s in STOPWORDS)
     n_stop = F.size(
         F.expr(
-            f"filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), t -> t IN ({stop_in}))"
+            f"filter(filter(split(lower(text), '{WS_EXPR}+'), x -> x != ''), t -> t IN ({stop_in}))"
         )
     )
     # r5 ANSI guard: one empty/whitespace-only doc must not kill the
@@ -574,7 +582,7 @@ def q_llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CORPUS_PIPELINE = f"""
     WITH t AS (
         SELECT doc_id, lang,
-               list_filter(string_split_regex(lower(text), '\\s+'),
+               list_filter(string_split_regex(lower(text), '{WS_CLASS}+'),
                            x -> x <> '') AS toks,
                LENGTH(text) AS n_chars,
                LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars

@@ -24,10 +24,10 @@ from pyspark.sql import functions as F
 from ..functions.exact import dec9
 from ..registry import Query
 from ..tables import load, load_meta, spread
-from .dedup import SQL_TOKENS, tokens, word_ngrams
+from .dedup import SQL_TOKENS, WS_CHARS, WS_CLASS, WS_EXPR, tokens, word_ngrams
 
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
-BPE_ISH = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+BPE_ISH = f"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9{WS_CHARS}]"
 
 
 def quality_features(docs: DataFrame) -> DataFrame:
@@ -40,7 +40,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
     n_tokens = F.size(toks)
     stop_in = ",".join(f"'{s}'" for s in STOPWORDS)
     n_stop = F.size(F.expr(
-        f"filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), t -> t IN ({stop_in}))"
+        f"filter(filter(split(lower(text), '{WS_EXPR}+'), x -> x != ''), t -> t IN ({stop_in}))"
     ))
     n_chars = F.length(F.col("text"))
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
@@ -357,7 +357,13 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "p_lang")
         .agg(F.sum(dec9(F.col("n") * F.col("logp"))).alias("score"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("p_lang"))
+    # tie-break must be NULL-safe on BOTH engines: Spark's bare ASC puts
+    # NULLs FIRST, DuckDB's puts them LAST — a NULL-lang profile (NULL
+    # lang is a real bucket, see text_bpe_fertility) tying with a named
+    # language would otherwise diverge (ADVICE r7)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("p_lang").asc_nulls_last()
+    )
     pred = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -389,7 +395,7 @@ SQL_TEXT_LANGID = """
     pred AS (
         SELECT doc_id, p_lang AS predicted_lang FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                ORDER BY score DESC, p_lang) AS rn
+                ORDER BY score DESC, p_lang NULLS LAST) AS rn
             FROM scored)
         WHERE rn = 1)
     SELECT d.doc_id, d.lang, predicted_lang
@@ -1462,7 +1468,7 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("toks"), "text")
     n_words = F.size("toks")
-    word_chars = F.length(F.regexp_replace(F.col("text"), "\\s", ""))
+    word_chars = F.length(F.regexp_replace(F.col("text"), WS_CLASS, ""))
     n_hash = F.length("text") - F.length(F.regexp_replace(F.col("text"), "#", ""))
     n_ellipsis = F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
     alpha_words = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-zA-Z]")))
@@ -1500,7 +1506,7 @@ SQL_TEXT_GOPHER_RULES = f"""
     WITH t AS (
         SELECT doc_id,
                {SQL_TOKENS.format(col='text')} AS toks,
-               LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS word_chars,
+               LENGTH(REGEXP_REPLACE(text, '{WS_CLASS}', '', 'g')) AS word_chars,
                LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '#', '', 'g')) AS n_hash,
                (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS n_ell
         FROM documents),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.dedup import WS_CLASS
 from ..registry import Query
 from ..tables import EVENT_TIME_BOUNDS, load, spread
 from .profile import (
@@ -155,7 +156,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from ..operators.dedup import tokens
+    from ..operators.dedup import WS_CLASS, WS_EXPR, tokens
 
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
@@ -167,7 +168,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_in = ",".join(f"'{s}'" for s in STOPWORDS)
     n_stop = F.size(
         F.expr(
-            f"filter(filter(split(lower(text), '\\\\s+'), x -> x != ''), t -> t IN ({stop_in}))"
+            f"filter(filter(split(lower(text), '{WS_EXPR}+'), x -> x != ''), t -> t IN ({stop_in}))"
         )
     )
     # r5 ANSI guard: one empty/whitespace-only doc must not kill the
@@ -208,10 +209,10 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CORPUS_CLEAN_SQL = """
+CORPUS_CLEAN_SQL = f"""
     WITH t AS (
         SELECT doc_id, lang,
-               list_filter(string_split_regex(lower(text), '\\s+'),
+               list_filter(string_split_regex(lower(text), '{WS_CLASS}+'),
                            x -> x <> '') AS toks,
                LENGTH(text) AS n_chars,
                LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars

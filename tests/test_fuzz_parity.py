@@ -41,7 +41,10 @@ TARGETS = (
 
 _CHARS = (
     string.ascii_lowercase + string.digits
-    + " .,;:!?-_'\"()[]{}@#$%&*+=/\\|<>~`^\t\n"
+    # \x0B and \f: Java \s includes them, RE2 \s omits \x0B — the r8
+    # explicit-whitespace-class fix (WS_CLASS) is what keeps these from
+    # diverging; the alphabet carries them so the whole net checks it
+    + " .,;:!?-_'\"()[]{}@#$%&*+=/\\|<>~`^\t\n\x0b\f"
 )
 
 
@@ -58,7 +61,7 @@ def _rand_text(rng: random.Random) -> str:
             for _ in range(rng.randrange(1, 80))
         )
     if mode == 3:  # whitespace soup (tokenizer zero-token paths)
-        return "".join(rng.choice(" \t\n") for _ in range(rng.randrange(1, 10)))
+        return "".join(rng.choice(" \t\n\x0b\f") for _ in range(rng.randrange(1, 10)))
     return "".join(rng.choice(_CHARS) for _ in range(rng.randrange(1, 120)))
 
 
