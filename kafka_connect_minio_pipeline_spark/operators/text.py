@@ -1532,7 +1532,135 @@ SQL_TEXT_GOPHER_RULES = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 — line-level web-text cleaning)
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_SENTENCES = 3
+
+
+def q_text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pipeline (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning…", §2.2) — the line-level complement to
+    `text_gopher_rules`' doc-level gate, and the other most-cited public
+    web-curation recipe. Line rules: keep a line only if it ends in a
+    terminal punctuation mark (period/!/?/closing quote), has ≥ 5 words,
+    and does not mention "javascript". Page rules: keep the page only
+    if the cleaned text still has ≥ 3 sentences (terminal-punct count)
+    and the ORIGINAL page contains neither "lorem ipsum" nor "{" (the
+    paper's code-page heuristic). Emits the per-doc accounting plus the
+    cleaned text (kept lines rejoined with newlines, original order).
+
+    Plan: one posexplode of the newline split (doc-level lorem/brace
+    flags ride along and come back via first() — functionally dependent
+    on doc_id, no join back to documents), per-line predicates all JVM
+    string ops inside codegen, one groupBy(doc_id) whose collect_list
+    gathers ONLY kept lines (when() nulls drop out), ordered stitch via
+    array_sort — the same reassembly machinery as llm_substring_clean.
+    One shuffle total, carrying only kept lines; scales as a pure
+    per-doc map. Word counts use the shared explicit-whitespace grammar
+    (WS_CLASS); sentence counting is the length-difference idiom, exact
+    on both engines."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    lines = docs.select(
+        "doc_id",
+        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
+        F.col("text").contains("{").alias("has_brace"),
+        F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
+    )
+    n_words = F.size(
+        F.filter(
+            F.split(F.lower(F.col("line")), WS_CLASS + "+"), lambda x: x != ""
+        )
+    )
+    kept = (
+        F.expr("right(rtrim(line), 1)").isin(".", "!", "?", '"')
+        & (n_words >= C4_MIN_LINE_WORDS)
+        & ~F.lower(F.col("line")).contains("javascript")
+    )
+    per_doc = (
+        lines.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda st: st["line"],
+                ),
+                "\n",
+            ).alias("cleaned_text"),
+            F.first("has_lorem").alias("has_lorem"),
+            F.first("has_brace").alias("has_brace"),
+        )
+    )
+    n_sent = (
+        F.length("cleaned_text")
+        - F.length(F.regexp_replace("cleaned_text", "[.!?]", ""))
+    ).cast("int")
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        n_sent.alias("n_sentences"),
+        (
+            (n_sent >= C4_MIN_SENTENCES)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).alias("keep"),
+        "cleaned_text",
+    )
+
+
+SQL_TEXT_C4_RULES = f"""
+    WITH ls AS (
+        SELECT doc_id, text, string_split(text, chr(10)) AS arr
+        FROM documents),
+    lines AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos, arr[i] AS line,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{{') AS has_brace
+        FROM ls, LATERAL UNNEST(generate_series(1, LEN(arr))) t(i)),
+    flags AS (
+        SELECT doc_id, pos, line, has_lorem, has_brace,
+               (right(rtrim(line), 1) IN ('.', '!', '?', '"')
+                AND LEN(list_filter(string_split_regex(lower(line),
+                        '{WS_CLASS}+'), x -> x <> ''))
+                    >= {C4_MIN_LINE_WORDS}
+                AND NOT contains(lower(line), 'javascript')) AS kept
+        FROM lines),
+    perdoc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept_lines,
+               COALESCE(STRING_AGG(CASE WHEN kept THEN line END,
+                                   chr(10) ORDER BY pos), '')
+                   AS cleaned_text,
+               BOOL_OR(has_lorem) AS has_lorem,
+               BOOL_OR(has_brace) AS has_brace
+        FROM flags GROUP BY doc_id)
+    SELECT doc_id, n_lines, n_kept_lines,
+           CAST(LENGTH(cleaned_text)
+                - LENGTH(REGEXP_REPLACE(cleaned_text, '[.!?]', '', 'g'))
+                AS INTEGER) AS n_sentences,
+           (LENGTH(cleaned_text)
+                - LENGTH(REGEXP_REPLACE(cleaned_text, '[.!?]', '', 'g'))
+                >= {C4_MIN_SENTENCES}
+            AND NOT has_lorem AND NOT has_brace) AS keep,
+           cleaned_text
+    FROM perdoc
+"""
+
+
 QUERIES = {
+    "text_c4_rules": Query(q_text_c4_rules, SQL_TEXT_C4_RULES),
     "text_unigram_logprob": Query(
         q_text_unigram_logprob,
         SQL_TEXT_UNIGRAM_LOGPROB.format(toks=SQL_TOKENS.format(col="text")),

@@ -66,7 +66,7 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-11:  round-8 new/changed — the composed FAISS index
+#   1-12:  round-8 new/changed — the composed FAISS index
 #          similarity_ann_ivfpq + its recall eval (NEW), the ExactSubstr
 #          transform llm_substring_clean (NEW), the train-once-cached
 #          ANN family similarity_ann_ivf / embedding_pq /
@@ -74,14 +74,15 @@ _QUERY_MODULES = (
 #          dedup_substring, and the four queries most affected by the
 #          explicit-whitespace-class grammar fix (ADVICE r7):
 #          text_langid (NULL-safe tie-break too), text_gopher_rules,
-#          text_token_stats (BPE_ISH), pipeline_corpus_clean;
-#  12-42:  the entire round-3-vintage cohort (31 rows — agg/join
+#          text_token_stats (BPE_ISH), pipeline_corpus_clean; plus
+#          text_c4_rules (NEW r8 — C4 line rules);
+#  13-43:  the entire round-3-vintage cohort (31 rows — agg/join
 #          families, graph_pagerank, sketch/stream countmin,
 #          text/ts/corpus r3 rows, udtf_sentences_builtin,
 #          multimodal_phash_pairs, llm_dedup_keep_best) — oldest
 #          standing rows all move to current;
-#  43-50:  the 8 oldest round-4 rows in name order (agg_linreg …
-#          dedup_incremental), starting on the r4 cohort.
+#  44-50:  the 7 oldest round-4 rows in name order (agg_linreg …
+#          dedup_containment), starting on the r4 cohort.
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
@@ -98,7 +99,8 @@ _GRADE_FIRST = (
     "text_gopher_rules",
     "text_token_stats",
     "pipeline_corpus_clean",
-    # 12-42: round-3-vintage rows (oldest standing)
+    "text_c4_rules",
+    # 13-43: round-3-vintage rows (oldest standing)
     "agg_percentile",
     "agg_pivot",
     "agg_pricing_summary",
@@ -130,7 +132,7 @@ _GRADE_FIRST = (
     "ts_ohlc",
     "ts_overlap_join",
     "udtf_sentences_builtin",
-    # 43-50: oldest round-4 rows in name order
+    # 44-50: oldest round-4 rows in name order
     "agg_linreg",
     "agg_median_twopass",
     "agg_mode",
@@ -138,7 +140,6 @@ _GRADE_FIRST = (
     "corpus_token_budget",
     "dedup_clusters",
     "dedup_containment",
-    "dedup_incremental",
 )
 
 

@@ -37,6 +37,11 @@ TARGETS = (
     # of the merge loop) and the newly oracle-checked language-ID
     "text_bpe_apply", "text_bpe_vocab", "text_bpe_fertility",
     "text_langid",
+    # r8: C4 line rules (the driver fixture is punctuation-free word
+    # soup, so the rules only fire on THESE corpora — terminal punct,
+    # braces, newlines, "..." runs all come from the fuzz alphabet) and
+    # the ExactSubstr transform
+    "text_c4_rules", "llm_substring_clean",
 )
 
 _CHARS = (

@@ -374,3 +374,53 @@ def test_dsir_separates_target_from_background(spark, sf_dir):
         .collect()
     }
     assert means["en"] == max(means.values())
+
+
+def test_c4_rules_hand_built(spark, tmp_path):
+    """C4 line/page rules on a hand-built corpus (the driver fixture is
+    punctuation-free, so this pins the rules where they actually fire):
+    terminal-punct + >=5 words + no 'javascript' per line; >=3 sentences
+    + no lorem-ipsum + no brace per page; cleaned text preserves kept
+    lines in order."""
+    import os
+    import shutil
+
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_c4_rules,
+    )
+
+    d = str(tmp_path / "c4")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    os.remove(f"{d}/documents.parquet")
+    good = ("One two three four five.\n"
+            "enable javascript to view this page.\n"
+            "short line.\n"
+            "Another proper sentence with enough words here!\n"
+            "Is this a question with many words too?")
+    rows = [
+        (0, good, "en", "web", len(good)),
+        (1, "No terminal punctuation here at all", "en", "web", 36),
+        (2, "Brace page { one two three four five. Six seven eight nine ten. More words end here.", "en", "web", 85),
+        (3, "Lorem Ipsum dolor sit amet sentence one. Sentence two is here. Sentence three too.", "en", "web", 83),
+        (4, "Only two sentences but long enough words. Second sentence also fine here.", "en", "web", 74),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_text_c4_rules(spark, d).collect()}
+    # doc 0: lines 1, 4, 5 kept (2 has 'javascript', 3 has <5 words)
+    assert out[0]["n_lines"] == 5 and out[0]["n_kept_lines"] == 3
+    assert out[0]["cleaned_text"] == (
+        "One two three four five.\n"
+        "Another proper sentence with enough words here!\n"
+        "Is this a question with many words too?")
+    assert out[0]["n_sentences"] == 3 and bool(out[0]["keep"]) is True
+    # doc 1: nothing kept
+    assert out[1]["n_kept_lines"] == 0 and bool(out[1]["keep"]) is False
+    # doc 2: lines keep but the page has '{'
+    assert out[2]["n_kept_lines"] == 1 and bool(out[2]["keep"]) is False
+    # doc 3: lorem ipsum page
+    assert bool(out[3]["keep"]) is False
+    # doc 4: only 2 sentences after cleaning
+    assert out[4]["n_kept_lines"] == 1 and out[4]["n_sentences"] == 2
+    assert bool(out[4]["keep"]) is False
