@@ -2011,6 +2011,332 @@ SQL_ANN_IVFPQ_EVAL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# residual IVF-PQ — FAISS's by_residual=True (PQ on v - centroid)
+# ---------------------------------------------------------------------------
+
+
+def residuals(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, v) — each vector's coarse cell plus its RESIDUAL
+    v − c_cell. Residuals are what FAISS's IndexIVFPQ quantizes by
+    default (by_residual=True): within one cell they spread over a far
+    smaller ball than raw vectors, so the same K codes per subspace buy
+    less distortion. One broadcast argmin (same shape as ivf_assign,
+    carrying v through first()) plus a 16-row broadcast join-back for
+    the winning centroid; the subtraction is element-wise zip_with —
+    exact IEEE, bit-identical to the oracle's list_transform."""
+    assigned = (
+        e.crossJoin(F.broadcast(_with_cc(cents)))
+        .withColumn("score", _cell_score())
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("score", "k")).alias("b"),
+            F.first("v").alias("v"),
+        )
+        .select("vec_id", F.col("b.k").alias("k"), "v")
+    )
+    return assigned.join(
+        F.broadcast(cents.select("k", F.col("c").alias("cc"))), "k"
+    ).select(
+        "vec_id",
+        F.col("k").cast("int").alias("cell"),
+        F.zip_with("v", "cc", lambda a, b: a - b).alias("v"),
+    )
+
+
+def pq_residual_books(
+    spark: SparkSession, sf_dir: str, e: DataFrame, cents: DataFrame
+) -> DataFrame:
+    """Train-once residual codebooks: the SAME decimal-exact Lloyd
+    trainer (:func:`pq_codebooks`), fed the residual relation of the
+    bounded training sample instead of raw vectors. Cache key carries
+    both PQ and IVF hyperparameters (the codebooks depend on the coarse
+    quantizer)."""
+    return _trained(
+        spark,
+        (
+            sf_dir,
+            "pq_residual_codebooks",
+            PQ_M,
+            PQ_K,
+            PQ_ITERS,
+            PQ_TRAIN_SAMPLE,
+            IVF_CELLS,
+            IVF_ITERS,
+            IVF_TRAIN_SAMPLE,
+        ),
+        lambda: pq_codebooks(
+            residuals(
+                e.filter(F.col("vec_id") < PQ_TRAIN_SAMPLE), cents
+            ).select("vec_id", "v")
+        ),
+    )
+
+
+def _sub_slices(col: str) -> F.Column:
+    """array of the PQ_M contiguous sub-vector slices of ``col``."""
+    return F.array(
+        *[
+            F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def ivfpq_residual_index(
+    e: DataFrame, cents: DataFrame, books: DataFrame
+) -> DataFrame:
+    """(vec_id, cell, sub, code) — the residual IVF-PQ index: assign,
+    subtract the cell centroid, PQ-encode the residual. Same linear
+    one-pass shape as :func:`ivfpq_index` (cell rides the encode group
+    via first()); at scale the relation is written partitioned BY cell."""
+    res = residuals(e, cents)
+    subs = res.select(
+        "vec_id", "cell", F.posexplode(_sub_slices("v")).alias("sub", "sv")
+    )
+    best = (
+        subs.join(F.broadcast(_with_dcc(books)), "sub")
+        .withColumn("score", _code_score())
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min(F.struct("score", "code")).alias("b"),
+            F.first("cell").alias("cell"),
+        )
+    )
+    return best.select(
+        "vec_id", "cell", "sub", F.col("b.code").cast("int").alias("code")
+    )
+
+
+def q_similarity_ann_ivfpq_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANN top-3 via residual IVF-PQ — the full-fidelity FAISS
+    IndexIVFPQ (Jégou et al. 2011, by_residual=True): PQ codes quantize
+    v − c_cell, and the ADC estimate for a candidate in cell k is
+    ||q − c_k||² + Σ_m (||b_m||² − 2·(q−c_k)_m·b_m) — the coarse term no
+    longer cancels across cells, so it is carried per (query, probed
+    cell) explicitly (`cd`). The LUT is per (query, cell, sub, code):
+    |Q|·IVF_PROBE·M·K ≤ 2048 rows, still a broadcast. Everything else
+    keeps the non-residual plan: one corpus index pass, probes/LUT
+    broadcast onto it, decimal(16,6) partials so the M-way sum is
+    order-free, shortlist then exact-cosine rerank. Both models come
+    from the train-once cache; the coarse-distance addition `qnorm +
+    (dcc − 2 q·c)` is parenthesized IDENTICALLY in the oracle (float
+    addition is not associative — the _cell_score discipline)."""
+    plain = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cents = ivf_centroids(spark, sf_dir, plain)
+    books = pq_residual_books(spark, sf_dir, plain, cents)
+    idx = ivfpq_residual_index(_ivf_relation(spark, sf_dir), cents, books)
+    qd = (
+        plain.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(_with_cc(cents)))
+        .withColumn("score", _cell_score())
+    )
+    wq = Window.partitionBy("vec_id").orderBy("score", "k")
+    probes = (
+        qd.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("k").cast("int").alias("cell"),
+            (dot(F.col("v"), F.col("v")) + F.col("score")).alias("cd"),
+            F.zip_with("v", "c", lambda a, b: a - b).alias("rv"),
+        )
+    )
+    qsubs = probes.select(
+        "query_id",
+        "cell",
+        F.posexplode(_sub_slices("rv")).alias("sub", "sv"),
+    )
+    # explicit broadcast: qsubs descends from a window over a crossJoin,
+    # so its size estimate is opaque and the ≤ M·K-row codebook side
+    # would otherwise plan as a sort-merge join
+    lut = qsubs.join(F.broadcast(_with_dcc(books)), "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        "code",
+        _code_score().cast("decimal(16,6)").alias("d"),
+    )
+    coarse = probes.select("query_id", "cell", "cd")
+    scored = (
+        idx.join(F.broadcast(coarse), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "cell", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg((F.min("cd") + F.sum("d").cast("double")).alias("total"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("total").asc(), F.col("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= ADC_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    qn = em.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    cos = cosine_from_parts(
+        dot(to_double(F.col("embedding")), to_double(F.col("q_emb"))),
+        F.col("norm_sq"),
+        F.col("q_norm"),
+    )
+    reranked = (
+        shortlist.join(em, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+def _pq_round_ctes(subs: str, prefix: str) -> str:
+    """Unrolled PQ Lloyd rounds reading a given subspace CTE, all round
+    CTEs prefixed — the residual oracle trains over ``rsubs`` with
+    prefix ``r`` while the raw chain (:func:`_pq_train_sql`) keeps the
+    bare names. Linear references only."""
+    score = "list_dot_product(b.c, b.c) - 2 * list_dot_product(s.sv, b.c)"
+    rounds = []
+    prev_b = f"{prefix}b0"
+    for i in range(1, PQ_ITERS + 1):
+        rounds.append(f"""
+    {prefix}a{i} AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT s.vec_id, s.sub, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                                      ORDER BY {score}, b.code) AS rn
+            FROM {subs} s JOIN {prev_b} b USING (sub)) WHERE rn = 1),
+    {prefix}u{i} AS (
+        SELECT a.sub, a.code, i AS pos,
+               CAST(SUM(CAST(s.sv[i] AS DECIMAL(16,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM {prefix}a{i} a
+        JOIN {subs} s ON a.vec_id = s.vec_id AND a.sub = s.sub,
+             LATERAL UNNEST(generate_series(1, {PQ_SUBDIM})) t(i)
+        GROUP BY a.sub, a.code, i),
+    {prefix}b{i} AS (SELECT sub, code, LIST(m ORDER BY pos) AS c
+                     FROM {prefix}u{i} GROUP BY sub, code)""")
+        prev_b = f"{prefix}b{i}"
+    return ",".join(rounds)
+
+
+_R_FINAL_B = f"rb{PQ_ITERS}"
+
+_SLICE = f"list_slice(v, m * {PQ_SUBDIM} + 1, (m + 1) * {PQ_SUBDIM})"
+_CELL_ARGMIN = (
+    "list_dot_product(c.c, c.c) - 2 * list_dot_product({side}.v, c.c)"
+)
+
+SQL_ANN_IVFPQ_RESIDUAL = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_ivf_train_ctes("i")},
+    scell AS (
+        SELECT vec_id, k, c FROM (
+            SELECT s.vec_id, c.k, c.c,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                       ORDER BY {_CELL_ARGMIN.format(side="s")}, c.k) AS rn
+            FROM s CROSS JOIN {_IVF_FINAL_C} c) WHERE rn = 1),
+    sres AS (
+        SELECT s.vec_id,
+               list_transform(generate_series(1, len(s.v)),
+                              i -> s.v[i] - sc.c[i]) AS v
+        FROM s JOIN scell sc USING (vec_id)),
+    rsubs AS (
+        SELECT vec_id, CAST(m AS INTEGER) AS sub, {_SLICE} AS sv
+        FROM sres, LATERAL UNNEST(generate_series(0, {PQ_M - 1})) t(m)),
+    rb0 AS (SELECT sub, vec_id AS code, sv AS c FROM rsubs
+            WHERE vec_id < {PQ_K}),{_pq_round_ctes("rsubs", "r")},
+    cassign AS (
+        SELECT vec_id, k AS cell, c FROM (
+            SELECT e.vec_id, c.k, c.c,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_CELL_ARGMIN.format(side="e")}, c.k) AS rn
+            FROM e CROSS JOIN {_IVF_FINAL_C} c) WHERE rn = 1),
+    cres AS (
+        SELECT e.vec_id, a.cell,
+               list_transform(generate_series(1, len(e.v)),
+                              i -> e.v[i] - a.c[i]) AS v
+        FROM e JOIN cassign a USING (vec_id)),
+    crsubs AS (
+        SELECT vec_id, cell, CAST(m AS INTEGER) AS sub, {_SLICE} AS sv
+        FROM cres, LATERAL UNNEST(generate_series(0, {PQ_M - 1})) t(m)),
+    codes AS (
+        SELECT vec_id, cell, sub, code FROM (
+            SELECT s.vec_id, s.cell, s.sub, b.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                       ORDER BY list_dot_product(b.c, b.c)
+                                - 2 * list_dot_product(s.sv, b.c),
+                                b.code) AS rn
+            FROM crsubs s JOIN {_R_FINAL_B} b USING (sub)) WHERE rn = 1),
+    qprobe AS (
+        SELECT query_id, cell, c, cd FROM (
+            SELECT q.vec_id AS query_id, c.k AS cell, c.c,
+                   list_dot_product(q.v, q.v)
+                       + (list_dot_product(c.c, c.c)
+                          - 2 * list_dot_product(q.v, c.c)) AS cd,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_CELL_ARGMIN.format(side="q")}, c.k) AS rn
+            FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN {_IVF_FINAL_C} c) WHERE rn <= {IVF_PROBE}),
+    qres AS (
+        SELECT p.query_id, p.cell, p.cd,
+               list_transform(generate_series(1, len(q.v)),
+                              i -> q.v[i] - p.c[i]) AS v
+        FROM qprobe p JOIN e q ON q.vec_id = p.query_id),
+    qrsubs AS (
+        SELECT query_id, cell, CAST(m AS INTEGER) AS sub, {_SLICE} AS sv
+        FROM qres, LATERAL UNNEST(generate_series(0, {PQ_M - 1})) t(m)),
+    lut AS (
+        SELECT q.query_id, q.cell, q.sub, b.code,
+               CAST(list_dot_product(b.c, b.c)
+                    - 2 * list_dot_product(q.sv, b.c) AS DECIMAL(16,6)) AS d
+        FROM qrsubs q JOIN {_R_FINAL_B} b USING (sub)),
+    scored AS (
+        SELECT p.query_id, c.vec_id,
+               MIN(p.cd) + CAST(SUM(l.d) AS DOUBLE) AS total
+        FROM codes c
+        JOIN qprobe p ON c.cell = p.cell AND c.vec_id <> p.query_id
+        JOIN lut l ON l.query_id = p.query_id AND l.cell = c.cell
+                  AND l.sub = c.sub AND l.code = c.code
+        GROUP BY p.query_id, c.vec_id),
+    shortlist AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY total, vec_id) AS rn
+            FROM scored)
+        WHERE rn <= {ADC_SHORTLIST}),
+    norms AS (
+        SELECT vec_id, v, list_dot_product(v, v) AS norm_sq FROM e
+        WHERE list_dot_product(v, v) > 0),
+    reranked AS (
+        SELECT s.query_id, s.vec_id,
+               ROUND(list_dot_product(v.v, q.v)
+                     / (SQRT(v.norm_sq) * SQRT(q.norm_sq)), 6) AS cos_sim
+        FROM shortlist s
+        JOIN norms v ON s.vec_id = v.vec_id
+        JOIN norms q ON s.query_id = q.vec_id)
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER)
+            AS rank
+        FROM reranked)
+    WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "embedding_quantize": Query(q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "embedding_pq": Query(q_embedding_pq, SQL_EMBEDDING_PQ),
@@ -2031,6 +2357,9 @@ QUERIES = {
     "similarity_ann_lsh": Query(q_similarity_ann_lsh, SQL_ANN_LSH),
     "similarity_ann_ivf": Query(q_similarity_ann_ivf, SQL_ANN_IVF, headline=True),
     "similarity_ann_ivfpq": Query(q_similarity_ann_ivfpq, SQL_ANN_IVFPQ),
+    "similarity_ann_ivfpq_residual": Query(
+        q_similarity_ann_ivfpq_residual, SQL_ANN_IVFPQ_RESIDUAL
+    ),
     "similarity_ann_ivfpq_eval": Query(
         q_similarity_ann_ivfpq_eval, SQL_ANN_IVFPQ_EVAL
     ),

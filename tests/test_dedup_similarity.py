@@ -725,3 +725,47 @@ def test_semantic_dedup_planted_duplicate(spark, tmp_path):
     assert abs(got[12].max_prior_cos - 1.0) < 1e-9
     assert got[12].cluster == got[3].cluster
     assert got[13].is_semantic_dup is False and got[13].max_prior_cos is None
+
+
+def test_ann_ivfpq_residual_recall_and_distortion(spark, sf_dir):
+    """Residual IVF-PQ (FAISS by_residual=True): recall above the random
+    floor, and the REASON residual coding exists holds on this corpus —
+    total squared reconstruction error of residual codebooks over
+    residuals is strictly below raw codebooks over raw vectors
+    (measured ~10% lower at sf0.001/0.01/0.1)."""
+    exact = similarity.q_similarity_topk_batch(spark, sf_dir)
+    ann = similarity.q_similarity_ann_ivfpq_residual(spark, sf_dir)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
+    assert len(a & e) / len(e) >= 0.3
+
+    plain = similarity.load(spark, sf_dir, "embeddings").select(
+        "vec_id", similarity.to_double(F.col("embedding")).alias("v")
+    )
+    cents = similarity.ivf_centroids(spark, sf_dir, plain)
+
+    def total_distortion(rel, books):
+        subs = rel.select(
+            "vec_id",
+            F.posexplode(similarity._sub_slices("v")).alias("sub", "sv"),
+        )
+        best = (
+            subs.withColumn("dsv", similarity.dot(F.col("sv"), F.col("sv")))
+            .join(F.broadcast(similarity._with_dcc(books)), "sub")
+            .withColumn("score", similarity._code_score())
+            .groupBy("vec_id", "sub")
+            .agg(
+                F.min(F.struct("score", "code")).alias("b"),
+                F.first("dsv").alias("dsv"),
+            )
+        )
+        return best.select(
+            (F.col("dsv") + F.col("b.score")).alias("d")
+        ).agg(F.sum("d")).collect()[0][0]
+
+    raw = total_distortion(plain, similarity.pq_books(spark, sf_dir, plain))
+    res = total_distortion(
+        similarity.residuals(plain, cents).select("vec_id", "v"),
+        similarity.pq_residual_books(spark, sf_dir, plain, cents),
+    )
+    assert res < raw, f"residual coding did not reduce distortion: {res} >= {raw}"

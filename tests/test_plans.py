@@ -1061,11 +1061,18 @@ def test_ivfpq_search_is_all_broadcast(spark, sf_dir):
         q_similarity_ann_ivfpq,
     )
 
-    df = q_similarity_ann_ivfpq(spark, sf_dir)
-    assert_in_plan(df, "BroadcastNestedLoopJoin")  # ≤16-row centroid crossJoin
-    assert_in_plan(df, "BroadcastHashJoin")
-    assert_not_in_plan(df, "SortMergeJoin")
-    assert_not_in_plan(df, "CartesianProduct")
+    from kafka_connect_minio_pipeline_spark.operators.similarity import (
+        q_similarity_ann_ivfpq_residual,
+    )
+
+    for df in (
+        q_similarity_ann_ivfpq(spark, sf_dir),
+        q_similarity_ann_ivfpq_residual(spark, sf_dir),
+    ):
+        assert_in_plan(df, "BroadcastNestedLoopJoin")  # ≤16-row centroid crossJoin
+        assert_in_plan(df, "BroadcastHashJoin")
+        assert_not_in_plan(df, "SortMergeJoin")
+        assert_not_in_plan(df, "CartesianProduct")
 
 
 def test_gopher_rules_is_pure_narrow_map(spark, sf_dir):
