@@ -165,3 +165,44 @@ def test_object_store_committer_recipe_pinned():
     # scheme parameterization: a gcs/abfs deployment swaps the scheme
     g = object_store_committer_confs("gs")
     assert "spark.hadoop.fs.gs.committer.name" in g
+
+
+def test_ivfpq_index_persisted_by_cell_prunes(spark, sf_dir):
+    """The ANN docstrings' 100 TB claim, pinned: the IVF-PQ index written
+    partitioned BY cell, a probe's cell filter prunes at PLAN time
+    (PartitionFilters — the probe reads only its cells' partitions, not
+    the corpus), and a probed search over the persisted index returns
+    exactly the in-memory query's candidates."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_minio_pipeline_spark.operators import similarity as S
+    from kafka_connect_minio_pipeline_spark.sinks import write_partitioned
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    plain = load(spark, sf_dir, "embeddings").select(
+        "vec_id", S.to_double(F.col("embedding")).alias("v")
+    )
+    cents = S.ivf_centroids(spark, sf_dir, plain)
+    books = S.pq_books(spark, sf_dir, plain)
+    idx = S.ivfpq_index(S._ivf_relation(spark, sf_dir), cents, books)
+    out = os.path.join(tempfile.mkdtemp(), "ivfpq_index")
+    write_partitioned(idx, out, ["cell"])
+    back = spark.read.parquet(out)
+    probed = {
+        r["k"]
+        for r in S._probe_cells(
+            plain.filter(F.col("vec_id") < S.N_QUERIES), cents, S.IVF_PROBE
+        ).collect()
+    }
+    one = sorted(probed)[0]
+    q = back.filter(F.col("cell") == one)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan, plan
+    # the persisted, pruned index serves the same candidates the
+    # in-memory relation does
+    mem = {
+        (r["vec_id"], r["sub"], r["code"])
+        for r in idx.filter(F.col("cell") == one).collect()
+    }
+    disk = {(r["vec_id"], r["sub"], r["code"]) for r in q.collect()}
+    assert mem == disk and len(disk) > 0
