@@ -707,7 +707,120 @@ SQL_JOIN_CDC_MERGE = f"""
 """
 
 
+MKT_PART_TYPE = "STANDARD"
+MKT_REGION = "EUROPE"
+MKT_NATION = "NATION_3"
+
+
+def q_join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: per order year, the share
+    of {MKT_REGION}-customer revenue on {MKT_PART_TYPE} parts supplied
+    by {MKT_NATION} suppliers — the classic 7-table decision-support
+    join (lineitem ⨝ part ⨝ supplier ⨝ nation ⨝ orders ⨝ customer ⨝
+    nation ⨝ region), the widest join tree in the registry and the
+    plan Catalyst's join ordering + AQE must get right.
+
+    Scale shape: the part filter prunes the fact FIRST (1/6 of types)
+    through a broadcast; the supplier→nation attribution is a second
+    broadcast onto the pruned fact; then the same partial-agg-below-join
+    trick as `join_inner_revenue` collapses lineitem to ONE row per
+    order (vol_all, vol_nat exact decimals) BEFORE the orders join, so
+    the fact⨝fact equi-join moves the rollup, not the lineitems. The
+    customer-side chain broadcasts nation and the filtered region; the
+    customer join itself stays a plain equi-join (AQE broadcasts it
+    locally, shuffles it at 100 TB). Numerator/denominator are exact
+    decimal sums cast to double once, ratio rounded once — hash-exact."""
+    part_f = load(spark, sf_dir, "part").filter(
+        F.col("p_type") == MKT_PART_TYPE
+    )
+    nation = load(spark, sf_dir, "nation")
+    supn = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = revenue(F.col("l_extendedprice"), F.col("l_discount"))
+    per_order = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part_f.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(rev).alias("vol_all"),
+            F.sum(F.when(F.col("supp_nation") == MKT_NATION, rev)).alias(
+                "vol_nat"
+            ),
+        )
+    )
+    region_f = load(spark, sf_dir, "region").filter(
+        F.col("r_name") == MKT_REGION
+    )
+    joined = (
+        per_order.join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region_f),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.round(
+            F.coalesce(F.sum("vol_nat").cast("double"), F.lit(0.0))
+            / F.sum("vol_all").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.sum("vol_all").cast("double").alias("total_volume"),
+    )
+
+
+_SQL_REV_TERM = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+SQL_JOIN_MARKET_SHARE = f"""
+    WITH supn AS (
+        SELECT s_suppkey, n_name AS supp_nation
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+    li AS (
+        SELECT l_orderkey,
+               SUM({_SQL_REV_TERM}) AS vol_all,
+               SUM(CASE WHEN supp_nation = '{MKT_NATION}'
+                        THEN {_SQL_REV_TERM} END) AS vol_nat
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = '{MKT_PART_TYPE}'
+        JOIN supn ON l_suppkey = s_suppkey
+        GROUP BY l_orderkey)
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           ROUND(COALESCE(CAST(SUM(vol_nat) AS DOUBLE), 0)
+                 / CAST(SUM(vol_all) AS DOUBLE), 6) AS mkt_share,
+           CAST(SUM(vol_all) AS DOUBLE) AS total_volume
+    FROM li
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey AND r_name = '{MKT_REGION}'
+    GROUP BY 1
+"""
+
+
 QUERIES = {
+    "join_market_share": Query(q_join_market_share, SQL_JOIN_MARKET_SHARE),
     "join_cdc_merge": Query(q_join_cdc_merge, SQL_JOIN_CDC_MERGE),
     "join_asof_nearest": Query(q_join_asof_nearest, SQL_JOIN_ASOF_NEAREST),
     "join_role_dims": Query(q_join_role_dims, SQL_JOIN_ROLE_DIMS),

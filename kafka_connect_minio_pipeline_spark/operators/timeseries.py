@@ -2228,7 +2228,210 @@ SQL_TS_UPTIME = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# LTTB downsampling (Steinarsson 2013 — largest-triangle-three-buckets)
+# ---------------------------------------------------------------------------
+
+LTTB_BUCKETS = 12
+
+
+def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LTTB downsampling of the (ts, value) series to
+    LTTB_BUCKETS points (Steinarsson 2013, "Downsampling Time Series for
+    Visual Representation") — the standard shape-preserving decimation a
+    dashboard runs before plotting millions of points: endpoints always
+    kept, interior points split into equal-count buckets, each bucket
+    contributing the point that maximizes the triangle area against its
+    neighbor buckets.
+
+    This is the thesis's PARALLEL variant: both anchors are the
+    neighboring buckets' mean points (the sequential original chains on
+    the previously SELECTED point — an inherently serial scan; the
+    mean-anchor form is the documented MapReduce adaptation and is what
+    makes per-bucket argmax embarrassingly parallel). Series with
+    n ≤ LTTB_BUCKETS pass through unchanged (LTTB degenerates to
+    identity).
+
+    Exactness: x is integer epoch-micros; bucket ids are pure integer
+    arithmetic (floor division on non-negatives); bucket means are
+    order-free decimal sums; the triangle area is ONE shared double
+    expression (mirrored term-for-term in the oracle, never
+    algebraically rearranged) with ties broken by event_id, so the
+    selected set is hash-exact cross-engine. Plan: one row_number window
+    per user, one groupBy for bucket means (T−2 rows per user), a tiny
+    per-user window for anchors, one co-keyed join back, per-bucket
+    argmax — two shuffles on the series key, no quadratic stage, skew
+    bounded by the busiest series."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _micros(F.col("ts")).alias("xus")
+    )
+    w = Window.partitionBy("user_id").orderBy("xus", "event_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        "xus",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n"),
+    )
+    t = LTTB_BUCKETS
+    small = pts.filter(F.col("n") <= t).select(
+        "user_id",
+        (F.col("rn") - 1).cast("int").alias("bucket"),
+        "event_id",
+        "value",
+    )
+    big = pts.filter(F.col("n") > t)
+    firstp = big.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("xus").cast("double").alias("fx"),
+        F.col("value").alias("fy"),
+        "event_id",
+    )
+    lastp = big.filter(F.col("rn") == F.col("n")).select(
+        "user_id",
+        F.col("xus").cast("double").alias("lx"),
+        F.col("value").alias("ly"),
+        "event_id",
+    )
+    interior = big.filter(
+        (F.col("rn") >= 2) & (F.col("rn") <= F.col("n") - 1)
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        "xus",
+        F.expr(f"cast(1 + ((rn - 2) * {t - 2}) div (n - 2) as int)").alias(
+            "bucket"
+        ),
+    )
+    means = interior.groupBy("user_id", "bucket").agg(
+        (
+            F.sum(F.col("xus").cast("decimal(28,0)")).cast("double")
+            / F.count("*")
+        ).alias("mx"),
+        (
+            F.sum(F.col("value").cast("decimal(16,6)")).cast("double")
+            / F.count("*")
+        ).alias("my"),
+    )
+    wb = Window.partitionBy("user_id").orderBy("bucket")
+    anchors = (
+        means.withColumn("lmx", F.lag("mx").over(wb))
+        .withColumn("lmy", F.lag("my").over(wb))
+        .withColumn("rmx", F.lead("mx").over(wb))
+        .withColumn("rmy", F.lead("my").over(wb))
+        .join(firstp.select("user_id", "fx", "fy"), "user_id")
+        .join(lastp.select("user_id", "lx", "ly"), "user_id")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("lmx", "fx").alias("xl"),
+            F.coalesce("lmy", "fy").alias("yl"),
+            F.coalesce("rmx", "lx").alias("xr"),
+            F.coalesce("rmy", "ly").alias("yr"),
+        )
+    )
+    scored = interior.join(anchors, ["user_id", "bucket"]).withColumn(
+        "area",
+        F.abs(
+            (F.col("xl") - F.col("xr")) * (F.col("value") - F.col("yl"))
+            - (F.col("xl") - F.col("xus").cast("double"))
+            * (F.col("yr") - F.col("yl"))
+        ),
+    )
+    ww = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("area").desc(), F.col("event_id")
+    )
+    winners = (
+        scored.withColumn("rr", F.row_number().over(ww))
+        .filter(F.col("rr") == 1)
+        .select("user_id", "bucket", "event_id", "value")
+    )
+    return (
+        small.unionByName(
+            firstp.select(
+                "user_id",
+                F.lit(0).cast("int").alias("bucket"),
+                "event_id",
+                F.col("fy").alias("value"),
+            )
+        )
+        .unionByName(
+            lastp.select(
+                "user_id",
+                F.lit(t - 1).cast("int").alias("bucket"),
+                "event_id",
+                F.col("ly").alias("value"),
+            )
+        )
+        .unionByName(winners)
+    )
+
+
+SQL_TS_LTTB = f"""
+    WITH pts AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS xus,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events),
+    small AS (
+        SELECT user_id, CAST(rn - 1 AS INTEGER) AS bucket, event_id, value
+        FROM pts WHERE n <= {LTTB_BUCKETS}),
+    big AS (SELECT * FROM pts WHERE n > {LTTB_BUCKETS}),
+    firstp AS (
+        SELECT user_id, CAST(xus AS DOUBLE) AS fx, value AS fy, event_id
+        FROM big WHERE rn = 1),
+    lastp AS (
+        SELECT user_id, CAST(xus AS DOUBLE) AS lx, value AS ly, event_id
+        FROM big WHERE rn = n),
+    interior AS (
+        SELECT user_id, event_id, value, xus,
+               CAST(1 + ((rn - 2) * {LTTB_BUCKETS - 2}) // (n - 2)
+                    AS INTEGER) AS bucket
+        FROM big WHERE rn >= 2 AND rn <= n - 1),
+    means AS (
+        SELECT user_id, bucket,
+               CAST(SUM(CAST(xus AS DECIMAL(28,0))) AS DOUBLE)
+                   / COUNT(*) AS mx,
+               CAST(SUM(CAST(value AS DECIMAL(16,6))) AS DOUBLE)
+                   / COUNT(*) AS my
+        FROM interior GROUP BY 1, 2),
+    anchors AS (
+        SELECT m.user_id, m.bucket,
+               COALESCE(LAG(mx) OVER w, f.fx) AS xl,
+               COALESCE(LAG(my) OVER w, f.fy) AS yl,
+               COALESCE(LEAD(mx) OVER w, l.lx) AS xr,
+               COALESCE(LEAD(my) OVER w, l.ly) AS yr
+        FROM means m
+        JOIN firstp f USING (user_id)
+        JOIN lastp l USING (user_id)
+        WINDOW w AS (PARTITION BY m.user_id ORDER BY m.bucket)),
+    scored AS (
+        SELECT i.user_id, i.bucket, i.event_id, i.value,
+               ABS((a.xl - a.xr) * (i.value - a.yl)
+                   - (a.xl - CAST(i.xus AS DOUBLE)) * (a.yr - a.yl)) AS area
+        FROM interior i
+        JOIN anchors a ON i.user_id = a.user_id AND i.bucket = a.bucket),
+    winners AS (
+        SELECT user_id, bucket, event_id, value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                ORDER BY area DESC, event_id) AS rr
+            FROM scored) WHERE rr = 1)
+    SELECT user_id, bucket, event_id, value FROM small
+    UNION ALL
+    SELECT user_id, 0 AS bucket, event_id, fy AS value FROM firstp
+    UNION ALL
+    SELECT user_id, {LTTB_BUCKETS - 1} AS bucket, event_id, ly AS value
+    FROM lastp
+    UNION ALL
+    SELECT user_id, bucket, event_id, value FROM winners
+"""
+
+
 QUERIES = {
+    "ts_downsample_lttb": Query(q_ts_downsample_lttb, SQL_TS_LTTB),
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
     "ts_silence_windows": Query(q_ts_silence_windows, SQL_TS_SILENCE),
     "ts_uptime_report": Query(

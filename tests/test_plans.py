@@ -107,6 +107,22 @@ def test_revenue_join_aggregates_below_join(spark, sf_dir):
     )[1].split(")")[0], plan
 
 
+def test_market_share_join_shape(spark, sf_dir):
+    """The Q8-style 7-table join: part/supplier-nation/nation/region
+    sides broadcast onto the fact, lineitem collapses to per-order
+    volumes BEFORE the orders join (first lineitem exchange keyed on
+    l_orderkey for an aggregate), and nothing degenerates to a
+    cartesian."""
+    df = joins.q_join_market_share(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "hashpartitioning(l_orderkey" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the part filter must be pushed into the part scan, not evaluated
+    # post-join
+    assert "PushedFilters: [IsNotNull(p_type), EqualTo(p_type,STANDARD)" in plan, plan
+
+
 def test_minhash_signatures_are_narrow(spark, sf_dir):
     """Signature computation must be shuffle-free (array_min over the
     per-doc array, no explode+groupBy)."""
