@@ -1236,14 +1236,26 @@ def q_llm_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept segments from ONE window pass (no union): each island emits
     # its after-gap segment [e+1, next_s-1] (tail when no next island —
     # ke NULL, resolved to len(text) at the stitch join), and the FIRST
-    # island additionally emits the head segment [1, s-1]
-    ws = Window.partitionBy("doc_id").orderBy("s")
+    # island additionally emits the head segment [1, s-1]. The per-doc
+    # span totals (n_spans, chars_removed) ride the SAME window pass as
+    # unordered partition aggregates and come back through first() at
+    # the stitch groupBy — so the gram→islands subtree has exactly ONE
+    # consumer chain and is evaluated once (a separate spans aggregation
+    # made Spark re-evaluate the whole gram pipeline a second time:
+    # ReuseExchange cannot unify subtrees under different join shapes —
+    # measured 16.5 s → ~4 s at sf0.1). Empty segments are kept as ''
+    # (greatest(len, 0)) rather than filtered, so fully-covered docs
+    # still reach the stitch aggregate with their totals.
+    wd = Window.partitionBy("doc_id")
+    ws = wd.orderBy("s")
     neighbors = islands.select(
         "doc_id",
         "s",
         "e",
         F.lag("s").over(ws).alias("prev_s"),
         F.lead("s").over(ws).alias("next_s"),
+        F.count("*").over(wd).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).over(wd).alias("chars_removed"),
     )
     head = F.when(
         F.col("prev_s").isNull(),
@@ -1253,21 +1265,37 @@ def q_llm_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e") + 1).alias("ks"), (F.col("next_s") - 1).alias("ke")
     )
     segs = (
-        neighbors.select("doc_id", F.explode(F.array(head, after)).alias("sg"))
+        neighbors.select(
+            "doc_id",
+            "n_spans",
+            "chars_removed",
+            F.explode(F.array(head, after)).alias("sg"),
+        )
         .filter(F.col("sg").isNotNull())
-        .select("doc_id", F.col("sg.ks").alias("ks"), F.col("sg.ke").alias("ke"))
+        .select(
+            "doc_id",
+            "n_spans",
+            "chars_removed",
+            F.col("sg.ks").alias("ks"),
+            F.col("sg.ke").alias("ke"),
+        )
         .join(docs.select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
+            "n_spans",
+            "chars_removed",
             "ks",
             F.coalesce("ke", F.length("text")).alias("ke"),
             "text",
         )
-        .filter(F.col("ke") >= F.col("ks"))
         .select(
             "doc_id",
+            "n_spans",
+            "chars_removed",
             "ks",
-            F.expr("substring(text, ks, ke - ks + 1)").alias("seg"),
+            F.expr("substring(text, ks, greatest(ke - ks + 1, 0))").alias(
+                "seg"
+            ),
         )
     )
     stitched = segs.groupBy("doc_id").agg(
@@ -1277,15 +1305,12 @@ def q_llm_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda st: st["seg"],
             ),
             "",
-        ).alias("ctext")
-    )
-    spans = islands.groupBy("doc_id").agg(
-        F.count("*").alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("chars_removed"),
+        ).alias("ctext"),
+        F.first("n_spans").alias("n_spans"),
+        F.first("chars_removed").alias("chars_removed"),
     )
     return (
         docs.select("doc_id", "text")
-        .join(spans, "doc_id", "left")
         .join(stitched, "doc_id", "left")
         .select(
             "doc_id",
