@@ -1533,6 +1533,71 @@ SQL_TEXT_GOPHER_RULES = f"""
 
 
 # ---------------------------------------------------------------------------
+# CCNet head/middle/tail quality buckets (Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's quality bucketing (Wenzek et al. 2020, "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data"): per
+    language, rank documents by LM score (best = lowest perplexity
+    first) and split them into head / middle / tail buckets of roughly
+    equal TOKEN mass — the partition CCNet publishes and downstream
+    pipelines sample from (head for quality, middle for volume, tail
+    usually dropped).
+
+    Composes the already-oracle-checked unigram LM
+    (:func:`q_text_unigram_logprob` — CCNet's KenLM stand-in) with a
+    metadata-only lang join (`load_meta` — the text column is read only
+    by the LM pass) and one window pass per language: inclusive
+    running token sum vs. the language total, thresholds evaluated in
+    INTEGER arithmetic (3·cum ≤ tot, 3·cum ≤ 2·tot) so bucket edges are
+    exact on both engines — no float division anywhere. Per-language
+    windows parallelize across languages; within one language the
+    running sum is a single sort-merge pass (same caveat + shard story
+    as `pack_sequences`). Zero-token docs carry no LM score and are
+    absent, mirroring CCNet (nothing to rank)."""
+    scored = q_text_unigram_logprob(spark, sf_dir)
+    d = scored.join(load_meta(spark, sf_dir, "documents", "lang"), "doc_id")
+    wl = Window.partitionBy("lang")
+    cum = F.sum("n_tokens").over(
+        wl.orderBy("nll_per_token", "doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    tot = F.sum("n_tokens").over(wl)
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "nll_per_token",
+        F.when(F.lit(3) * cum <= tot, "head")
+        .when(F.lit(3) * cum <= F.lit(2) * tot, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def _ccnet_buckets_sql() -> str:
+    base = SQL_TEXT_UNIGRAM_LOGPROB.format(toks=SQL_TOKENS.format(col="text"))
+    return f"""
+    SELECT doc_id, lang, n_tokens, nll_per_token,
+           CASE WHEN 3 * cum <= tot THEN 'head'
+                WHEN 3 * cum <= 2 * tot THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM (
+        SELECT b.doc_id, doc.lang, b.n_tokens, b.nll_per_token,
+               SUM(b.n_tokens) OVER (
+                   PARTITION BY doc.lang
+                   ORDER BY b.nll_per_token, b.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(b.n_tokens) OVER (PARTITION BY doc.lang) AS tot
+        FROM ({base}) b
+        JOIN documents doc ON b.doc_id = doc.doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # C4 cleaning rules (Raffel et al. 2020 — line-level web-text cleaning)
 # ---------------------------------------------------------------------------
 
@@ -1661,6 +1726,7 @@ SQL_TEXT_C4_RULES = f"""
 
 QUERIES = {
     "text_c4_rules": Query(q_text_c4_rules, SQL_TEXT_C4_RULES),
+    "text_ccnet_buckets": Query(q_text_ccnet_buckets, _ccnet_buckets_sql()),
     "text_unigram_logprob": Query(
         q_text_unigram_logprob,
         SQL_TEXT_UNIGRAM_LOGPROB.format(toks=SQL_TOKENS.format(col="text")),

@@ -424,3 +424,37 @@ def test_c4_rules_hand_built(spark, tmp_path):
     # doc 4: only 2 sentences after cleaning
     assert out[4]["n_kept_lines"] == 1 and out[4]["n_sentences"] == 2
     assert bool(out[4]["keep"]) is False
+
+
+def test_ccnet_buckets_partition_semantics(spark, sf_dir):
+    """CCNet bucket invariants: within each language the buckets
+    partition the scored docs, each bucket's token mass is within one
+    document of the exact third, and quality ordering holds (every head
+    doc scores no worse than every tail doc)."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_ccnet_buckets,
+    )
+
+    rows = q_text_ccnet_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        tot = sum(r["n_tokens"] for r in rs)
+        mass = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            mass[r["bucket"]] += r["n_tokens"]
+        assert sum(mass.values()) == tot
+        biggest_doc = max(r["n_tokens"] for r in rs)
+        for b in ("head", "middle"):
+            assert abs(mass[b] - tot / 3) <= biggest_doc, (lang, b, mass)
+        head_max = max(
+            (r["nll_per_token"] for r in rs if r["bucket"] == "head"),
+            default=float("-inf"),
+        )
+        tail_min = min(
+            (r["nll_per_token"] for r in rs if r["bucket"] == "tail"),
+            default=float("inf"),
+        )
+        assert head_max <= tail_min, (lang, head_max, tail_min)
