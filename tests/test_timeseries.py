@@ -767,3 +767,77 @@ def test_runs_test_detects_momentum_and_oscillation(spark):
     assert got["momentum"]["n_runs"] == 2 and got["momentum"]["z_runs"] < -3
     assert got["oscillate"]["z_runs"] > 3
     assert got["monotone"]["z_runs"] is None
+
+
+def _py_lttb_mean_anchor(points, t):
+    """Independent pure-Python reference of the parallel (mean-anchor)
+    LTTB variant: points = [(x, y, id)] sorted by (x, id); returns the
+    selected [(bucket, id)]. Mirrors the operator's SPEC (equal-count
+    buckets by integer division, neighbor-bucket mean anchors, first /
+    last always kept), not its dataflow."""
+    n = len(points)
+    if n <= t:
+        return [(i, p[2]) for i, p in enumerate(points)]
+    interior = points[1:-1]
+    buckets = {}
+    for j, p in enumerate(interior):  # j = rn - 2
+        k = 1 + (j * (t - 2)) // (n - 2)
+        buckets.setdefault(k, []).append(p)
+    means = {
+        k: (sum(p[0] for p in v) / len(v), sum(p[1] for p in v) / len(v))
+        for k, v in buckets.items()
+    }
+    first, last = points[0], points[-1]
+    out = [(0, first[2]), (t - 1, last[2])]
+    for k in sorted(buckets):
+        xl, yl = means.get(k - 1, (first[0], first[1]))
+        xr, yr = means.get(k + 1, (last[0], last[1]))
+        best = max(
+            buckets[k],
+            key=lambda p: (
+                abs((xl - xr) * (p[1] - yl) - (xl - p[0]) * (yr - yl)),
+                -p[2],
+            ),
+        )
+        out.append((k, best[2]))
+    return sorted(out)
+
+
+def test_lttb_matches_pure_python_reference(spark, sf_dir):
+    """ts_downsample_lttb vs an independent in-memory implementation of
+    the same spec, for every user series — pins the algorithm itself
+    (the DuckDB oracle only pins cross-engine agreement). Decimal-mean
+    vs float-mean anchor differences are far below the area argmax
+    margins on this data, so the selected sets must be identical."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        LTTB_BUCKETS,
+        _micros,
+        q_ts_downsample_lttb,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _micros(F.col("ts")).alias("x")
+    ).collect()
+    series = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(
+            (float(r["x"]), r["value"], r["event_id"])
+        )
+    expect = set()
+    for uid, pts in series.items():
+        pts.sort(key=lambda p: (p[0], p[2]))
+        for bucket, eid in _py_lttb_mean_anchor(pts, LTTB_BUCKETS):
+            expect.add((uid, bucket, eid))
+    got = {
+        (r["user_id"], r["bucket"], r["event_id"])
+        for r in q_ts_downsample_lttb(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # downsampling contract: at most LTTB_BUCKETS points per series
+    per_user = {}
+    for uid, _, _ in got:
+        per_user[uid] = per_user.get(uid, 0) + 1
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        LTTB_BUCKETS as T,
+    )
+    assert all(c <= T for c in per_user.values())
