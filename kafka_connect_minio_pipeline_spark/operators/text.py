@@ -1533,6 +1533,97 @@ SQL_TEXT_GOPHER_RULES = f"""
 
 
 # ---------------------------------------------------------------------------
+# cross-document line dedup (RefinedWeb-style line-wise correction)
+# ---------------------------------------------------------------------------
+
+LINE_DUP_MIN_DOCS = 2
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cross-document deduplication — the RefinedWeb /
+    MassiveText "line-wise correction" (Penedo et al. 2023; Rae et al.
+    2021): a non-blank line occurring in ≥ LINE_DUP_MIN_DOCS distinct
+    documents is boilerplate (nav bars, cookie banners, signatures) and
+    is cut from EVERY document; blank lines never participate. The
+    transform sibling of the detection ops (`text_common_passages` finds
+    repeated passages, `text_boilerplate_edges` repeated headers/
+    footers) — this one emits the cleaned text. Production deployments
+    raise the threshold / use an occurrence fraction; the knob is the
+    module constant.
+
+    Plan: one newline posexplode; duplicated lines found by one
+    groupBy over the 60-bit portable line hash (8-byte shuffle keys,
+    the dedup-family width trick; countDistinct partial-aggregates);
+    one hash join back; one groupBy(doc_id) whose collect_list gathers
+    only survivors — the same ordered-stitch machinery as
+    `llm_substring_clean`/`text_c4_rules`, single consumer chain.
+    Every doc reaches the output through the stitch groupBy itself
+    (split() yields ≥1 line even for empty text), so there is no
+    join-back to documents at all."""
+    from .llmdata import _portable_hash
+
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n", -1)).alias("pos", "line"),
+    ).withColumn("lh", _portable_hash(F.col("line")))
+    dup = (
+        lines.filter(F.trim("line") != "")
+        .groupBy("lh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= LINE_DUP_MIN_DOCS)
+        .select("lh")
+    )
+    marked = lines.join(
+        dup.withColumn("hit", F.lit(True)), "lh", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "line",
+        ((F.trim("line") != "") & F.col("hit").isNotNull()).alias("removed"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("removed"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda st: st["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+
+
+SQL_TEXT_LINE_DEDUP = f"""
+    WITH ls AS (
+        SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents),
+    lines AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos, arr[i] AS line,
+               ('0x' || substr(md5(arr[i]), 1, 15))::BIGINT AS lh
+        FROM ls, LATERAL UNNEST(generate_series(1, LEN(arr))) t(i)),
+    dup AS (
+        SELECT lh FROM lines WHERE TRIM(line) <> ''
+        GROUP BY lh HAVING COUNT(DISTINCT doc_id) >= {LINE_DUP_MIN_DOCS}),
+    marked AS (
+        SELECT l.doc_id, l.pos, l.line,
+               (TRIM(l.line) <> '' AND d.lh IS NOT NULL) AS removed
+        FROM lines l LEFT JOIN dup d ON l.lh = d.lh)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed_lines,
+           COALESCE(STRING_AGG(CASE WHEN NOT removed THEN line END,
+                               chr(10) ORDER BY pos), '') AS cleaned_text
+    FROM marked GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # CCNet head/middle/tail quality buckets (Wenzek et al. 2020)
 # ---------------------------------------------------------------------------
 
@@ -1727,6 +1818,7 @@ SQL_TEXT_C4_RULES = f"""
 QUERIES = {
     "text_c4_rules": Query(q_text_c4_rules, SQL_TEXT_C4_RULES),
     "text_ccnet_buckets": Query(q_text_ccnet_buckets, _ccnet_buckets_sql()),
+    "text_line_dedup": Query(q_text_line_dedup, SQL_TEXT_LINE_DEDUP),
     "text_unigram_logprob": Query(
         q_text_unigram_logprob,
         SQL_TEXT_UNIGRAM_LOGPROB.format(toks=SQL_TOKENS.format(col="text")),

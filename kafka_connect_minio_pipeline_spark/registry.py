@@ -66,7 +66,7 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-16:  round-8 new/changed — the composed FAISS index
+#   1-17:  round-8 new/changed — the composed FAISS index
 #          similarity_ann_ivfpq + its recall eval (NEW), the ExactSubstr
 #          transform llm_substring_clean (NEW), the train-once-cached
 #          ANN family similarity_ann_ivf / embedding_pq /
@@ -76,13 +76,13 @@ _QUERY_MODULES = (
 #          text_langid (NULL-safe tie-break too), text_gopher_rules,
 #          text_token_stats (BPE_ISH), pipeline_corpus_clean; plus
 #          text_c4_rules (NEW r8 — C4 line rules);
-#  17-47:  the entire round-3-vintage cohort (31 rows — agg/join
+#  18-48:  the entire round-3-vintage cohort (31 rows — agg/join
 #          families, graph_pagerank, sketch/stream countmin,
 #          text/ts/corpus r3 rows, udtf_sentences_builtin,
 #          multimodal_phash_pairs, llm_dedup_keep_best) — oldest
 #          standing rows all move to current;
-#  48-50:  the 3 oldest round-4 rows in name order (agg_linreg,
-#          agg_median_twopass, agg_mode), starting on the r4 cohort.
+#  49-50:  the 2 oldest round-4 rows in name order (agg_linreg,
+#          agg_median_twopass), starting on the r4 cohort.
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
@@ -104,7 +104,8 @@ _GRADE_FIRST = (
     "join_market_share",
     "ts_downsample_lttb",
     "text_ccnet_buckets",
-    # 16-46: round-3-vintage rows (oldest standing)
+    "text_line_dedup",
+    # 17-47: round-3-vintage rows (oldest standing)
     "agg_percentile",
     "agg_pivot",
     "agg_pricing_summary",
@@ -139,7 +140,6 @@ _GRADE_FIRST = (
     # 44-50: oldest round-4 rows in name order
     "agg_linreg",
     "agg_median_twopass",
-    "agg_mode",
 )
 
 

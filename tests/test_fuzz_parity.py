@@ -42,6 +42,9 @@ TARGETS = (
     # braces, newlines, "..." runs all come from the fuzz alphabet) and
     # the ExactSubstr transform
     "text_c4_rules", "llm_substring_clean",
+    # r8: cross-doc line dedup (driver fixture has no byte-equal lines;
+    # the fuzz repeated-token corpora do) and the CCNet partition
+    "text_line_dedup", "text_ccnet_buckets",
 )
 
 _CHARS = (

@@ -458,3 +458,33 @@ def test_ccnet_buckets_partition_semantics(spark, sf_dir):
             default=float("inf"),
         )
         assert head_max <= tail_min, (lang, head_max, tail_min)
+
+
+def test_line_dedup_hand_built(spark, tmp_path):
+    """Line dedup on a hand-built corpus (driver fixture has no
+    byte-equal lines): shared non-blank lines removed everywhere, blank
+    lines immune, unique lines kept, fully-boilerplate docs emptied."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_line_dedup,
+    )
+
+    banner = "subscribe to our newsletter"
+    rows = [
+        (0, f"{banner}\nunique content zero\n\nmore zero", "en", "web", 10),
+        (1, f"{banner}\nunique content one", "en", "web", 10),
+        (2, banner, "en", "web", 10),
+        (3, "totally unique document", "en", "web", 10),
+        (4, "\n\n", "en", "web", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_text_line_dedup(spark, str(tmp_path)).collect()}
+    assert out[0]["n_removed_lines"] == 1
+    assert out[0]["cleaned_text"] == "unique content zero\n\nmore zero"
+    assert out[1]["cleaned_text"] == "unique content one"
+    assert out[2]["n_removed_lines"] == 1 and out[2]["cleaned_text"] == ""
+    assert out[3]["n_removed_lines"] == 0
+    assert out[3]["cleaned_text"] == "totally unique document"
+    # blank lines are shared by docs 0 and 4 but never removed
+    assert out[4]["n_removed_lines"] == 0 and out[4]["cleaned_text"] == "\n\n"
