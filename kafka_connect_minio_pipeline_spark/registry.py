@@ -66,16 +66,18 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-17:  round-8 new/changed — the composed FAISS index
-#          similarity_ann_ivfpq + its recall eval (NEW), the ExactSubstr
-#          transform llm_substring_clean (NEW), the train-once-cached
-#          ANN family similarity_ann_ivf / embedding_pq /
-#          similarity_ann_adc (VERDICT r7 item 1), the refactored
-#          dedup_substring, and the four queries most affected by the
-#          explicit-whitespace-class grammar fix (ADVICE r7):
-#          text_langid (NULL-safe tie-break too), text_gopher_rules,
-#          text_token_stats (BPE_ISH), pipeline_corpus_clean; plus
-#          text_c4_rules (NEW r8 — C4 line rules);
+#   1-17:  round-8 new/changed — NEW: the composed FAISS index triple
+#          similarity_ann_ivfpq / _residual / _eval, the curation
+#          transforms llm_substring_clean (ExactSubstr), text_c4_rules
+#          (C4), text_line_dedup (RefinedWeb), text_ccnet_buckets
+#          (CCNet), join_market_share (TPC-H Q8) and ts_downsample_lttb
+#          (LTTB); CHANGED: the train-once-cached ANN family
+#          similarity_ann_ivf / embedding_pq / similarity_ann_adc
+#          (VERDICT r7 item 1), the refactored dedup_substring, and the
+#          four queries most affected by the explicit-whitespace-class
+#          grammar fix (ADVICE r7): text_langid (NULL-safe tie-break
+#          too), text_gopher_rules, text_token_stats (BPE_ISH),
+#          pipeline_corpus_clean;
 #  18-48:  the entire round-3-vintage cohort (31 rows — agg/join
 #          families, graph_pagerank, sketch/stream countmin,
 #          text/ts/corpus r3 rows, udtf_sentences_builtin,
