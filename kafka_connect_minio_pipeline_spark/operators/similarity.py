@@ -2012,6 +2012,168 @@ SQL_ANN_IVFPQ_EVAL = f"""
 
 
 # ---------------------------------------------------------------------------
+# IVF nprobe tuning sweep (the knob report a FAISS deployment reads)
+# ---------------------------------------------------------------------------
+
+IVF_SWEEP_PROBES = (1, 2, 4)
+
+
+def q_similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe tuning report: recall@3 and candidate volume of IVF
+    cell-probe search at n_probe ∈ {1, 2, 4} against exact brute force —
+    the sweep a FAISS deployment runs to pick its recall/latency point
+    (`dedup_threshold_sweep`'s sibling for the ANN knob). One row per
+    n_probe: total truth pairs, hits, recall, and mean candidates per
+    query — the cost axis (candidates scored) next to the quality axis.
+
+    The coarse quantizer comes from the train-once cache and the probe
+    ranking is computed ONCE to the sweep maximum (row_number ≤ 4);
+    each sweep point just tightens the rank filter — no retraining, no
+    re-ranking. Per point: one assignment pass + bounded rerank (the
+    ann_ivf shape); the per-point aggregates collapse to single rows
+    BEFORE the 3-row union, so no corpus-sized union ever forms. At
+    scale the assignment relation is the persisted inverted file and
+    the whole sweep reads it three times with different partition sets."""
+    plain = load(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double(F.col("embedding")).alias("v")
+    )
+    cents = ivf_centroids(spark, sf_dir, plain)
+    truth = q_similarity_topk_batch(spark, sf_dir).select("query_id", "vec_id")
+    truth_n = truth.agg(F.count("*").alias("n_truth"))
+    qd = (
+        plain.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(_with_cc(cents)))
+        .withColumn("score", _cell_score())
+    )
+    wq = Window.partitionBy("vec_id").orderBy("score", "k")
+    probes_all = (
+        qd.withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= max(IVF_SWEEP_PROBES))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("k").cast("int").alias("cell"),
+            "probe_rank",
+        )
+    )
+    em = _with_norms(load(spark, sf_dir, "embeddings"))
+    qn = em.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm_sq").alias("q_norm"),
+    )
+    cos = cosine_from_parts(
+        dot(to_double(F.col("embedding")), to_double(F.col("q_emb"))),
+        F.col("norm_sq"),
+        F.col("q_norm"),
+    )
+    rows = None
+    for p in IVF_SWEEP_PROBES:
+        assigned = ivf_assign(_ivf_relation(spark, sf_dir), cents)
+        cand = (
+            assigned.join(
+                F.broadcast(probes_all.filter(F.col("probe_rank") <= p)),
+                "cell",
+            )
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        scored = (
+            cand.join(em, "vec_id")
+            .join(F.broadcast(qn), "query_id")
+            .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("vec_id")
+        )
+        top3 = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "vec_id")
+        )
+        hits = truth.join(top3, ["query_id", "vec_id"], "left_semi")
+        row = cand.agg(F.count("*").alias("n_cand")).crossJoin(
+            hits.agg(F.count("*").alias("n_hit"))
+        ).select(F.lit(p).cast("int").alias("n_probe"), "n_cand", "n_hit")
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.crossJoin(F.broadcast(truth_n)).select(
+        "n_probe",
+        "n_truth",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        F.round(F.col("n_cand") / F.lit(N_QUERIES), 6).alias("avg_candidates"),
+    )
+
+
+def _ivf_probe_sweep_sql() -> str:
+    dist = (
+        "list_dot_product(c.c, c.c)"
+        " - 2 * list_dot_product(e.v, c.c)"
+    )
+    qdist = dist.replace("e.", "q.")
+    pmax = max(IVF_SWEEP_PROBES)
+    branches = []
+    for p in IVF_SWEEP_PROBES:
+        branches.append(f"""
+    SELECT {p} AS n_probe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+            WHERE EXISTS (
+                SELECT 1 FROM (
+                    SELECT query_id, vec_id FROM (
+                        SELECT s.query_id, s.vec_id,
+                               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                   ORDER BY s.cos_sim DESC, s.vec_id) AS rank
+                        FROM scored{p} s)
+                    WHERE rank <= 3) a
+                WHERE a.query_id = t.query_id AND a.vec_id = t.vec_id))
+               AS n_hit,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{p}) AS n_cand""")
+    cand_ctes = ",".join(
+        f"""
+    cand{p} AS (
+        SELECT p.query_id, a.vec_id
+        FROM assigned a JOIN probes p
+          ON a.cell = p.cell AND p.probe_rank <= {p}
+        WHERE a.vec_id <> p.query_id),
+    scored{p} AS (
+        SELECT c.query_id, c.vec_id,
+               ROUND(list_dot_product(v.v, q.v)
+                     / (SQRT(v.norm_sq) * SQRT(q.norm_sq)), 6) AS cos_sim
+        FROM cand{p} c
+        JOIN norms v ON c.vec_id = v.vec_id
+        JOIN norms q ON c.query_id = q.vec_id)"""
+        for p in IVF_SWEEP_PROBES
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    {_ivf_train_ctes()},
+    assigned AS (
+        SELECT vec_id, k AS cell FROM (
+            SELECT e.vec_id, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist}, c.k) AS rn
+            FROM e CROSS JOIN {_IVF_FINAL_C} c) WHERE rn = 1),
+    probes AS (
+        SELECT query_id, k AS cell, rn AS probe_rank FROM (
+            SELECT q.vec_id AS query_id, c.k,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {qdist}, c.k) AS rn
+            FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN {_IVF_FINAL_C} c) WHERE rn <= {pmax}),
+    norms AS (
+        SELECT vec_id, v, list_dot_product(v, v) AS norm_sq FROM e
+        WHERE list_dot_product(v, v) > 0),
+    truth AS (
+        SELECT query_id, vec_id FROM ({SQL_SIMILARITY_TOPK_BATCH})),{cand_ctes}
+    SELECT n_probe, n_truth, n_hit,
+           ROUND(n_hit * 1.0 / n_truth, 6) AS recall,
+           ROUND(n_cand * 1.0 / {N_QUERIES}, 6) AS avg_candidates
+    FROM ({" UNION ALL ".join(branches)})
+"""
+
+
+# ---------------------------------------------------------------------------
 # residual IVF-PQ — FAISS's by_residual=True (PQ on v - centroid)
 # ---------------------------------------------------------------------------
 
@@ -2362,6 +2524,9 @@ QUERIES = {
     ),
     "similarity_ann_ivfpq_eval": Query(
         q_similarity_ann_ivfpq_eval, SQL_ANN_IVFPQ_EVAL
+    ),
+    "similarity_ivf_probe_sweep": Query(
+        q_similarity_ivf_probe_sweep, _ivf_probe_sweep_sql()
     ),
     "similarity_knn_label_eval": Query(
         q_similarity_knn_label_eval, SQL_SIMILARITY_KNN_LABEL

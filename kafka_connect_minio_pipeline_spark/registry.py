@@ -66,33 +66,35 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-17:  round-8 new/changed — NEW: the composed FAISS index triple
+#   1-18:  round-8 new/changed — NEW: the composed FAISS index triple
 #          similarity_ann_ivfpq / _residual / _eval, the curation
 #          transforms llm_substring_clean (ExactSubstr), text_c4_rules
 #          (C4), text_line_dedup (RefinedWeb), text_ccnet_buckets
 #          (CCNet), join_market_share (TPC-H Q8) and ts_downsample_lttb
-#          (LTTB); CHANGED: the train-once-cached ANN family
+#          (LTTB), similarity_ivf_probe_sweep (nprobe sweep);
+#          CHANGED: the train-once-cached ANN family
 #          similarity_ann_ivf / embedding_pq / similarity_ann_adc
 #          (VERDICT r7 item 1), the refactored dedup_substring, and the
 #          four queries most affected by the explicit-whitespace-class
 #          grammar fix (ADVICE r7): text_langid (NULL-safe tie-break
 #          too), text_gopher_rules, text_token_stats (BPE_ISH),
 #          pipeline_corpus_clean;
-#  18-48:  the entire round-3-vintage cohort (31 rows — agg/join
+#  19-49:  the entire round-3-vintage cohort (31 rows — agg/join
 #          families, graph_pagerank, sketch/stream countmin,
 #          text/ts/corpus r3 rows, udtf_sentences_builtin,
 #          multimodal_phash_pairs, llm_dedup_keep_best) — oldest
 #          standing rows all move to current;
-#  49-50:  the 2 oldest round-4 rows in name order (agg_linreg,
-#          agg_median_twopass), starting on the r4 cohort.
+#  50:     the oldest round-4 row in name order (agg_linreg),
+#          starting on the r4 cohort.
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-11: round-8 new/changed
+    # 1-18: round-8 new/changed
     "similarity_ann_ivfpq",
     "similarity_ann_ivfpq_residual",
     "similarity_ann_ivfpq_eval",
+    "similarity_ivf_probe_sweep",
     "llm_substring_clean",
     "similarity_ann_ivf",
     "embedding_pq",
@@ -107,7 +109,7 @@ _GRADE_FIRST = (
     "ts_downsample_lttb",
     "text_ccnet_buckets",
     "text_line_dedup",
-    # 17-47: round-3-vintage rows (oldest standing)
+    # 19-49: round-3-vintage rows (oldest standing)
     "agg_percentile",
     "agg_pivot",
     "agg_pricing_summary",
@@ -139,9 +141,8 @@ _GRADE_FIRST = (
     "ts_ohlc",
     "ts_overlap_join",
     "udtf_sentences_builtin",
-    # 44-50: oldest round-4 rows in name order
+    # 50: oldest round-4 row in name order
     "agg_linreg",
-    "agg_median_twopass",
 )
 
 

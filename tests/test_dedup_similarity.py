@@ -769,3 +769,20 @@ def test_ann_ivfpq_residual_recall_and_distortion(spark, sf_dir):
         similarity.pq_residual_books(spark, sf_dir, plain, cents),
     )
     assert res < raw, f"residual coding did not reduce distortion: {res} >= {raw}"
+
+
+def test_ivf_probe_sweep_monotone(spark, sf_dir):
+    """The nprobe sweep's defining property: probing more cells can only
+    grow the candidate set, so recall and candidate volume are both
+    non-decreasing in n_probe, and every candidate superset keeps the
+    previous hits (hits monotone too)."""
+    rows = sorted(
+        similarity.q_similarity_ivf_probe_sweep(spark, sf_dir).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == list(similarity.IVF_SWEEP_PROBES)
+    for a, b in zip(rows, rows[1:]):
+        assert b["avg_candidates"] >= a["avg_candidates"]
+        assert b["n_hit"] >= a["n_hit"]
+        assert b["recall"] >= a["recall"]
+    assert len({r["n_truth"] for r in rows}) == 1
