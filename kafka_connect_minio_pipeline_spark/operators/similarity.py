@@ -2099,7 +2099,12 @@ def q_similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_probe",
         "n_truth",
         "n_hit",
-        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+        # empty-corpus totality: no truth pairs → recall undefined (NULL
+        # on both engines), never an ANSI DIVIDE_BY_ZERO
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hit") / F.col("n_truth"), 6),
+        ).alias("recall"),
         F.round(F.col("n_cand") / F.lit(N_QUERIES), 6).alias("avg_candidates"),
     )
 
@@ -2167,7 +2172,8 @@ def _ivf_probe_sweep_sql() -> str:
     truth AS (
         SELECT query_id, vec_id FROM ({SQL_SIMILARITY_TOPK_BATCH})),{cand_ctes}
     SELECT n_probe, n_truth, n_hit,
-           ROUND(n_hit * 1.0 / n_truth, 6) AS recall,
+           CASE WHEN n_truth > 0
+                THEN ROUND(n_hit * 1.0 / n_truth, 6) END AS recall,
            ROUND(n_cand * 1.0 / {N_QUERIES}, 6) AS avg_candidates
     FROM ({" UNION ALL ".join(branches)})
 """
