@@ -2430,8 +2430,108 @@ SQL_TS_LTTB = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# M4 downsampling (Jugel et al., VLDB 2014 — min/max/first/last per bucket)
+# ---------------------------------------------------------------------------
+
+M4_BUCKETS = 12
+
+
+def q_ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al. 2014, "M4: A Visualization-Oriented
+    Time Series Data Aggregation"): per user series, split the TIME
+    range into M4_BUCKETS equal-width buckets and keep, per bucket, the
+    rows carrying min(value), max(value), first(ts), last(ts) — the
+    four points that make a line chart pixel-exact. The error-free
+    companion to `ts_downsample_lttb` (LTTB is shape-preserving
+    heuristic selection over equal-COUNT buckets; M4 is lossless for
+    rendering over equal-TIME buckets) — together the two canonical
+    downsamplers.
+
+    One row per selected event with four role flags (a row can hold
+    several roles — e.g. a bucket's only event is all four). Bucket ids
+    are pure integer arithmetic on epoch-micros (floor division of
+    non-negatives — exact cross-engine); role selection is four
+    row_number ranks over ONE (user, bucket) partition — a single
+    shuffle, four sorts, ties broken by event_id. Skew bounded by the
+    busiest series, no quadratic stage anywhere."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _micros(F.col("ts")).alias("xus")
+    )
+    wu = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        "xus",
+        F.min("xus").over(wu).alias("mn"),
+        F.max("xus").over(wu).alias("mx"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            f"cast(((xus - mn) * {M4_BUCKETS}) div (mx - mn + 1) as int)"
+        ),
+    )
+    wb = Window.partitionBy("user_id", "bucket")
+    flags = pts.select(
+        "user_id",
+        "bucket",
+        "event_id",
+        "value",
+        (
+            F.row_number().over(wb.orderBy("value", "event_id")) == 1
+        ).alias("is_min"),
+        (
+            F.row_number().over(wb.orderBy(F.col("value").desc(), "event_id"))
+            == 1
+        ).alias("is_max"),
+        (
+            F.row_number().over(wb.orderBy("xus", "event_id")) == 1
+        ).alias("is_first"),
+        (
+            F.row_number().over(
+                wb.orderBy(F.col("xus").desc(), F.col("event_id").desc())
+            )
+            == 1
+        ).alias("is_last"),
+    )
+    return flags.filter(
+        F.col("is_min") | F.col("is_max") | F.col("is_first") | F.col("is_last")
+    )
+
+
+SQL_TS_M4 = f"""
+    WITH pts AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS xus,
+               MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS mn,
+               MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS mx
+        FROM events),
+    b AS (
+        SELECT user_id, event_id, value, xus,
+               CAST(((xus - mn) * {M4_BUCKETS}) // (mx - mn + 1) AS INTEGER)
+                   AS bucket
+        FROM pts),
+    flags AS (
+        SELECT user_id, bucket, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                   ORDER BY value, event_id) = 1 AS is_min,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                   ORDER BY value DESC, event_id) = 1 AS is_max,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                   ORDER BY xus, event_id) = 1 AS is_first,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                   ORDER BY xus DESC, event_id DESC) = 1 AS is_last
+        FROM b)
+    SELECT user_id, bucket, event_id, value,
+           is_min, is_max, is_first, is_last
+    FROM flags
+    WHERE is_min OR is_max OR is_first OR is_last
+"""
+
+
 QUERIES = {
     "ts_downsample_lttb": Query(q_ts_downsample_lttb, SQL_TS_LTTB),
+    "ts_downsample_m4": Query(q_ts_downsample_m4, SQL_TS_M4),
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),
     "ts_silence_windows": Query(q_ts_silence_windows, SQL_TS_SILENCE),
     "ts_uptime_report": Query(

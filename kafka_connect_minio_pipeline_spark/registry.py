@@ -66,12 +66,13 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-18:  round-8 new/changed — NEW: the composed FAISS index triple
+#   1-19:  round-8 new/changed — NEW: the composed FAISS index triple
 #          similarity_ann_ivfpq / _residual / _eval, the curation
 #          transforms llm_substring_clean (ExactSubstr), text_c4_rules
 #          (C4), text_line_dedup (RefinedWeb), text_ccnet_buckets
 #          (CCNet), join_market_share (TPC-H Q8) and ts_downsample_lttb
-#          (LTTB), similarity_ivf_probe_sweep (nprobe sweep);
+#          (LTTB), ts_downsample_m4 (M4), similarity_ivf_probe_sweep
+#          (nprobe sweep);
 #          CHANGED: the train-once-cached ANN family
 #          similarity_ann_ivf / embedding_pq / similarity_ann_adc
 #          (VERDICT r7 item 1), the refactored dedup_substring, and the
@@ -79,18 +80,17 @@ _QUERY_MODULES = (
 #          grammar fix (ADVICE r7): text_langid (NULL-safe tie-break
 #          too), text_gopher_rules, text_token_stats (BPE_ISH),
 #          pipeline_corpus_clean;
-#  19-49:  the entire round-3-vintage cohort (31 rows — agg/join
+#  20-50:  the entire round-3-vintage cohort (31 rows — agg/join
 #          families, graph_pagerank, sketch/stream countmin,
 #          text/ts/corpus r3 rows, udtf_sentences_builtin,
 #          multimodal_phash_pairs, llm_dedup_keep_best) — oldest
-#          standing rows all move to current;
-#  50:     the oldest round-4 row in name order (agg_linreg),
-#          starting on the r4 cohort.
+#          standing rows all move to current — the window is exactly
+#          19 + 31 = 50; the r4 cohort stays under the local parity net.
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-18: round-8 new/changed
+    # 1-19: round-8 new/changed
     "similarity_ann_ivfpq",
     "similarity_ann_ivfpq_residual",
     "similarity_ann_ivfpq_eval",
@@ -107,9 +107,10 @@ _GRADE_FIRST = (
     "text_c4_rules",
     "join_market_share",
     "ts_downsample_lttb",
+    "ts_downsample_m4",
     "text_ccnet_buckets",
     "text_line_dedup",
-    # 19-49: round-3-vintage rows (oldest standing)
+    # 20-50: round-3-vintage rows (oldest standing)
     "agg_percentile",
     "agg_pivot",
     "agg_pricing_summary",
@@ -141,8 +142,6 @@ _GRADE_FIRST = (
     "ts_ohlc",
     "ts_overlap_join",
     "udtf_sentences_builtin",
-    # 50: oldest round-4 row in name order
-    "agg_linreg",
 )
 
 

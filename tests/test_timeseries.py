@@ -841,3 +841,48 @@ def test_lttb_matches_pure_python_reference(spark, sf_dir):
         LTTB_BUCKETS as T,
     )
     assert all(c <= T for c in per_user.values())
+
+
+def test_m4_selects_true_extrema_per_bucket(spark, sf_dir):
+    """M4's losslessness contract: per (user, time-bucket), the flagged
+    rows are exactly the bucket's value-min, value-max, time-first and
+    time-last (event_id tiebreaks), recomputed independently in Python."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        M4_BUCKETS,
+        _micros,
+        q_ts_downsample_m4,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _micros(F.col("ts")).alias("x")
+    ).collect()
+    series = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(
+            (r["x"], r["value"], r["event_id"])
+        )
+    expect = {}
+    for uid, pts in series.items():
+        mn = min(p[0] for p in pts)
+        mx = max(p[0] for p in pts)
+        buckets = {}
+        for x, v, eid in pts:
+            buckets.setdefault(((x - mn) * M4_BUCKETS) // (mx - mn + 1), []).append(
+                (x, v, eid)
+            )
+        for b, ps in buckets.items():
+            expect[(uid, b)] = {
+                "is_min": min(ps, key=lambda p: (p[1], p[2]))[2],
+                "is_max": min(ps, key=lambda p: (-p[1], p[2]))[2],
+                "is_first": min(ps, key=lambda p: (p[0], p[2]))[2],
+                "is_last": max(ps, key=lambda p: (p[0], p[2]))[2],
+            }
+    got = q_ts_downsample_m4(spark, sf_dir).collect()
+    seen = set()
+    for r in got:
+        key = (r["user_id"], r["bucket"])
+        for role in ("is_min", "is_max", "is_first", "is_last"):
+            if r[role]:
+                assert expect[key][role] == r["event_id"], (key, role)
+                seen.add((key, role))
+    assert len(seen) == 4 * len(expect), "a bucket role is missing"
