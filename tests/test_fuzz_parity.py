@@ -133,6 +133,9 @@ _EV_TARGETS = (
     "ts_zscore", "ts_gapfill", "ts_islands", "ts_scd2", "ts_funnel",
     "agg_time_rollup", "scalar_json", "udaf_weighted_value",
     "window_running_distinct", "ts_dow_hour_heatmap",
+    # r8: the downsampling duo — heavy duplicate timestamps stress the
+    # (ts, event_id) tie-breaks in bucket assignment and role selection
+    "ts_downsample_lttb", "ts_downsample_m4",
 )
 
 
