@@ -1155,3 +1155,28 @@ def test_dsir_joins_are_broadcast_sized(spark, sf_dir):
     plan = formatted_plan(df)
     read = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "n_chars" not in read and "source" not in read, read
+
+
+def test_c4_rules_has_no_join(spark, sf_dir):
+    """C4's doc-level flags ride the exploded lines via first() — the
+    plan must contain NO join of any kind (one pruned scan, one
+    explode, one groupBy; the 100 TB cost is a single text read)."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_c4_rules,
+    )
+
+    plan = formatted_plan(q_text_c4_rules(spark, sf_dir))
+    assert "Join" not in plan, plan
+
+
+def test_m4_single_series_shuffle_no_join(spark, sf_dir):
+    """M4 is windows-only: no join anywhere, and every exchange hashes
+    on the series key (user_id) — the four role ranks share the
+    (user, bucket) partitioning."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_downsample_m4,
+    )
+
+    plan = formatted_plan(q_ts_downsample_m4(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
