@@ -776,15 +776,22 @@ def q_join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
     )
+    # totality: an all-zero-revenue year (impossible with TPC-H-shaped
+    # prices, but nothing in the contract forbids it) yields share NULL
+    # on both engines instead of ANSI DIVIDE_BY_ZERO on Spark
+    vol_all = F.sum("vol_all").cast("double")
     return joined.groupBy(
         F.year("o_orderdate").cast("int").alias("o_year")
     ).agg(
-        F.round(
-            F.coalesce(F.sum("vol_nat").cast("double"), F.lit(0.0))
-            / F.sum("vol_all").cast("double"),
-            6,
+        F.when(
+            vol_all > 0,
+            F.round(
+                F.coalesce(F.sum("vol_nat").cast("double"), F.lit(0.0))
+                / vol_all,
+                6,
+            ),
         ).alias("mkt_share"),
-        F.sum("vol_all").cast("double").alias("total_volume"),
+        vol_all.alias("total_volume"),
     )
 
 
@@ -807,8 +814,10 @@ SQL_JOIN_MARKET_SHARE = f"""
         JOIN supn ON l_suppkey = s_suppkey
         GROUP BY l_orderkey)
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
-           ROUND(COALESCE(CAST(SUM(vol_nat) AS DOUBLE), 0)
-                 / CAST(SUM(vol_all) AS DOUBLE), 6) AS mkt_share,
+           CASE WHEN CAST(SUM(vol_all) AS DOUBLE) > 0
+                THEN ROUND(COALESCE(CAST(SUM(vol_nat) AS DOUBLE), 0)
+                           / CAST(SUM(vol_all) AS DOUBLE), 6)
+           END AS mkt_share,
            CAST(SUM(vol_all) AS DOUBLE) AS total_volume
     FROM li
     JOIN orders   ON l_orderkey = o_orderkey

@@ -18,6 +18,9 @@ All cosine math is the shared double-fold from functions/vectors.py
 
 from __future__ import annotations
 
+import os
+import threading
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -399,10 +402,43 @@ SQL_SIMILARITY_KNN_LABEL = f"""
 # trained-model cache (the FAISS train / add / search separation)
 # ---------------------------------------------------------------------------
 
-# (applicationId, id(session), sf_dir, kind, hyperparams, shuffle conf)
+# (applicationId, id(session), sf_dir, data fingerprint, kind,
+#  hyperparams, shuffle conf)
 #   -> (session strong-ref, localCheckpointed bounded model relation)
 _MODEL_CACHE: dict[tuple, tuple] = {}
 _MODEL_CACHE_MAX = 64  # many (session, sf, param) combos only under pytest
+_MODEL_LOCK = threading.RLock()  # concurrent first-callers must not double-train
+
+
+def _data_fingerprint(sf_dir: str) -> tuple:
+    """(size, mtime_ns) fingerprint of ``embeddings.parquet`` under
+    ``sf_dir`` — folded into the cache key so a regenerated file at the
+    SAME path within one session retrains instead of silently serving
+    stale centroids/codebooks (the DuckDB oracle retrains per statement,
+    so a stale cache would be the one way Spark could diverge). Handles
+    both a single parquet file and a directory of part files; a missing
+    path fingerprints as empty and lets the load itself raise."""
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(p)
+        if os.path.isdir(p):
+            parts = sorted(os.listdir(p))
+            sts = [os.stat(os.path.join(p, f)) for f in parts]
+            return (
+                tuple(parts),
+                sum(s.st_size for s in sts),
+                max((s.st_mtime_ns for s in sts), default=0),
+            )
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return ()
+
+
+def _session_live(session) -> bool:
+    try:
+        return not session.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
 
 
 def _trained(spark: SparkSession, key: tuple, build) -> DataFrame:
@@ -423,25 +459,45 @@ def _trained(spark: SparkSession, key: tuple, build) -> DataFrame:
 
     Key fields keep the cache honest: applicationId + id(session) scope
     it to one live SparkContext/session (the strong session ref in the
-    value pins ``id`` against reuse); the training hyperparameters (so a
-    monkeypatched PQ_K=1 study never sees K=16 codebooks); and the
-    shuffle-partition conf, so the parallelism-invariance net still
-    trains fresh under each partitioning it checks rather than silently
-    reusing one run's model. At 100 TB the same artifact is a written
-    table keyed the same way; the in-session dict is the local stand-in.
+    value pins ``id`` against reuse); the embeddings.parquet fingerprint
+    (:func:`_data_fingerprint`), so a regenerated file at the same path
+    retrains; the training hyperparameters (so a monkeypatched PQ_K=1
+    study never sees K=16 codebooks); and the shuffle-partition conf, so
+    the parallelism-invariance net still trains fresh under each
+    partitioning it checks rather than silently reusing one run's model.
+    At 100 TB the same artifact is a written table keyed the same way;
+    the in-session dict is the local stand-in.
+
+    The whole lookup-or-train runs under one re-entrant lock: concurrent
+    first-callers would otherwise race past the miss and double-train
+    (harmless for correctness — the trainers are deterministic — but a
+    wasted multi-second job). Overflow evicts dead-context entries first
+    (their checkpoint blocks are unreachable anyway) and falls back to a
+    full clear only if 64 entries belong to LIVE sessions — which no
+    real workload reaches.
     """
+    # key[0] is the sf_dir by convention of every caller
     full_key = (
         spark.sparkContext.applicationId,
         id(spark),
         spark.conf.get("spark.sql.shuffle.partitions", ""),
+        _data_fingerprint(key[0]),
     ) + key
-    hit = _MODEL_CACHE.get(full_key)
-    if hit is None:
-        if len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
-            _MODEL_CACHE.clear()  # stale contexts dominate by then
-        hit = (spark, build())
-        _MODEL_CACHE[full_key] = hit
-    return hit[1]
+    with _MODEL_LOCK:
+        hit = _MODEL_CACHE.get(full_key)
+        if hit is None:
+            if len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+                dead = [
+                    k for k, (s, _) in _MODEL_CACHE.items()
+                    if not _session_live(s)
+                ]
+                for k in dead:
+                    del _MODEL_CACHE[k]
+                if len(_MODEL_CACHE) >= _MODEL_CACHE_MAX:
+                    _MODEL_CACHE.clear()
+            hit = (spark, build())
+            _MODEL_CACHE[full_key] = hit
+        return hit[1]
 
 
 # ---------------------------------------------------------------------------
@@ -2135,7 +2191,7 @@ def _ivf_probe_sweep_sql() -> str:
            (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{p}) AS n_cand""")
     cand_ctes = ",".join(
         f"""
-    cand{p} AS (
+    cand{p} AS MATERIALIZED (
         SELECT p.query_id, a.vec_id
         FROM assigned a JOIN probes p
           ON a.cell = p.cell AND p.probe_rank <= {p}
@@ -2153,7 +2209,7 @@ def _ivf_probe_sweep_sql() -> str:
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     {_ivf_train_ctes()},
-    assigned AS (
+    assigned AS MATERIALIZED (
         SELECT vec_id, k AS cell FROM (
             SELECT e.vec_id, c.k,
                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -2166,10 +2222,10 @@ def _ivf_probe_sweep_sql() -> str:
                                       ORDER BY {qdist}, c.k) AS rn
             FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
             CROSS JOIN {_IVF_FINAL_C} c) WHERE rn <= {pmax}),
-    norms AS (
+    norms AS MATERIALIZED (
         SELECT vec_id, v, list_dot_product(v, v) AS norm_sq FROM e
         WHERE list_dot_product(v, v) > 0),
-    truth AS (
+    truth AS MATERIALIZED (
         SELECT query_id, vec_id FROM ({SQL_SIMILARITY_TOPK_BATCH})),{cand_ctes}
     SELECT n_probe, n_truth, n_hit,
            CASE WHEN n_truth > 0
@@ -2405,6 +2461,18 @@ _R_FINAL_B = f"rb{PQ_ITERS}"
 _SLICE = f"list_slice(v, m * {PQ_SUBDIM} + 1, (m + 1) * {PQ_SUBDIM})"
 _CELL_ARGMIN = (
     "list_dot_product(c.c, c.c) - 2 * list_dot_product({side}.v, c.c)"
+)
+
+# The residual oracle below trains its codebooks over the IVF chain's
+# training CTE ``s`` (vec_id < IVF_TRAIN_SAMPLE) — sharing the relation
+# the Lloyd chain already built — while Spark's pq_residual_books
+# filters vec_id < PQ_TRAIN_SAMPLE. Cross-engine parity therefore
+# REQUIRES the two constants to agree; fail at import, not with a
+# silent hash mismatch, if someone retunes one independently.
+assert PQ_TRAIN_SAMPLE == IVF_TRAIN_SAMPLE, (
+    "SQL_ANN_IVFPQ_RESIDUAL trains residual codebooks over the IVF "
+    "sample CTE; PQ_TRAIN_SAMPLE must equal IVF_TRAIN_SAMPLE (give the "
+    "oracle its own training CTE before decoupling them)"
 )
 
 SQL_ANN_IVFPQ_RESIDUAL = f"""
