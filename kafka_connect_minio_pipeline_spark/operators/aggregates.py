@@ -1553,7 +1553,125 @@ SQL_AGG_POISSON_BOOTSTRAP = f"""
 """
 
 
+SMALL_QTY_FRACTION = 0.2  # TPC-H Q17's "20% of the average quantity"
+
+
+def q_agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated-average filter, per brand: revenue
+    from lineitems whose quantity is below {SMALL_QTY_FRACTION}× their
+    part's average quantity (Q17 computes the lost revenue of such
+    small orders as sum/7; kept per-brand here so the result is a
+    stable multi-row relation).
+
+    Decorrelation shape: the classic plan scans lineitem twice (per-part
+    AVG, then the filtered rejoin). Here ONE shuffle on l_partkey
+    carries the per-part exact-decimal quantity sum and count as
+    unordered window aggregates, and the small-quantity filter runs in
+    the same pass — the fact never rescans, the brand dimension is a
+    broadcast. Exactness: the threshold is exact-sum/count in one IEEE
+    expression identical on both engines; the strict < comparison sees
+    cent-exact doubles; the revenue rollup is a decimal sum."""
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(
+            load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    thresh = F.lit(SMALL_QTY_FRACTION) * (
+        F.sum(dec2(F.col("l_quantity"))).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        li.withColumn("qty_threshold", thresh)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .groupBy("p_brand")
+        .agg(
+            sum_dec2(F.col("l_extendedprice")).alias("small_qty_revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_AGG_SMALL_QTY_REVENUE = f"""
+    WITH li AS (
+        SELECT p_brand, l_partkey, l_quantity, l_extendedprice,
+               {SMALL_QTY_FRACTION} *
+               (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                         OVER (PARTITION BY l_partkey) AS DOUBLE)
+                / COUNT(*) OVER (PARTITION BY l_partkey)) AS qty_threshold
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS small_qty_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM li WHERE l_quantity < qty_threshold
+    GROUP BY p_brand
+"""
+
+
+LARGE_ORDER_MIN_QTY = 250  # TPC-H Q18's "sum(l_quantity) > 300" analog
+
+
+def q_agg_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style group-by-HAVING semi-join: orders whose total
+    lineitem quantity exceeds {LARGE_ORDER_MIN_QTY}, with their customer
+    — the IN (SELECT .. GROUP BY .. HAVING SUM > k) pattern.
+
+    Scale shape: lineitem collapses to one exact-decimal quantity sum
+    per order (map-side partial agg) BEFORE any join; the HAVING filter
+    then shrinks that rollup to the rare heavy orders, so the joins to
+    orders and customer move only qualifying keys (at 100 TB the rollup
+    side is small enough that AQE broadcasts it). No fact-to-fact join
+    of raw lineitems ever happens. Exactness: decimal quantity sum,
+    cent-exact o_totalprice passthrough."""
+    heavy = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum_dec2(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > LARGE_ORDER_MIN_QTY)
+    )
+    return (
+        heavy.join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "customer")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+SQL_AGG_LARGE_ORDERS = f"""
+    WITH heavy AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               > {LARGE_ORDER_MIN_QTY})
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           total_qty
+    FROM heavy
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
+    "agg_small_qty_revenue": Query(
+        q_agg_small_qty_revenue, SQL_AGG_SMALL_QTY_REVENUE
+    ),
+    "agg_large_orders": Query(q_agg_large_orders, SQL_AGG_LARGE_ORDERS),
     "agg_poisson_bootstrap": Query(
         q_agg_poisson_bootstrap, SQL_AGG_POISSON_BOOTSTRAP
     ),

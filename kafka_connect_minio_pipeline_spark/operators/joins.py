@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import SQL_SUM_REVENUE, revenue
+from ..functions.exact import SQL_SUM_REVENUE, dec2, revenue
 from ..registry import Query
 from ..tables import load
 
@@ -828,7 +828,143 @@ SQL_JOIN_MARKET_SHARE = f"""
 """
 
 
+MIN_PRICE_MAX_SIZE = 5  # part-size prune, TPC-H Q2's p_size predicate analog
+
+
+def q_join_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style decorrelated MIN: for every small part
+    (p_size ≤ {MIN_PRICE_MAX_SIZE}), the supplier(s) offering its
+    minimum unit price — the classic correlated
+    ``= (SELECT MIN(..) WHERE partkey = outer.partkey)`` subquery,
+    decorrelated into a single window pass. (The reference dataset has
+    no partsupp table, so lineitem plays the part-supplier price list:
+    unit price = l_extendedprice / l_quantity.)
+
+    Scale shape: the part filter prunes the fact FIRST through a
+    broadcast (1/10 of sizes), then ONE shuffle on l_partkey computes
+    the per-part window MIN and filters to the achieving rows in the
+    same pass — no second scan of lineitem, no groupBy-and-join-back
+    self-join (the naive decorrelation that scans the fact twice).
+    DISTINCT collapses multiple min-price lineitems of one
+    (part, supplier); the supplier attribute join is a broadcast.
+    Exactness: unit price is the same IEEE double division on both
+    engines; MIN over doubles is order-free; round once at the end."""
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    small = load(spark, sf_dir, "part").filter(
+        F.col("p_size") <= MIN_PRICE_MAX_SIZE
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(small.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        li.withColumn("unit", unit)
+        .withColumn("min_unit", F.min("unit").over(w))
+        .filter(F.col("unit") == F.col("min_unit"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round("min_unit", 6).alias("min_price"),
+        )
+        .distinct()
+    )
+    return best.join(
+        F.broadcast(load(spark, sf_dir, "supplier")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        "min_price",
+    )
+
+
+SQL_JOIN_MIN_PRICE_SUPPLIER = f"""
+    WITH priced AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit,
+               MIN(l_extendedprice / l_quantity)
+                   OVER (PARTITION BY l_partkey) AS min_unit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+                 AND p_size <= {MIN_PRICE_MAX_SIZE}),
+    best AS (
+        SELECT DISTINCT l_partkey, l_suppkey,
+               ROUND(min_unit, 6) AS min_price
+        FROM priced WHERE unit = min_unit)
+    SELECT l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal, min_price
+    FROM best JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q_join_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style anti-join report: per nation, the count and total
+    balance of high-balance customers (c_acctbal above the positive-
+    balance average — Q22's scalar subquery) who have never placed an
+    URGENT-priority order (the NOT EXISTS arm; the synthetic data keeps
+    every customer active, so dormancy is priority-shaped rather than
+    date-shaped).
+
+    Scale shape: the scalar average is an exact one-row aggregate
+    broadcast onto the customer scan (crossJoin of a 1-row relation —
+    Catalyst plans BroadcastNestedLoopJoin); the NOT EXISTS is a
+    left_anti join against the filtered orders projection, shuffled on
+    custkey with the priority filter pushed to the scan. Exactness: the
+    average is exact-decimal sum / count in one IEEE division, compared
+    against cent-exact balances; per-nation totals are decimal sums."""
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec2(F.col("c_acctbal"))).cast("double") / F.count("*")
+        ).alias("avg_bal")
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    hb = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    untapped = hb.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        untapped.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(dec2(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+SQL_JOIN_UNTAPPED_CUSTOMERS = """
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+"""
+
+
 QUERIES = {
+    "join_min_price_supplier": Query(
+        q_join_min_price_supplier, SQL_JOIN_MIN_PRICE_SUPPLIER
+    ),
+    "join_untapped_customers": Query(
+        q_join_untapped_customers, SQL_JOIN_UNTAPPED_CUSTOMERS
+    ),
     "join_market_share": Query(q_join_market_share, SQL_JOIN_MARKET_SHARE),
     "join_cdc_merge": Query(q_join_cdc_merge, SQL_JOIN_CDC_MERGE),
     "join_asof_nearest": Query(q_join_asof_nearest, SQL_JOIN_ASOF_NEAREST),

@@ -1180,3 +1180,61 @@ def test_m4_single_series_shuffle_no_join(spark, sf_dir):
     plan = formatted_plan(q_ts_downsample_m4(spark, sf_dir))
     assert "Join" not in plan, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_min_price_supplier_single_fact_pass(spark, sf_dir):
+    """The Q2-style decorrelated MIN must be the window formulation:
+    the part prune broadcasts onto ONE lineitem scan, the per-part MIN
+    and the achieving-row filter share a single l_partkey exchange
+    (never a groupBy + join-back that scans the fact twice), the size
+    predicate reaches the part scan, and supplier attributes broadcast."""
+    df = joins.q_join_min_price_supplier(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("hashpartitioning(l_partkey") == 1, plan
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "LessThanOrEqual(p_size,5)" in plan, plan
+    # exactly one lineitem scan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_untapped_customers_anti_join_shape(spark, sf_dir):
+    """Q22 analog: the scalar average arrives as a broadcast one-row
+    relation (BroadcastNestedLoopJoin is the 1-row cross, not a data
+    cartesian), the NOT EXISTS compiles to a LeftAnti join, and the
+    priority filter is pushed into the orders scan."""
+    df = joins.q_join_untapped_customers(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_small_qty_revenue_single_fact_pass(spark, sf_dir):
+    """Q17 analog: the per-part average threshold rides ONE l_partkey
+    window exchange (sum+count as unordered window aggregates) — the
+    fact is scanned once, never the classic aggregate-then-rejoin
+    double scan; the brand dimension broadcasts."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_small_qty_revenue,
+    )
+
+    plan = formatted_plan(q_agg_small_qty_revenue(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("hashpartitioning(l_partkey") == 1, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_large_orders_aggregates_below_joins(spark, sf_dir):
+    """Q18 analog: lineitem must collapse to per-order quantity sums
+    (partial agg below the exchange) and the HAVING filter must apply
+    to the rollup BEFORE any join touches orders/customer."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_large_orders,
+    )
+
+    plan = formatted_plan(q_agg_large_orders(spark, sf_dir))
+    assert "partial_sum(cast(l_quantity" in plan, plan
+    assert "hashpartitioning(l_orderkey" in plan, plan
+    # the heavy-order filter sits on the aggregate output, pre-join
+    assert "(total_qty" in plan and "> 250.0" in plan, plan
