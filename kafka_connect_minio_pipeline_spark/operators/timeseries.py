@@ -2529,7 +2529,187 @@ SQL_TS_M4 = f"""
 """
 
 
+BOLL_WINDOW = 20  # classic Bollinger period
+BOLL_K = 2  # band half-width in standard deviations
+
+_DEC6 = "CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))"
+
+
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands per user series: {BOLL_WINDOW}-row rolling mean ±
+    {BOLL_K}σ over ``value`` ordered by (ts, event_id), with an
+    outside-band breakout flag — the standard rolling-volatility
+    envelope (Bollinger 1983, public formulation).
+
+    ONE shuffle: the rolling decimal sum, square-sum, and count are
+    three frame aggregates over the SAME (user_id | ts, event_id)
+    window spec, so Catalyst plans a single exchange + sort feeding one
+    Window operator; everything after is a narrow projection. Per-key
+    state is one frame of {BOLL_WINDOW} rows — at 100 TB the shuffle is
+    events-sized once and never joins. Exactness: value is
+    micro-quantized to DECIMAL(18,6) per row (cent-exact fixture data),
+    frame sums are exact decimal, and mean/variance/bands are ONE shared
+    IEEE expression from those exact sums, rounded once — the
+    ts_zscore recipe applied to a moving frame. Bands need n ≥ 2
+    (sample variance) and a positive variance; flat frames emit NULL
+    bands and a false flag on both engines (3-valued logic resolved by
+    coalesce)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(BOLL_WINDOW - 1), 0)
+    )
+    d = F.col("value").cast("double").cast("decimal(18,6)")
+    # all three frame aggregates in ONE select → one Window operator
+    # (withColumn chains would compile to a Window pass per column)
+    framed = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.count("*").over(w).alias("n_window"),
+        F.sum(d).over(w).cast("double").alias("s"),
+        F.sum(d * d).over(w).cast("double").alias("sq"),
+    )
+    n = F.col("n_window")
+    mean = F.col("s") / n
+    # greatest(n-1, 1): subexpression elimination hoists the shared var
+    # term OUT of the n>1 when-guards, so the divisor must be total
+    # under ANSI; identical value wherever the guards let it matter
+    var = (F.col("sq") - F.col("s") * F.col("s") / n) / F.greatest(
+        n - 1, F.lit(1).cast("bigint")
+    )
+    sd = F.sqrt(var)
+    upper = mean + BOLL_K * sd
+    lower = mean - BOLL_K * sd
+    ok = (n > 1) & (var > 0)
+    return framed.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "n_window",
+        F.round(mean, 6).alias("sma"),
+        F.when(ok, F.round(upper, 6)).alias("upper_band"),
+        F.when(ok, F.round(lower, 6)).alias("lower_band"),
+        F.coalesce(
+            ok & ((F.col("value") > upper) | (F.col("value") < lower)),
+            F.lit(False),
+        ).alias("breakout"),
+    )
+
+
+SQL_TS_BOLLINGER = f"""
+    WITH framed AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+               CAST(SUM({_DEC6}) OVER w AS DOUBLE) AS s,
+               CAST(SUM({_DEC6} * {_DEC6}) OVER w AS DOUBLE) AS sq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {BOLL_WINDOW - 1} PRECEDING
+                              AND CURRENT ROW))
+    SELECT event_id, user_id, ts, value, n_window,
+           ROUND(s / n_window, 6) AS sma,
+           CASE WHEN n_window > 1
+                 AND (sq - s * s / n_window) / (n_window - 1) > 0
+                THEN ROUND(s / n_window + {BOLL_K} *
+                           SQRT((sq - s * s / n_window) / (n_window - 1)), 6)
+           END AS upper_band,
+           CASE WHEN n_window > 1
+                 AND (sq - s * s / n_window) / (n_window - 1) > 0
+                THEN ROUND(s / n_window - {BOLL_K} *
+                           SQRT((sq - s * s / n_window) / (n_window - 1)), 6)
+           END AS lower_band,
+           COALESCE(n_window > 1
+                    AND (sq - s * s / n_window) / (n_window - 1) > 0
+                    AND (value > s / n_window + {BOLL_K} *
+                         SQRT((sq - s * s / n_window) / (n_window - 1))
+                         OR value < s / n_window - {BOLL_K} *
+                         SQRT((sq - s * s / n_window) / (n_window - 1))),
+                    FALSE) AS breakout
+    FROM framed
+"""
+
+
+RSI_PERIOD = 14  # classic RSI period (Cutler's SMA variant)
+
+
+def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI per user series: {RSI_PERIOD}-delta simple-moving-
+    average relative-strength index over ``value`` — the SMA variant of
+    Wilder's RSI (Cutler's RSI is the standard order-free reformulation;
+    Wilder's own smoothing is an infinite recursive EWMA whose float
+    recursion is not cross-engine exact, so the SMA variant is the
+    oracle-checkable twin and is documented as such).
+
+    ONE shuffle: the delta lag and the two rolling frame sums share the
+    same (user_id | ts, event_id) window spec — one exchange + sort,
+    two Window operators over the same partitioning (no second
+    exchange), then narrow math. Exactness: deltas are IEEE double
+    subtractions identical on both engines, quantized dec9 before the
+    frame sums (order-free decimals), and the RSI expression is shared
+    verbatim. Rows before a full {RSI_PERIOD}-delta frame emit NULL;
+    an all-gain frame (zero loss sum) pins RSI to 100 by convention on
+    both engines."""
+    ev = load(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = wl.rowsBetween(-(RSI_PERIOD - 1), 0)
+    delta = F.col("value") - F.lag("value").over(wl)
+    # greatest() IGNORES nulls on both engines (greatest(NULL, 0) = 0),
+    # which would count each series' first row as a phantom zero delta —
+    # gate on the lag explicitly so warm-up needs RSI_PERIOD REAL deltas
+    gain = F.when(delta.isNotNull(), dec9(F.greatest(delta, F.lit(0.0)), 18))
+    loss = F.when(delta.isNotNull(), dec9(F.greatest(-delta, F.lit(0.0)), 18))
+    deltas = (
+        ev.select("event_id", "user_id", "ts", "value")
+        .withColumn("gain", gain)
+        .withColumn("loss", loss)
+    )
+    n_deltas = F.count("gain").over(wf)
+    g = F.sum("gain").over(wf).cast("double")
+    l = F.sum("loss").over(wf).cast("double")
+    rsi = F.when(
+        n_deltas == RSI_PERIOD,
+        F.when(l > 0, F.round(100 - 100 / (1 + g / l), 6)).otherwise(100.0),
+    )
+    return deltas.withColumn("rsi", rsi).select(
+        "event_id", "user_id", "ts", "value", "rsi"
+    )
+
+
+SQL_TS_RSI = f"""
+    WITH deltas AS (
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN LAG(value) OVER wl IS NOT NULL THEN
+                   CAST(ROUND(GREATEST(value - LAG(value) OVER wl, 0), 9)
+                        AS DECIMAL(18,9)) END AS gain,
+               CASE WHEN LAG(value) OVER wl IS NOT NULL THEN
+                   CAST(ROUND(GREATEST(LAG(value) OVER wl - value, 0), 9)
+                        AS DECIMAL(18,9)) END AS loss
+        FROM events
+        WINDOW wl AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    framed AS (
+        SELECT event_id, user_id, ts, value,
+               COUNT(gain) OVER wf AS n_deltas,
+               CAST(SUM(gain) OVER wf AS DOUBLE) AS g,
+               CAST(SUM(loss) OVER wf AS DOUBLE) AS l
+        FROM deltas
+        WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {RSI_PERIOD - 1} PRECEDING
+                               AND CURRENT ROW))
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN n_deltas = {RSI_PERIOD} THEN
+               CASE WHEN l > 0 THEN ROUND(100 - 100 / (1 + g / l), 6)
+                    ELSE 100.0 END
+           END AS rsi
+    FROM framed
+"""
+
+
 QUERIES = {
+    "ts_bollinger": Query(q_ts_bollinger, SQL_TS_BOLLINGER),
+    "ts_rsi": Query(q_ts_rsi, SQL_TS_RSI),
     "ts_downsample_lttb": Query(q_ts_downsample_lttb, SQL_TS_LTTB),
     "ts_downsample_m4": Query(q_ts_downsample_m4, SQL_TS_M4),
     "ts_retention": Query(q_ts_retention, SQL_TS_RETENTION),

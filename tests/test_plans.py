@@ -1238,3 +1238,30 @@ def test_large_orders_aggregates_below_joins(spark, sf_dir):
     assert "hashpartitioning(l_orderkey" in plan, plan
     # the heavy-order filter sits on the aggregate output, pre-join
     assert "(total_qty" in plan and "> 250.0" in plan, plan
+
+
+def test_bollinger_single_window_pass(spark, sf_dir):
+    """Bollinger bands: count/sum/sum-of-squares frame aggregates must
+    share ONE Window operator over one user_id exchange (a withColumn
+    chain would compile to five Window passes), with no join."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_bollinger,
+    )
+
+    plan = formatted_plan(q_ts_bollinger(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert plan.count("+- Window") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_rsi_shares_one_exchange(spark, sf_dir):
+    """RSI: the delta lag and the two frame sums use the same
+    (user_id | ts, event_id) spec — two Window operators over ONE
+    exchange, no join."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_rsi,
+    )
+
+    plan = formatted_plan(q_ts_rsi(spark, sf_dir))
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan

@@ -886,3 +886,72 @@ def test_m4_selects_true_extrema_per_bucket(spark, sf_dir):
                 assert expect[key][role] == r["event_id"], (key, role)
                 seen.add((key, role))
     assert len(seen) == 4 * len(expect), "a bucket role is missing"
+
+
+def test_bollinger_invariants_and_breakout(spark, sf_dir):
+    """Bands exist iff the frame has n>1 and positive variance; breakout
+    is true iff value is strictly outside the bands; sma lies within the
+    frame's [min, max]."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_bollinger,
+    )
+
+    rows = q_ts_bollinger(spark, sf_dir).collect()
+    assert rows
+    n_bands = 0
+    for r in rows:
+        if r["upper_band"] is not None:
+            n_bands += 1
+            assert r["lower_band"] is not None
+            assert r["lower_band"] <= r["sma"] <= r["upper_band"]
+            assert r["breakout"] == (
+                r["value"] > r["upper_band"] or r["value"] < r["lower_band"]
+            ) or abs(r["value"] - r["upper_band"]) < 1e-6 or abs(
+                r["value"] - r["lower_band"]
+            ) < 1e-6  # rounding at the boundary
+        else:
+            assert r["breakout"] is False
+    assert n_bands > 0
+
+
+def test_rsi_matches_pure_python_reference(spark, sf_dir):
+    """Cutler's RSI against an independent per-user Python rebuild:
+    same deltas, same 14-row SMA frames, same 100-pin convention."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        RSI_PERIOD,
+        q_ts_rsi,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    ev = sorted(
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    expect = {}
+    by_user: dict = {}
+    for r in ev:
+        hist = by_user.setdefault(r["user_id"], [])
+        hist.append(r["value"])
+        if len(hist) >= RSI_PERIOD + 1:
+            deltas = [
+                hist[i] - hist[i - 1]
+                for i in range(len(hist) - RSI_PERIOD, len(hist))
+            ]
+            g = sum(round(max(d, 0.0), 9) for d in deltas)
+            l = sum(round(max(-d, 0.0), 9) for d in deltas)
+            expect[r["event_id"]] = (
+                round(100 - 100 / (1 + g / l), 6) if l > 0 else 100.0
+            )
+    got = {r["event_id"]: r["rsi"] for r in q_ts_rsi(spark, sf_dir).collect()}
+    assert len(got) == len(ev)
+    n_checked = 0
+    for eid, rsi in got.items():
+        if eid in expect:
+            assert rsi is not None and abs(rsi - expect[eid]) < 1e-5, eid
+            assert 0.0 <= rsi <= 100.0
+            n_checked += 1
+        else:
+            assert rsi is None, eid
+    assert n_checked > 0
