@@ -1051,7 +1051,126 @@ def _kcore_sql() -> str:
 SQL_GRAPH_KCORE = _kcore_sql()
 
 
+HITS_ITER = 3
+
+
+def hits(directed: DataFrame, n_iter: int = HITS_ITER) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) on a directed edge relation
+    (src, dst): hubs point at good authorities, authorities are pointed
+    at by good hubs. Returns (node, role, score) with role ∈
+    {{'hub', 'authority'}}, scores L1-normalized per side (the norm
+    choice rescales, never reranks — Kleinberg's L2 is the textbook
+    pick, but an L1 total is an exact decimal sum, which is what makes
+    the whole loop cross-engine hash-checkable).
+
+    Scale shape: each half-round is ONE join of edges against the
+    node-sized score relation plus one partial-aggregated groupBy — the
+    same two-exchange pattern as :func:`pagerank`, keys fixed across
+    rounds. The L1 total rides a GLOBAL window sum over the node-sized
+    aggregate output — one extra single-partition pass over |nodes|
+    rows, chosen deliberately: a one-row total consumed via crossJoin
+    would give the round relation two consumers and re-evaluate the
+    whole lineage per round (measured 9.1 s → 2.2 s warm at sf0.01),
+    while the window keeps the unrolled loop ONE lazy linear plan,
+    pagerank-style.
+    At 100 TB the single-partition pass is |nodes| pre-aggregated rows
+    (two columns), not edges — if even that is too wide, the documented
+    alternative is a localCheckpoint per half-round + broadcast scalar.
+    Exactness: contributions are dec9-quantized before every sum
+    (order-free decimals), totals are exact decimal window sums, and
+    each normalization is one IEEE double division shared verbatim with
+    the oracle."""
+    hub = directed.select(F.col("src").alias("node")).distinct().withColumn(
+        "score", F.lit(1.0)
+    )
+    w_all = Window.partitionBy()
+
+    def _half(scores: DataFrame, key: str, out: str) -> DataFrame:
+        raw = (
+            directed.join(scores, directed[key] == scores.node)
+            .groupBy(F.col(out).alias("node"))
+            .agg(F.sum(dec9(F.col("score"), 28)).alias("s"))
+        )
+        return raw.select(
+            "node",
+            (
+                F.col("s").cast("double")
+                / F.sum("s").over(w_all).cast("double")
+            ).alias("score"),
+        )
+
+    for _ in range(n_iter):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+    return hub.select(
+        "node", F.lit("hub").alias("role"), F.round("score", 9).alias("score")
+    ).unionByName(
+        auth.select(
+            "node",
+            F.lit("authority").alias("role"),
+            F.round("score", 9).alias("score"),
+        )
+    )
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: HITS on the customer→supplier purchase graph
+    (the 'c'-prefixed half of the staged symmetric edge relation — the
+    bipartite direction, so hubs are customers and authorities are
+    suppliers)."""
+    e = _edges(spark, sf_dir).filter(F.col("src").startswith("c"))
+    return hits(e)
+
+
+def _hits_sql() -> str:
+    """Unrolled fixed-iteration oracle mirroring the Spark loop. Each
+    raw half-round CTE is referenced twice (its L1 total and its
+    normalization), so they are AS MATERIALIZED — DuckDB would
+    otherwise inline and re-evaluate the chain exponentially (the CTE
+    double-reference blowup)."""
+    rounds = []
+    prev_hub = "h0"
+    for i in range(1, HITS_ITER + 1):
+        rounds.append(f"""
+    araw{i} AS MATERIALIZED (
+        SELECT e.dst AS node,
+               SUM(CAST(ROUND(s.score, 9) AS DECIMAL(28,9))) AS s
+        FROM edges e JOIN {prev_hub} s ON e.src = s.node
+        GROUP BY e.dst),
+    a{i} AS (
+        SELECT node, CAST(s AS DOUBLE)
+               / CAST((SELECT SUM(s) FROM araw{i}) AS DOUBLE) AS score
+        FROM araw{i}),
+    hraw{i} AS MATERIALIZED (
+        SELECT e.src AS node,
+               SUM(CAST(ROUND(s.score, 9) AS DECIMAL(28,9))) AS s
+        FROM edges e JOIN a{i} s ON e.dst = s.node
+        GROUP BY e.src),
+    h{i} AS (
+        SELECT node, CAST(s AS DOUBLE)
+               / CAST((SELECT SUM(s) FROM hraw{i}) AS DOUBLE) AS score
+        FROM hraw{i})""")
+        prev_hub = f"h{i}"
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS score
+           FROM edges),{",".join(rounds)}
+    SELECT node, 'hub' AS role, ROUND(score, 9) AS score
+    FROM h{HITS_ITER}
+    UNION ALL
+    SELECT node, 'authority' AS role, ROUND(score, 9) AS score
+    FROM a{HITS_ITER}
+"""
+
+
+SQL_GRAPH_HITS = _hits_sql()
+
+
 QUERIES = {
+    "graph_hits": Query(q_graph_hits, SQL_GRAPH_HITS),
     "graph_kcore": Query(q_graph_kcore, SQL_GRAPH_KCORE),
     "graph_pagerank": Query(q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_triangles": Query(q_graph_triangles, SQL_GRAPH_TRIANGLES),

