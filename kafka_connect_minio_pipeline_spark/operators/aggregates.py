@@ -1667,7 +1667,234 @@ SQL_AGG_LARGE_ORDERS = f"""
 """
 
 
+KS_BASELINE = "click"  # every other event type's value distribution vs this
+
+
+def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test per event type: is each
+    type's ``value`` distribution the same as the {KS_BASELINE}
+    baseline's? D = sup|F₁−F₂| plus the asymptotic two-sided p-value
+    2·exp(−2D²·n₁n₂/(n₁+n₂)) — the distribution-drift check a training-
+    data pipeline runs between corpus snapshots.
+
+    Scale shape: events collapse to per-(type, value) counts FIRST
+    (partial-agg shuffle — the only data-sized exchange); the baseline's
+    bounded count relation is cross-joined against the ≤|types| distinct
+    non-baseline types (broadcast, constant fanout) so every pair's
+    merged support exists; then ONE (pair | value) window computes both
+    running CDFs and the sup runs as a plain groupBy max. Exactness:
+    CDFs are exact-integer/exact-integer IEEE divisions, |F₁−F₂| is
+    rounded dec9 BEFORE the max (sup is order-free anyway, but the
+    rounding pins the 15th-ulp ties), and the p-value expression tree is
+    shared verbatim."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    per_val = ev.groupBy("event_type", "value").agg(
+        F.count("*").alias("c")
+    )
+    base = per_val.filter(F.col("event_type") == KS_BASELINE).select(
+        F.col("value"), F.col("c").alias("c2")
+    )
+    others = per_val.filter(F.col("event_type") != KS_BASELINE).select(
+        F.col("event_type").alias("pair"), "value", F.col("c").alias("c1")
+    )
+    types = others.select("pair").distinct()
+    merged = (
+        others.unionByName(
+            base.crossJoin(F.broadcast(types)).select(
+                "pair", "value", F.lit(None).cast("long").alias("c1")
+            ),
+            allowMissingColumns=True,
+        )
+        .groupBy("pair", "value")
+        .agg(
+            F.sum("c1").alias("c1"),
+            # baseline counts attach by value via a broadcast join below
+        )
+        .join(F.broadcast(base), "value", "left")
+    )
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("pair")
+    cdfs = merged.select(
+        "pair",
+        F.sum(F.coalesce(F.col("c1"), F.lit(0))).over(w).alias("cum1"),
+        F.sum(F.coalesce(F.col("c2"), F.lit(0))).over(w).alias("cum2"),
+        F.sum(F.coalesce(F.col("c1"), F.lit(0))).over(wp).alias("n1"),
+        F.sum(F.coalesce(F.col("c2"), F.lit(0))).over(wp).alias("n2"),
+    )
+    d = F.max(
+        F.round(
+            F.abs(
+                F.col("cum1") / F.col("n1") - F.col("cum2") / F.col("n2")
+            ),
+            9,
+        )
+    ).alias("d_stat")
+    out = cdfs.groupBy("pair").agg(
+        F.first("n1").alias("n1"), F.first("n2").alias("n2"), d
+    )
+    ne = F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    return out.select(
+        F.col("pair").alias("event_type"),
+        "n1",
+        "n2",
+        "d_stat",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2 * F.exp(-2 * F.col("d_stat") * F.col("d_stat") * ne),
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+SQL_AGG_KS_TEST = f"""
+    WITH per_val AS (
+        SELECT event_type, value, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    base AS (
+        SELECT value, c AS c2 FROM per_val
+        WHERE event_type = '{KS_BASELINE}'),
+    others AS (
+        SELECT event_type AS pair, value, c AS c1 FROM per_val
+        WHERE event_type <> '{KS_BASELINE}'),
+    types AS (SELECT DISTINCT pair FROM others),
+    merged AS (
+        SELECT m.pair, m.value, m.c1, base.c2
+        FROM (
+            SELECT pair, value, SUM(c1) AS c1 FROM (
+                SELECT pair, value, c1 FROM others
+                UNION ALL
+                SELECT t.pair, b.value, CAST(NULL AS BIGINT)
+                FROM base b CROSS JOIN types t)
+            GROUP BY 1, 2) m
+        LEFT JOIN base ON m.value = base.value),
+    cdfs AS (
+        SELECT pair,
+               SUM(COALESCE(c1, 0)) OVER (PARTITION BY pair ORDER BY value
+                   ROWS UNBOUNDED PRECEDING) AS cum1,
+               SUM(COALESCE(c2, 0)) OVER (PARTITION BY pair ORDER BY value
+                   ROWS UNBOUNDED PRECEDING) AS cum2,
+               SUM(COALESCE(c1, 0)) OVER (PARTITION BY pair) AS n1,
+               SUM(COALESCE(c2, 0)) OVER (PARTITION BY pair) AS n2
+        FROM merged),
+    agg AS (
+        SELECT pair, CAST(MAX(n1) AS BIGINT) AS n1,
+               CAST(MAX(n2) AS BIGINT) AS n2,
+               MAX(ROUND(ABS(CAST(cum1 AS DOUBLE) / n1
+                             - CAST(cum2 AS DOUBLE) / n2), 9)) AS d_stat
+        FROM cdfs GROUP BY pair)
+    SELECT pair AS event_type, n1, n2, d_stat,
+           ROUND(LEAST(1.0, 2 * EXP(-2 * d_stat * d_stat
+                 * (CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))), 6) AS p_approx
+    FROM agg
+"""
+
+
+def q_agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event_type independent of
+    day-of-week? χ² = Σ (obs−exp)²/exp over the contingency table, plus
+    degrees of freedom and Cramér's V effect size — the categorical-
+    drift twin of the KS test.
+
+    Scale shape: ONE partial-aggregated shuffle collapses events to the
+    ≤|types|·7 contingency cells; the row/column/grand totals ride
+    window sums over that bounded relation (single partition of ≤35
+    rows — deliberately, it is model-sized, not data-sized). Exactness:
+    counts are exact integers, expected counts one shared IEEE
+    expression, and each cell's χ² term is dec9-quantized before the
+    order-free decimal total. Engines number dayofweek differently
+    (Spark 1=Sun..7, DuckDB 0=Sun..6) but the statistic is label-
+    invariant and no dow column reaches the output, so the relabeling
+    is immaterial — by construction, not by luck."""
+    ev = load(spark, sf_dir, "events")
+    seen = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("obs"))
+    # the statistic is over the FULL r×c grid: an unobserved (type, dow)
+    # combination still contributes (0−exp)²/exp, so densify with the
+    # bounded distinct-margins cross product before the window totals
+    cells = (
+        seen.select("event_type")
+        .distinct()
+        .crossJoin(seen.select("dow").distinct())
+        .join(seen, ["event_type", "dow"], "left")
+        .select(
+            "event_type", "dow", F.coalesce("obs", F.lit(0)).alias("obs")
+        )
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    t = cells.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    term = dec9((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 28)
+    agg = t.agg(
+        F.sum(term).cast("double").alias("chi2_raw"),
+        F.count_distinct(F.col("event_type")).alias("r"),
+        F.count_distinct(F.col("dow")).alias("c"),
+        F.first("n").alias("n"),
+    )
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    v = F.sqrt(
+        F.col("chi2_raw")
+        / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+    )
+    return agg.select(
+        F.round("chi2_raw", 6).alias("chi2"),
+        dof.alias("dof"),
+        F.col("n").cast("long").alias("n"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+SQL_AGG_CHISQ = """
+    WITH seen AS (
+        SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS obs
+        FROM events GROUP BY 1, 2),
+    cells AS (
+        SELECT g.event_type, g.dow, COALESCE(seen.obs, 0) AS obs
+        FROM (SELECT DISTINCT a.event_type, b.dow
+              FROM seen a CROSS JOIN seen b) g
+        LEFT JOIN seen ON g.event_type = seen.event_type
+                      AND g.dow = seen.dow),
+    t AS (
+        SELECT event_type, dow, obs,
+               SUM(obs) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(obs) OVER (PARTITION BY dow) AS col_tot,
+               SUM(obs) OVER () AS n
+        FROM cells),
+    agg AS (
+        SELECT CAST(SUM(CAST(ROUND(
+                   (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+                   * (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+                   / (CAST(row_tot AS DOUBLE) * col_tot / n), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) AS chi2_raw,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT dow) AS BIGINT) AS c,
+               CAST(MAX(n) AS BIGINT) AS n
+        FROM t)
+    SELECT ROUND(chi2_raw, 6) AS chi2,
+           (r - 1) * (c - 1) AS dof, n,
+           ROUND(SQRT(chi2_raw / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v
+    FROM agg
+"""
+
+
 QUERIES = {
+    "agg_ks_test": Query(q_agg_ks_test, SQL_AGG_KS_TEST),
+    "agg_chisq": Query(q_agg_chisq, SQL_AGG_CHISQ),
     "agg_small_qty_revenue": Query(
         q_agg_small_qty_revenue, SQL_AGG_SMALL_QTY_REVENUE
     ),

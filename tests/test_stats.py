@@ -1,0 +1,70 @@
+"""Independent pure-Python references for the r9 statistical tests.
+
+The DuckDB oracle proves cross-engine agreement, but both engines can
+agree on wrong semantics (the ts_rsi greatest(NULL,0) lesson) — these
+rebuild KS and chi-square from first principles on collected rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+    KS_BASELINE,
+    q_agg_chisq,
+    q_agg_ks_test,
+)
+from kafka_connect_minio_pipeline_spark.tables import load
+
+
+def test_ks_matches_pure_python_reference(spark, sf_dir):
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    base = sorted(r["value"] for r in ev if r["event_type"] == KS_BASELINE)
+    got = {r["event_type"]: r for r in q_agg_ks_test(spark, sf_dir).collect()}
+    assert KS_BASELINE not in got and got
+    for etype, row in got.items():
+        samp = sorted(r["value"] for r in ev if r["event_type"] == etype)
+        support = sorted(set(samp) | set(base))
+        d = 0.0
+        i = j = 0
+        for x in support:
+            while i < len(samp) and samp[i] <= x:
+                i += 1
+            while j < len(base) and base[j] <= x:
+                j += 1
+            d = max(d, abs(i / len(samp) - j / len(base)))
+        assert row["n1"] == len(samp) and row["n2"] == len(base)
+        assert abs(row["d_stat"] - d) < 1e-8, (etype, row["d_stat"], d)
+        ne = len(samp) * len(base) / (len(samp) + len(base))
+        p = min(1.0, 2 * math.exp(-2 * d * d * ne))
+        assert abs(row["p_approx"] - p) < 1e-5, etype
+
+
+def test_chisq_matches_pure_python_reference(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("event_type", "ts").collect()
+    cells: dict = {}
+    for r in ev:
+        # any consistent dow labeling gives the same statistic
+        key = (r["event_type"], r["ts"].weekday())
+        cells[key] = cells.get(key, 0) + 1
+    n = sum(cells.values())
+    rows = {k[0] for k in cells}
+    cols = {k[1] for k in cells}
+    row_tot = {t: sum(v for k, v in cells.items() if k[0] == t) for t in rows}
+    col_tot = {d: sum(v for k, v in cells.items() if k[1] == d) for d in cols}
+    chi2 = sum(
+        (cells.get((t, d), 0) - row_tot[t] * col_tot[d] / n) ** 2
+        / (row_tot[t] * col_tot[d] / n)
+        for t in rows
+        for d in cols  # full grid: zero cells contribute (0-exp)^2/exp
+    )
+    got = q_agg_chisq(spark, sf_dir).collect()[0]
+    assert got["n"] == n
+    assert got["dof"] == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(got["chi2"] - chi2) < 1e-4, (got["chi2"], chi2)
+    v = math.sqrt(chi2 / (n * min(len(rows) - 1, len(cols) - 1)))
+    assert abs(got["cramers_v"] - v) < 1e-5
