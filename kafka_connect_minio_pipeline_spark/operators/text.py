@@ -1815,7 +1815,146 @@ SQL_TEXT_C4_RULES = f"""
 """
 
 
+RAKE_TOP_K = 3  # phrases kept per document
+
+
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): per document, the
+    top-{RAKE_TOP_K} candidate phrases by the degree/frequency word
+    score — the unsupervised keyword miner curation stacks run beside
+    TF-IDF (which needs the corpus; RAKE scores within one document).
+
+    Spec (shared verbatim with the oracle): whitespace tokens via the
+    repo token grammar; a token BREAKS phrases iff it is a stopword or
+    contains any non-[a-z0-9] character (RAKE's punctuation split);
+    maximal runs of non-break tokens are candidate phrases (islands
+    trick: pos − row_number, no self-join); within a document
+    deg(w) = Σ phrase_len over w's phrase occurrences, freq(w) = its
+    occurrence count, score(phrase) = Σ deg(w)/freq(w) over members
+    with multiplicity. Ranking: score desc, phrase asc; duplicate
+    phrase texts in one doc collapse to one row with n_occurrences.
+
+    Scale shape: every exchange is doc-keyed — the posexplode feeds one
+    (doc | pos) window for islands, word stats are a (doc, word)
+    partial-agg groupBy joined back co-partitioned, phrase assembly is a
+    (doc, island) groupBy, and the top-k is a WindowGroupLimit-pushed
+    rank. Nothing corpus-global exists, so 100 TB partitions embarrass-
+    ingly by document. Exactness: deg/freq are exact integers; each
+    word score is ONE IEEE division dec9-quantized before the exact
+    decimal phrase sum; final score rounded once."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    stop = F.col("tok").isin(*STOPWORDS) | F.col("tok").rlike("[^a-z0-9]")
+    members = toks.filter(~stop)
+    wisl = Window.partitionBy("doc_id").orderBy("pos")
+    ph = members.withColumn(
+        "island", F.col("pos") - F.row_number().over(wisl)
+    )
+    # phrase length rides the island window so the word-stat rows carry
+    # it without re-aggregating phrases first
+    wph = Window.partitionBy("doc_id", "island")
+    ph = ph.withColumn("phrase_len", F.count("*").over(wph))
+    wstats = (
+        ph.groupBy("doc_id", "tok")
+        .agg(
+            F.sum("phrase_len").alias("deg"),
+            F.count("*").alias("freq"),
+        )
+        .select(
+            "doc_id",
+            "tok",
+            dec9(F.col("deg") / F.col("freq"), 18).alias("wscore"),
+        )
+    )
+    scored = (
+        ph.join(wstats, ["doc_id", "tok"])
+        .groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda st: st["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.first("phrase_len").alias("n_words"),
+            F.sum("wscore").cast("double").alias("score"),
+        )
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.first("n_words").alias("n_words"),
+            F.first("score").alias("score"),
+        )
+    )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= RAKE_TOP_K)
+        .select(
+            "doc_id",
+            "rank",
+            "phrase",
+            F.col("n_words").cast("int").alias("n_words"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+SQL_TEXT_RAKE = f"""
+    WITH toks AS (
+        SELECT doc_id, i AS pos, arr[i] AS tok
+        FROM (SELECT doc_id, {SQL_TOKENS.format(col="text")} AS arr
+              FROM documents) ls,
+             LATERAL UNNEST(generate_series(1, LEN(arr))) t(i)),
+    members AS (
+        SELECT doc_id, pos, tok FROM toks
+        WHERE NOT (tok IN ({_STOP_SQL}) OR regexp_matches(tok, '[^a-z0-9]'))),
+    ph AS (
+        SELECT doc_id, pos, tok,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS island
+        FROM members),
+    ph2 AS (
+        SELECT doc_id, pos, tok, island,
+               COUNT(*) OVER (PARTITION BY doc_id, island) AS phrase_len
+        FROM ph),
+    wstats AS (
+        SELECT doc_id, tok,
+               CAST(ROUND(CAST(SUM(phrase_len) AS DOUBLE) / COUNT(*), 9)
+                    AS DECIMAL(18,9)) AS wscore
+        FROM ph2 GROUP BY doc_id, tok),
+    phrases AS (
+        SELECT p.doc_id, p.island,
+               STRING_AGG(p.tok, ' ' ORDER BY p.pos) AS phrase,
+               CAST(MAX(p.phrase_len) AS BIGINT) AS n_words,
+               CAST(SUM(w.wscore) AS DOUBLE) AS score
+        FROM ph2 p JOIN wstats w
+          ON p.doc_id = w.doc_id AND p.tok = w.tok
+        GROUP BY p.doc_id, p.island),
+    collapsed AS (
+        SELECT doc_id, phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MAX(n_words) AS INTEGER) AS n_words,
+               MAX(score) AS score
+        FROM phrases GROUP BY doc_id, phrase)
+    SELECT doc_id, rank, phrase, n_words, n_occurrences,
+           ROUND(score, 6) AS score
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, phrase) AS INTEGER) AS rank
+        FROM collapsed)
+    WHERE rank <= {RAKE_TOP_K}
+"""
+
+
 QUERIES = {
+    "text_rake_keywords": Query(q_text_rake_keywords, SQL_TEXT_RAKE),
     "text_c4_rules": Query(q_text_c4_rules, SQL_TEXT_C4_RULES),
     "text_ccnet_buckets": Query(q_text_ccnet_buckets, _ccnet_buckets_sql()),
     "text_line_dedup": Query(q_text_line_dedup, SQL_TEXT_LINE_DEDUP),
