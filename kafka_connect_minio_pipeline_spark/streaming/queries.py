@@ -332,7 +332,50 @@ def _sql_stream_entropy() -> str:
     return SQL_AGG_ENTROPY
 
 
+STREAM_TOPK = 3
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-K: per 1-hour tumbling window, the {STREAM_TOPK}
+    busiest event types by count — the trending-items query.
+
+    Shape: rank-within-window is not expressible inside a streaming
+    aggregation (no window functions over streaming state), and the
+    production pattern is exactly this two-layer split: the STREAM
+    maintains the per-(window, type) counts as mergeable state (the
+    tumbling aggregation, watermark-evictable), and the serving layer
+    ranks the materialized counts — Flink/Kafka-Streams deployments do
+    the same with a gold-table view. Here the rank runs over the
+    complete-mode sink relation; availableNow replay makes the result
+    equal the batch oracle regardless of micro-batching. The rank input
+    is |windows|·|types| pre-aggregated rows, never raw events."""
+    from pyspark.sql import Window
+
+    counts = run_to_memory(W.tumbling_counts(spark, sf_dir))
+    w = Window.partitionBy("w_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= STREAM_TOPK)
+        .select("w_start", "w_end", "rank", "event_type", "n_events")
+    )
+
+
+SQL_STREAM_TOPK = f"""
+    WITH counts AS ({W.SQL_TUMBLING}),
+    ranked AS (
+        SELECT w_start, w_end, event_type, n_events,
+               CAST(ROW_NUMBER() OVER (PARTITION BY w_start
+                    ORDER BY n_events DESC, event_type) AS INTEGER) AS rank
+        FROM counts)
+    SELECT w_start, w_end, rank, event_type, n_events
+    FROM ranked WHERE rank <= {STREAM_TOPK}
+"""
+
+
 QUERIES = {
+    "stream_topk": Query(q_stream_topk, SQL_STREAM_TOPK),
     "stream_cdc_merge": Query(q_stream_cdc_merge, _sql_stream_cdc_merge()),
     "stream_entropy": Query(q_stream_entropy, _sql_stream_entropy()),
     "stream_hll": Query(q_stream_hll, _sql_stream_hll()),
