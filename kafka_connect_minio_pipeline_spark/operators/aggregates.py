@@ -1892,7 +1892,92 @@ SQL_AGG_CHISQ = """
 """
 
 
+def q_agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test per event type vs the
+    {KS_BASELINE} baseline: mean-shift detection with the
+    Welch–Satterthwaite degrees of freedom — the parametric member of
+    the drift battery (KS = shape, χ² = categorical, Welch = mean).
+
+    Scale shape: ONE partial-aggregated shuffle collapses events to
+    per-type (n, Σv, Σv²) moment rows; the baseline's single moment row
+    broadcasts onto the ≤|types| others. Exactness: the ts_zscore
+    recipe — decimal(18,6)-quantized sums, sample variance and the
+    t/dof trees as shared IEEE expressions from the exact moments,
+    rounded once; degenerate n ≤ 1 or zero-variance sides emit NULL on
+    both engines."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    d = F.col("value").cast("double").cast("decimal(18,6)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("double").alias("s"),
+        F.sum(d * d).cast("double").alias("sq"),
+    )
+    base = m.filter(F.col("event_type") == KS_BASELINE).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2"), F.col("sq").alias("sq2")
+    )
+    t = m.filter(F.col("event_type") != KS_BASELINE).crossJoin(
+        F.broadcast(base)
+    )
+    # sample variances from exact moments; divisors total under ANSI
+    v1 = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / F.greatest(
+        F.col("n") - 1, F.lit(1).cast("long")
+    )
+    v2 = (
+        F.col("sq2") - F.col("s2") * F.col("s2") / F.col("n2")
+    ) / F.greatest(F.col("n2") - 1, F.lit(1).cast("long"))
+    se2 = v1 / F.col("n") + v2 / F.col("n2")
+    mean_diff = F.col("s") / F.col("n") - F.col("s2") / F.col("n2")
+    dof = (se2 * se2) / (
+        (v1 / F.col("n")) * (v1 / F.col("n"))
+        / F.greatest(F.col("n") - 1, F.lit(1).cast("long"))
+        + (v2 / F.col("n2")) * (v2 / F.col("n2"))
+        / F.greatest(F.col("n2") - 1, F.lit(1).cast("long"))
+    )
+    ok = (F.col("n") > 1) & (F.col("n2") > 1) & (se2 > 0)
+    return t.select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("n2"),
+        F.round(mean_diff, 6).alias("mean_diff"),
+        F.when(ok, F.round(mean_diff / F.sqrt(se2), 6)).alias("t_stat"),
+        F.when(ok, F.round(dof, 6)).alias("dof_welch"),
+    )
+
+
+_WELCH_DEC = "CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6))"
+
+SQL_AGG_WELCH_TTEST = f"""
+    WITH m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM({_WELCH_DEC}) AS DOUBLE) AS s,
+               CAST(SUM({_WELCH_DEC} * {_WELCH_DEC}) AS DOUBLE) AS sq
+        FROM events GROUP BY event_type),
+    base AS (
+        SELECT n AS n2, s AS s2, sq AS sq2 FROM m
+        WHERE event_type = '{KS_BASELINE}'),
+    t AS (
+        SELECT event_type, n, s, sq, n2, s2, sq2,
+               (sq - s * s / n) / GREATEST(n - 1, 1) AS v1,
+               (sq2 - s2 * s2 / n2) / GREATEST(n2 - 1, 1) AS v2
+        FROM m CROSS JOIN base
+        WHERE event_type <> '{KS_BASELINE}')
+    SELECT event_type, n AS n1, n2,
+           ROUND(s / n - s2 / n2, 6) AS mean_diff,
+           CASE WHEN n > 1 AND n2 > 1 AND v1 / n + v2 / n2 > 0
+                THEN ROUND((s / n - s2 / n2)
+                           / SQRT(v1 / n + v2 / n2), 6) END AS t_stat,
+           CASE WHEN n > 1 AND n2 > 1 AND v1 / n + v2 / n2 > 0
+                THEN ROUND((v1 / n + v2 / n2) * (v1 / n + v2 / n2)
+                           / ((v1 / n) * (v1 / n) / GREATEST(n - 1, 1)
+                              + (v2 / n2) * (v2 / n2)
+                                / GREATEST(n2 - 1, 1)), 6)
+           END AS dof_welch
+    FROM t
+"""
+
+
 QUERIES = {
+    "agg_welch_ttest": Query(q_agg_welch_ttest, SQL_AGG_WELCH_TTEST),
     "agg_ks_test": Query(q_agg_ks_test, SQL_AGG_KS_TEST),
     "agg_chisq": Query(q_agg_chisq, SQL_AGG_CHISQ),
     "agg_small_qty_revenue": Query(

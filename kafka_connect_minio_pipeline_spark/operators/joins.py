@@ -958,7 +958,70 @@ SQL_JOIN_UNTAPPED_CUSTOMERS = """
 """
 
 
+TOP_SUPPLIER_QUARTER = ("1996-01-01", "1996-04-01")  # Q15's 3-month window
+
+
+def q_join_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style decorrelated MAX over an aggregate: the
+    supplier(s) with the maximum total revenue in one quarter — the
+    revenue-view + ``= (SELECT MAX(total) FROM view)`` pattern.
+
+    Scale shape: the shipdate filter is pushed into the lineitem scan,
+    ONE partial-aggregated shuffle collapses the quarter's lineitems to
+    exact-decimal revenue per supplier, and the scalar MAX rides a
+    global window over that supplier-sized rollup (model-sized relation
+    — the same single-pass trade as graph_hits' L1 totals: a one-row
+    crossJoin would re-evaluate the rollup). The winner join to
+    supplier attributes is a broadcast. Exactness: decimal revenue
+    sums; MAX over exact decimals; the equality filter compares the
+    decimals BEFORE any double cast, so float ties cannot split the
+    winner set."""
+    lo, hi = TOP_SUPPLIER_QUARTER
+    rev_q = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit(hi).cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).alias("total_rev"))
+    )
+    w_all = Window.partitionBy()
+    best = rev_q.withColumn("max_rev", F.max("total_rev").over(w_all)).filter(
+        F.col("total_rev") == F.col("max_rev")
+    )
+    return best.join(
+        F.broadcast(load(spark, sf_dir, "supplier")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.col("total_rev").cast("double").alias("total_revenue"),
+    )
+
+
+SQL_JOIN_TOP_SUPPLIER = f"""
+    WITH rev_q AS (
+        SELECT l_suppkey, SUM({_SQL_REV_TERM}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_QUARTER[0]}'
+          AND l_shipdate <  TIMESTAMP '{TOP_SUPPLIER_QUARTER[1]}'
+        GROUP BY l_suppkey),
+    best AS (
+        SELECT * FROM (
+            SELECT l_suppkey, total_rev,
+                   MAX(total_rev) OVER () AS max_rev
+            FROM rev_q)
+        WHERE total_rev = max_rev)
+    SELECT s_suppkey, s_name, s_acctbal,
+           CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM best JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
 QUERIES = {
+    "join_top_supplier": Query(q_join_top_supplier, SQL_JOIN_TOP_SUPPLIER),
     "join_min_price_supplier": Query(
         q_join_min_price_supplier, SQL_JOIN_MIN_PRICE_SUPPLIER
     ),

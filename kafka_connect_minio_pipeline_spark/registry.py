@@ -71,8 +71,9 @@ _QUERY_MODULES = (
 #          (Q22) / agg_small_qty_revenue (Q17) / agg_large_orders (Q18),
 #          the rolling-indicator pair ts_bollinger / ts_rsi,
 #          graph_hits (Kleinberg HITS), the distribution-drift
-#          stats pair agg_ks_test / agg_chisq, text_rake_keywords
-#          (RAKE), and stream_topk (trending items);
+#          stats triple agg_ks_test / agg_chisq / agg_welch_ttest,
+#          text_rake_keywords (RAKE), stream_topk (trending items),
+#          and join_top_supplier (Q15 decorrelated MAX);
 #          CHANGED: join_market_share (zero-denominator guard, ADVICE r8).
 #  9-50:  the entire round-4-vintage cohort (42 rows — scalar family,
 #          setops, window family, agg_linreg/median_twopass/mode,
@@ -82,10 +83,11 @@ _QUERY_MODULES = (
 #          quantile, text_bm25/bpe_pairs, topk_global,
 #          ts cross_corr/mad/retention/seasonal, corpus mix_epochs/
 #          token_budget) — the oldest standing rows all move to
-#          current; the window is 12 + 38 = 50 — the r4 vintage
-#          clears except window_rank / window_running /
+#          current; the window is 14 + 36 = 50 — the r4 vintage
+#          clears except the six window-family rows window_lag_lead /
+#          window_range_frame / window_rank / window_running /
 #          window_running_distinct / window_topn_per_group (they front
-#          the r10 backfill; all four stay under the local parity net).
+#          the r10 backfill; all six stay under the local parity net).
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
@@ -102,6 +104,8 @@ _GRADE_FIRST = (
     "agg_chisq",
     "text_rake_keywords",
     "stream_topk",
+    "agg_welch_ttest",
+    "join_top_supplier",
     "join_market_share",
     # 9-50: round-4-vintage rows (oldest standing)
     "agg_linreg",
@@ -140,8 +144,6 @@ _GRADE_FIRST = (
     "ts_retention",
     "ts_seasonal",
     "window_distribution",
-    "window_lag_lead",
-    "window_range_frame",
 )
 
 

@@ -68,3 +68,37 @@ def test_chisq_matches_pure_python_reference(spark, sf_dir):
     assert abs(got["chi2"] - chi2) < 1e-4, (got["chi2"], chi2)
     v = math.sqrt(chi2 / (n * min(len(rows) - 1, len(cols) - 1)))
     assert abs(got["cramers_v"] - v) < 1e-5
+
+
+def test_welch_matches_pure_python_reference(spark, sf_dir):
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_welch_ttest,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events").select("event_type", "value").collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+
+    def moments(vals):
+        n = len(vals)
+        m = sum(vals) / n
+        v = sum((x - m) ** 2 for x in vals) / (n - 1)
+        return n, m, v
+
+    n2, m2, v2 = moments(by_type[KS_BASELINE])
+    got = {r["event_type"]: r for r in q_agg_welch_ttest(spark, sf_dir).collect()}
+    assert KS_BASELINE not in got and got
+    for etype, row in got.items():
+        n1, m1, v1 = moments(by_type[etype])
+        se2 = v1 / n1 + v2 / n2
+        t = (m1 - m2) / math.sqrt(se2)
+        dof = se2 * se2 / (
+            (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+        )
+        assert row["n1"] == n1 and row["n2"] == n2
+        assert abs(row["mean_diff"] - (m1 - m2)) < 1e-4, etype
+        assert abs(row["t_stat"] - t) < 1e-4, etype
+        assert abs(row["dof_welch"] - dof) < 1e-2, etype
