@@ -136,6 +136,13 @@ _EV_TARGETS = (
     # r8: the downsampling duo — heavy duplicate timestamps stress the
     # (ts, event_id) tie-breaks in bucket assignment and role selection
     "ts_downsample_lttb", "ts_downsample_m4",
+    # r9: rolling indicators (duplicate-ts frame tie-breaks, negative
+    # values through the gain/loss split), the drift-stats battery
+    # (empty-string event type as a category, collision-heavy value
+    # supports through the merged-CDF window), and streaming top-k
+    # (count ties broken by type name)
+    "ts_bollinger", "ts_rsi",
+    "agg_ks_test", "agg_chisq", "agg_welch_ttest", "stream_topk",
 )
 
 
