@@ -1976,7 +1976,141 @@ SQL_AGG_WELCH_TTEST = f"""
 """
 
 
+def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) per event type vs the
+    {KS_BASELINE} baseline, normal approximation WITH tie correction —
+    the nonparametric member of the drift battery (no distributional
+    assumption, unlike Welch).
+
+    Scale shape: identical skeleton to agg_ks_test — events collapse to
+    per-(type, value) counts, the bounded baseline relation fans out to
+    each pair via broadcast, and ONE (pair | value) window yields the
+    rank structure. Exactness: average ranks of tied groups are
+    half-integers, so the rank sum is carried DOUBLED as an exact
+    integer (Σ c₁·(2·cum_before + t + 1)); U, the tie term Σ(t³−t), and
+    every moment stay exact integers until the one shared z expression.
+    Degenerate all-tied pools (zero variance) emit NULL z on both
+    engines."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    per_val = ev.groupBy("event_type", "value").agg(F.count("*").alias("c"))
+    base = per_val.filter(F.col("event_type") == KS_BASELINE).select(
+        "value", F.col("c").alias("c2")
+    )
+    others = per_val.filter(F.col("event_type") != KS_BASELINE).select(
+        F.col("event_type").alias("pair"), "value", F.col("c").alias("c1")
+    )
+    types = others.select("pair").distinct()
+    merged = (
+        others.unionByName(
+            base.crossJoin(F.broadcast(types)).select(
+                "pair", "value", F.lit(None).cast("long").alias("c1")
+            )
+        )
+        .groupBy("pair", "value")
+        .agg(F.sum("c1").alias("c1"))
+        .join(F.broadcast(base), "value", "left")
+        .select(
+            "pair",
+            "value",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+    )
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("c1") + F.col("c2")
+    ranked = merged.select(
+        "pair",
+        "c1",
+        "c2",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("cum_before"),
+    )
+    agg = ranked.groupBy("pair").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        # doubled rank sum of sample 1: exact integer
+        F.sum(
+            F.col("c1") * (2 * F.col("cum_before") + F.col("t") + 1)
+        ).alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "tie_term"
+        ),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1 = F.col("r1x2") / 2.0 - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mean_u = F.col("n1") * F.col("n2") / 2.0
+    var_u = (
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * ((n + 1) - F.col("tie_term") / (n * (n - 1)))
+    )
+    return agg.select(
+        F.col("pair").alias("event_type"),
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u_stat"),
+        F.when(var_u > 0, F.round((u1 - mean_u) / F.sqrt(var_u), 6)).alias(
+            "z_stat"
+        ),
+    )
+
+
+SQL_AGG_MANN_WHITNEY = f"""
+    WITH per_val AS (
+        SELECT event_type, value, COUNT(*) AS c
+        FROM events GROUP BY 1, 2),
+    base AS (
+        SELECT value, c AS c2 FROM per_val
+        WHERE event_type = '{KS_BASELINE}'),
+    others AS (
+        SELECT event_type AS pair, value, c AS c1 FROM per_val
+        WHERE event_type <> '{KS_BASELINE}'),
+    types AS (SELECT DISTINCT pair FROM others),
+    merged AS (
+        SELECT m.pair, m.value, COALESCE(m.c1, 0) AS c1,
+               COALESCE(base.c2, 0) AS c2
+        FROM (
+            SELECT pair, value, SUM(c1) AS c1 FROM (
+                SELECT pair, value, c1 FROM others
+                UNION ALL
+                SELECT t.pair, b.value, CAST(NULL AS BIGINT)
+                FROM base b CROSS JOIN types t)
+            GROUP BY 1, 2) m
+        LEFT JOIN base ON m.value = base.value),
+    ranked AS (
+        SELECT pair, c1, c2, c1 + c2 AS t,
+               COALESCE(SUM(c1 + c2) OVER (PARTITION BY pair ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM merged),
+    agg AS (
+        SELECT pair, CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(SUM(c1 * (2 * cum_before + t + 1)) AS BIGINT) AS r1x2,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+        FROM ranked GROUP BY pair)
+    SELECT pair AS event_type, n1, n2,
+           ROUND(r1x2 / 2.0 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+           CASE WHEN n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                     - CAST(tie_term AS DOUBLE)
+                       / ((n1 + n2) * (n1 + n2 - 1))) > 0
+                THEN ROUND((r1x2 / 2.0 - n1 * (n1 + 1) / 2.0
+                            - n1 * n2 / 2.0)
+                           / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                                  - CAST(tie_term AS DOUBLE)
+                                    / ((n1 + n2) * (n1 + n2 - 1)))), 6)
+           END AS z_stat
+    FROM agg
+"""
+
+
 QUERIES = {
+    "agg_mann_whitney": Query(q_agg_mann_whitney, SQL_AGG_MANN_WHITNEY),
     "agg_welch_ttest": Query(q_agg_welch_ttest, SQL_AGG_WELCH_TTEST),
     "agg_ks_test": Query(q_agg_ks_test, SQL_AGG_KS_TEST),
     "agg_chisq": Query(q_agg_chisq, SQL_AGG_CHISQ),

@@ -1381,7 +1381,99 @@ SQL_SUBSTRING_CLEAN = f"""
 """
 
 
+MIX_ALPHA = 0.3  # temperature exponent (Conneau & Lample 2019 use 0.3-0.7)
+
+
+def q_llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mix per source (Conneau & Lample
+    2019; the multilingual-LM recipe): q_i ∝ p_i^α with α={MIX_ALPHA},
+    where p_i is the source's share of total CHARACTER mass — the
+    standard upsample-the-tail schedule that keeps small sources from
+    vanishing while capping head dominance. Emits p, q, and the
+    upsample factor q/p per source (factor > 1 = sampled above natural
+    rate).
+
+    Scale shape: metadata-only — one partial-agg shuffle collapses
+    documents to per-source exact char sums (the text column is never
+    read: load_meta), then every normalization rides global window sums
+    over the ≤|sources| model-sized relation. Exactness: char masses
+    are exact integer sums; p is one IEEE division; p^α terms are
+    dec9-quantized before the order-free normalization sum (pow's last
+    ulp is engine-shared libm in practice, and the quantization pins
+    the sum order on top)."""
+    per_src = (
+        load_meta(spark, sf_dir, "documents", "source", "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    w_all = Window.partitionBy()
+    t = per_src.select(
+        "source",
+        "n_docs",
+        "chars",
+        (
+            F.col("chars").cast("double")
+            / F.sum("chars").over(w_all).cast("double")
+        ).alias("p"),
+    )
+    t = t.withColumn(
+        "pa", F.round(F.pow(F.col("p"), F.lit(MIX_ALPHA)), 9).cast(
+            "decimal(28,9)"
+        )
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "chars",
+        F.round("p", 9).alias("p_natural"),
+        F.round(
+            F.col("pa").cast("double")
+            / F.sum("pa").over(w_all).cast("double"),
+            9,
+        ).alias("q_temperature"),
+        F.round(
+            (
+                F.col("pa").cast("double")
+                / F.sum("pa").over(w_all).cast("double")
+            )
+            / F.col("p"),
+            6,
+        ).alias("upsample_factor"),
+    )
+
+
+SQL_LLM_MIX_TEMPERATURE = f"""
+    WITH per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source),
+    t AS (
+        SELECT source, n_docs, chars,
+               CAST(chars AS DOUBLE)
+                   / CAST(SUM(chars) OVER () AS DOUBLE) AS p
+        FROM per_src),
+    t2 AS (
+        SELECT *, CAST(ROUND(POWER(p, {MIX_ALPHA}), 9) AS DECIMAL(28,9))
+                      AS pa
+        FROM t)
+    SELECT source, n_docs, chars,
+           ROUND(p, 9) AS p_natural,
+           ROUND(CAST(pa AS DOUBLE)
+                 / CAST(SUM(pa) OVER () AS DOUBLE), 9) AS q_temperature,
+           ROUND((CAST(pa AS DOUBLE)
+                  / CAST(SUM(pa) OVER () AS DOUBLE)) / p, 6)
+               AS upsample_factor
+    FROM t2
+"""
+
+
 QUERIES = {
+    "llm_mix_temperature": Query(
+        q_llm_mix_temperature, SQL_LLM_MIX_TEMPERATURE
+    ),
     "llm_pack_eval": Query(q_llm_pack_eval, SQL_LLM_PACK_EVAL),
     "llm_substring_clean": Query(q_llm_substring_clean, SQL_SUBSTRING_CLEAN),
     "llm_rag_chunk": Query(q_llm_rag_chunk, SQL_RAG_CHUNK),

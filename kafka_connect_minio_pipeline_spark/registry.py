@@ -71,7 +71,8 @@ _QUERY_MODULES = (
 #          (Q22) / agg_small_qty_revenue (Q17) / agg_large_orders (Q18),
 #          the rolling-indicator pair ts_bollinger / ts_rsi,
 #          graph_hits (Kleinberg HITS), the distribution-drift
-#          stats triple agg_ks_test / agg_chisq / agg_welch_ttest,
+#          stats battery agg_ks_test / agg_chisq / agg_welch_ttest /
+#          agg_mann_whitney, llm_mix_temperature (temperature mix),
 #          text_rake_keywords (RAKE), stream_topk (trending items),
 #          and join_top_supplier (Q15 decorrelated MAX);
 #          CHANGED: join_market_share (zero-denominator guard, ADVICE r8).
@@ -83,11 +84,10 @@ _QUERY_MODULES = (
 #          quantile, text_bm25/bpe_pairs, topk_global,
 #          ts cross_corr/mad/retention/seasonal, corpus mix_epochs/
 #          token_budget) — the oldest standing rows all move to
-#          current; the window is 14 + 36 = 50 — the r4 vintage
-#          clears except the six window-family rows window_lag_lead /
-#          window_range_frame / window_rank / window_running /
-#          window_running_distinct / window_topn_per_group (they front
-#          the r10 backfill; all six stay under the local parity net).
+#          current; the window is 16 + 34 = 50 — the r4 vintage
+#          clears except the seven window-family rows plus scalar_array
+#          (they front the r10 backfill; all eight stay under the
+#          local parity net).
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
@@ -105,6 +105,8 @@ _GRADE_FIRST = (
     "text_rake_keywords",
     "stream_topk",
     "agg_welch_ttest",
+    "agg_mann_whitney",
+    "llm_mix_temperature",
     "join_top_supplier",
     "join_market_share",
     # 9-50: round-4-vintage rows (oldest standing)
@@ -123,7 +125,6 @@ _GRADE_FIRST = (
     "llm_dataset_card",
     "multimodal_phash_clusters",
     "multimodal_ppm_decode",
-    "scalar_array",
     "scalar_conditional",
     "scalar_date",
     "scalar_math",
@@ -143,7 +144,6 @@ _GRADE_FIRST = (
     "ts_mad",
     "ts_retention",
     "ts_seasonal",
-    "window_distribution",
 )
 
 

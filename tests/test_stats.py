@@ -102,3 +102,47 @@ def test_welch_matches_pure_python_reference(spark, sf_dir):
         assert abs(row["mean_diff"] - (m1 - m2)) < 1e-4, etype
         assert abs(row["t_stat"] - t) < 1e-4, etype
         assert abs(row["dof_welch"] - dof) < 1e-2, etype
+
+
+def test_mann_whitney_matches_pure_python_reference(spark, sf_dir):
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_mann_whitney,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events").select("event_type", "value").collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    got = {
+        r["event_type"]: r for r in q_agg_mann_whitney(spark, sf_dir).collect()
+    }
+    assert KS_BASELINE not in got and got
+    base = by_type[KS_BASELINE]
+    for etype, row in got.items():
+        samp = by_type[etype]
+        pooled = sorted(
+            [(v, 1) for v in samp] + [(v, 2) for v in base]
+        )
+        # average ranks with ties
+        r1 = 0.0
+        tie = 0
+        i = 0
+        while i < len(pooled):
+            j = i
+            while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+                j += 1
+            t = j - i
+            avg_rank = (i + 1 + j) / 2  # ranks i+1..j
+            r1 += avg_rank * sum(1 for k in range(i, j) if pooled[k][1] == 1)
+            tie += t**3 - t
+            i = j
+        n1, n2 = len(samp), len(base)
+        u1 = r1 - n1 * (n1 + 1) / 2
+        mean_u = n1 * n2 / 2
+        var_u = n1 * n2 / 12 * ((n1 + n2 + 1) - tie / ((n1 + n2) * (n1 + n2 - 1)))
+        z = (u1 - mean_u) / math.sqrt(var_u)
+        assert row["n1"] == n1 and row["n2"] == n2
+        assert abs(row["u_stat"] - u1) < 0.51, (etype, row["u_stat"], u1)
+        assert abs(row["z_stat"] - z) < 1e-4, (etype, row["z_stat"], z)
