@@ -1410,38 +1410,33 @@ def q_llm_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_all = Window.partitionBy()
+    # totality: a zero-char source (or an all-empty corpus) has no
+    # natural rate — p, q, and the factor emit NULL, never
+    # DIVIDE_BY_ZERO (degenerate-docs net)
+    tot = F.sum("chars").over(w_all).cast("double")
     t = per_src.select(
         "source",
         "n_docs",
         "chars",
-        (
-            F.col("chars").cast("double")
-            / F.sum("chars").over(w_all).cast("double")
-        ).alias("p"),
+        F.when(tot > 0, F.col("chars").cast("double") / tot).alias("p"),
     )
     t = t.withColumn(
         "pa", F.round(F.pow(F.col("p"), F.lit(MIX_ALPHA)), 9).cast(
             "decimal(28,9)"
         )
     )
+    q_col = F.col("pa").cast("double") / F.sum("pa").over(w_all).cast(
+        "double"
+    )
     return t.select(
         "source",
         "n_docs",
         "chars",
         F.round("p", 9).alias("p_natural"),
-        F.round(
-            F.col("pa").cast("double")
-            / F.sum("pa").over(w_all).cast("double"),
-            9,
-        ).alias("q_temperature"),
-        F.round(
-            (
-                F.col("pa").cast("double")
-                / F.sum("pa").over(w_all).cast("double")
-            )
-            / F.col("p"),
-            6,
-        ).alias("upsample_factor"),
+        F.round(q_col, 9).alias("q_temperature"),
+        F.when(F.col("p") > 0, F.round(q_col / F.col("p"), 6)).alias(
+            "upsample_factor"
+        ),
     )
 
 
@@ -1452,8 +1447,9 @@ SQL_LLM_MIX_TEMPERATURE = f"""
         FROM documents GROUP BY source),
     t AS (
         SELECT source, n_docs, chars,
-               CAST(chars AS DOUBLE)
-                   / CAST(SUM(chars) OVER () AS DOUBLE) AS p
+               CASE WHEN CAST(SUM(chars) OVER () AS DOUBLE) > 0
+                    THEN CAST(chars AS DOUBLE)
+                         / CAST(SUM(chars) OVER () AS DOUBLE) END AS p
         FROM per_src),
     t2 AS (
         SELECT *, CAST(ROUND(POWER(p, {MIX_ALPHA}), 9) AS DECIMAL(28,9))
@@ -1463,9 +1459,10 @@ SQL_LLM_MIX_TEMPERATURE = f"""
            ROUND(p, 9) AS p_natural,
            ROUND(CAST(pa AS DOUBLE)
                  / CAST(SUM(pa) OVER () AS DOUBLE), 9) AS q_temperature,
-           ROUND((CAST(pa AS DOUBLE)
-                  / CAST(SUM(pa) OVER () AS DOUBLE)) / p, 6)
-               AS upsample_factor
+           CASE WHEN p > 0
+                THEN ROUND((CAST(pa AS DOUBLE)
+                            / CAST(SUM(pa) OVER () AS DOUBLE)) / p, 6)
+           END AS upsample_factor
     FROM t2
 """
 

@@ -317,6 +317,7 @@ def degen_null_dir(tmp_path_factory) -> str:
 _CATALOG_QUERIES = {
     "llm_sample_stratified", "llm_sample_hash", "corpus_shuffle_split",
     "corpus_interleave", "corpus_weighted_sample", "llm_target_mix",
+    "llm_mix_temperature",
 }
 
 

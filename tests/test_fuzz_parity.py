@@ -142,7 +142,8 @@ _EV_TARGETS = (
     # supports through the merged-CDF window), and streaming top-k
     # (count ties broken by type name)
     "ts_bollinger", "ts_rsi",
-    "agg_ks_test", "agg_chisq", "agg_welch_ttest", "stream_topk",
+    "agg_ks_test", "agg_chisq", "agg_welch_ttest", "agg_mann_whitney",
+    "stream_topk",
 )
 
 
