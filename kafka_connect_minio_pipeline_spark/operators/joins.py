@@ -1020,7 +1020,101 @@ SQL_JOIN_TOP_SUPPLIER = f"""
 """
 
 
+TRADE_NATIONS = ("NATION_18", "NATION_19")  # a pair with traffic at every SF
+
+
+def q_join_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 proper: bilateral trade volume between
+    {TRADE_NATIONS[0]} and {TRADE_NATIONS[1]} per order year — the
+    SELECTIVE two-nation slice with Q7's OR-pair predicate, complement
+    to :func:`q_join_role_dims` (which materializes the full unfiltered
+    pair matrix): here the nation filter must prune BOTH fact sides
+    before the fact-fact join, which is exactly what Q7 stresses.
+
+    Scale shape: both nation filters prune via broadcasts BEFORE any
+    fact-fact join (supplier side onto lineitem, customer side onto the
+    pruned orders chain); lineitem collapses to one exact-decimal
+    revenue row per (order, supp_nation) — partial agg below the orders
+    join, the join_inner_revenue trick — so the equi-join moves
+    rollups, never raw lineitems; the OR-pair predicate then evaluates
+    on two broadcast-attributed string columns; final rollup is
+    2 × |years| rows."""
+    lo_n, hi_n = TRADE_NATIONS
+    nation2 = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(lo_n, hi_n)
+    )
+    supn = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation2), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    custn = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation2), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    per_order = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_orderkey", "supp_nation")
+        .agg(
+            F.sum(
+                revenue(F.col("l_extendedprice"), F.col("l_discount"))
+            ).alias("vol")
+        )
+    )
+    joined = (
+        per_order.join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(custn, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == lo_n) & (F.col("cust_nation") == hi_n))
+            | ((F.col("supp_nation") == hi_n) & (F.col("cust_nation") == lo_n))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("o_orderdate").cast("int").alias("l_year"),
+    ).agg(F.sum("vol").cast("double").alias("revenue"))
+
+
+SQL_JOIN_NATION_TRADE = f"""
+    WITH n2 AS (
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_name IN ('{TRADE_NATIONS[0]}', '{TRADE_NATIONS[1]}')),
+    supn AS (
+        SELECT s_suppkey, n_name AS supp_nation
+        FROM supplier JOIN n2 ON s_nationkey = n_nationkey),
+    custn AS (
+        SELECT c_custkey, n_name AS cust_nation
+        FROM customer JOIN n2 ON c_nationkey = n_nationkey),
+    per_order AS (
+        SELECT l_orderkey, supp_nation, SUM({_SQL_REV_TERM}) AS vol
+        FROM lineitem JOIN supn ON l_suppkey = s_suppkey
+        GROUP BY 1, 2)
+    SELECT supp_nation, cust_nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM per_order
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN custn  ON o_custkey = c_custkey
+    WHERE (supp_nation = '{TRADE_NATIONS[0]}'
+           AND cust_nation = '{TRADE_NATIONS[1]}')
+       OR (supp_nation = '{TRADE_NATIONS[1]}'
+           AND cust_nation = '{TRADE_NATIONS[0]}')
+    GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "join_nation_trade": Query(q_join_nation_trade, SQL_JOIN_NATION_TRADE),
     "join_top_supplier": Query(q_join_top_supplier, SQL_JOIN_TOP_SUPPLIER),
     "join_min_price_supplier": Query(
         q_join_min_price_supplier, SQL_JOIN_MIN_PRICE_SUPPLIER
