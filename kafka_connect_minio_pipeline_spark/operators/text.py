@@ -1953,7 +1953,139 @@ SQL_TEXT_RAKE = f"""
 """
 
 
+KN_DISCOUNT = 0.75  # the standard absolute-discount value (Chen & Goodman)
+
+
+def q_text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser–Ney bigram perplexity (Kneser &
+    Ney 1995; Chen & Goodman 1998) — the proper smoothed-LM quality
+    score, one notch above the add-one unigram gate
+    (:func:`q_text_unigram_logprob`); CCNet's actual filter is a KenLM
+    n-gram LM, and the bigram KN here is its exact low-order form:
+
+        P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁) + λ(w₁)·P_cont(w₂)
+        λ(w₁)    = D·N₁₊(w₁·)/c(w₁)
+        P_cont(w₂) = N₁₊(·w₂)/N₁₊(··)
+
+    The LM trains on the corpus itself and scores the same corpus, so
+    every scored bigram is seen and P > 0 totally (the first term is
+    ≥ (1−D)/c(w₁) for seen pairs) — no <unk> machinery needed.
+
+    Scale shape: one doc-keyed lead() window builds bigram instances;
+    instance counts collapse per (doc, w₁, w₂) BEFORE the model join;
+    the model is three partial-agg rollups over the bigram-TYPE
+    relation (vocabulary-bounded): context totals + forward-distinct
+    per w₁, continuation-distinct per w₂, and the 1-row type total as a
+    broadcast. The per-doc scoring join keys on (w₁, w₂) against the
+    type-sized probability relation — corpus-sized relations never meet
+    each other. Exactness: every arithmetic term is forced to DOUBLE on
+    both engines (DuckDB would otherwise do bigint−DECIMAL in decimal
+    arithmetic), each tf·ln P term is dec9-pre-rounded, and the per-doc
+    sum is an exact decimal. Docs with <2 tokens have no bigrams and
+    drop from the output on both engines."""
+    D = KN_DISCOUNT
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    inst = (
+        toks.withColumn("w2", F.lead("w").over(wl))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("tf"))
+    )
+    types = inst.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    ctx = types.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_fwd")
+    )
+    cont = types.groupBy("w2").agg(F.count("*").alias("n_bwd"))
+    tot = types.agg(F.count("*").alias("n_types"))
+    p = (
+        types.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.greatest(
+                    F.col("c12").cast("double") - F.lit(D), F.lit(0.0)
+                )
+                / F.col("c1").cast("double")
+                + (
+                    F.lit(D)
+                    * F.col("n_fwd").cast("double")
+                    / F.col("c1").cast("double")
+                )
+                * (
+                    F.col("n_bwd").cast("double")
+                    / F.col("n_types").cast("double")
+                )
+            ).alias("p"),
+        )
+    )
+    term = dec9(F.col("tf").cast("double") * F.log(F.col("p")))
+    per_doc = (
+        inst.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum(term).alias("s"))
+    )
+    nll = -(F.col("s").cast("double")) / F.col("n_bigrams").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(nll, 6).alias("nll_per_bigram"),
+        F.round(F.exp(nll), 4).alias("ppl"),
+    )
+
+
+SQL_TEXT_KN_PERPLEXITY = f"""
+    WITH ls AS (
+        SELECT doc_id, {SQL_TOKENS.format(col="text")} AS arr
+        FROM documents),
+    inst AS (
+        SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM ls, LATERAL UNNEST(generate_series(1, LEN(arr) - 1)) t(i)
+        GROUP BY 1, 2, 3),
+    types AS (
+        SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12
+        FROM inst GROUP BY w1, w2),
+    ctx AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n_fwd
+        FROM types GROUP BY w1),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_bwd
+        FROM types GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM types),
+    p AS (
+        SELECT w1, w2,
+               GREATEST(CAST(c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+                   / CAST(c1 AS DOUBLE)
+               + ({KN_DISCOUNT} * CAST(n_fwd AS DOUBLE)
+                  / CAST(c1 AS DOUBLE))
+                 * (CAST(n_bwd AS DOUBLE) / CAST(n_types AS DOUBLE)) AS p
+        FROM types JOIN ctx USING (w1) JOIN cont USING (w2)
+        CROSS JOIN tot),
+    per_doc AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               SUM(CAST(ROUND(CAST(tf AS DOUBLE) * LN(p), 9)
+                        AS DECIMAL(28,9))) AS s
+        FROM inst JOIN p USING (w1, w2)
+        GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           ROUND(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+               AS nll_per_bigram,
+           ROUND(EXP(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 4)
+               AS ppl
+    FROM per_doc
+"""
+
+
 QUERIES = {
+    "text_kn_perplexity": Query(q_text_kn_perplexity, SQL_TEXT_KN_PERPLEXITY),
     "text_rake_keywords": Query(q_text_rake_keywords, SQL_TEXT_RAKE),
     "text_c4_rules": Query(q_text_c4_rules, SQL_TEXT_C4_RULES),
     "text_ccnet_buckets": Query(q_text_ccnet_buckets, _ccnet_buckets_sql()),

@@ -74,8 +74,9 @@ _QUERY_MODULES = (
 #          stats battery agg_ks_test / agg_chisq / agg_welch_ttest /
 #          agg_mann_whitney, llm_mix_temperature (temperature mix),
 #          text_rake_keywords (RAKE), stream_topk (trending items),
-#          join_top_supplier (Q15 decorrelated MAX), and
-#          join_nation_trade (Q7 bilateral slice);
+#          join_top_supplier (Q15 decorrelated MAX),
+#          join_nation_trade (Q7 bilateral slice), and
+#          text_kn_perplexity (Kneser-Ney bigram LM);
 #          CHANGED: join_market_share (zero-denominator guard, ADVICE r8).
 #  9-50:  the entire round-4-vintage cohort (42 rows — scalar family,
 #          setops, window family, agg_linreg/median_twopass/mode,
@@ -85,10 +86,10 @@ _QUERY_MODULES = (
 #          quantile, text_bm25/bpe_pairs, topk_global,
 #          ts cross_corr/mad/retention/seasonal, corpus mix_epochs/
 #          token_budget) — the oldest standing rows all move to
-#          current; the window is 17 + 33 = 50 — the r4 vintage
-#          clears except the seven window-family rows plus
-#          scalar_array / scalar_conditional (they front the r10
-#          backfill; all nine stay under the local parity net).
+#          current; the window is 18 + 32 = 50 — the r4 vintage
+#          clears except the seven window-family rows plus scalar_array
+#          / scalar_conditional / scalar_date (they front the r10
+#          backfill; all ten stay under the local parity net).
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
@@ -110,6 +111,7 @@ _GRADE_FIRST = (
     "llm_mix_temperature",
     "join_top_supplier",
     "join_nation_trade",
+    "text_kn_perplexity",
     "join_market_share",
     # 9-50: round-4-vintage rows (oldest standing)
     "agg_linreg",
@@ -127,7 +129,6 @@ _GRADE_FIRST = (
     "llm_dataset_card",
     "multimodal_phash_clusters",
     "multimodal_ppm_decode",
-    "scalar_date",
     "scalar_math",
     "scalar_string",
     "scalar_url",
