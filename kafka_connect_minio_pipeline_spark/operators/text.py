@@ -1995,7 +1995,17 @@ def q_text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("w").alias("w1"), "w2")
         .agg(F.count("*").alias("tf"))
     )
-    types = inst.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    # checkpoint the vocabulary-bounded TYPE relation: ctx/cont/tot/p
+    # all consume it under different shapes, and without the cut the
+    # corpus tokenization re-evaluates FIVE times (ReuseExchange cannot
+    # unify the differing consumers — the r8 llm_substring_clean
+    # lesson). With it: two corpus passes total (model build + scoring
+    # join), everything else vocabulary-sized.
+    types = (
+        inst.groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("c12"))
+        .localCheckpoint()
+    )
     ctx = types.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n_fwd")
     )

@@ -1265,3 +1265,16 @@ def test_rsi_shares_one_exchange(spark, sf_dir):
     plan = formatted_plan(q_ts_rsi(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_kn_perplexity_single_scan_after_model_cut(spark, sf_dir):
+    """KN bigram LM: the final plan must read documents ONCE (the
+    scoring pass) — the model side reads the checkpointed
+    vocabulary-bounded type relation, never re-tokenizing the corpus
+    (uncut, the tokenization re-evaluated five times)."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_kn_perplexity,
+    )
+
+    plan = formatted_plan(q_text_kn_perplexity(spark, sf_dir))
+    assert plan.count("documents.parquet") <= 1, plan
