@@ -1736,7 +1736,10 @@ def q_agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cdfs.groupBy("pair").agg(
         F.first("n1").alias("n1"), F.first("n2").alias("n2"), d
     )
-    ne = F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    # n1 is cast to double BEFORE the multiply so both engines share one
+    # IEEE expression tree (the oracle writes CAST(n1 AS DOUBLE) * n2) and
+    # the long product cannot overflow 2^63 at 100 TB counts (ADVICE r9)
+    ne = F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
     return out.select(
         F.col("pair").alias("event_type"),
         "n1",
@@ -1838,7 +1841,10 @@ def q_agg_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(wc).alias("col_tot"),
         F.sum("obs").over(wall).alias("n"),
     )
-    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    # row_tot cast to double BEFORE the multiply: one IEEE tree shared
+    # with the oracle's CAST(row_tot AS DOUBLE) * col_tot, and no long
+    # overflow on the margin product at 100 TB counts (ADVICE r9)
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
     term = dec9((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 28)
     agg = t.agg(
         F.sum(term).cast("double").alias("chi2_raw"),

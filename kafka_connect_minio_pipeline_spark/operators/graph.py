@@ -1127,7 +1127,10 @@ def _hits_sql() -> str:
     raw half-round CTE is referenced twice (its L1 total and its
     normalization), so they are AS MATERIALIZED — DuckDB would
     otherwise inline and re-evaluate the chain exponentially (the CTE
-    double-reference blowup)."""
+    double-reference blowup). The ``edges`` base CTE is MATERIALIZED
+    too: it is referenced 2·HITS_ITER times, and inlining would
+    re-evaluate the lineitem⨝orders DISTINCT once per reference —
+    linear, not exponential, but the same waste (ADVICE r9)."""
     rounds = []
     prev_hub = "h0"
     for i in range(1, HITS_ITER + 1):
@@ -1152,7 +1155,7 @@ def _hits_sql() -> str:
         FROM hraw{i})""")
         prev_hub = f"h{i}"
     return f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                         's' || CAST(l_suppkey AS VARCHAR) AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

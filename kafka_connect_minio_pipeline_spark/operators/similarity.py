@@ -2468,12 +2468,15 @@ _CELL_ARGMIN = (
 # the Lloyd chain already built — while Spark's pq_residual_books
 # filters vec_id < PQ_TRAIN_SAMPLE. Cross-engine parity therefore
 # REQUIRES the two constants to agree; fail at import, not with a
-# silent hash mismatch, if someone retunes one independently.
-assert PQ_TRAIN_SAMPLE == IVF_TRAIN_SAMPLE, (
-    "SQL_ANN_IVFPQ_RESIDUAL trains residual codebooks over the IVF "
-    "sample CTE; PQ_TRAIN_SAMPLE must equal IVF_TRAIN_SAMPLE (give the "
-    "oracle its own training CTE before decoupling them)"
-)
+# silent hash mismatch, if someone retunes one independently. An
+# explicit raise, not ``assert``: asserts are stripped under
+# ``python -O``, which would defeat the fail-at-import intent (ADVICE r9).
+if PQ_TRAIN_SAMPLE != IVF_TRAIN_SAMPLE:
+    raise ValueError(
+        "SQL_ANN_IVFPQ_RESIDUAL trains residual codebooks over the IVF "
+        "sample CTE; PQ_TRAIN_SAMPLE must equal IVF_TRAIN_SAMPLE (give "
+        "the oracle its own training CTE before decoupling them)"
+    )
 
 SQL_ANN_IVFPQ_RESIDUAL = f"""
     WITH e AS (
