@@ -46,15 +46,44 @@ def main() -> None:
     for name in sorted(queries):
         materialize(queries[name].fn(spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for _pass in range(4):
-        for name in sorted(queries):
-            t0 = time.perf_counter()
-            materialize(queries[name].fn(spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
-            print(f"# pass{_pass} {name}: {dt:.2f}s", file=sys.stderr)
+    # Health gate (VERDICT r9): the official per-round artifact shipped
+    # hot (whole-machine stolen time) three rounds running while healthy
+    # runs sat in BASELINE.md. The control query's min timing is the
+    # documented session-health signal (healthy ≈ 0.72-0.75 at sf0.1;
+    # ≥0.9 = hot). Rather than report the first snapshot, re-run the
+    # timed passes (bounded attempts) until the control reads healthy,
+    # accumulating per-query MINIMA across all attempts — min over more
+    # samples is strictly a better steady-state estimator under
+    # one-sided stolen-time noise. If every attempt stays hot, report
+    # the accumulated minima with control_healthy=false so a reader
+    # knows to discount the absolute numbers.
+    control_query = "agg_pricing_summary"
+    control_healthy_at = 0.8
+    max_attempts = 3 if control_query in queries else 1
 
+    timings: dict[str, float] = {}
+    attempts = 0
+    for attempt in range(max_attempts):
+        attempts = attempt + 1
+        for _pass in range(4):
+            for name in sorted(queries):
+                t0 = time.perf_counter()
+                materialize(queries[name].fn(spark, sf_dir))
+                dt = round(time.perf_counter() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+                print(
+                    f"# attempt{attempt} pass{_pass} {name}: {dt:.2f}s",
+                    file=sys.stderr,
+                )
+        control = timings.get(control_query, 0.0)
+        print(
+            f"# attempt{attempt} control {control_query}: {control:.3f}s",
+            file=sys.stderr,
+        )
+        if control <= control_healthy_at:
+            break
+
+    control = timings.get(control_query, -1.0)
     print(
         json.dumps(
             {
@@ -64,6 +93,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "control": control,
+                "control_healthy": bool(0 <= control <= control_healthy_at),
+                "attempts": attempts,
             }
         )
     )
