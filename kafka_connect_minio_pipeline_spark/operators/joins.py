@@ -1113,7 +1113,154 @@ SQL_JOIN_NATION_TRADE = f"""
 """
 
 
+def q_join_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: for every
+    customer, how many non-urgent orders they placed (the reference Q13
+    filters ``o_comment NOT LIKE '%special%requests%'``; this schema has
+    no comment column, so the analog excludes ``1-URGENT`` priority —
+    same shape, different predicate), then the histogram of those counts
+    INCLUDING the zero-order customers. The classic left-join-then-
+    histogram: the filter must live on the join's inner side (Q13 puts
+    it in the ON clause), because a WHERE would silently drop the
+    zero-order customers that are the query's whole point.
+
+    Scale shape: orders collapses to one count row per custkey BELOW
+    the join (partial-agg-below-join — the filter is pushed into that
+    scan, so filtered-out orders never reach any join), customer left-
+    joins the customer-sized rollup on one custkey exchange, and the
+    histogram is a second aggregate over ≤max-order-count distinct
+    values. No fact table ever crosses a join unaggregated. Exactness:
+    pure integer counts."""
+    oc = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_cust = (
+        load(spark, sf_dir, "customer")
+        .join(oc, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+SQL_JOIN_ORDER_COUNT_DIST = """
+    WITH oc AS (
+        SELECT o_custkey, COUNT(*) AS cnt
+        FROM orders WHERE o_orderpriority <> '1-URGENT'
+        GROUP BY o_custkey)
+    SELECT COALESCE(cnt, 0) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+    GROUP BY 1
+"""
+
+
+WAITING_LATE_DAYS = 90  # ship > orderdate + 90d = "kept the order waiting"
+
+
+def q_join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style waiting-supplier report: for finalized ('F')
+    multi-supplier orders, the suppliers who were the ONLY late supplier
+    on an order (late = shipped > {WAITING_LATE_DAYS} days after the
+    order date; the reference uses receipt > commit date, absent from
+    this schema), counted per supplier, top 100. Q21's correlated
+    EXISTS (another supplier on the order) / NOT EXISTS (another LATE
+    supplier) pair decorrelates into plain counts over the per-order
+    supplier profile: EXISTS-other ⇔ n_suppliers > 1, NOT-EXISTS-other-
+    late ⇔ n_late = 1 given this supplier is late. The DuckDB oracle
+    deliberately keeps the textbook EXISTS/NOT EXISTS form, so the
+    grading hash proves the decorrelation exact.
+
+    Scale shape: lineitem collapses to one (order, supplier,
+    max_shipdate) row BELOW any join — lateness only needs the LATEST
+    ship date, so the rollup loses nothing — then joins the 'F'-orders
+    projection on orderkey, and the per-order profile counts ride a
+    window partitioned by that same orderkey. The rollup crosses
+    exactly ONE hash(orderkey) exchange total (pinned in
+    tests/test_plans.py): when orders broadcasts (small SF) the window
+    owns it; when the join goes sort-merge (100 TB) the window reuses
+    the join's exchange and adds only a sort. Raw lineitem rows never
+    cross a join. Final per-supplier count is a supplier-sized
+    aggregate; attributes via broadcast; top-100 by TakeOrdered under
+    the total order (numwait desc, s_name, s_suppkey), never a global
+    sort."""
+    prof = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    f_orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    flagged = prof.join(
+        f_orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("max_ship")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {WAITING_LATE_DAYS} DAYS")
+        )
+        .cast("int")
+        .alias("late"),
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    waiting = (
+        flagged.withColumn("n_supp", F.count("*").over(w_ord))
+        .withColumn("n_late", F.sum("late").over(w_ord))
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+    )
+    counts = waiting.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+    return (
+        counts.join(
+            F.broadcast(load(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name", "s_suppkey")
+        .limit(100)
+    )
+
+
+SQL_JOIN_WAITING_SUPPLIER = f"""
+    WITH prof AS MATERIALIZED (
+        SELECT l_orderkey AS ok, l_suppkey AS sk, MAX(l_shipdate) AS max_ship
+        FROM lineitem GROUP BY 1, 2),
+    flagged AS MATERIALIZED (
+        SELECT ok, sk,
+               CASE WHEN max_ship > o_orderdate
+                        + INTERVAL {WAITING_LATE_DAYS} DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM prof JOIN orders ON ok = o_orderkey
+        WHERE o_orderstatus = 'F'),
+    waiting AS (
+        SELECT p.sk FROM flagged p
+        WHERE p.late = 1
+          AND EXISTS (SELECT 1 FROM flagged q
+                      WHERE q.ok = p.ok AND q.sk <> p.sk)
+          AND NOT EXISTS (SELECT 1 FROM flagged q
+                          WHERE q.ok = p.ok AND q.sk <> p.sk AND q.late = 1))
+    SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waiting JOIN supplier ON sk = s_suppkey
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_name, s_suppkey
+    LIMIT 100
+"""
+
+
 QUERIES = {
+    "join_order_count_dist": Query(
+        q_join_order_count_dist, SQL_JOIN_ORDER_COUNT_DIST
+    ),
+    "join_waiting_supplier": Query(
+        q_join_waiting_supplier, SQL_JOIN_WAITING_SUPPLIER
+    ),
     "join_nation_trade": Query(q_join_nation_trade, SQL_JOIN_NATION_TRADE),
     "join_top_supplier": Query(q_join_top_supplier, SQL_JOIN_TOP_SUPPLIER),
     "join_min_price_supplier": Query(

@@ -281,3 +281,61 @@ def test_staged_edges_cache_survives_eviction(spark):
     )
     shutil.rmtree(_STAGE_CACHE[key])
     assert part_cooccurrence_edges(spark, "/root/testdata/sf0.001").count() == n
+
+
+def test_hits_matches_pure_python_power_iteration(spark):
+    """Independent reference for the HITS operator (VERDICT r9): a
+    pure-Python 3-iteration power iteration on a small asymmetric
+    fixture, L1-normalized per side exactly as the operator spec says —
+    pinned independently of the both-engines-agree oracle (the ts_rsi
+    lesson: a spec bug both engines share sails right past the hash
+    check)."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import hits
+
+    pairs = [
+        ("c1", "s1"), ("c1", "s2"), ("c1", "s3"),
+        ("c2", "s1"), ("c2", "s2"),
+        ("c3", "s1"),
+        ("c4", "s4"),
+    ]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+
+    # pure-Python mirror of the spec: hub0 = 1.0 on every distinct src;
+    # each half-round sums the counterpart scores over the edge list and
+    # L1-normalizes. No Spark, no SQL.
+    hub = {s: 1.0 for s, _ in pairs}
+    auth: dict[str, float] = {}
+    for _ in range(3):
+        auth = {}
+        for s, d in pairs:
+            if s in hub:
+                auth[d] = auth.get(d, 0.0) + hub[s]
+        tot = sum(auth.values())
+        auth = {n: v / tot for n, v in auth.items()}
+        hub = {}
+        for s, d in pairs:
+            if d in auth:
+                hub[s] = hub.get(s, 0.0) + auth[d]
+        tot = sum(hub.values())
+        hub = {n: v / tot for n, v in hub.items()}
+
+    got = {
+        (r["node"], r["role"]): r["score"] for r in hits(edges).collect()
+    }
+    assert set(got) == {(n, "hub") for n in hub} | {
+        (n, "authority") for n in auth
+    }
+    for n, v in hub.items():
+        assert abs(got[(n, "hub")] - v) < 1e-6, (n, got[(n, "hub")], v)
+    for n, v in auth.items():
+        assert abs(got[(n, "authority")] - v) < 1e-6, (
+            n, got[(n, "authority")], v,
+        )
+    # structural sanity on the fixture: c1 links every big authority so
+    # it must be the best hub; s1 has the most (and best) in-links so it
+    # must be the best authority; the isolated c4->s4 pair stays tiny.
+    assert got[("c1", "hub")] == max(v for (n, r), v in got.items() if r == "hub")
+    assert got[("s1", "authority")] == max(
+        v for (n, r), v in got.items() if r == "authority"
+    )
+    assert got[("c4", "hub")] < got[("c3", "hub")]

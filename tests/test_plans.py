@@ -1278,3 +1278,33 @@ def test_kn_perplexity_single_scan_after_model_cut(spark, sf_dir):
 
     plan = formatted_plan(q_text_kn_perplexity(spark, sf_dir))
     assert plan.count("documents.parquet") <= 1, plan
+
+
+def test_order_count_dist_aggregates_below_join(spark, sf_dir):
+    """Q13 analog: orders must collapse to per-custkey counts BELOW the
+    left join (partial_count under the join, priority filter pushed to
+    the orders scan), the customer scan prunes to the key column alone,
+    and the zero-order customers survive via LeftOuter."""
+    plan = formatted_plan(joins.q_join_order_count_dist(spark, sf_dir))
+    assert "LeftOuter" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "NOT (o_orderpriority" in plan, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert plan.count("customer.parquet") == 1, plan
+
+
+def test_waiting_supplier_single_orderkey_exchange(spark, sf_dir):
+    """Q21 analog: lineitem collapses to the (order, supplier,
+    max_shipdate) profile below every join (partial_max), the per-order
+    EXISTS/NOT-EXISTS counts share ONE Window over ONE hash(l_orderkey)
+    exchange, the status filter reaches the orders scan, and the
+    top-100 is TakeOrdered, never a global Sort."""
+    import re
+
+    plan = formatted_plan(joins.q_join_waiting_supplier(spark, sf_dir))
+    assert "partial_max(l_shipdate" in plan, plan
+    assert len(re.findall(r"hashpartitioning\(l_orderkey#\d+L, \d+\)", plan)) == 1, plan
+    assert plan.count("+- Window") == 1, plan
+    assert "EqualTo(o_orderstatus,F)" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
