@@ -1971,6 +1971,14 @@ def q_text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     every scored bigram is seen and P > 0 totally (the first term is
     ≥ (1−D)/c(w₁) for seen pairs) — no <unk> machinery needed.
 
+    CAVEAT (semantics, not correctness): self-training makes this a
+    TYPICALITY score — low perplexity flags corpus-typical
+    (boilerplate-like) text, not high-quality text. CCNet's actual
+    filter trains on a target-domain corpus (Wikipedia) and scores the
+    crawl; that semantics is :func:`q_text_kn_quality`, which trains
+    the same model on the ``lang='{KN_TARGET_LANG}'`` slice and scores
+    everything against it with <unk> backoff.
+
     Scale shape: one doc-keyed lead() window builds bigram instances;
     instance counts collapse per (doc, w₁, w₂) BEFORE the model join;
     the model is three partial-agg rollups over the bigram-TYPE
@@ -2094,7 +2102,171 @@ SQL_TEXT_KN_PERPLEXITY = f"""
 """
 
 
+KN_TARGET_LANG = "en"  # the CCNet target-domain slice (corpus_dsir's too)
+
+
+def q_text_kn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-semantics quality filter (Wenzek et al. 2020): train the
+    interpolated Kneser–Ney bigram LM of :func:`q_text_kn_perplexity`
+    on a TARGET-domain slice (the ``lang='{KN_TARGET_LANG}'`` stratum —
+    the same target :func:`corpus_dsir` uses) and score EVERY document
+    against it. High perplexity = out-of-domain; this is quality
+    filtering proper, where the self-trained variant measures only
+    corpus-typicality. CCNet trains KenLM on Wikipedia and scores the
+    crawl; the bigram KN here is the exact low-order form.
+
+    Scoring a corpus the model was not trained on needs <unk>/backoff
+    handling, done so Σ P(·|w₁) stays EXACTLY 1 (pinned in
+    tests/test_kn_lm.py): the continuation distribution is add-one
+    smoothed over V+1 outcomes (V = distinct target continuations, +1
+    = the reserved <unk> type every target-OOV word maps to):
+
+        P'_cont(w₂) = (N₁₊(·w₂) + 1) / (N₁₊(··) + V + 1)   [OOV: N₁₊=0]
+        P(w₂|w₁)    = max(c(w₁w₂)−D, 0)/c(w₁) + λ(w₁)·P'_cont(w₂)
+                      if c(w₁) > 0, else P'_cont(w₂)
+
+    The discounted mass telescopes exactly as in standard KN (the seen
+    terms sum to 1−λ, the smoothed continuation sums to 1), and the
+    unseen-context arm is itself a proper distribution, so every
+    conditional normalizes — and P > 0 totally, since the smoothed
+    continuation floor is ≥ 1/(N₁₊(··)+V+1).
+
+    Scale shape: identical cost contract to the self-trained operator —
+    the target's bigram-TYPE relation is localCheckpointed (its three
+    vocabulary-bounded rollups and the scoring join all consume it; the
+    cut holds corpus passes at two: model build + scoring), scoring
+    joins key on w₁ / (w₁,w₂) / w₂ against type-sized relations, and
+    corpus-sized relations never meet. An empty target slice degrades
+    totally: every score falls to the uniform floor (P = 1, ppl = 1),
+    no crash. Exactness: all terms forced DOUBLE on both engines, one
+    shared IEEE tree per arm, dec9 log terms, exact-decimal per-doc
+    sums. n_unseen counts bigram instances whose PAIR is outside the
+    target model — the OOV-rate column a curation pass thresholds
+    alongside ppl."""
+    D = KN_DISCOUNT
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "w"),
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    inst = (
+        toks.withColumn("w2", F.lead("w").over(wl))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", "lang", F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("tf"))
+    )
+    ttypes = (
+        inst.filter(F.col("lang") == KN_TARGET_LANG)
+        .groupBy("w1", "w2")
+        .agg(F.sum("tf").alias("c12"))
+        .localCheckpoint()
+    )
+    tctx = ttypes.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_fwd")
+    )
+    tcont = ttypes.groupBy("w2").agg(F.count("*").alias("n_bwd"))
+    ttot = ttypes.agg(
+        F.count("*").alias("n_types"), F.count_distinct("w2").alias("v")
+    )
+    scored = (
+        inst.join(tctx, ["w1"], "left")
+        .join(ttypes, ["w1", "w2"], "left")
+        .join(tcont, ["w2"], "left")
+        .crossJoin(F.broadcast(ttot))
+    )
+    pcont = (F.coalesce(F.col("n_bwd"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("n_types").cast("double") + F.col("v").cast("double") + F.lit(1.0)
+    )
+    seen_p = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - F.lit(D),
+            F.lit(0.0),
+        )
+        / F.col("c1").cast("double")
+        + (F.lit(D) * F.col("n_fwd").cast("double") / F.col("c1").cast("double"))
+        * pcont
+    )
+    p = F.when(F.col("c1").isNotNull(), seen_p).otherwise(pcont)
+    term = dec9(F.col("tf").cast("double") * F.log(p))
+    unseen = F.when(F.col("c12").isNull(), F.col("tf")).otherwise(F.lit(0))
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(unseen).cast("long").alias("n_unseen"),
+        F.sum(term).alias("s"),
+    )
+    nll = -(F.col("s").cast("double")) / F.col("n_bigrams").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "n_unseen",
+        F.round(nll, 6).alias("nll_per_bigram"),
+        F.round(F.exp(nll), 4).alias("ppl"),
+    )
+
+
+_SQL_KN_PCONT = (
+    "(CAST(COALESCE(n_bwd, 0) AS DOUBLE) + 1.0)"
+    " / (CAST(n_types AS DOUBLE) + CAST(v AS DOUBLE) + 1.0)"
+)
+
+SQL_TEXT_KN_QUALITY = f"""
+    WITH ls AS (
+        SELECT doc_id, lang, {SQL_TOKENS.format(col="text")} AS arr
+        FROM documents),
+    inst AS MATERIALIZED (
+        SELECT doc_id, lang, arr[i] AS w1, arr[i + 1] AS w2,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM ls, LATERAL UNNEST(generate_series(1, LEN(arr) - 1)) t(i)
+        GROUP BY 1, 2, 3, 4),
+    ttypes AS MATERIALIZED (
+        SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12
+        FROM inst WHERE lang = '{KN_TARGET_LANG}' GROUP BY w1, w2),
+    tctx AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n_fwd
+        FROM ttypes GROUP BY w1),
+    tcont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_bwd
+        FROM ttypes GROUP BY w2),
+    ttot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                    CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM ttypes),
+    scored AS (
+        SELECT i.doc_id, i.lang, i.tf, t.c12, c.c1, c.n_fwd, n.n_bwd,
+               tt.n_types, tt.v
+        FROM inst i
+        LEFT JOIN tctx c ON i.w1 = c.w1
+        LEFT JOIN ttypes t ON i.w1 = t.w1 AND i.w2 = t.w2
+        LEFT JOIN tcont n ON i.w2 = n.w2
+        CROSS JOIN ttot tt),
+    per_doc AS (
+        SELECT doc_id, lang, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN c12 IS NULL THEN tf ELSE 0 END)
+                    AS BIGINT) AS n_unseen,
+               SUM(CAST(ROUND(CAST(tf AS DOUBLE) * LN(
+                   CASE WHEN c1 IS NOT NULL THEN
+                       GREATEST(CAST(COALESCE(c12, 0) AS DOUBLE)
+                                - {KN_DISCOUNT}, 0.0)
+                           / CAST(c1 AS DOUBLE)
+                       + ({KN_DISCOUNT} * CAST(n_fwd AS DOUBLE)
+                          / CAST(c1 AS DOUBLE))
+                         * {_SQL_KN_PCONT}
+                   ELSE {_SQL_KN_PCONT}
+                   END), 9) AS DECIMAL(28,9))) AS s
+        FROM scored GROUP BY 1, 2)
+    SELECT doc_id, lang, n_bigrams, n_unseen,
+           ROUND(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+               AS nll_per_bigram,
+           ROUND(EXP(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 4)
+               AS ppl
+    FROM per_doc
+"""
+
+
 QUERIES = {
+    "text_kn_quality": Query(q_text_kn_quality, SQL_TEXT_KN_QUALITY),
     "text_kn_perplexity": Query(q_text_kn_perplexity, SQL_TEXT_KN_PERPLEXITY),
     "text_rake_keywords": Query(q_text_rake_keywords, SQL_TEXT_RAKE),
     "text_c4_rules": Query(q_text_c4_rules, SQL_TEXT_C4_RULES),

@@ -45,6 +45,10 @@ TARGETS = (
     # r8: cross-doc line dedup (driver fixture has no byte-equal lines;
     # the fuzz repeated-token corpora do) and the CCNet partition
     "text_line_dedup", "text_ccnet_buckets",
+    # r10: both KN LMs — the fuzz corpora's random langs produce tiny /
+    # empty en target slices and heavy OOV, exactly the backoff arms the
+    # driver fixture exercises only lightly
+    "text_kn_perplexity", "text_kn_quality",
 )
 
 _CHARS = (

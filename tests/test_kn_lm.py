@@ -76,3 +76,110 @@ def test_kn_matches_pure_python_and_normalizes(spark, sf_dir):
         # Σ_all P_cont = 1 only over continuations that ever occur;
         # vocab words that never appear as a second word contribute 0
         assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
+def _target_model(docs_by_lang):
+    """Pure-Python target-trained KN model (text_kn_quality spec)."""
+    c12: dict = {}
+    for (lang, toks) in docs_by_lang:
+        if lang != "en":
+            continue
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict = {}
+    n_fwd: dict = {}
+    n_bwd: dict = {}
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        n_fwd[a] = n_fwd.get(a, 0) + 1
+        n_bwd[b] = n_bwd.get(b, 0) + 1
+    n_types = len(c12)
+    v = len(n_bwd)
+    return c12, c1, n_fwd, n_bwd, n_types, v
+
+
+def _pq(w1, w2, m):
+    c12, c1, n_fwd, n_bwd, n_types, v = m
+    pcont = (n_bwd.get(w2, 0) + 1.0) / (n_types + v + 1.0)
+    if w1 not in c1:
+        return pcont
+    lam = KN_DISCOUNT * n_fwd[w1] / c1[w1]
+    return max(c12.get((w1, w2), 0) - KN_DISCOUNT, 0) / c1[w1] + lam * pcont
+
+
+def test_kn_quality_matches_pure_python_rebuild(spark, sf_dir):
+    """Independent reference for the target-trained (CCNet-semantics)
+    variant: train on the en slice in pure Python, score every doc with
+    the <unk>-floored formula, compare per-doc outputs."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_kn_quality,
+    )
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .collect()
+    )
+    docs = [(r["doc_id"], r["lang"], r["toks"]) for r in rows]
+    m = _target_model([(lang, toks) for _, lang, toks in docs])
+    got = {
+        r["doc_id"]: r for r in q_text_kn_quality(spark, sf_dir).collect()
+    }
+    c12 = m[0]
+    n_checked = n_oov_docs = 0
+    for doc_id, lang, toks in docs:
+        bigrams = list(zip(toks, toks[1:]))
+        if not bigrams:
+            assert doc_id not in got
+            continue
+        nll = -sum(
+            round(math.log(_pq(a, b, m)), 9) for a, b in bigrams
+        ) / len(bigrams)
+        n_unseen = sum(1 for a, b in bigrams if (a, b) not in c12)
+        r = got[doc_id]
+        assert r["n_bigrams"] == len(bigrams)
+        assert r["n_unseen"] == n_unseen
+        assert abs(r["nll_per_bigram"] - nll) < 1e-5, doc_id
+        assert abs(r["ppl"] - math.exp(nll)) < 1e-2, doc_id
+        n_checked += 1
+        n_oov_docs += n_unseen > 0
+    assert n_checked > 0
+    # the corpus must actually exercise the unseen-pair arm
+    assert n_oov_docs > 0
+
+
+def test_kn_quality_normalizes_including_unk(spark, sf_dir):
+    """Σ P(·|w₁) = 1 EXACTLY over vocab ∪ {<unk>} for both arms: a seen
+    target context (discount telescoping + smoothed continuation) and
+    an OOV context (the pure smoothed-continuation distribution)."""
+    rows = (
+        load(spark, sf_dir, "documents")
+        .select("lang", tokens(F.col("text")).alias("toks"))
+        .collect()
+    )
+    m = _target_model([(r["lang"], r["toks"]) for r in rows])
+    c12, c1, n_fwd, n_bwd, n_types, v = m
+    # every P'_cont outcome: the V seen continuations plus one <unk>
+    outcomes = sorted(n_bwd) + ["<UNK-NEVER-A-TOKEN>"]
+    for w1 in sorted(c1)[:5]:
+        total = sum(_pq(w1, w2, m) for w2 in outcomes)
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+    total = sum(_pq("<OOV-CONTEXT>", w2, m) for w2 in outcomes)
+    assert abs(total - 1.0) < 1e-9, total
+
+
+def test_kn_quality_target_slice_scores_better(spark, sf_dir):
+    """The VERDICT r10 acceptance test: in-domain (en) docs must score
+    a lower mean perplexity than off-domain docs under the en-trained
+    LM — the whole point of the CCNet construction."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_kn_quality,
+    )
+
+    rows = q_text_kn_quality(spark, sf_dir).collect()
+    en = [r["ppl"] for r in rows if r["lang"] == "en"]
+    other = [r["ppl"] for r in rows if r["lang"] != "en"]
+    assert en and other
+    assert sum(en) / len(en) < sum(other) / len(other)
+    # and the en slice is never OOV against its own model
+    assert all(r["n_unseen"] == 0 for r in rows if r["lang"] == "en")

@@ -1308,3 +1308,16 @@ def test_waiting_supplier_single_orderkey_exchange(spark, sf_dir):
     assert "EqualTo(o_orderstatus,F)" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_kn_quality_single_scan_after_model_cut(spark, sf_dir):
+    """Target-trained KN: same cost contract as the self-trained
+    operator — the final plan reads documents ONCE (the scoring pass);
+    the target model side reads the checkpointed vocabulary-bounded
+    type relation, never re-tokenizing the corpus."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_kn_quality,
+    )
+
+    plan = formatted_plan(q_text_kn_quality(spark, sf_dir))
+    assert plan.count("documents.parquet") <= 1, plan
