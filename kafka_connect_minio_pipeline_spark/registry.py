@@ -55,6 +55,7 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.operators.similarity",
     "kafka_connect_minio_pipeline_spark.operators.dedup",
     "kafka_connect_minio_pipeline_spark.operators.timeseries",
+    "kafka_connect_minio_pipeline_spark.operators.layout",
     "kafka_connect_minio_pipeline_spark.operators.llmdata",
     "kafka_connect_minio_pipeline_spark.pipeline.queries",
     "kafka_connect_minio_pipeline_spark.streaming.queries",

@@ -1,0 +1,105 @@
+"""Z-order layout operators: pure-Python Morton reference, the
+multi-dimensional pruning property, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_connect_minio_pipeline_spark.operators.layout import (
+    ZBITS,
+    ZFILES_SHIFT,
+    q_layout_zorder_key,
+    q_layout_zorder_pruning,
+)
+from kafka_connect_minio_pipeline_spark.plans.explain import formatted_plan
+from kafka_connect_minio_pipeline_spark.tables import load
+
+
+def _morton(u8: int, t8: int) -> int:
+    z = 0
+    for i in range(ZBITS):
+        z |= ((u8 >> i) & 1) << (2 * i + 1)
+        z |= ((t8 >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_key_matches_pure_python(spark, sf_dir):
+    """Independent reference: rebuild every key from the raw events in
+    pure Python (min-max bucket, bit interleave) and compare."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tm"),
+        )
+        .collect()
+    )
+    lv = 1 << ZBITS
+    min_u = min(r["user_id"] for r in rows)
+    max_u = max(r["user_id"] for r in rows)
+    min_t = min(r["tm"] for r in rows)
+    max_t = max(r["tm"] for r in rows)
+    want = {}
+    for r in rows:
+        u8 = (r["user_id"] - min_u) * lv // (max_u - min_u + 1)
+        t8 = (r["tm"] - min_t) * lv // (max_t - min_t + 1)
+        z = _morton(u8, t8)
+        lk = u8 * lv + t8
+        want[r["event_id"]] = (z, lk, z >> ZFILES_SHIFT, lk >> ZFILES_SHIFT)
+    got = {
+        r["event_id"]: (r["zkey"], r["lkey"], r["file_z"], r["file_lin"])
+        for r in q_layout_zorder_key(spark, sf_dir).collect()
+    }
+    assert got == want
+    # structural bounds: 2·ZBITS-bit keys, FILE ids inside the grid
+    for z, lk, fz, fl in got.values():
+        assert 0 <= z < (1 << (2 * ZBITS))
+        assert 0 <= lk < (1 << (2 * ZBITS))
+        assert 0 <= fz < (1 << (2 * ZBITS - ZFILES_SHIFT))
+        assert 0 <= fl < (1 << (2 * ZBITS - ZFILES_SHIFT))
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir):
+    """The property that justifies the layout: the linear (user-major)
+    key prunes the user point near-perfectly but the time range not at
+    all; Z-order prunes BOTH — strictly better than linear on the time
+    range, while linear stays at least as good on the pure point."""
+    got = {
+        (r["layout"], r["predicate"]): r
+        for r in q_layout_zorder_pruning(spark, sf_dir).collect()
+    }
+    # linear: time spread across every file → zero range pruning
+    assert got[("linear", "ts_range")]["frac_pruned"] == 0.0
+    # z-order: real pruning on the range linear can't touch
+    assert (
+        got[("zorder", "ts_range")]["frac_pruned"]
+        > got[("linear", "ts_range")]["frac_pruned"]
+    )
+    assert got[("zorder", "ts_range")]["frac_pruned"] >= 0.5
+    # the trade: linear is at least as good on the pure user point
+    assert (
+        got[("linear", "user_point")]["files_hit"]
+        <= got[("zorder", "user_point")]["files_hit"]
+    )
+    # but z-order still prunes the point well (~sqrt density)
+    assert got[("zorder", "user_point")]["frac_pruned"] >= 0.5
+    # zone-map sanity: hits are conservative, never zero, never > total
+    for r in got.values():
+        assert 1 <= r["files_hit"] <= r["files_total"]
+
+
+def test_layout_plan_shapes(spark, sf_dir):
+    """Key relation: a narrow map — no shuffle beyond the broadcast
+    1-row consts (two events scans: data + min/max; at 100 TB the
+    second comes from table stats). Pruning eval: the stacked stats are
+    the ONLY data-sized exchange; everything after is model-sized."""
+    plan = formatted_plan(q_layout_zorder_key(spark, sf_dir))
+    assert "hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+    assert plan.count("events.parquet") == 2, plan
+
+    plan = formatted_plan(q_layout_zorder_pruning(spark, sf_dir))
+    # one (layout,file) stats exchange + one per-layout rollup exchange
+    assert plan.count("hashpartitioning") == 2, plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan, plan
