@@ -32,6 +32,10 @@ from ..tables import load
 
 ZBITS = 8  # bits per dimension → 16-bit Morton key, 256×256 grid
 ZFILES_SHIFT = 10  # 16-bit key DIV 2^10 → 64 value-range "files"
+_N = 1 << ZBITS  # grid side
+_XOR3 = "(3 * {rx} + {ry} - 2 * {rx} * {ry})"  # (3·rx)^ry for bits — no XOR op
+# (DuckDB's ^ is POWER and its xor() is a function; Spark's is ^ — one
+# arithmetic identity sidesteps the operator divergence entirely)
 
 
 def _interleave_spark(u: str, t: str) -> str:
@@ -53,6 +57,57 @@ def _interleave_duck(u: str, t: str) -> str:
     )
 
 
+def _hilbert_round_exprs(b: int) -> dict[str, str]:
+    """One unrolled round of the standard Hilbert xy2d walk (the
+    Wikipedia/Warren loop, bit ``b`` from high to low): accumulate the
+    quadrant's area onto ``hd``, then reflect-and-swap the frame. The
+    three updates are simultaneous (computed from the PREVIOUS round's
+    hx/hy/hd), which is exactly ``withColumns`` semantics."""
+    s = 1 << b
+    rx = f"(shiftright(hx, {b}) & 1)"
+    ry = f"(shiftright(hy, {b}) & 1)"
+    xor3 = _XOR3.format(rx=rx, ry=ry)
+    return {
+        "hd": f"hd + {s * s} * {xor3}",
+        "hx": (
+            f"CASE WHEN {ry} = 0 THEN"
+            f" CASE WHEN {rx} = 1 THEN {_N - 1} - hy ELSE hy END"
+            f" ELSE hx END"
+        ),
+        "hy": (
+            f"CASE WHEN {ry} = 0 THEN"
+            f" CASE WHEN {rx} = 1 THEN {_N - 1} - hx ELSE hx END"
+            f" ELSE hy END"
+        ),
+    }
+
+
+def _hilbert_rounds_duck(src: str, carry: str) -> str:
+    """DuckDB twin: ZBITS chained CTEs ``hr1..hr{ZBITS}`` rolling the
+    same reflect-swap-accumulate state from CTE ``src`` (which must
+    expose hx, hy, hd plus the ``carry`` columns)."""
+    ctes = [f"hr0 AS (SELECT {carry}, hx, hy, hd FROM {src})"]
+    for i in range(ZBITS):
+        b = ZBITS - 1 - i
+        s = 1 << b
+        rx = f"((hx >> {b}) & 1)"
+        ry = f"((hy >> {b}) & 1)"
+        xor3 = _XOR3.format(rx=rx, ry=ry)
+        ctes.append(
+            f"""hr{i + 1} AS (
+        SELECT {carry},
+               CASE WHEN {ry} = 0 THEN
+                    CASE WHEN {rx} = 1 THEN {_N - 1} - hy ELSE hy END
+                    ELSE hx END AS hx,
+               CASE WHEN {ry} = 0 THEN
+                    CASE WHEN {rx} = 1 THEN {_N - 1} - hx ELSE hx END
+                    ELSE hy END AS hy,
+               hd + {s * s} * {xor3} AS hd
+        FROM hr{i})"""
+        )
+    return ",\n    ".join(ctes)
+
+
 def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with both layout keys: per row the Z-order key ``zkey``
     (Morton interleave of min-max-bucketed user_id × epoch-micros) and
@@ -71,7 +126,7 @@ def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tm").alias("max_t"),
     )
     lv = 1 << ZBITS
-    return (
+    enc = (
         ev.crossJoin(F.broadcast(consts))
         .withColumn(
             "u8",
@@ -80,7 +135,19 @@ def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "t8", F.expr(f"((tm - min_t) * {lv}) div (max_t - min_t + 1)")
         )
-        .select(
+        .withColumn("hx", F.col("u8"))
+        .withColumn("hy", F.col("t8"))
+        .withColumn("hd", F.lit(0).cast("long"))
+    )
+    # ZBITS unrolled Hilbert rounds — simultaneous narrow projections;
+    # Catalyst collapses the chain into one codegen stage
+    for i in range(ZBITS):
+        b = ZBITS - 1 - i
+        enc = enc.withColumns(
+            {k: F.expr(v) for k, v in _hilbert_round_exprs(b).items()}
+        )
+    return (
+        enc.select(
             "event_id",
             "user_id",
             "tm",
@@ -90,11 +157,15 @@ def _encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_t",
             F.expr(_interleave_spark("u8", "t8")).alias("zkey"),
             F.expr(f"u8 * {lv} + t8").alias("lkey"),
+            F.col("hd").alias("hkey"),
         )
         .withColumn("file_z", F.expr(f"zkey div {1 << ZFILES_SHIFT}"))
         .withColumn("file_lin", F.expr(f"lkey div {1 << ZFILES_SHIFT}"))
+        .withColumn("file_h", F.expr(f"hkey div {1 << ZFILES_SHIFT}"))
     )
 
+
+_ENC_CARRY = "event_id, user_id, tm, min_u, max_u, min_t, max_t, u8, t8"
 
 _SQL_ENC = f"""
     ev AS (
@@ -108,11 +179,16 @@ _SQL_ENC = f"""
                ((user_id - min_u) * {1 << ZBITS}) // (max_u - min_u + 1) AS u8,
                ((tm - min_t) * {1 << ZBITS}) // (max_t - min_t + 1) AS t8
         FROM ev CROSS JOIN consts),
+    hseed AS (
+        SELECT {_ENC_CARRY}, u8 AS hx, t8 AS hy, CAST(0 AS BIGINT) AS hd
+        FROM bucketed),
+    {_hilbert_rounds_duck("hseed", _ENC_CARRY)},
     enc AS MATERIALIZED (
-        SELECT event_id, user_id, tm, min_u, max_u, min_t, max_t,
+        SELECT {_ENC_CARRY},
                {_interleave_duck("u8", "t8")} AS zkey,
-               u8 * {1 << ZBITS} + t8 AS lkey
-        FROM bucketed)
+               u8 * {1 << ZBITS} + t8 AS lkey,
+               hd AS hkey
+        FROM hr{ZBITS})
 """
 
 
@@ -149,13 +225,57 @@ SQL_LAYOUT_ZORDER_KEY = f"""
 """
 
 
+def q_layout_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hilbert layout key relation: per event, position ``hkey`` on
+    the order-ZBITS Hilbert curve over the same bucketed
+    (user_id, ts) grid as :func:`q_layout_zorder_key`, plus its
+    value-range file id. Hilbert dominates Morton on locality — every
+    unit step of the curve moves exactly one grid cell (no Z-shaped
+    jumps across half the space), so equal-size key ranges cover
+    tighter rectangles; the unit-step bijection is pinned exhaustively
+    in tests/test_layout.py.
+
+    Implementation: the standard xy2d walk (reflect-swap-accumulate
+    per bit, Morton's era algebra as popularized in Warren, Hacker's
+    Delight §16) unrolled into ZBITS simultaneous narrow projections —
+    Catalyst collapses the chain into the same single codegen stage as
+    the Morton interleave, and DuckDB replays it as chained CTEs with
+    identical integer arithmetic (the (3rx)^ry quadrant index is
+    computed as 3rx + ry − 2·rx·ry so no engine-specific XOR operator
+    is involved). Same scale shape as the Z-order key: narrow map plus
+    the broadcast 1-row consts.
+
+    In the pruning eval both curves score IDENTICALLY — at power-of-4
+    file granularity (2^ZFILES_SHIFT = 4^5 cells/file) every file of
+    either curve is an exact 32×32 sub-square, so the zone maps
+    coincide. The curves differ in file ADJACENCY (consecutive Hilbert
+    files are edge-adjacent squares; consecutive Morton files can jump
+    across half the grid), which matters for multi-file range scans
+    and is what the unit-step test demonstrates."""
+    return _encoded(spark, sf_dir).select(
+        "event_id",
+        F.col("hkey").cast("int").alias("hkey"),
+        F.col("file_h").cast("int").alias("file_h"),
+    )
+
+
+SQL_LAYOUT_HILBERT_KEY = f"""
+    WITH {_SQL_ENC}
+    SELECT event_id,
+           CAST(hkey AS INTEGER) AS hkey,
+           CAST(hkey // {1 << ZFILES_SHIFT} AS INTEGER) AS file_h
+    FROM enc
+"""
+
+
 def q_layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-skipping eval: fraction of value-range files a min/max zone
-    map prunes under the Z-order layout vs the linear (user-major)
-    layout, for three predicate shapes — a user point lookup, a time
-    range, and their conjunction. One row per (layout, predicate) with
-    files_total / files_hit / frac_pruned: the measure-before-you-sort
-    artifact justifying a Z-order rewrite of a 100 TB table.
+    map prunes under the Z-order and Hilbert layouts vs the linear
+    (user-major) layout, for three predicate shapes — a user point
+    lookup, a time range, and their conjunction. One row per
+    (layout, predicate) with files_total / files_hit / frac_pruned: the
+    measure-before-you-sort artifact justifying a space-filling-curve
+    rewrite of a 100 TB table.
 
     Predicate literals derive from the same min/max consts (midpoint
     user; the middle 1/8 of the time span) so the eval is deterministic
@@ -174,7 +294,8 @@ def q_layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = _encoded(spark, sf_dir)
     stacked = enc.select(
         F.expr(
-            "stack(2, 'zorder', file_z, 'linear', file_lin)"
+            "stack(3, 'zorder', file_z, 'hilbert', file_h,"
+            " 'linear', file_lin)"
         ).alias("layout", "file"),
         "user_id",
         "tm",
@@ -252,6 +373,10 @@ SQL_LAYOUT_ZORDER_PRUNING = f"""
                user_id, tm, min_u, max_u, min_t, max_t
         FROM enc
         UNION ALL
+        SELECT 'hilbert', hkey // {1 << ZFILES_SHIFT},
+               user_id, tm, min_u, max_u, min_t, max_t
+        FROM enc
+        UNION ALL
         SELECT 'linear', lkey // {1 << ZFILES_SHIFT},
                user_id, tm, min_u, max_u, min_t, max_t
         FROM enc),
@@ -299,6 +424,9 @@ SQL_LAYOUT_ZORDER_PRUNING = f"""
 
 QUERIES = {
     "layout_zorder_key": Query(q_layout_zorder_key, SQL_LAYOUT_ZORDER_KEY),
+    "layout_hilbert_key": Query(
+        q_layout_hilbert_key, SQL_LAYOUT_HILBERT_KEY
+    ),
     "layout_zorder_pruning": Query(
         q_layout_zorder_pruning, SQL_LAYOUT_ZORDER_PRUNING
     ),

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from kafka_connect_minio_pipeline_spark.operators.layout import (
     ZBITS,
     ZFILES_SHIFT,
+    q_layout_hilbert_key,
     q_layout_zorder_key,
     q_layout_zorder_pruning,
 )
@@ -60,6 +61,72 @@ def test_zorder_key_matches_pure_python(spark, sf_dir):
         assert 0 <= fl < (1 << (2 * ZBITS - ZFILES_SHIFT))
 
 
+def _hilbert_ref(x: int, y: int) -> int:
+    """Reference Hilbert xy2d (the standard reflect-swap loop)."""
+    n = 1 << ZBITS
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_is_a_unit_step_bijection():
+    """The property that makes Hilbert the locality gold standard,
+    checked exhaustively on the full grid in pure Python: xy2d is a
+    bijection onto [0, n²) and every consecutive curve position moves
+    EXACTLY one grid cell (Morton's Z jumps can cross half the grid)."""
+    n = 1 << ZBITS
+    pos = {}
+    for x in range(n):
+        for y in range(n):
+            pos[_hilbert_ref(x, y)] = (x, y)
+    assert len(pos) == n * n
+    assert set(pos) == set(range(n * n))
+    for d in range(1, n * n):
+        (x0, y0), (x1, y1) = pos[d - 1], pos[d]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, d
+
+
+def test_hilbert_key_matches_pure_python(spark, sf_dir):
+    """Independent reference: rebuild every Hilbert key from the raw
+    events (same min-max bucketing as the Morton test, then the
+    reference xy2d walk) and compare to the unrolled dataflow."""
+    rows = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tm"),
+        )
+        .collect()
+    )
+    lv = 1 << ZBITS
+    min_u = min(r["user_id"] for r in rows)
+    max_u = max(r["user_id"] for r in rows)
+    min_t = min(r["tm"] for r in rows)
+    max_t = max(r["tm"] for r in rows)
+    want = {}
+    for r in rows:
+        u8 = (r["user_id"] - min_u) * lv // (max_u - min_u + 1)
+        t8 = (r["tm"] - min_t) * lv // (max_t - min_t + 1)
+        h = _hilbert_ref(u8, t8)
+        want[r["event_id"]] = (h, h >> ZFILES_SHIFT)
+    got = {
+        r["event_id"]: (r["hkey"], r["file_h"])
+        for r in q_layout_hilbert_key(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_zorder_prunes_both_dimensions(spark, sf_dir):
     """The property that justifies the layout: the linear (user-major)
     key prunes the user point near-perfectly but the time range not at
@@ -84,6 +151,13 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir):
     )
     # but z-order still prunes the point well (~sqrt density)
     assert got[("zorder", "user_point")]["frac_pruned"] >= 0.5
+    # at power-of-4 file granularity both curves tile the SAME exact
+    # sub-squares, so hilbert's zone maps must equal zorder's
+    for pred in ("user_point", "ts_range", "point_and_range"):
+        assert (
+            got[("hilbert", pred)]["files_hit"]
+            == got[("zorder", pred)]["files_hit"]
+        ), pred
     # zone-map sanity: hits are conservative, never zero, never > total
     for r in got.values():
         assert 1 <= r["files_hit"] <= r["files_total"]
