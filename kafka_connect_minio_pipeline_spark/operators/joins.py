@@ -1254,7 +1254,93 @@ SQL_JOIN_WAITING_SUPPLIER = f"""
 """
 
 
+Q19_ARMS = (
+    # (brand, max_size, qty_lo, qty_hi) — brand-disjoint, so arm
+    # attribution is exact and the output is one row per matched arm
+    ("Brand#1", 20, 1, 15),
+    ("Brand#2", 30, 10, 25),
+    ("Brand#3", 40, 20, 35),
+)
+
+
+def q_join_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style discounted revenue under an OR-of-ANDs predicate
+    spanning BOTH join sides: three (brand, size-band, quantity-band)
+    arms, revenue and item count per matched arm. The shape exists to
+    exercise disjunctive predicate handling — no single conjunct can be
+    pushed below the join, because every condition lives under an OR
+    whose arms mix part columns with lineitem columns.
+
+    Scale shape: Catalyst cannot derive cross-side implied filters from
+    a disjunction, so the operator pushes them EXPLICITLY — the
+    lineitem scan gets the quantity hull [min lo, max hi], the part
+    scan gets the brand IN-set and the size hull (both redundant with
+    the OR, both pinned in PushedFilters by tests/test_plans.py) —
+    at 100 TB that is the difference between scanning the fact table
+    and scanning the ~3-brand slice of it after row-group pruning.
+    part is broadcast; the full OR evaluates once on the joined row.
+    Exactness: cent-exact decimal revenue sums, exact counts."""
+    qty_lo = min(a[2] for a in Q19_ARMS)
+    qty_hi = max(a[3] for a in Q19_ARMS)
+    size_hi = max(a[1] for a in Q19_ARMS)
+    brands = [a[0] for a in Q19_ARMS]
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(qty_lo, qty_hi)  # implied hull
+    )
+    pt = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(brands)
+        & F.col("p_size").between(1, size_hi)  # implied hull
+    )
+    arm = None
+    for b, sz, lo, hi in Q19_ARMS:
+        cond = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, sz)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        arm = cond if arm is None else (arm | cond)
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm)
+        .groupBy(F.col("p_brand").alias("arm_brand"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _q19_sql() -> str:
+    qty_lo = min(a[2] for a in Q19_ARMS)
+    qty_hi = max(a[3] for a in Q19_ARMS)
+    size_hi = max(a[1] for a in Q19_ARMS)
+    brands = ", ".join(f"'{a[0]}'" for a in Q19_ARMS)
+    arms = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {sz}"
+        f" AND l_quantity BETWEEN {lo} AND {hi})"
+        for b, sz, lo, hi in Q19_ARMS
+    )
+    return f"""
+    SELECT p_brand AS arm_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({_SQL_REV_TERM}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity BETWEEN {qty_lo} AND {qty_hi}
+      AND p_brand IN ({brands}) AND p_size BETWEEN 1 AND {size_hi}
+      AND ({arms})
+    GROUP BY 1
+"""
+
+
+SQL_JOIN_DISJUNCTIVE_REVENUE = _q19_sql()
+
+
 QUERIES = {
+    "join_disjunctive_revenue": Query(
+        q_join_disjunctive_revenue, SQL_JOIN_DISJUNCTIVE_REVENUE
+    ),
     "join_order_count_dist": Query(
         q_join_order_count_dist, SQL_JOIN_ORDER_COUNT_DIST
     ),

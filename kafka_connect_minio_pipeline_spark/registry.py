@@ -67,25 +67,27 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-9:   round-10 new/changed — NEW: the TPC-H closing pair
+#   1-10:  round-10 new/changed — NEW: the TPC-H closing trio
 #          join_order_count_dist (Q13 left-join histogram) /
-#          join_waiting_supplier (Q21 only-late-supplier decorrelation),
-#          text_kn_quality (target-trained CCNet-semantics KN filter),
-#          and the space-filling-curve layout trio layout_zorder_key /
-#          layout_hilbert_key / layout_zorder_pruning;
+#          join_waiting_supplier (Q21 only-late-supplier decorrelation) /
+#          join_disjunctive_revenue (Q19 cross-side OR with explicit
+#          implied-hull pushdown), text_kn_quality (target-trained
+#          CCNet-semantics KN filter), and the space-filling-curve
+#          layout trio layout_zorder_key / layout_hilbert_key /
+#          layout_zorder_pruning;
 #          CHANGED: agg_ks_test / agg_chisq (double-cast before the
 #          count product — one IEEE tree both engines, ADVICE r9) and
 #          graph_hits (oracle edges CTE AS MATERIALIZED, ADVICE r9).
-#  10-50: the 10 remaining round-4-vintage rows (scalar_array /
+#  11-50: the 10 remaining round-4-vintage rows (scalar_array /
 #          scalar_conditional / scalar_date + the seven window-family
-#          rows) — the r4 vintage CLEARS — then 31 of the 50
+#          rows) — the r4 vintage CLEARS — then 30 of the 50
 #          round-5-vintage rows (agg moment/shape cohort, graph r5
-#          batch, ts r5 batch, rolling median, kmeans family,
-#          cdc/stream pair, scalar_bitwise, udf_grouped_znorm). The 19
-#          r5 rows left (corpus_*, dedup eval quartet, llm transforms,
-#          multimodal wav/errors, pipeline_dq_checks, text r5 five,
-#          window_rolling_slope) front the r11 backfill; all stay
-#          under the local parity net.
+#          batch, ts r5 batch, kmeans family, cdc/stream pair,
+#          scalar_bitwise, udf_grouped_znorm). The 20 r5 rows left
+#          (corpus_*, dedup eval quartet, llm transforms, multimodal
+#          wav/errors, pipeline_dq_checks, text r5 five, the rolling
+#          window pair) front the r11 backfill; all stay under the
+#          local parity net.
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
@@ -93,6 +95,7 @@ _GRADE_FIRST = (
     # 1-8: round-10 new/changed
     "join_order_count_dist",
     "join_waiting_supplier",
+    "join_disjunctive_revenue",
     "text_kn_quality",
     "layout_zorder_key",
     "layout_hilbert_key",
@@ -142,7 +145,6 @@ _GRADE_FIRST = (
     "ts_survival",
     "ts_week_over_week",
     "udf_grouped_znorm",
-    "window_rolling_median",
 )
 
 

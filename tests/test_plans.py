@@ -1321,3 +1321,19 @@ def test_kn_quality_single_scan_after_model_cut(spark, sf_dir):
 
     plan = formatted_plan(q_text_kn_quality(spark, sf_dir))
     assert plan.count("documents.parquet") <= 1, plan
+
+
+def test_disjunctive_revenue_pushes_implied_hulls(spark, sf_dir):
+    """Q19 analog: Catalyst cannot derive per-side filters from the
+    cross-side OR, so the operator pushes the implied hulls explicitly —
+    the quantity hull must reach the lineitem scan and the brand IN-set
+    + size hull the part scan (PushedFilters), with part broadcast."""
+    plan = formatted_plan(joins.q_join_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    li = next(ln for ln in pushed if "quantity" in ln)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in li, li
+    assert "LessThanOrEqual(l_quantity,35.0)" in li, li
+    pt = next(ln for ln in pushed if "p_brand" in ln)
+    assert "In(p_brand, [Brand#1,Brand#2,Brand#3])" in pt, pt
+    assert "LessThanOrEqual(p_size,40)" in pt, pt
