@@ -2115,7 +2115,77 @@ SQL_AGG_MANN_WHITNEY = f"""
 """
 
 
+PROMO_MONTH = ("1996-03-01", "1996-04-01")  # Q14's one-month window
+
+
+def q_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: the share of one month's revenue that came from
+    promotional parts — the conditional-aggregate ratio report
+    (100 · Σ rev[p_type='PROMO'] / Σ rev).
+
+    Scale shape: the month filter pushes to the lineitem scan; part
+    (projected to partkey + the boolean) broadcasts onto the slice; one
+    partial-aggregated fold to a single row — no window, no second
+    pass. Exactness: both sums are exact decimals; the share is one
+    shared IEEE division of their double casts, NULL (not a crash) on
+    an empty month because SUM over zero rows is NULL on both
+    engines."""
+    from ..functions.exact import revenue
+
+    lo, hi = PROMO_MONTH
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp_ntz"))
+    )
+    pt = load(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    rev = revenue(F.col("l_extendedprice"), F.col("l_discount"))
+    joined = li.join(
+        F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")
+    )
+    agg = joined.agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.when(F.col("is_promo"), rev)).alias("promo_rev"),
+        F.sum(rev).alias("total_rev"),
+    )
+    return agg.select(
+        "n_items",
+        F.col("promo_rev").cast("double").alias("promo_revenue"),
+        F.col("total_rev").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(100.0)
+            * F.col("promo_rev").cast("double")
+            / F.col("total_rev").cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+    )
+
+
+SQL_AGG_PROMO_SHARE = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+                CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+                     CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) END)
+                     AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE), 6) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{PROMO_MONTH[0]}'
+      AND l_shipdate <  TIMESTAMP '{PROMO_MONTH[1]}'
+"""
+
+
 QUERIES = {
+    "agg_promo_share": Query(q_agg_promo_share, SQL_AGG_PROMO_SHARE),
     "agg_mann_whitney": Query(q_agg_mann_whitney, SQL_AGG_MANN_WHITNEY),
     "agg_welch_ttest": Query(q_agg_welch_ttest, SQL_AGG_WELCH_TTEST),
     "agg_ks_test": Query(q_agg_ks_test, SQL_AGG_KS_TEST),

@@ -1337,7 +1337,159 @@ def _q19_sql() -> str:
 SQL_JOIN_DISJUNCTIVE_REVENUE = _q19_sql()
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1996-06-30"
+
+
+def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: the top-10 highest-revenue orders not yet shipped as
+    of {Q3_DATE} for the {Q3_SEGMENT} market segment — the date-SPLIT
+    join (orders placed BEFORE the date, lineitems shipped AFTER it),
+    the canonical online-report shape.
+
+    Scale shape: both date filters push to their scans; lineitem's
+    post-date slice collapses to one exact-decimal revenue row per
+    orderkey BELOW the join (the partial-agg-below-join trick — the
+    fact never crosses a join raw, pinned); the segment filter prunes
+    customer before its join with the date-pruned orders; top-10 is
+    TakeOrdered under the total order (revenue desc, o_orderdate,
+    l_orderkey), never a global sort."""
+    d = F.lit(Q3_DATE).cast("timestamp_ntz")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > d)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            F.col("rev").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_JOIN_SHIPPING_PRIORITY = f"""
+    WITH li AS (
+        SELECT l_orderkey, SUM({_SQL_REV_TERM}) AS rev
+        FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_DATE}'
+        GROUP BY l_orderkey)
+    SELECT l_orderkey, CAST(rev AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    WHERE o_orderdate < TIMESTAMP '{Q3_DATE}'
+      AND EXISTS (SELECT 1 FROM customer
+                  WHERE c_custkey = o_custkey
+                    AND c_mktsegment = '{Q3_SEGMENT}')
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+
+Q10_QUARTER = ("1996-01-01", "1996-04-01")
+
+
+def q_join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: the top-20 customers by revenue lost to returned
+    items ('R'-flag lineitems) on orders placed in one quarter — the
+    churn-review report.
+
+    Scale shape: the returnflag filter pushes to the lineitem scan and
+    the slice collapses to per-orderkey exact-decimal revenue BELOW the
+    orders join; the quarter filter pushes to the orders scan; the
+    per-customer rollup happens BEFORE customer attributes join (so
+    the join moves one row per customer, not per order); nation
+    broadcasts; top-20 is TakeOrdered under (revenue desc,
+    c_custkey)."""
+    lo, hi = Q10_QUARTER
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(revenue(F.col("l_extendedprice"), F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+    )
+    per_cust = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    return (
+        per_cust.join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "c_acctbal",
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_JOIN_RETURNED_ITEMS = f"""
+    WITH li AS (
+        SELECT l_orderkey, SUM({_SQL_REV_TERM}) AS rev
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_orderkey),
+    per_cust AS (
+        SELECT o_custkey, SUM(rev) AS rev
+        FROM orders JOIN li ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '{Q10_QUARTER[0]}'
+          AND o_orderdate <  TIMESTAMP '{Q10_QUARTER[1]}'
+        GROUP BY o_custkey)
+    SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+           CAST(rev AS DOUBLE) AS revenue
+    FROM per_cust
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
 QUERIES = {
+    "join_shipping_priority": Query(
+        q_join_shipping_priority, SQL_JOIN_SHIPPING_PRIORITY
+    ),
+    "join_returned_items": Query(
+        q_join_returned_items, SQL_JOIN_RETURNED_ITEMS
+    ),
     "join_disjunctive_revenue": Query(
         q_join_disjunctive_revenue, SQL_JOIN_DISJUNCTIVE_REVENUE
     ),

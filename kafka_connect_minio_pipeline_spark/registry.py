@@ -67,27 +67,31 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-10:  round-10 new/changed — NEW: the TPC-H closing trio
+#   1-13:  round-10 new/changed — NEW: the TPC-H completion batch
 #          join_order_count_dist (Q13 left-join histogram) /
 #          join_waiting_supplier (Q21 only-late-supplier decorrelation) /
 #          join_disjunctive_revenue (Q19 cross-side OR with explicit
-#          implied-hull pushdown), text_kn_quality (target-trained
-#          CCNet-semantics KN filter), and the space-filling-curve
-#          layout trio layout_zorder_key / layout_hilbert_key /
-#          layout_zorder_pruning;
+#          implied-hull pushdown) / join_shipping_priority (Q3
+#          date-split top-k) / join_returned_items (Q10 churn report) /
+#          agg_promo_share (Q14 conditional ratio) — with these, every
+#          TPC-H query whose columns exist in the driver schema is
+#          implemented or shape-subsumed (see SURVEY §2.5) —
+#          text_kn_quality (target-trained CCNet-semantics KN filter),
+#          and the space-filling-curve layout trio layout_zorder_key /
+#          layout_hilbert_key / layout_zorder_pruning;
 #          CHANGED: agg_ks_test / agg_chisq (double-cast before the
 #          count product — one IEEE tree both engines, ADVICE r9) and
 #          graph_hits (oracle edges CTE AS MATERIALIZED, ADVICE r9).
-#  11-50: the 10 remaining round-4-vintage rows (scalar_array /
+#  14-50: the 10 remaining round-4-vintage rows (scalar_array /
 #          scalar_conditional / scalar_date + the seven window-family
-#          rows) — the r4 vintage CLEARS — then 30 of the 50
+#          rows) — the r4 vintage CLEARS — then 27 of the 50
 #          round-5-vintage rows (agg moment/shape cohort, graph r5
 #          batch, ts r5 batch, kmeans family, cdc/stream pair,
-#          scalar_bitwise, udf_grouped_znorm). The 20 r5 rows left
-#          (corpus_*, dedup eval quartet, llm transforms, multimodal
-#          wav/errors, pipeline_dq_checks, text r5 five, the rolling
-#          window pair) front the r11 backfill; all stay under the
-#          local parity net.
+#          scalar_bitwise). The 23 r5 rows left (corpus_*, dedup eval
+#          quartet, llm transforms, multimodal wav/errors,
+#          pipeline_dq_checks, text r5 five, the rolling window pair,
+#          ts_survival/week_over_week, udf_grouped_znorm) front the
+#          r11 backfill; all stay under the local parity net.
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
@@ -96,6 +100,9 @@ _GRADE_FIRST = (
     "join_order_count_dist",
     "join_waiting_supplier",
     "join_disjunctive_revenue",
+    "join_shipping_priority",
+    "join_returned_items",
+    "agg_promo_share",
     "text_kn_quality",
     "layout_zorder_key",
     "layout_hilbert_key",
@@ -142,9 +149,6 @@ _GRADE_FIRST = (
     "ts_forecast_snaive",
     "ts_interpolate",
     "ts_markov",
-    "ts_survival",
-    "ts_week_over_week",
-    "udf_grouped_znorm",
 )
 
 

@@ -1337,3 +1337,45 @@ def test_disjunctive_revenue_pushes_implied_hulls(spark, sf_dir):
     pt = next(ln for ln in pushed if "p_brand" in ln)
     assert "In(p_brand, [Brand#1,Brand#2,Brand#3])" in pt, pt
     assert "LessThanOrEqual(p_size,40)" in pt, pt
+
+
+def test_shipping_priority_shape(spark, sf_dir):
+    """Q3 analog: both date filters reach their scans, the post-date
+    lineitem slice partial-aggregates per orderkey BELOW the join, the
+    segment prune is a semi join, top-10 is TakeOrdered."""
+    plan = formatted_plan(joins.q_join_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "LeftSemi" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThan(l_shipdate" in ln for ln in pushed), pushed
+    assert any("LessThan(o_orderdate" in ln for ln in pushed), pushed
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_returned_items_shape(spark, sf_dir):
+    """Q10 analog: the returnflag filter reaches the lineitem scan, the
+    'R' slice partial-aggregates per orderkey below the orders join,
+    the per-customer rollup happens before customer attributes join,
+    nation broadcasts, top-20 is TakeOrdered."""
+    plan = formatted_plan(joins.q_join_returned_items(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(l_returnflag,R)" in ln for ln in pushed), pushed
+    assert "partial_sum" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_promo_share_single_fold(spark, sf_dir):
+    """Q14 analog: month filter pushed to the lineitem scan, part
+    broadcast, ONE partial-aggregated fold to a single row — no
+    hash-partitioned exchange anywhere."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_promo_share,
+    )
+
+    plan = formatted_plan(q_agg_promo_share(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(l_shipdate" in ln for ln in pushed), pushed
