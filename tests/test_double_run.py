@@ -42,7 +42,10 @@ _STATEFUL = sorted(
              "dedup_cascade_eval", "corpus_split_leakage", "dedup_transitivity_eval",
              "udf_grouped_znorm", "graph_clustering", "sketch_kmv",
              "ts_changepoint",
-             "dedup_threshold_sweep")
+             "dedup_threshold_sweep",
+             # r10: both KN LMs localCheckpoint their bigram-type model
+             # relation — the same staged-lineage class as the above
+             "text_kn_perplexity", "text_kn_quality")
 )
 
 
