@@ -2123,9 +2123,14 @@ def q_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promotional parts — the conditional-aggregate ratio report
     (100 · Σ rev[p_type='PROMO'] / Σ rev).
 
-    Scale shape: the month filter pushes to the lineitem scan; part
-    (projected to partkey + the boolean) broadcasts onto the slice; one
-    partial-aggregated fold to a single row — no window, no second
+    Scale shape: the month filter pushes to the lineitem scan; the join
+    to part (projected to partkey + the boolean) is deliberately left
+    to AQE — unlike Q19's 3-brand slice this projection is the WHOLE
+    part table, which auto-broadcasts at small SF (pinned) but must be
+    allowed to go sort-merge at 100 TB where 200 M parts no longer fit
+    an executor (a forced broadcast() hint here would OOM, the one
+    dimension join in this suite where the hint would be wrong); then
+    one partial-aggregated fold to a single row — no window, no second
     pass. Exactness: both sums are exact decimals; the share is one
     shared IEEE division of their double casts, NULL (not a crash) on
     an empty month because SUM over zero rows is NULL on both
@@ -2141,9 +2146,7 @@ def q_agg_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
     )
     rev = revenue(F.col("l_extendedprice"), F.col("l_discount"))
-    joined = li.join(
-        F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey")
-    )
+    joined = li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
     agg = joined.agg(
         F.count("*").alias("n_items"),
         F.sum(F.when(F.col("is_promo"), rev)).alias("promo_rev"),
