@@ -1183,9 +1183,11 @@ def q_join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     owns it; when the join goes sort-merge (100 TB) the window reuses
     the join's exchange and adds only a sort. Raw lineitem rows never
     cross a join. Final per-supplier count is a supplier-sized
-    aggregate; attributes via broadcast; top-100 by TakeOrdered under
-    the total order (numwait desc, s_name, s_suppkey), never a global
-    sort."""
+    aggregate; the attributes join is left to AQE (both sides
+    supplier-sized — auto-broadcast at small SF, sort-merge at the
+    scale where supplier outgrows the broadcast limit); top-100 by
+    TakeOrdered under the total order (numwait desc, s_name,
+    s_suppkey), never a global sort."""
     prof = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey", "l_suppkey")
@@ -1217,9 +1219,13 @@ def q_join_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = waiting.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+    # attributes join left to AQE: both sides are supplier-sized (counts
+    # ≤ |suppliers|), so it auto-broadcasts at small SF but may go
+    # sort-merge at 100 TB where a billion-supplier table outgrows the
+    # broadcast limit — a forced hint here would kill the job there
     return (
         counts.join(
-            F.broadcast(load(spark, sf_dir, "supplier")),
+            load(spark, sf_dir, "supplier"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "numwait")
