@@ -1284,8 +1284,10 @@ def q_join_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OR, both pinned in PushedFilters by tests/test_plans.py) —
     at 100 TB that is the difference between scanning the fact table
     and scanning the ~3-brand slice of it after row-group pruning.
-    part is broadcast; the full OR evaluates once on the joined row.
-    Exactness: cent-exact decimal revenue sums, exact counts."""
+    The join strategy stays with AQE (the brand slice auto-broadcasts
+    at small SF but is a fixed fraction of part, not bounded); the
+    full OR evaluates once on the joined row. Exactness: cent-exact
+    decimal revenue sums, exact counts."""
     qty_lo = min(a[2] for a in Q19_ARMS)
     qty_hi = max(a[3] for a in Q19_ARMS)
     size_hi = max(a[1] for a in Q19_ARMS)
@@ -1305,8 +1307,12 @@ def q_join_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(lo, hi)
         )
         arm = cond if arm is None else (arm | cond)
+    # join strategy left to AQE: the brand slice auto-broadcasts at
+    # small SF (pinned), but it is a fixed FRACTION of part (~3/25),
+    # not a bounded relation — at the SF where it outgrows the
+    # broadcast limit the join must be free to go sort-merge
     return (
-        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .filter(arm)
         .groupBy(F.col("p_brand").alias("arm_brand"))
         .agg(
