@@ -2187,7 +2187,135 @@ SQL_AGG_PROMO_SHARE = f"""
 """
 
 
+def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) preference query over part: the parts
+    not dominated on (minimize p_retailprice, maximize p_size) — x
+    dominates y iff x is no worse on both dimensions and strictly
+    better on at least one (Börzsönyi, Kossmann & Stocker, ICDE 2001).
+    Same-price-same-size duplicates all survive (no strict edge between
+    them); a same-price larger-size row dominates its smaller peers.
+
+    Spark plan — linear, not the textbook quadratic self-join: (1) parts
+    collapse to one (price, max size) row per DISTINCT price (partial-agg
+    groupBy — the only full-data exchange); (2) one running-max window
+    over that price-level rollup, ordered by price with a rows-frame
+    ending at -1, gives each level the best size among STRICTLY cheaper
+    levels (one row per price ⇒ the previous row really is strictly
+    cheaper); a level survives iff its best size strictly exceeds that
+    prefix max; (3) the surviving frontier (tiny by construction —
+    strictly increasing sizes over increasing prices) broadcasts back to
+    prune the base scan. The unpartitioned window runs over the
+    domain-sized rollup, not the data — the same aggregate-first shape
+    as graph_hits' L1 totals; at extreme price cardinality decompose it
+    (per-bucket max + prefix over buckets + carry-in), the decomposed
+    prefix pattern used for corpus offsets. The DuckDB oracle keeps the
+    textbook NOT EXISTS dominance form, so the grading hash proves the
+    windowed rewrite exact.
+    """
+    part = load(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per_price.withColumn("prev_best", F.max("best_size").over(w))
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_size") > F.col("prev_best"))
+        )
+        .select("p_retailprice", "best_size")
+    )
+    return (
+        part.join(F.broadcast(frontier), ["p_retailprice"])
+        .filter(F.col("p_size") == F.col("best_size"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+SQL_AGG_SKYLINE = """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+# (name, spark type is numeric) — orders columns profiled; timestamps and
+# strings get NULL min/max (cross-engine timestamp/string FORMATTING of
+# extrema is not hash-portable; their null/distinct stats still are).
+_PROFILE_COLS = (
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+)
+
+
+def q_agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling pass over orders — the Deequ/Great-Expectations
+    analyzer shape: per column, non-null count, null count, exact
+    distinct count, and (numeric columns) min/max as doubles.
+
+    Spark plan: ONE aggregate over ONE scan computes every metric for
+    every column simultaneously (count + count_distinct + min + max per
+    column in a single agg); the per-column rows are then unpivoted from
+    the single result row with stack() — driver-sized, no second scan.
+    Multiple exact count-distincts in one aggregate compile to Catalyst's
+    expand operator (one duplicated row-group per distinct aggregate)
+    with partial aggregation below the shuffle — the row multiplier is
+    the profiled-column count, the classic exact-profile cost; at 100 TB
+    swap count_distinct for approx_count_distinct and the expand
+    disappears (single-pass HLL sketches), the documented Deequ
+    trade-off. The oracle is the naive per-column UNION ALL (six scans),
+    so the hash also proves the one-pass fusion semantics-preserving.
+    """
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("_total")]
+    for name, is_num in _PROFILE_COLS:
+        aggs.append(F.count(F.col(name)).alias(f"{name}__nn"))
+        aggs.append(F.count_distinct(F.col(name)).alias(f"{name}__dc"))
+        if is_num:
+            aggs.append(F.min(name).cast("double").alias(f"{name}__mn"))
+            aggs.append(F.max(name).cast("double").alias(f"{name}__mx"))
+    one = orders.agg(*aggs)
+    stack_args = []
+    for name, is_num in _PROFILE_COLS:
+        mn = f"`{name}__mn`" if is_num else "CAST(NULL AS DOUBLE)"
+        mx = f"`{name}__mx`" if is_num else "CAST(NULL AS DOUBLE)"
+        stack_args.append(
+            f"'{name}', `{name}__nn`, _total - `{name}__nn`, "
+            f"`{name}__dc`, {mn}, {mx}"
+        )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {', '.join(stack_args)}) AS "
+        "(column_name, non_nulls, nulls, distinct_cnt, min_val, max_val)"
+    )
+
+
+SQL_AGG_COLUMN_PROFILE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS column_name,
+           CAST(COUNT({name}) AS BIGINT) AS non_nulls,
+           CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS nulls,
+           CAST(COUNT(DISTINCT {name}) AS BIGINT) AS distinct_cnt,
+           {f"CAST(MIN({name}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"} AS min_val,
+           {f"CAST(MAX({name}) AS DOUBLE)" if is_num else "CAST(NULL AS DOUBLE)"} AS max_val
+    FROM orders
+    """
+    for name, is_num in _PROFILE_COLS
+)
+
+
 QUERIES = {
+    "agg_skyline": Query(q_agg_skyline, SQL_AGG_SKYLINE),
+    "agg_column_profile": Query(q_agg_column_profile, SQL_AGG_COLUMN_PROFILE),
     "agg_promo_share": Query(q_agg_promo_share, SQL_AGG_PROMO_SHARE),
     "agg_mann_whitney": Query(q_agg_mann_whitney, SQL_AGG_MANN_WHITNEY),
     "agg_welch_ttest": Query(q_agg_welch_ttest, SQL_AGG_WELCH_TTEST),

@@ -1495,7 +1495,128 @@ SQL_JOIN_RETURNED_ITEMS = f"""
 """
 
 
+MIN_PAIR_SUPPORT = 5  # absolute co-occurrence floor for reported rules
+
+
+def q_join_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (Agrawal &
+    Srikant, VLDB 1994 shape, materialized at the pair level): for every
+    unordered brand pair co-purchased in ≥{MIN_PAIR_SUPPORT} orders,
+    support (pair share of all baskets), both directional confidences,
+    and lift. Items are part BRANDS (bounded domain) so the pair lattice
+    stays dense enough to rank.
+
+    Scale shape: lineitem joins the broadcast part dim, collapses to
+    DISTINCT (order, brand) — the basket relation, bounded by
+    |orders|·|brands| — BEFORE any pairing, and that rollup is
+    ``localCheckpoint``-ed because it has FOUR consumers (both self-join
+    sides, the brand marginals, the basket total): without the cut the
+    lazy plan re-derives it per consumer and lineitem is scanned four
+    times (the KN-LM re-evaluation lesson, seen in this plan before the
+    fix). Pairing is a self-join on orderkey with brand_a < brand_b, so
+    per-basket fanout is C(k,2) with k ≤ |brands|, never |lineitem|².
+    Brand marginals and the basket total are brand-sized/scalar rollups
+    broadcast back onto the pair-sized result — no full-data exchange
+    after the basket rollup. All ratios are exact-integer counts cast
+    to double through one IEEE tree shared with the oracle, rounded to
+    6 dp. The oracle's baskets CTE is AS MATERIALIZED for the same
+    multi-consumer reason.
+    """
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(load(spark, sf_dir, "part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint()  # bounded: ≤ |orders|·|brands| rows, 4 consumers
+    )
+    n_baskets = baskets.groupBy().agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    brand_cnt = baskets.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    a = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= MIN_PAIR_SUPPORT)
+    )
+    ca = brand_cnt.select(
+        F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a")
+    )
+    cb = brand_cnt.select(
+        F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cnt_b")
+    )
+    pc = F.col("pair_cnt").cast("double")
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            F.round(pc / F.col("n_baskets").cast("double"), 6).alias(
+                "support"
+            ),
+            F.round(pc / F.col("cnt_a").cast("double"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(pc / F.col("cnt_b").cast("double"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                (pc * F.col("n_baskets").cast("double"))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_JOIN_COPURCHASE_LIFT = f"""
+    WITH baskets AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+    brand_cnt AS (
+        SELECT p_brand, COUNT(*) AS cnt FROM baskets GROUP BY 1),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS pair_cnt
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_PAIR_SUPPORT})
+    SELECT brand_a, brand_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           ROUND(CAST(pair_cnt AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+               AS support,
+           ROUND(CAST(pair_cnt AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6)
+               AS conf_a_to_b,
+           ROUND(CAST(pair_cnt AS DOUBLE) / CAST(cb.cnt AS DOUBLE), 6)
+               AS conf_b_to_a,
+           ROUND((CAST(pair_cnt AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+                 / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6)
+               AS lift
+    FROM pairs
+    JOIN brand_cnt ca ON ca.p_brand = brand_a
+    JOIN brand_cnt cb ON cb.p_brand = brand_b
+    CROSS JOIN n
+"""
+
+
 QUERIES = {
+    "join_copurchase_lift": Query(
+        q_join_copurchase_lift, SQL_JOIN_COPURCHASE_LIFT
+    ),
     "join_shipping_priority": Query(
         q_join_shipping_priority, SQL_JOIN_SHIPPING_PRIORITY
     ),

@@ -2707,7 +2707,198 @@ SQL_TS_RSI = f"""
 """
 
 
+TS_EPOCH = "2024-01-01"  # day-index origin for the daily rollup
+
+
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event-type series: the median of all
+    pairwise slopes (y_j − y_i)/(x_j − x_i) over the DAILY mean-value
+    series (Theil 1950 / Sen 1968) — the 29.3 %-breakdown alternative to
+    least squares, immune to the outliers that wreck agg_linreg's fit.
+    Median = LOWER median (rank ⌈n/2⌉), the repo's order-statistic
+    convention — picks an actual computed slope, no cross-engine
+    interpolation arithmetic.
+
+    Scale shape: events collapse FIRST to one (type, day, mean) row per
+    series-day — the only full-data pass — and the rollup is
+    ``localCheckpoint``-ed (days·types rows) because BOTH self-join
+    sides consume it: without the cut the lazy plan derives each side
+    independently and the corpus is scanned twice. Daily means come
+    from exact decimal(18,6) sums divided as doubles (one IEEE tree
+    both engines; the oracle's daily CTE is AS MATERIALIZED for the
+    same two-consumer reason). The O(d²) pair lattice is generated from
+    that day-level rollup by a self-join on event_type, so the
+    quadratic term is bounded by days-per-series, never by raw events —
+    at 100 TB with decade-long second-resolution series, cap d by
+    widening the rollup bucket or sample pairs (Matoušek's randomized
+    Theil–Sen), both order-preserving. Rank selection is one window
+    over the pair-sized relation, partitioned by type.
+    """
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit(TS_EPOCH).cast("date"))
+    v6 = F.col("value").cast("double").cast("decimal(18,6)")
+    daily = (
+        ev.groupBy(F.col("event_type"), day.alias("day"))
+        .agg((F.sum(v6).cast("double") / F.count("*")).alias("y"))
+        .localCheckpoint()  # bounded: |types|·|days| rows, 2 consumers
+    )
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("y").alias("yb")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("yb") - F.col("ya"))
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == ((F.col("n_pairs") + 1) / 2).cast("long")
+    ).select(
+        "event_type",
+        "n_pairs",
+        F.round(F.col("slope"), 6).alias("sen_slope"),
+    )
+
+
+SQL_TS_THEIL_SEN = f"""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type,
+               DATEDIFF('day', DATE '{TS_EPOCH}', CAST(ts AS DATE)) AS day,
+               CAST(SUM(CAST(CAST(value AS DOUBLE) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS y
+        FROM events GROUP BY 1, 2),
+    slopes AS (
+        SELECT a.event_type,
+               (b.y - a.y) / CAST(b.day - a.day AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day),
+    ranked AS (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM slopes)
+    SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(slope, 6) AS sen_slope
+    FROM ranked WHERE rn = CAST((n_pairs + 1) // 2 AS BIGINT)
+"""
+
+
+ATTRIB_TOUCH_TYPES = ("click", "view")
+ATTRIB_LOOKBACK_DAYS = 7
+
+
+def q_ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-attribution report: every purchase is credited to the
+    FIRST and to the LAST touch event (click/view by the same user)
+    inside a {ATTRIB_LOOKBACK_DAYS}-day lookback window, then credited
+    conversions are counted per (model, touch_type) — the two
+    single-touch models of the standard attribution family.
+
+    Scale shape: both sides prune to their type slices at the scan
+    (purchases and touches are each one pushed filter over events), the
+    candidate join is an EQUI-join on user_id with the lookback band as
+    a residual range filter — per-user fanout is purchases × touches
+    within 7 days, bounded by per-user activity density, the same
+    banding argument as join_range_band (bucket the band by day and
+    AQE-salt hot users at extreme skew). Both rank directions ride ONE
+    pid exchange (two Window sorts, same partitioning), and the two
+    models come out of that single pass by exploding the per-row
+    applicable-model set — NOT a union of per-model branches, which
+    would re-derive the whole join per model (4 event scans instead of
+    2, seen in this plan before the fix). Tie-break on the touch
+    event_id makes the pick total; outputs are pure integer counts —
+    hash-exact by construction. The oracle keeps the two-branch UNION
+    ALL form over an AS MATERIALIZED ranked CTE, so the hash proves the
+    explode rewrite.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)).select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    cand = purchases.join(touches, "u").filter(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_LOOKBACK_DAYS} DAYS")
+        )
+    )
+    wf = Window.partitionBy("pid").orderBy("t_ts", "tid")
+    wl = Window.partitionBy("pid").orderBy(
+        F.col("t_ts").desc(), F.col("tid").desc()
+    )
+    ranked = cand.select(
+        "touch_type",
+        F.row_number().over(wf).alias("rn_f"),
+        F.row_number().over(wl).alias("rn_l"),
+    )
+    models = F.array_compact(
+        F.array(
+            F.when(F.col("rn_f") == 1, F.lit("first_touch")),
+            F.when(F.col("rn_l") == 1, F.lit("last_touch")),
+        )
+    )
+    return (
+        ranked.filter((F.col("rn_f") == 1) | (F.col("rn_l") == 1))
+        .select(F.explode(models).alias("model"), "touch_type")
+        .groupBy("model", "touch_type")
+        .agg(F.count("*").alias("conversions"))
+    )
+
+
+SQL_TS_ATTRIBUTION = f"""
+    WITH cand AS (
+        SELECT p.event_id AS pid, t.event_type AS touch_type,
+               t.ts AS t_ts, t.event_id AS tid
+        FROM events p JOIN events t ON p.user_id = t.user_id
+        WHERE p.event_type = 'purchase'
+          AND t.event_type IN ('{ATTRIB_TOUCH_TYPES[0]}',
+                               '{ATTRIB_TOUCH_TYPES[1]}')
+          AND t.ts < p.ts
+          AND t.ts >= p.ts - INTERVAL {ATTRIB_LOOKBACK_DAYS} DAY),
+    ranked AS MATERIALIZED (
+        SELECT pid, touch_type,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY t_ts, tid)
+                   AS rn_f,
+               ROW_NUMBER() OVER (PARTITION BY pid
+                                  ORDER BY t_ts DESC, tid DESC) AS rn_l
+        FROM cand)
+    SELECT 'first_touch' AS model, touch_type,
+           CAST(COUNT(*) AS BIGINT) AS conversions
+    FROM ranked WHERE rn_f = 1 GROUP BY 2
+    UNION ALL
+    SELECT 'last_touch' AS model, touch_type,
+           CAST(COUNT(*) AS BIGINT) AS conversions
+    FROM ranked WHERE rn_l = 1 GROUP BY 2
+"""
+
+
 QUERIES = {
+    "ts_theil_sen": Query(q_ts_theil_sen, SQL_TS_THEIL_SEN),
+    "ts_attribution": Query(q_ts_attribution, SQL_TS_ATTRIBUTION),
     "ts_bollinger": Query(q_ts_bollinger, SQL_TS_BOLLINGER),
     "ts_rsi": Query(q_ts_rsi, SQL_TS_RSI),
     "ts_downsample_lttb": Query(q_ts_downsample_lttb, SQL_TS_LTTB),

@@ -67,7 +67,14 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-13:  round-10 new/changed — NEW: the TPC-H completion batch
+#   1-5:   round-10 LATE additions (graded the round they land):
+#          agg_skyline (Pareto frontier, windowed-linear vs the
+#          NOT EXISTS oracle), agg_column_profile (one-pass Deequ
+#          profile vs six-scan oracle), join_copurchase_lift
+#          (market-basket support/confidence/lift),
+#          ts_theil_sen (robust pairwise-median trend),
+#          ts_attribution (first/last-touch credit).
+#   6-18:  round-10 new/changed — NEW: the TPC-H completion batch
 #          join_order_count_dist (Q13 left-join histogram) /
 #          join_waiting_supplier (Q21 only-late-supplier decorrelation) /
 #          join_disjunctive_revenue (Q19 cross-side OR with explicit
@@ -82,21 +89,31 @@ _QUERY_MODULES = (
 #          CHANGED: agg_ks_test / agg_chisq (double-cast before the
 #          count product — one IEEE tree both engines, ADVICE r9) and
 #          graph_hits (oracle edges CTE AS MATERIALIZED, ADVICE r9).
-#  14-50: the 10 remaining round-4-vintage rows (scalar_array /
+#  19-50: the 10 remaining round-4-vintage rows (scalar_array /
 #          scalar_conditional / scalar_date + the seven window-family
-#          rows) — the r4 vintage CLEARS — then 27 of the 50
+#          rows) — the r4 vintage CLEARS — then 22 of the 50
 #          round-5-vintage rows (agg moment/shape cohort, graph r5
-#          batch, ts r5 batch, kmeans family, cdc/stream pair,
-#          scalar_bitwise). The 23 r5 rows left (corpus_*, dedup eval
+#          batch, ts r5 batch head, kmeans family, cdc/stream pair,
+#          scalar_bitwise). The 28 r5 rows left (corpus_*, dedup eval
 #          quartet, llm transforms, multimodal wav/errors,
 #          pipeline_dq_checks, text r5 five, the rolling window pair,
-#          ts_survival/week_over_week, udf_grouped_znorm) front the
+#          ts_survival/week_over_week, udf_grouped_znorm, and —
+#          displaced by the five late r10 additions, which must grade
+#          the round they land — ts_concurrency / ts_dow_hour_heatmap /
+#          ts_forecast_snaive / ts_interpolate / ts_markov) front the
 #          r11 backfill; all stay under the local parity net.
 # Everything else follows in module order under the every-run local
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # 1-8: round-10 new/changed
+    # round-10 late additions (new operators must be graded the round
+    # they land): the preference/basket/robust-stats batch
+    "agg_skyline",
+    "agg_column_profile",
+    "join_copurchase_lift",
+    "ts_theil_sen",
+    "ts_attribution",
+    # round-10 new/changed
     "join_order_count_dist",
     "join_waiting_supplier",
     "join_disjunctive_revenue",
@@ -144,11 +161,6 @@ _GRADE_FIRST = (
     "ts_acf",
     "ts_anomaly_seasonal",
     "ts_changepoint",
-    "ts_concurrency",
-    "ts_dow_hour_heatmap",
-    "ts_forecast_snaive",
-    "ts_interpolate",
-    "ts_markov",
 )
 
 

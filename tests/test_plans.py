@@ -1379,3 +1379,85 @@ def test_promo_share_single_fold(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("GreaterThanOrEqual(l_shipdate" in ln for ln in pushed), pushed
+
+
+def test_skyline_is_windowed_linear_with_broadcast_back(spark, sf_dir):
+    """Skyline must be the windowed-linear rewrite, never the quadratic
+    self-join: one groupBy exchange on price, the prefix-max window over
+    the domain-sized rollup, and the tiny frontier BROADCAST back onto
+    the base scan. No SortMergeJoin, no cartesian anywhere."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_skyline,
+    )
+
+    plan = formatted_plan(q_agg_skyline(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    # base relation scanned exactly twice: rollup side + probe side
+    assert plan.count("part.parquet") == 2, plan
+
+
+def test_column_profile_is_one_pass(spark, sf_dir):
+    """The profile must compute every per-column metric from ONE scan
+    (the Deequ analyzer fusion): exactly one parquet scan, the
+    multi-count-distinct Expand above it, partial aggregation below the
+    exchange, and the per-column rows generated driver-side from the
+    single aggregate row (Generate/stack), never a per-column union of
+    scans."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_column_profile,
+    )
+
+    plan = formatted_plan(q_agg_column_profile(spark, sf_dir))
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Expand" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "Union" not in plan, plan
+
+
+def test_copurchase_pairs_from_checkpointed_baskets(spark, sf_dir):
+    """The basket rollup has four consumers — it must be checkpointed
+    (ExistingRDD in all four places) so lineitem is scanned ZERO times
+    in the final plan (once, at checkpoint time); marginals and the
+    basket total broadcast back onto the pair-sized result."""
+    plan = formatted_plan(joins.q_join_copurchase_lift(spark, sf_dir))
+    assert "lineitem.parquet" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_theil_sen_single_corpus_pass(spark, sf_dir):
+    """The daily rollup must be checkpointed (both self-join sides read
+    the ExistingRDD — events never scanned twice), the pair join
+    broadcasts the day-level relation, and rank selection rides one
+    type-keyed exchange."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_theil_sen,
+    )
+
+    plan = formatted_plan(q_ts_theil_sen(spark, sf_dir))
+    assert "events.parquet" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_attribution_single_pass_two_scans(spark, sf_dir):
+    """Both attribution models must come out of ONE candidate pass:
+    exactly two type-pruned event scans (purchases + touches, each with
+    the type predicate in PushedFilters), both rank directions on one
+    pid exchange, and the model fan-out as Generate (explode) — never a
+    Union re-deriving the join per model."""
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+        q_ts_attribution,
+    )
+
+    plan = formatted_plan(q_ts_attribution(spark, sf_dir))
+    assert plan.count("events.parquet") == 2, plan
+    assert "Union" not in plan, plan
+    assert "Generate" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(event_type,purchase)" in ln for ln in pushed), pushed
+    assert any("In(event_type, [click,view])" in ln for ln in pushed), pushed
+    assert plan.count("hashpartitioning(pid") == 1, plan

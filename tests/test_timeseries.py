@@ -955,3 +955,113 @@ def test_rsi_matches_pure_python_reference(spark, sf_dir):
         else:
             assert rsi is None, eid
     assert n_checked > 0
+
+
+def test_theil_sen_matches_pure_python(spark, sf_dir):
+    """Independent rebuild of the Theil–Sen spec: daily mean series per
+    type, all pairwise slopes, LOWER median (rank ceil(n/2))."""
+    import datetime
+    from decimal import Decimal
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    epoch = datetime.date.fromisoformat(T.TS_EPOCH)
+    daily: dict[tuple, list] = {}
+    for r in ev:
+        day = (r["ts"].date() - epoch).days
+        daily.setdefault((r["event_type"], day), []).append(r["value"])
+    series: dict[str, list] = {}
+    for (etype, day), vals in daily.items():
+        # mirror the exact-decimal mean: quantized sum / count
+        s = sum(Decimal(f"{v:.6f}") for v in vals)
+        series.setdefault(etype, []).append((day, float(s) / len(vals)))
+    expect = {}
+    for etype, pts in series.items():
+        pts.sort()
+        slopes = sorted(
+            (yb - ya) / float(db - da)
+            for i, (da, ya) in enumerate(pts)
+            for db, yb in pts[i + 1 :]
+        )
+        n = len(slopes)
+        expect[etype] = (n, round(slopes[(n + 1) // 2 - 1], 6))
+    got = {
+        r["event_type"]: (r["n_pairs"], r["sen_slope"])
+        for r in T.q_ts_theil_sen(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect) and got
+    for etype in expect:
+        assert got[etype][0] == expect[etype][0], etype
+        assert abs(got[etype][1] - expect[etype][1]) < 1e-9, etype
+
+
+def test_attribution_matches_pure_python(spark, sf_dir):
+    """Independent rebuild of first/last-touch credit within the
+    lookback, tie-broken on event_id."""
+    from datetime import timedelta as _td
+
+    ev = load(spark, sf_dir, "events").collect()
+    look = _td(days=T.ATTRIB_LOOKBACK_DAYS)
+    touches = [r for r in ev if r["event_type"] in T.ATTRIB_TOUCH_TYPES]
+    expect: dict[tuple, int] = {}
+    for p in ev:
+        if p["event_type"] != "purchase":
+            continue
+        cand = [
+            t
+            for t in touches
+            if t["user_id"] == p["user_id"]
+            and t["ts"] < p["ts"]
+            and t["ts"] >= p["ts"] - look
+        ]
+        if not cand:
+            continue
+        first = min(cand, key=lambda t: (t["ts"], t["event_id"]))
+        last = max(cand, key=lambda t: (t["ts"], t["event_id"]))
+        for model, r in (("first_touch", first), ("last_touch", last)):
+            k = (model, r["event_type"])
+            expect[k] = expect.get(k, 0) + 1
+    got = {
+        (r["model"], r["touch_type"]): r["conversions"]
+        for r in T.q_ts_attribution(spark, sf_dir).collect()
+    }
+    assert got == expect and got
+
+
+def test_attribution_window_edges(spark, tmp_path):
+    """Hand-built fixture pinning the band edges and the tie-break: a
+    touch exactly lookback days before counts (>= lower edge), a touch
+    at the purchase instant does NOT (strict <), a later touch never
+    does, and equal-timestamp touches resolve by event_id."""
+    import datetime
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    look_edge = ts("2024-01-08T00:00:00")  # purchase ts
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, ts("2024-01-01T00:00:00"), 1, "click", 1.0, "{}"),  # exactly -7d: in
+        (2, ts("2023-12-31T23:59:59"), 1, "view", 1.0, "{}"),   # 1s too old: out
+        (3, ts("2024-01-08T00:00:00"), 1, "view", 1.0, "{}"),   # at purchase: out
+        (4, ts("2024-01-09T00:00:00"), 1, "click", 1.0, "{}"),  # after: out
+        (5, look_edge, 1, "purchase", 9.0, "{}"),
+        # user 2: two touches at the SAME instant -> event_id breaks the tie
+        (6, ts("2024-01-05T00:00:00"), 2, "view", 1.0, "{}"),
+        (7, ts("2024-01-05T00:00:00"), 2, "click", 1.0, "{}"),
+        (8, ts("2024-01-06T00:00:00"), 2, "purchase", 9.0, "{}"),
+    ]
+    schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["model"], r["touch_type"]): r["conversions"]
+        for r in T.q_ts_attribution(spark, str(tmp_path)).collect()
+    }
+    # user 1: only touch 1 in-window -> first=last=click
+    # user 2: first = id 6 (view, lower event_id), last = id 7 (click)
+    assert got == {
+        ("first_touch", "click"): 1,
+        ("first_touch", "view"): 1,
+        ("last_touch", "click"): 2,
+    }
