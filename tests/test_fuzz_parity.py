@@ -148,6 +148,12 @@ _EV_TARGETS = (
     "ts_bollinger", "ts_rsi",
     "agg_ks_test", "agg_chisq", "agg_welch_ttest", "agg_mann_whitney",
     "stream_topk",
+    # r10 late batch: attribution (exact-duplicate touch timestamps force
+    # the event_id tie-break; purchases with empty/error-only history
+    # exercise the no-candidate arm) and Theil-Sen (collision-heavy days
+    # collapse to few rollup rows — single-day series must vanish from
+    # BOTH engines, negative values through the exact-decimal means)
+    "ts_attribution", "ts_theil_sen",
 )
 
 
