@@ -2313,8 +2313,127 @@ SQL_AGG_COLUMN_PROFILE = "\nUNION ALL\n".join(
 )
 
 
+CUPED_SPLIT = "2024-01-16"  # pre-period = Jan 1-15, post = Jan 16 on
+
+
+def q_agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+    — the standard pre-experiment covariate adjustment for A/B metrics:
+    per user, pre-period value mass X and post-period mass Y;
+    θ = cov(X,Y)/var(X); the adjusted metric Y − θ(X − X̄) has variance
+    var(Y)·(1 − ρ²). Reports θ, the raw and adjusted variances, and the
+    variance-reduction percentage (= 100·ρ²) — the number that decides
+    how much smaller the experiment can be.
+
+    Exactness: the same strategy as agg_linreg/agg_corr — per-user
+    period sums are exact decimal(18,6) (missing period ⇒ exact 0),
+    re-narrowed to decimal(18,6) after the first aggregate so the
+    second-level co-moment products stay inside decimal(38,12) on BOTH
+    engines; all five co-moment sums are exact decimals and the closing
+    θ/variance expressions are one shared IEEE double tree rounded at
+    the end (population variances in the n²-scaled form). Plan shape:
+    two stacked partial-aggregated groupBys (user rollup → scalar
+    moments) — user-count partitions never concentrate, and the second
+    aggregate reduces a user-sized relation to one row; the classic
+    two-level shuffle at 100 TB. At production value magnitudes widen
+    the narrowing cast, or re-center X,Y first (algebraically identical
+    co-moments), per the agg_linreg note.
+    """
+    ev = load(spark, sf_dir, "events")
+    v6 = F.col("value").cast("decimal(18,6)")
+    split = F.lit(CUPED_SPLIT).cast("timestamp_ntz")
+    zero = F.lit(0).cast("decimal(18,6)")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < split, v6)).cast("decimal(18,6)"),
+            zero,
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= split, v6)).cast("decimal(18,6)"),
+            zero,
+        ).alias("y"),
+    )
+    # one side of each product widened to decimal(19,6): Spark then
+    # types the product (38,12) with NO precision loss, and DuckDB's
+    # physical multiply runs in hugeint instead of overflowing int64
+    # (DuckDB executes (18,6)×(18,6) in the inputs' int64 width)
+    xw = F.col("x").cast("decimal(19,6)")
+    yw = F.col("y").cast("decimal(19,6)")
+    base = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(xw * F.col("y")).cast("double").alias("sxy"),
+        F.sum(xw * F.col("x")).cast("double").alias("sxx"),
+        F.sum(yw * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_users")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta = F.when(vx != 0, cov / vx)
+    var_post = vy / (n * n)
+    var_adj = F.when(vx != 0, (vy - (cov * cov) / vx) / (n * n)).otherwise(
+        var_post
+    )
+    reduction = F.when(
+        vx * vy != 0, F.lit(100.0) * (cov * cov) / (vx * vy)
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "n_users",
+        F.round(theta, 6).alias("theta"),
+        F.round(F.col("sy") / n, 6).alias("mean_post"),
+        F.round(var_post, 6).alias("var_post"),
+        F.round(var_adj, 6).alias("var_adj"),
+        F.round(reduction, 6).alias("reduction_pct"),
+    )
+
+
+SQL_AGG_CUPED = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                       THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                    AS DECIMAL(18,6)) AS x,
+               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                       THEN CAST(value AS DECIMAL(18,6)) END), 0)
+                    AS DECIMAL(18,6)) AS y
+        FROM events GROUP BY user_id),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,6)) * y) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(19,6)) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(19,6)) * y) AS DOUBLE) AS syy
+        FROM per_user)
+    SELECT n_users,
+           ROUND((n_users * sxy - sx * sy)
+                 / NULLIF(n_users * sxx - sx * sx, 0), 6) AS theta,
+           ROUND(sy / n_users, 6) AS mean_post,
+           ROUND((n_users * syy - sy * sy) / (n_users * n_users), 6)
+               AS var_post,
+           ROUND(CASE WHEN n_users * sxx - sx * sx <> 0 THEN
+                     ((n_users * syy - sy * sy)
+                      - (n_users * sxy - sx * sy) * (n_users * sxy - sx * sy)
+                        / (n_users * sxx - sx * sx))
+                     / (n_users * n_users)
+                 ELSE (n_users * syy - sy * sy) / (n_users * n_users) END, 6)
+               AS var_adj,
+           ROUND(CASE WHEN (n_users * sxx - sx * sx)
+                           * (n_users * syy - sy * sy) <> 0 THEN
+                     100.0 * (n_users * sxy - sx * sy)
+                           * (n_users * sxy - sx * sy)
+                     / ((n_users * sxx - sx * sx)
+                        * (n_users * syy - sy * sy))
+                 ELSE 0.0 END, 6) AS reduction_pct
+    FROM base
+"""
+
+
 QUERIES = {
     "agg_skyline": Query(q_agg_skyline, SQL_AGG_SKYLINE),
+    "agg_cuped": Query(q_agg_cuped, SQL_AGG_CUPED),
     "agg_column_profile": Query(q_agg_column_profile, SQL_AGG_COLUMN_PROFILE),
     "agg_promo_share": Query(q_agg_promo_share, SQL_AGG_PROMO_SHARE),
     "agg_mann_whitney": Query(q_agg_mann_whitney, SQL_AGG_MANN_WHITNEY),

@@ -67,14 +67,15 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-5:   round-10 LATE additions (graded the round they land):
+#   1-6:   round-10 LATE additions (graded the round they land):
 #          agg_skyline (Pareto frontier, windowed-linear vs the
 #          NOT EXISTS oracle), agg_column_profile (one-pass Deequ
 #          profile vs six-scan oracle), join_copurchase_lift
 #          (market-basket support/confidence/lift),
 #          ts_theil_sen (robust pairwise-median trend),
-#          ts_attribution (first/last-touch credit).
-#   6-18:  round-10 new/changed — NEW: the TPC-H completion batch
+#          ts_attribution (first/last-touch credit), agg_cuped (CUPED
+#          pre-experiment variance reduction, exact-decimal co-moments).
+#   7-19:  round-10 new/changed — NEW: the TPC-H completion batch
 #          join_order_count_dist (Q13 left-join histogram) /
 #          join_waiting_supplier (Q21 only-late-supplier decorrelation) /
 #          join_disjunctive_revenue (Q19 cross-side OR with explicit
@@ -89,12 +90,12 @@ _QUERY_MODULES = (
 #          CHANGED: agg_ks_test / agg_chisq (double-cast before the
 #          count product — one IEEE tree both engines, ADVICE r9) and
 #          graph_hits (oracle edges CTE AS MATERIALIZED, ADVICE r9).
-#  19-50: the 10 remaining round-4-vintage rows (scalar_array /
+#  20-50: the 10 remaining round-4-vintage rows (scalar_array /
 #          scalar_conditional / scalar_date + the seven window-family
-#          rows) — the r4 vintage CLEARS — then 22 of the 50
+#          rows) — the r4 vintage CLEARS — then 21 of the 50
 #          round-5-vintage rows (agg moment/shape cohort, graph r5
 #          batch, ts r5 batch head, kmeans family, cdc/stream pair,
-#          scalar_bitwise). The 28 r5 rows left (corpus_*, dedup eval
+#          scalar_bitwise). The 29 r5 rows left (incl. ts_changepoint) (corpus_*, dedup eval
 #          quartet, llm transforms, multimodal wav/errors,
 #          pipeline_dq_checks, text r5 five, the rolling window pair,
 #          ts_survival/week_over_week, udf_grouped_znorm, and —
@@ -113,6 +114,7 @@ _GRADE_FIRST = (
     "join_copurchase_lift",
     "ts_theil_sen",
     "ts_attribution",
+    "agg_cuped",
     # round-10 new/changed
     "join_order_count_dist",
     "join_waiting_supplier",
@@ -160,7 +162,6 @@ _GRADE_FIRST = (
     "stream_entropy",
     "ts_acf",
     "ts_anomaly_seasonal",
-    "ts_changepoint",
 )
 
 

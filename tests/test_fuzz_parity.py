@@ -154,6 +154,9 @@ _EV_TARGETS = (
     # collapse to few rollup rows — single-day series must vanish from
     # BOTH engines, negative values through the exact-decimal means)
     "ts_attribution", "ts_theil_sen",
+    # agg_cuped: the fuzz window sits entirely in the pre-period, so the
+    # all-mass-on-one-side degenerate arms (vy=0 -> reduction 0) fire
+    "agg_cuped",
 )
 
 

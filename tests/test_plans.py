@@ -1461,3 +1461,17 @@ def test_attribution_single_pass_two_scans(spark, sf_dir):
     assert any("EqualTo(event_type,purchase)" in ln for ln in pushed), pushed
     assert any("In(event_type, [click,view])" in ln for ln in pushed), pushed
     assert plan.count("hashpartitioning(pid") == 1, plan
+
+
+def test_cuped_two_level_single_scan(spark, sf_dir):
+    """CUPED must be two stacked partial-aggregated groupBys over ONE
+    events scan (user rollup -> scalar co-moments) — no self-join, no
+    second scan, no window."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_cuped,
+    )
+
+    plan = formatted_plan(q_agg_cuped(spark, sf_dir))
+    assert plan.count("events.parquet") == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan

@@ -146,3 +146,41 @@ def test_mann_whitney_matches_pure_python_reference(spark, sf_dir):
         assert row["n1"] == n1 and row["n2"] == n2
         assert abs(row["u_stat"] - u1) < 0.51, (etype, row["u_stat"], u1)
         assert abs(row["z_stat"] - z) < 1e-4, (etype, row["z_stat"], z)
+
+
+def test_cuped_matches_pure_python_reference(spark, sf_dir):
+    """Independent CUPED rebuild: per-user pre/post sums, population
+    co-moments, theta = cov/var, var_adj = var_post*(1-rho^2)."""
+    import datetime
+
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        CUPED_SPLIT,
+        q_agg_cuped,
+    )
+
+    split = datetime.datetime.fromisoformat(CUPED_SPLIT)
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value").collect()
+    users: dict[int, list] = {}
+    for r in ev:
+        x, y = users.setdefault(r["user_id"], [0.0, 0.0])
+        # mirror the 6dp quantization (values are 2dp, so exact anyway)
+        if r["ts"] < split:
+            users[r["user_id"]][0] = round(x + round(r["value"], 6), 6)
+        else:
+            users[r["user_id"]][1] = round(y + round(r["value"], 6), 6)
+    xs = [v[0] for v in users.values()]
+    ys = [v[1] for v in users.values()]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    vx = sum((x - mx) ** 2 for x in xs) / n
+    vy = sum((y - my) ** 2 for y in ys) / n
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / n
+    theta = cov / vx
+    row = q_agg_cuped(spark, sf_dir).collect()[0]
+    assert row["n_users"] == n
+    assert abs(row["theta"] - theta) < 1e-5
+    assert abs(row["mean_post"] - my) < 1e-5
+    assert abs(row["var_post"] - vy) < max(1e-5 * vy, 1e-5)
+    assert abs(row["var_adj"] - (vy - theta * theta * vx)) < max(1e-5 * vy, 1e-5)
+    assert abs(row["reduction_pct"] - 100.0 * cov * cov / (vx * vy)) < 1e-3
+    assert 0.0 <= row["reduction_pct"] <= 100.0
