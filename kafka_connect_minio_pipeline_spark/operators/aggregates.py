@@ -2431,9 +2431,67 @@ SQL_AGG_CUPED = f"""
 """
 
 
+SRM_CRIT_95 = 3.841459  # chi-square 95% critical value, 1 dof (fixed literal)
+
+
+def q_agg_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al., KDD 2019 'Diagnosing
+    Sample Ratio Mismatch') — the first gate every experimentation
+    platform runs: are the two arms' USER counts consistent with the
+    designed 50/50 split? Arms are assigned deterministically as
+    user_id mod 2 (an engine-portable stand-in for the platform's
+    bucketing hash — Spark and DuckDB hash functions differ, integer
+    mod does not). For a 50/50 design the 1-dof chi-square statistic
+    reduces exactly to (n_a − n_b)²/n; the flag compares against the
+    fixed 95% critical value. Completes the experimentation family:
+    agg_srm (gate) → agg_cuped (variance reduction) → agg_conversion_ci
+    (effect read-out).
+
+    Plan: distinct users (one partial-agg exchange on user_id) folded
+    to a single row — counts are exact integers, the statistic is one
+    shared IEEE tree. Linear single-scan at any scale.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    base = users.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+    )
+    nb = F.col("n_users") - F.col("n_a")
+    d = (F.col("n_a") - nb).cast("double")
+    chi2 = d * d / F.col("n_users").cast("double")
+    return base.select(
+        "n_users",
+        "n_a",
+        nb.alias("n_b"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(SRM_CRIT_95)).alias("srm"),
+    )
+
+
+SQL_AGG_SRM = f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a
+        FROM users)
+    SELECT n_users, n_a, n_users - n_a AS n_b,
+           ROUND(CAST(n_a - (n_users - n_a) AS DOUBLE)
+                 * CAST(n_a - (n_users - n_a) AS DOUBLE)
+                 / CAST(n_users AS DOUBLE), 6) AS chi2,
+           (CAST(n_a - (n_users - n_a) AS DOUBLE)
+            * CAST(n_a - (n_users - n_a) AS DOUBLE)
+            / CAST(n_users AS DOUBLE)) > {SRM_CRIT_95} AS srm
+    FROM base
+"""
+
+
 QUERIES = {
     "agg_skyline": Query(q_agg_skyline, SQL_AGG_SKYLINE),
     "agg_cuped": Query(q_agg_cuped, SQL_AGG_CUPED),
+    "agg_srm": Query(q_agg_srm, SQL_AGG_SRM),
     "agg_column_profile": Query(q_agg_column_profile, SQL_AGG_COLUMN_PROFILE),
     "agg_promo_share": Query(q_agg_promo_share, SQL_AGG_PROMO_SHARE),
     "agg_mann_whitney": Query(q_agg_mann_whitney, SQL_AGG_MANN_WHITNEY),

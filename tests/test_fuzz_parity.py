@@ -157,6 +157,9 @@ _EV_TARGETS = (
     # agg_cuped: the fuzz window sits entirely in the pre-period, so the
     # all-mass-on-one-side degenerate arms (vy=0 -> reduction 0) fire
     "agg_cuped",
+    # agg_srm: 1-5 user ids -> tiny odd populations, mod-2 split maximally
+    # unbalanced — the flag arm fires both ways across seeds
+    "agg_srm",
 )
 
 

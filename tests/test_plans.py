@@ -1475,3 +1475,16 @@ def test_cuped_two_level_single_scan(spark, sf_dir):
     assert plan.count("events.parquet") == 1, plan
     assert "partial_sum" in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_srm_single_scan_single_exchange(spark, sf_dir):
+    """SRM is a distinct-users rollup folded to one row: one events
+    scan, one user_id exchange, no join/window."""
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        q_agg_srm,
+    )
+
+    plan = formatted_plan(q_agg_srm(spark, sf_dir))
+    assert plan.count("events.parquet") == 1, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan

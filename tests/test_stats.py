@@ -184,3 +184,22 @@ def test_cuped_matches_pure_python_reference(spark, sf_dir):
     assert abs(row["var_adj"] - (vy - theta * theta * vx)) < max(1e-5 * vy, 1e-5)
     assert abs(row["reduction_pct"] - 100.0 * cov * cov / (vx * vy)) < 1e-3
     assert 0.0 <= row["reduction_pct"] <= 100.0
+
+
+def test_srm_matches_pure_python_reference(spark, sf_dir):
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+        SRM_CRIT_95,
+        q_agg_srm,
+    )
+
+    users = {
+        r["user_id"]
+        for r in load(spark, sf_dir, "events").select("user_id").collect()
+    }
+    na = sum(1 for u in users if u % 2 == 0)
+    nb = len(users) - na
+    chi2 = (na - nb) ** 2 / len(users)
+    row = q_agg_srm(spark, sf_dir).collect()[0]
+    assert (row["n_users"], row["n_a"], row["n_b"]) == (len(users), na, nb)
+    assert abs(row["chi2"] - chi2) < 1e-6  # operator reports 6 dp
+    assert row["srm"] == (chi2 > SRM_CRIT_95)
