@@ -1172,7 +1172,147 @@ def _hits_sql() -> str:
 SQL_GRAPH_HITS = _hits_sql()
 
 
+WCC_MAX_ROUNDS = 15
+WCC_ORACLE_ROUNDS = 5  # oracle unrolls this many no-op-padded rounds
+
+
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = WCC_MAX_ROUNDS,
+    oracle_rounds: int | None = None,
+) -> DataFrame:
+    """Weakly-connected components by min-label propagation to
+    fixpoint: every node starts labeled with its own id; each round
+    takes the min over its neighbors' labels (and its own); labels stop
+    changing exactly when every node carries its component's minimum
+    id. Returns (node, component, component_size).
+
+    Per round: one co-partitioned join of the label relation onto the
+    symmetrized edges + one partial-aggregated min per node — both
+    relations ≤ |E| / |V| rows hashed on the node key; per-round
+    ``localCheckpoint`` + prior-round unpersist keep lineage and
+    block-manager memory O(1) (the kcore discipline). Convergence is a
+    changed-label count per round; the cap raises LOUDLY — a truncated
+    propagation is NOT a component labeling. Round count = max distance
+    from any node to its component's min-id node; on this co-occurrence
+    graph it fixpoints in ≤3 (measured sf0.001–0.01). At 100 TB
+    diameters, swap the per-hop loop for the log-rounds large-star/
+    small-star alternation (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond', SoCC 2014) — the dedup_clusters machinery;
+    the relation contract here is identical. The oracle unrolls
+    {WCC_ORACLE_ROUNDS} fixed rounds (extra rounds are no-ops at the
+    fixpoint), so convergence ≤ that unroll is also asserted.
+    Component sizes ride one label-keyed window over the final
+    node-sized relation.
+    """
+    directed = (
+        edges.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(edges.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        directed.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        nbr_min = (
+            directed.join(
+                lab.select(F.col("node").alias("d"), F.col("label").alias("nl")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.min("nl").alias("nmin"))
+        )
+        new_lab = (
+            lab.join(nbr_min, lab.node == nbr_min.s, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            lab.select("node", F.col("label").alias("old"))
+            .join(new_lab, "node")
+            .filter(F.col("old") != F.col("label"))
+            .count()
+        )
+        lab.unpersist()
+        lab = new_lab
+        rounds += 1
+        if changed == 0:
+            converged = True
+            break
+    directed.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not fixpoint within {max_rounds} rounds"
+        )
+    if oracle_rounds is not None and rounds > oracle_rounds:
+        raise RuntimeError(
+            f"connected_components needed {rounds} rounds but the oracle"
+            f" unrolls only {oracle_rounds} — raise WCC_ORACLE_ROUNDS"
+        )
+    w = Window.partitionBy("label")
+    return lab.select(
+        "node",
+        F.col("label").alias("component"),
+        F.count("*").over(w).alias("component_size"),
+    )
+
+
+def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: weakly-connected components of the part
+    co-occurrence graph (one giant component on the TPC-H-ish corpus —
+    the multi-component arms are pinned by the hand-built fixture in
+    tests/test_graph.py)."""
+    return connected_components(
+        part_cooccurrence_edges(spark, sf_dir),
+        oracle_rounds=WCC_ORACLE_ROUNDS,
+    )
+
+
+def _wcc_sql() -> str:
+    """Unrolled fixed-round min-label oracle. Every round CTE is
+    referenced twice (the neighbor join and the keep-own-label arm) and
+    the symmetrized edge relation once per round — all AS MATERIALIZED
+    against DuckDB's inline-per-reference re-evaluation (the CTE
+    blowup, ADVICE r9 / probe-sweep precedent)."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, WCC_ORACLE_ROUNDS + 1):
+        rounds.append(f"""
+    l{i} AS MATERIALIZED (
+        SELECT l.node,
+               LEAST(l.label, COALESCE(MIN(nl.label), l.label)) AS label
+        FROM {prev} l
+        LEFT JOIN dir2 e ON e.s = l.node
+        LEFT JOIN {prev} nl ON nl.node = e.d
+        GROUP BY l.node, l.label)""")
+        prev = f"l{i}"
+    return f"""
+    WITH {SQL_COOC_EDGES_CTE},
+    dir2 AS MATERIALIZED (SELECT s, d FROM directed),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT s AS node, s AS label FROM dir2),{",".join(rounds)},
+    sizes AS (SELECT label, COUNT(*) AS csize FROM {prev} GROUP BY label)
+    SELECT node, CAST(l.label AS BIGINT) AS component,
+           CAST(csize AS BIGINT) AS component_size
+    FROM {prev} l JOIN sizes s ON l.label = s.label
+"""
+
+
+SQL_GRAPH_WCC = _wcc_sql()
+
+
 QUERIES = {
+    "graph_wcc": Query(q_graph_wcc, SQL_GRAPH_WCC),
     "graph_hits": Query(q_graph_hits, SQL_GRAPH_HITS),
     "graph_kcore": Query(q_graph_kcore, SQL_GRAPH_KCORE),
     "graph_pagerank": Query(q_graph_pagerank, SQL_GRAPH_PAGERANK),

@@ -339,3 +339,64 @@ def test_hits_matches_pure_python_power_iteration(spark):
         v for (n, r), v in got.items() if r == "authority"
     )
     assert got[("c4", "hub")] < got[("c3", "hub")]
+
+
+def test_wcc_multi_component_graph(spark):
+    """The driver corpus is one giant component, so the multi-component
+    semantics pin here: min-id labels, exact sizes, no cross-component
+    leakage — a path, a single edge, and a square."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (20, 23)],
+        "a long, b long",
+    )
+    got = {
+        r["node"]: (r["component"], r["component_size"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        10: (10, 2), 11: (10, 2),
+        20: (20, 4), 21: (20, 4), 22: (20, 4), 23: (20, 4),
+    }
+
+
+def test_wcc_matches_union_find(spark, sf_dir):
+    """Independent union-find rebuild on the real co-occurrence edges:
+    the partition (not just the labels) must match, labels must be the
+    component minima, sizes exact."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        part_cooccurrence_edges,
+        q_graph_wcc,
+    )
+
+    pairs = [
+        (r["a"], r["b"])
+        for r in part_cooccurrence_edges(spark, sf_dir).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp: dict[int, list] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expect = {}
+    for members in comp.values():
+        root, size = min(members), len(members)
+        for n in members:
+            expect[n] = (root, size)
+    got = {
+        r["node"]: (r["component"], r["component_size"])
+        for r in q_graph_wcc(spark, sf_dir).collect()
+    }
+    assert got == expect and got
