@@ -160,6 +160,11 @@ _EV_TARGETS = (
     # agg_srm: 1-5 user ids -> tiny odd populations, mod-2 split maximally
     # unbalanced — the flag arm fires both ways across seeds
     "agg_srm",
+    # temporal-join pair: exact-duplicate change timestamps hit the PIT
+    # join's zero-length-interval edge (two changes at one instant — the
+    # higher version must win in BOTH formulations) and the CDC merge's
+    # (ts, event_id) last-write tie-break
+    "join_pit_scd2", "join_cdc_merge",
 )
 
 
