@@ -165,7 +165,52 @@ _EV_TARGETS = (
     # higher version must win in BOTH formulations) and the CDC merge's
     # (ts, event_id) last-write tie-break
     "join_pit_scd2", "join_cdc_merge",
+    # r10 net closure: EVERY remaining events-consuming oracle query —
+    # as-of ties at equal timestamps, OHLC open/close tie-breaks,
+    # interval edges at duplicate instants, negative-value histogram
+    # bins, degenerate per-type distributions through the moment/rank
+    # batteries, sketches over empty-string types, and both Pandas-UDF
+    # paths. All 47 passed both seeds on first trial (the r5-r9
+    # hardening waves hold); test_ev_net_is_closed below keeps the
+    # enrollment total for every FUTURE events operator.
+    "agg_conversion_ci", "agg_entropy", "agg_gini", "agg_histogram",
+    "agg_linreg", "agg_mode", "agg_pivot", "agg_skewkurt",
+    "join_asof", "join_asof_nearest", "join_skew_salted",
+    "pipeline_dq_checks", "scalar_bitwise", "scalar_json_typed",
+    "scalar_map", "sketch_countmin", "sketch_hll", "sketch_hll_setops",
+    "sketch_kmv", "stream_cdc_merge", "stream_countmin",
+    "stream_entropy", "stream_hll", "stream_ohlc",
+    "ts_acf", "ts_anomaly_seasonal", "ts_changepoint", "ts_concurrency",
+    "ts_cross_corr", "ts_ewma", "ts_forecast_snaive", "ts_interpolate",
+    "ts_mad", "ts_markov", "ts_ohlc", "ts_overlap_join", "ts_retention",
+    "ts_runs_test", "ts_seasonal", "ts_silence_windows", "ts_survival",
+    "ts_uptime_report", "ts_week_over_week",
+    "udf_grouped_znorm", "udf_grouped_znorm_builtin",
+    "window_rolling_median", "window_rolling_slope",
 )
+
+
+def test_ev_net_is_closed():
+    """Every events-consuming oracle query must be enrolled in the
+    collision fuzz net — a new events operator that skips it fails here
+    loudly instead of silently missing the duplicate-timestamp /
+    empty-type / negative-value corpus."""
+    import inspect
+
+    evq = set()
+    for name, q in all_queries(strict=False).items():
+        if q.oracle is None:
+            continue
+        try:
+            src = inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            continue
+        if '"events"' in src:
+            evq.add(name)
+    missing = evq - set(_EV_TARGETS)
+    assert not missing, f"events queries outside the fuzz net: {sorted(missing)}"
+    unknown = set(_EV_TARGETS) - set(all_queries(strict=False))
+    assert not unknown, f"fuzz net names not in the registry: {sorted(unknown)}"
 
 
 def _rand_events(rng: random.Random):
