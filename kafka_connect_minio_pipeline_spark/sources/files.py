@@ -24,9 +24,25 @@ from ..tables import TABLE_NAMES, _ensure_session_confs, _normalize_ts
 def _stream_dir(sf_dir: str, name: str) -> str:
     """The file-stream source wants a directory, and its per-batch reads
     reject a bare-file basePath — so stage a symlink to the (read-only)
-    parquet file inside a throwaway directory and stream that."""
+    parquet file inside a throwaway directory and stream that. When the
+    table is itself a DIRECTORY of part files (any Spark-written table —
+    the fuzz fixtures, and every production table), symlink the data
+    files individually: the source does not recurse into a linked
+    subdirectory, so a single directory symlink would list ZERO files
+    and the stream would silently converge empty (caught by the r10
+    docs-fuzz closure on stream_quality/stream_multimodal)."""
     d = scratch_dir(f"kcm_src_{name}_")
-    os.symlink(f"{sf_dir}/{name}.parquet", f"{d}/{name}.parquet")
+    target = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(target):
+        n = 0
+        for f in sorted(os.listdir(target)):
+            if f.endswith(".parquet"):
+                os.symlink(f"{target}/{f}", f"{d}/{name}_{n}.parquet")
+                n += 1
+        if n == 0:
+            raise FileNotFoundError(f"no part files under {target}")
+    else:
+        os.symlink(target, f"{d}/{name}.parquet")
     return d
 
 

@@ -49,7 +49,51 @@ TARGETS = (
     # empty en target slices and heavy OOV, exactly the backoff arms the
     # driver fixture exercises only lightly
     "text_kn_perplexity", "text_kn_quality",
+    # r10 net closure: EVERY remaining documents-consuming oracle query —
+    # tokenizer/sampling/packing/mixing transforms over empty docs and
+    # whitespace soup, the multimodal decoders over garbage payloads,
+    # and the two streaming document queries (whose converged result
+    # must equal the batch oracle on ANY corpus; enrolling them exposed
+    # the _stream_dir directory-shaped-table bug). 43/45 passed on first
+    # trial; test_doc_net_is_closed below keeps the enrollment total.
+    "corpus_bigram_novelty", "corpus_dsir", "corpus_interleave",
+    "corpus_mix_epochs", "corpus_shard_skew", "corpus_shuffle_split",
+    "corpus_split_leakage", "corpus_token_budget", "corpus_vocab_top",
+    "corpus_weighted_median", "dedup_simhash", "dedup_source_overlap",
+    "dedup_substring", "llm_corpus_pipeline", "llm_dataset_card",
+    "llm_decontaminate", "llm_dedup_keep_best", "llm_fim_transform",
+    "llm_mix_temperature", "llm_pack_eval", "llm_pack_sequences",
+    "llm_pii_scrub", "llm_sample_hash", "llm_sample_stratified",
+    "llm_span_corruption", "llm_target_mix", "multimodal_decode_errors",
+    "multimodal_ppm_decode", "multimodal_wav_decode",
+    "pipeline_corpus_clean", "pipeline_dq_checks", "scalar_url",
+    "stream_multimodal", "stream_quality", "text_bm25",
+    "text_collocations", "text_feature_hashing", "text_gopher_rules",
+    "text_ngram_top", "text_normalize", "text_rake_keywords",
+    "text_readability", "text_tfidf", "udtf_sentences",
+    "udtf_sentences_builtin",
 )
+
+
+def test_doc_net_is_closed():
+    """Every documents-consuming oracle query must be enrolled in the
+    corpus fuzz net (the twin of test_ev_net_is_closed)."""
+    import inspect
+
+    docq = set()
+    for name, q in all_queries(strict=False).items():
+        if q.oracle is None:
+            continue
+        try:
+            src = inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            continue
+        if '"documents"' in src:
+            docq.add(name)
+    missing = docq - set(TARGETS)
+    assert not missing, f"documents queries outside the fuzz net: {sorted(missing)}"
+    unknown = set(TARGETS) - set(all_queries(strict=False))
+    assert not unknown, f"fuzz net names not in the registry: {sorted(unknown)}"
 
 _CHARS = (
     string.ascii_lowercase + string.digits
