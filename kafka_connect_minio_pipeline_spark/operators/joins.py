@@ -848,14 +848,23 @@ def q_join_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT collapses multiple min-price lineitems of one
     (part, supplier); the supplier attribute join is a broadcast.
     Exactness: unit price is the same IEEE double division on both
-    engines; MIN over doubles is order-free; round once at the end."""
+    engines; MIN over doubles is order-free; round once at the end.
+    Totality: only positive-quantity lines are price quotes — a zero
+    quantity would hit ANSI DIVIDE_BY_ZERO (found by the r10 relational
+    fuzz net; TPC-H quantities are ≥1 so driver results are unchanged),
+    and a negative one is a return, not an offer. The guard is pushed
+    into the scan on both engines."""
     unit = F.col("l_extendedprice") / F.col("l_quantity")
     small = load(spark, sf_dir, "part").filter(
         F.col("p_size") <= MIN_PRICE_MAX_SIZE
     )
-    li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(small.select("p_partkey")),
-        F.col("l_partkey") == F.col("p_partkey"),
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .join(
+            F.broadcast(small.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
     )
     w = Window.partitionBy("l_partkey")
     best = (
@@ -889,7 +898,8 @@ SQL_JOIN_MIN_PRICE_SUPPLIER = f"""
                    OVER (PARTITION BY l_partkey) AS min_unit
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
-                 AND p_size <= {MIN_PRICE_MAX_SIZE}),
+                 AND p_size <= {MIN_PRICE_MAX_SIZE}
+        WHERE l_quantity > 0),
     best AS (
         SELECT DISTINCT l_partkey, l_suppkey,
                ROUND(min_unit, 6) AS min_price

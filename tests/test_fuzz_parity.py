@@ -325,3 +325,167 @@ def test_fuzz_events_parity(spark, fuzz_ev_dirs, name):
             con.close()
         assert sorted(got.columns) == sorted(want.columns), (name, d)
         assert _canon(got) == _canon(want), (name, d)
+
+
+# --- relational fuzz: adversarial lineitem/orders ---------------------------
+#
+# The TPC-H-family operators (the driver's most-graded surface) under
+# data the synthetic generator never produces: dangling foreign keys on
+# every edge (orders without customers, lineitems without orders/parts/
+# suppliers), duplicate (order, part) lines, zero and negative
+# quantities/amounts, empty-string flags/statuses/priorities, and
+# filter-boundary values (the Q1 shipdate cutoff, discount band edges,
+# quantity 50). No NULLs: the corpus generator contract is non-null
+# columns, and NULL *ordering* legitimately differs across engines.
+# First trial (two seeds) caught a real totality bug:
+# join_min_price_supplier's unit-price division hit ANSI DIVIDE_BY_ZERO
+# on a zero-quantity line.
+
+_REL_TARGETS = (
+    "agg_benford", "agg_column_profile", "agg_corr", "agg_count_distinct",
+    "agg_cube", "agg_large_orders", "agg_median_twopass", "agg_percentile",
+    "agg_poisson_bootstrap", "agg_pricing_summary", "agg_promo_share",
+    "agg_rollup", "agg_small_qty_revenue", "agg_unpivot",
+    "join_anti", "join_bucketed", "join_copurchase_lift",
+    "join_disjunctive_revenue", "join_inner_revenue",
+    "join_left_order_counts", "join_market_share",
+    "join_min_price_supplier", "join_nation_trade",
+    "join_order_count_dist", "join_range_band", "join_returned_items",
+    "join_role_dims", "join_semi", "join_shipping_priority",
+    "join_top_supplier", "join_untapped_customers", "join_waiting_supplier",
+    "pipeline_dq_checks", "scalar_date", "sketch_bloom_join", "sketch_hll",
+    "sketch_hll_setops", "sketch_quantile", "topk_global",
+    "window_distribution", "window_lag_lead", "window_range_frame",
+    "window_rank", "window_running", "window_topn_per_group",
+)
+
+
+def test_rel_net_is_closed():
+    """Every lineitem/orders-consuming oracle query (direct reference in
+    its builder source, same convention as the other closures) must be
+    enrolled in the relational fuzz net."""
+    import inspect
+
+    relq = set()
+    for name, q in all_queries(strict=False).items():
+        if q.oracle is None:
+            continue
+        try:
+            src = inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            continue
+        if '"lineitem"' in src or '"orders"' in src:
+            relq.add(name)
+    missing = relq - set(_REL_TARGETS) - set(_EV_TARGETS)
+    assert not missing, f"relational queries outside the fuzz net: {sorted(missing)}"
+    unknown = set(_REL_TARGETS) - set(all_queries(strict=False))
+    assert not unknown, f"fuzz net names not in the registry: {sorted(unknown)}"
+
+
+def _rand_rel(rng: random.Random):
+    import datetime
+
+    n_ord = rng.randrange(40, 120)
+    okeys = rng.sample(range(1, 10000), n_ord)
+    orders = []
+    for ok in okeys:
+        d = datetime.datetime(
+            1995 + rng.randrange(4), rng.randrange(1, 13), rng.randrange(1, 29)
+        )
+        if rng.random() < 0.1:
+            d = datetime.datetime(1998, 9, 2)  # the Q1 cutoff, exactly
+        orders.append(
+            (ok, rng.randrange(1, 60), rng.choice(["O", "F", "P", ""]),
+             round(rng.choice([-1, 1]) * rng.randrange(0, 500000) / 100.0, 2),
+             d, rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM",
+                            "4-NOT SPECIFIED", "5-LOW", ""]))
+        )
+    lines = []
+    for _ in range(rng.randrange(200, 600)):
+        ok = (rng.choice(okeys) if rng.random() < 0.9
+              else rng.randrange(10000, 10100))
+        pk = (rng.randrange(1, 201) if rng.random() < 0.9
+              else rng.randrange(5000, 5100))
+        sk = (rng.randrange(1, 11) if rng.random() < 0.9
+              else rng.randrange(900, 910))
+        lines.append(
+            (ok, pk, sk, rng.randrange(1, 8),
+             float(rng.choice([0, 1, 24, 25, 49, 50, 51, rng.randrange(0, 60)])),
+             round(rng.randrange(100, 10000000) / 100.0, 2),
+             rng.choice([0.0, 0.05, 0.06, 0.07, 0.1,
+                         round(rng.randrange(0, 11) / 100.0, 2)]),
+             round(rng.randrange(0, 9) / 100.0, 2),
+             rng.choice(["R", "A", "N", ""]), rng.choice(["O", "F", ""]),
+             datetime.datetime(1995 + rng.randrange(4), rng.randrange(1, 13),
+                               rng.randrange(1, 29)))
+        )
+    return orders, lines
+
+
+@pytest.fixture(scope="session")
+def fuzz_rel_dirs(tmp_path_factory) -> list[str]:
+    import pandas as pd
+
+    dirs = []
+    for seed in (701, 702):
+        rng = random.Random(seed)
+        d = str(tmp_path_factory.mktemp(f"fuzzrel{seed}"))
+        for f in os.listdir(SF_SRC):
+            if f not in ("lineitem.parquet", "orders.parquet"):
+                shutil.copy(f"{SF_SRC}/{f}", f"{d}/{f}")
+        orders, lines = _rand_rel(rng)
+        con = duckdb.connect()
+        try:
+            con.register("o", pd.DataFrame(orders, columns=[
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority"]))
+            con.execute(
+                f"""COPY (SELECT o_orderkey::BIGINT AS o_orderkey,
+                    o_custkey::BIGINT AS o_custkey, o_orderstatus,
+                    o_totalprice::DOUBLE AS o_totalprice,
+                    o_orderdate::TIMESTAMP AS o_orderdate, o_orderpriority
+                    FROM o) TO '{d}/orders.parquet' (FORMAT PARQUET)"""
+            )
+            con.register("l", pd.DataFrame(lines, columns=[
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate"]))
+            con.execute(
+                f"""COPY (SELECT l_orderkey::BIGINT AS l_orderkey,
+                    l_partkey::BIGINT AS l_partkey,
+                    l_suppkey::BIGINT AS l_suppkey,
+                    l_linenumber::INTEGER AS l_linenumber,
+                    l_quantity::DOUBLE AS l_quantity,
+                    l_extendedprice::DOUBLE AS l_extendedprice,
+                    l_discount::DOUBLE AS l_discount,
+                    l_tax::DOUBLE AS l_tax, l_returnflag, l_linestatus,
+                    l_shipdate::TIMESTAMP AS l_shipdate
+                    FROM l) TO '{d}/lineitem.parquet' (FORMAT PARQUET)"""
+            )
+        finally:
+            con.close()
+        dirs.append(d)
+    return dirs
+
+
+@pytest.mark.parametrize("name", sorted(_REL_TARGETS))
+def test_fuzz_relational_parity(spark, fuzz_rel_dirs, name):
+    q = all_queries(strict=False)[name]
+    for d in fuzz_rel_dirs:
+        got = q.fn(spark, d).toPandas()
+        con = duckdb.connect()
+        try:
+            for t in TABLE_NAMES:
+                pth = f"{d}/{t}.parquet"
+                if os.path.isdir(pth):
+                    pth += "/*.parquet"
+                w = CONTRACT_SQL_WHERE.get(t, "")
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{pth}'"
+                    + (f" WHERE {w}" if w else "")
+                )
+            want = con.execute(q.oracle).fetchdf()
+        finally:
+            con.close()
+        assert sorted(got.columns) == sorted(want.columns), (name, d)
+        assert _canon(got) == _canon(want), (name, d)
