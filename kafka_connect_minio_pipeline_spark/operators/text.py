@@ -2049,7 +2049,10 @@ def q_text_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("tf").alias("n_bigrams"), F.sum(term).alias("s"))
     )
-    nll = -(F.col("s").cast("double")) / F.col("n_bigrams").cast("double")
+    # + 0.0 normalizes IEEE negative zero: an all-seen-bigram doc has
+    # s = 0 and -(0.0)/n is -0.0 in DuckDB but +0.0 through Spark's
+    # round — the one value repr-hashing distinguishes (r10 fuzz sweep)
+    nll = -(F.col("s").cast("double")) / F.col("n_bigrams").cast("double") + F.lit(0.0)
     return per_doc.select(
         "doc_id",
         "n_bigrams",
@@ -2094,9 +2097,9 @@ SQL_TEXT_KN_PERPLEXITY = f"""
         FROM inst JOIN p USING (w1, w2)
         GROUP BY doc_id)
     SELECT doc_id, n_bigrams,
-           ROUND(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+           ROUND(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.0, 6)
                AS nll_per_bigram,
-           ROUND(EXP(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 4)
+           ROUND(EXP(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.0), 4)
                AS ppl
     FROM per_doc
 """
@@ -2196,7 +2199,10 @@ def q_text_kn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(unseen).cast("long").alias("n_unseen"),
         F.sum(term).alias("s"),
     )
-    nll = -(F.col("s").cast("double")) / F.col("n_bigrams").cast("double")
+    # + 0.0 normalizes IEEE negative zero: an all-seen-bigram doc has
+    # s = 0 and -(0.0)/n is -0.0 in DuckDB but +0.0 through Spark's
+    # round — the one value repr-hashing distinguishes (r10 fuzz sweep)
+    nll = -(F.col("s").cast("double")) / F.col("n_bigrams").cast("double") + F.lit(0.0)
     return per_doc.select(
         "doc_id",
         "lang",
@@ -2257,9 +2263,9 @@ SQL_TEXT_KN_QUALITY = f"""
                    END), 9) AS DECIMAL(28,9))) AS s
         FROM scored GROUP BY 1, 2)
     SELECT doc_id, lang, n_bigrams, n_unseen,
-           ROUND(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+           ROUND(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.0, 6)
                AS nll_per_bigram,
-           ROUND(EXP(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE)), 4)
+           ROUND(EXP(-CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.0), 4)
                AS ppl
     FROM per_doc
 """

@@ -67,7 +67,7 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. This round:
-#   1-9:   round-10 LATE additions/changes (graded the round they land):
+#   1-10:  round-10 LATE additions/changes (graded the round they land):
 #          agg_skyline (Pareto frontier, windowed-linear vs the
 #          NOT EXISTS oracle), agg_column_profile (one-pass Deequ
 #          profile vs six-scan oracle), join_copurchase_lift
@@ -80,8 +80,12 @@ _QUERY_MODULES = (
 #          connected components vs the unrolled fixed-round oracle);
 #          CHANGED: join_min_price_supplier (positive-quantity guard on
 #          the unit-price division — the r10 relational fuzz net found
-#          the ANSI DIVIDE_BY_ZERO on zero-quantity lines).
-#  10-22:  round-10 new/changed — NEW: the TPC-H completion batch
+#          the ANSI DIVIDE_BY_ZERO on zero-quantity lines) and
+#          text_kn_perplexity (negative-zero NLL normalization — the
+#          multi-seed fuzz sweep found Spark +0.0 vs DuckDB -0.0 on
+#          all-P=1 degenerate corpora; text_kn_quality got the same fix
+#          and is already pinned above).
+#  11-23:  round-10 new/changed — NEW: the TPC-H completion batch
 #          join_order_count_dist (Q13 left-join histogram) /
 #          join_waiting_supplier (Q21 only-late-supplier decorrelation) /
 #          join_disjunctive_revenue (Q19 cross-side OR with explicit
@@ -96,12 +100,12 @@ _QUERY_MODULES = (
 #          CHANGED: agg_ks_test / agg_chisq (double-cast before the
 #          count product — one IEEE tree both engines, ADVICE r9) and
 #          graph_hits (oracle edges CTE AS MATERIALIZED, ADVICE r9).
-#  23-50: the 10 remaining round-4-vintage rows (scalar_array /
+#  24-50: the 10 remaining round-4-vintage rows (scalar_array /
 #          scalar_conditional / scalar_date + the seven window-family
-#          rows) — the r4 vintage CLEARS — then 18 of the 50
+#          rows) — the r4 vintage CLEARS — then 17 of the 50
 #          round-5-vintage rows (agg moment/shape cohort, graph r5
 #          batch, ts r5 batch head, kmeans family, cdc/stream pair,
-#          scalar_bitwise). The 32 r5 rows left (incl. ts_changepoint / ts_anomaly_seasonal / ts_acf / stream_entropy) (corpus_*, dedup eval
+#          scalar_bitwise). The 33 r5 rows left (incl. ts_changepoint / ts_anomaly_seasonal / ts_acf / stream_entropy / stream_cdc_merge) (corpus_*, dedup eval
 #          quartet, llm transforms, multimodal wav/errors,
 #          pipeline_dq_checks, text r5 five, the rolling window pair,
 #          ts_survival/week_over_week, udf_grouped_znorm, and —
@@ -124,6 +128,7 @@ _GRADE_FIRST = (
     "agg_srm",
     "graph_wcc",
     "join_min_price_supplier",
+    "text_kn_perplexity",
     # round-10 new/changed
     "join_order_count_dist",
     "join_waiting_supplier",
@@ -167,7 +172,6 @@ _GRADE_FIRST = (
     "similarity_kmeans",
     "similarity_kmeans_eval",
     "similarity_rerank_mmr",
-    "stream_cdc_merge",
 )
 
 

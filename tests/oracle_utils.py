@@ -21,12 +21,15 @@ from kafka_connect_minio_pipeline_spark.tables import TABLE_NAMES
 
 
 def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
         for t in TABLE_NAMES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
+            pth = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(pth):  # Spark-written fixture tables
+                pth += "/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pth}'")
         return con.execute(sql).fetchdf()
     finally:
         con.close()

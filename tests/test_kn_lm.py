@@ -183,3 +183,49 @@ def test_kn_quality_target_slice_scores_better(spark, sf_dir):
     assert sum(en) / len(en) < sum(other) / len(other)
     # and the en slice is never OOV against its own model
     assert all(r["n_unseen"] == 0 for r in rows if r["lang"] == "en")
+
+
+def test_kn_negative_zero_on_all_seen_corpus(spark, tmp_path):
+    """A corpus that is one repeated bigram gives every test bigram
+    P = 1, so sum(ln P) = 0 and the mean NLL is -(0)/n — which is IEEE
+    NEGATIVE zero through DuckDB's expression tree but +0.0 through
+    Spark's, the one value repr-based hashing distinguishes (found by
+    the r10 multi-seed fuzz sweep, seeds 404/606). Both operators add
+    +0.0 to normalize; this fixture pins the exact pathology."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_utils import assert_matches_oracle
+
+    from kafka_connect_minio_pipeline_spark.registry import all_queries
+
+    import os
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    for f in os.listdir(src):
+        if f != "documents.parquet":
+            shutil.copy(f"{src}/{f}", f"{tmp_path}/{f}")
+    schema = spark.read.parquet(f"{src}/documents.parquet").schema
+    # doc 1 (en): ONE word -> zero bigrams -> the quality filter's
+    # target model is EMPTY (V=0), so every scored bigram takes the
+    # uniform floor 1/(V+1) = 1 exactly. doc 2: one repeated bigram ->
+    # the self-trained LM has a single bigram/continuation type and the
+    # interpolated P collapses to (c-D)/c + D/c = 1 exactly. Both make
+    # sum(ln P) = 0 and the mean NLL hit the -0.0 edge.
+    text = "zz9 " * 7 + "zz9"
+    rows = [(1, "word", "en", "web", 4),
+            (2, text, "de", "web", len(text))]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    qs = all_queries()
+    for name in ("text_kn_perplexity", "text_kn_quality"):
+        q = qs[name]
+        assert_matches_oracle(q.fn(spark, str(tmp_path)), q.oracle, str(tmp_path))
+        rows_out = q.fn(spark, str(tmp_path)).collect()
+        assert [r["doc_id"] for r in rows_out] == [2], (name, rows_out)
+        r = rows_out[0]
+        # the sign pin: +0.0 exactly, never "-0.0"
+        assert str(r["nll_per_bigram"]) == "0.0", (name, r)
+        assert r["ppl"] == 1.0, (name, r)
