@@ -2271,7 +2271,448 @@ SQL_TEXT_KN_QUALITY = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# trained quality classifier (fastText-style hashed linear gate)
+# ---------------------------------------------------------------------------
+
+CLF_DIM = 32  # hashed feature buckets (the vocab-independence knob)
+CLF_STEPS = 10  # unrolled full-batch gradient steps
+CLF_ETA = 1.0  # learning rate
+CLF_GATE = 0.625  # teacher threshold on the heuristic quality_score
+CLF_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out eval split
+
+
+def _dec12(c: F.Column) -> F.Column:
+    """Quantize a double term to DECIMAL(28,12) so the following SUM is
+    order-free and cross-engine exact (the dec9 idiom, two digits wider
+    because gradient terms are products of two z-scored features)."""
+    return F.round(c, 12).cast("decimal(28,12)")
+
+
+def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Trained text-quality classifier: the fastText-style supervised
+    gate CCNet/LLaMA-class pipelines run beside the LM perplexity filter
+    (Joulin et al. 2016; DCLM's fastText gate), distilled here from the
+    engine's own heuristic teacher. Labels: ``quality_score >=
+    {CLF_GATE}`` from :func:`quality_features` (the Gopher-ish
+    composite the corpus already computes — the classifier learns to
+    reproduce the expensive gate from cheap hashed features, which is
+    exactly the production distillation story: train on a labeled
+    slice, serve a linear scorer). Features: hashed bag-of-tokens
+    (portable md5 hash → ``CLF_DIM`` buckets, the
+    :func:`q_text_feature_hashing` trick — Weinberger et al. 2009),
+    per-doc term frequencies, plus a capped length feature and a bias;
+    all z-scored against TRAIN-split statistics. Model: logistic
+    regression trained by ``CLF_STEPS`` unrolled full-batch gradient
+    steps in the decimal-exact dataflow algebra ``similarity_kmeans``
+    proved — every order-sensitive float sum is quantized to
+    decimal(28,12) first, the sigmoid (the one transcendental) is
+    rounded to 9 decimals on both engines, so the trained weights and
+    every score hash-match the unrolled-CTE oracle bit-for-bit.
+
+    Split: ``doc_id % {CLF_HOLDOUT_MOD} == 0`` is held out of training
+    and standardization; scores are emitted for ALL docs with the
+    split flag, and ``q_text_classifier_eval`` grades the held-out
+    slice (AUC ≈ 0.86-0.90 at sf0.001-0.01; the separation test in
+    tests/test_vector_text_ops.py pins teacher-positive docs scoring
+    above teacher-negative on held-out data).
+
+    100 TB shape: the dense feature grid is |docs|·(CLF_DIM+2) narrow
+    rows; each gradient step is one broadcast join against the
+    (CLF_DIM+2)-row weight relation plus two hash aggregations over the
+    grid (map-side partials), K a fixed constant — the classic
+    distributed-LR shape (MLlib's LogisticRegression aggregator)
+    expressed in pure DataFrame algebra. Serving is a narrow
+    scan + broadcast join. The feature grid is localCheckpointed
+    because 2K+1 plan references would otherwise re-derive it; the
+    per-step weight relation is (CLF_DIM+2) rows, checkpointed to keep
+    the unrolled lineage linear instead of 2^K. Raising corpus size
+    changes nothing; raising vocabulary only argues for a larger
+    CLF_DIM (the hashing trick's whole point). An empty train split
+    degrades totally: weights stay zero, every score is 0.5.
+    """
+    from .llmdata import _portable_hash
+
+    lab = quality_features(docs).select(
+        "doc_id",
+        F.coalesce(F.col("quality_score") >= CLF_GATE, F.lit(False))
+        .cast("double")
+        .alias("y"),
+        (F.col("doc_id") % CLF_HOLDOUT_MOD == 0).alias("held_out"),
+    )
+    cnt = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy(
+            "doc_id",
+            F.pmod(_portable_hash(F.col("t")), F.lit(CLF_DIM))
+            .cast("int")
+            .alias("j"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    idx = spark.range(CLF_DIM + 2).select(F.col("id").cast("int").alias("j"))
+    base = lab.join(tot, "doc_id", "left").select(
+        "doc_id", "y", "held_out", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    grid = (
+        base.crossJoin(F.broadcast(idx))
+        .join(cnt, ["doc_id", "j"], "left")
+        .select(
+            "doc_id",
+            "y",
+            "held_out",
+            "j",
+            F.when(F.col("j") == CLF_DIM + 1, F.lit(1.0))
+            .when(
+                F.col("j") == CLF_DIM,
+                F.least(F.col("n").cast("double") / F.lit(32.0), F.lit(1.0)),
+            )
+            .when(
+                F.col("n") > 0,
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("x"),
+        )
+    )
+    stats = (
+        grid.filter(~F.col("held_out"))
+        .groupBy("j")
+        .agg(
+            (F.sum(_dec12(F.col("x"))).cast("double") / F.count("*")).alias("mu"),
+            (
+                F.sum(_dec12(F.col("x") * F.col("x"))).cast("double")
+                / F.count("*")
+            ).alias("msq"),
+        )
+        .select(
+            "j",
+            "mu",
+            F.sqrt(
+                F.greatest(F.col("msq") - F.col("mu") * F.col("mu"), F.lit(0.0))
+            ).alias("sd"),
+        )
+    )
+    feats = (
+        grid.join(F.broadcast(stats), "j", "left")
+        .select(
+            "doc_id",
+            "y",
+            "held_out",
+            "j",
+            F.when(F.col("j") == CLF_DIM + 1, F.lit(1.0))
+            .when(F.coalesce(F.col("sd"), F.lit(0.0)) == 0.0, F.lit(0.0))
+            .otherwise(F.round((F.col("x") - F.col("mu")) / F.col("sd"), 9))
+            .alias("z"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ntr = base.filter(~F.col("held_out")).agg(F.count("*").alias("n_tr"))
+    ftr = feats.filter(~F.col("held_out"))
+    w = idx.select("j", F.lit(0.0).alias("wt")).localCheckpoint(eager=True)
+    for _ in range(CLF_STEPS):
+        zdoc = (
+            ftr.join(F.broadcast(w), "j")
+            .groupBy("doc_id", "y")
+            .agg(F.sum(_dec12(F.col("wt") * F.col("z"))).cast("double").alias("zs"))
+            .select(
+                "doc_id",
+                F.round(
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zs"))), 9
+                ).alias("s"),
+            )
+        )
+        grad = (
+            ftr.join(zdoc, "doc_id")
+            .groupBy("j")
+            .agg(
+                F.sum(_dec12((F.col("s") - F.col("y")) * F.col("z")))
+                .cast("double")
+                .alias("g")
+            )
+        )
+        w = (
+            w.join(grad, "j", "left")
+            .crossJoin(F.broadcast(ntr))
+            .select(
+                "j",
+                F.round(
+                    F.col("wt")
+                    - F.lit(CLF_ETA)
+                    * F.when(
+                        F.col("n_tr") > 0,
+                        F.coalesce(F.col("g"), F.lit(0.0))
+                        / F.col("n_tr").cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                    12,
+                ).alias("wt"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    scored = (
+        feats.join(F.broadcast(w), "j")
+        .groupBy("doc_id", "y", "held_out")
+        .agg(F.sum(_dec12(F.col("wt") * F.col("z"))).cast("double").alias("zs"))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zs"))), 6)
+    return scored.select(
+        "doc_id",
+        F.col("y").cast("int").alias("teacher_label"),
+        "held_out",
+        score.alias("score"),
+        (score >= 0.5).alias("predicted_quality"),
+    )
+
+
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: trained hashed-linear quality gate over
+    ``documents``."""
+    return classifier_scores(spark, spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+def q_text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation card for the trained quality classifier: one
+    row with split sizes, tie-averaged-rank AUC (Mann–Whitney U — exact
+    integer/rank arithmetic, so fully hash-checkable), class mean
+    scores, and thresholded accuracy — all on the held-out slice only
+    (the train numbers would flatter any classifier).
+
+    The rank window is a single global sort over the HELD-OUT slice —
+    a bounded eval relation by construction (1/{CLF_HOLDOUT_MOD} of the
+    audit sample; at 100 TB the eval slice is itself a sample, never
+    the corpus), the same bounded-relation argument every *_eval query
+    in the registry makes. Means are decimal-quantized sums; the AUC
+    closing expression is one IEEE tree rounded at the end.
+    """
+    sc = classifier_scores(
+        spark, spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).localCheckpoint(eager=True)
+    totals = sc.agg(
+        F.sum(F.when(~F.col("held_out"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("held_out"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_holdout"),
+    )
+    ho = sc.filter(F.col("held_out"))
+    r = F.rank().over(Window.orderBy("score")) + (
+        F.count("*").over(Window.partitionBy("score")) - 1
+    ) / F.lit(2.0)
+    ranked = ho.select(
+        "teacher_label", "score", "predicted_quality", r.alias("r")
+    )
+    pos = F.col("teacher_label") == 1
+    agg = ranked.agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(~pos, 1).otherwise(0)).cast("long").alias("n_neg"),
+        F.sum(F.when(pos, F.col("r"))).alias("sum_r_pos"),
+        F.sum(F.when(pos, F.col("score").cast("decimal(28,6)")))
+        .cast("double")
+        .alias("sum_s_pos"),
+        F.sum(F.when(~pos, F.col("score").cast("decimal(28,6)")))
+        .cast("double")
+        .alias("sum_s_neg"),
+        F.sum(
+            F.when(pos == F.col("predicted_quality"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+    out = totals.crossJoin(F.broadcast(agg))
+    npos = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    return out.select(
+        "n_train",
+        "n_holdout",
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                (F.col("sum_r_pos") - npos * (npos + 1) / 2) / (npos * nneg), 6
+            ),
+        ).alias("auc"),
+        F.when(F.col("n_pos") > 0, F.round(F.col("sum_s_pos") / npos, 6)).alias(
+            "mean_score_pos"
+        ),
+        F.when(F.col("n_neg") > 0, F.round(F.col("sum_s_neg") / nneg, 6)).alias(
+            "mean_score_neg"
+        ),
+        F.when(
+            F.col("n_holdout") > 0,
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_holdout").cast("double"),
+                6,
+            ),
+        ).alias("accuracy"),
+    )
+
+
+def _clf_cte() -> str:
+    """Unrolled-CTE mirror of :func:`classifier_scores` through the
+    ``scored`` relation — every reused CTE AS MATERIALIZED (DuckDB
+    re-inlines per reference otherwise; the probe-sweep precedent)."""
+    D, B = CLF_DIM, CLF_DIM + 1
+    toks = SQL_TOKENS.format(col="text")
+    rounds = []
+    prev = "w0"
+    for i in range(1, CLF_STEPS + 1):
+        rounds.append(f"""
+    z{i} AS MATERIALIZED (
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + EXP(-zs)), 9) AS s
+        FROM (SELECT f.doc_id,
+                     CAST(SUM(CAST(ROUND(w.wt * f.z, 12) AS DECIMAL(28,12)))
+                          AS DOUBLE) AS zs
+              FROM ftr f JOIN {prev} w USING (j) GROUP BY f.doc_id)),
+    g{i} AS MATERIALIZED (
+        SELECT f.j,
+               CAST(SUM(CAST(ROUND((z.s - f.y) * f.z, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS g
+        FROM ftr f JOIN z{i} z USING (doc_id) GROUP BY f.j),
+    w{i} AS MATERIALIZED (
+        SELECT w.j,
+               ROUND(w.wt - {CLF_ETA} * (CASE WHEN ntr.n_tr > 0
+                   THEN COALESCE(g.g, 0.0) / CAST(ntr.n_tr AS DOUBLE)
+                   ELSE 0.0 END), 12) AS wt
+        FROM {prev} w LEFT JOIN g{i} g USING (j) CROSS JOIN ntr)""")
+        prev = f"w{i}"
+    return f"""
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN qs IS NOT NULL AND qs >= {CLF_GATE}
+                    THEN 1.0 ELSE 0.0 END AS y,
+               doc_id % {CLF_HOLDOUT_MOD} = 0 AS held_out
+        FROM (SELECT doc_id,
+                     CASE WHEN LEN(toks) > 0 AND n_chars > 0 THEN
+                         ROUND((alpha_chars * 1.0 / n_chars) * 0.5
+                               + (LEN(LIST_FILTER(toks,
+                                      t -> t IN ({_STOP_SQL}))) * 1.0
+                                  / LEN(toks)) * 0.3
+                               + LEAST(LEN(toks) / 32.0, 1.0) * 0.2, 6)
+                     END AS qs
+              FROM (SELECT doc_id, {toks} AS toks,
+                           LENGTH(text) AS n_chars,
+                           LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g'))
+                               AS alpha_chars
+                    FROM documents))),
+    cnt AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % {D}
+                    AS INTEGER) AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, UNNEST({toks}) AS tok FROM documents)
+        GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id),
+    idx AS (SELECT CAST(UNNEST(RANGE({D + 2})) AS INTEGER) AS j),
+    base AS (
+        SELECT lab.doc_id, y, held_out, COALESCE(n, 0) AS n
+        FROM lab LEFT JOIN tot ON lab.doc_id = tot.doc_id),
+    grid AS MATERIALIZED (
+        SELECT base.doc_id, y, held_out, idx.j,
+               CASE WHEN idx.j = {B} THEN 1.0
+                    WHEN idx.j = {D}
+                        THEN LEAST(CAST(n AS DOUBLE) / 32.0, 1.0)
+                    WHEN n > 0
+                        THEN CAST(COALESCE(c, 0) AS DOUBLE)
+                             / CAST(n AS DOUBLE)
+                    ELSE 0.0 END AS x
+        FROM base CROSS JOIN idx
+        LEFT JOIN cnt ON cnt.doc_id = base.doc_id AND cnt.j = idx.j),
+    stats AS (
+        SELECT j, mu, SQRT(GREATEST(msq - mu * mu, 0.0)) AS sd
+        FROM (SELECT j,
+                     CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12)))
+                          AS DOUBLE) / COUNT(*) AS mu,
+                     CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12)))
+                          AS DOUBLE) / COUNT(*) AS msq
+              FROM grid WHERE NOT held_out GROUP BY j)),
+    feats AS MATERIALIZED (
+        SELECT doc_id, y, held_out, grid.j,
+               CASE WHEN grid.j = {B} THEN 1.0
+                    WHEN COALESCE(sd, 0.0) = 0.0 THEN 0.0
+                    ELSE ROUND((x - mu) / sd, 9) END AS z
+        FROM grid LEFT JOIN stats ON grid.j = stats.j),
+    ftr AS MATERIALIZED (SELECT * FROM feats WHERE NOT held_out),
+    ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tr
+            FROM base WHERE NOT held_out),
+    w0 AS (SELECT j, 0.0 AS wt FROM idx),{",".join(rounds)},
+    scored AS MATERIALIZED (
+        SELECT f.doc_id, f.y, f.held_out,
+               CAST(SUM(CAST(ROUND(w.wt * f.z, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS zs
+        FROM feats f JOIN {prev} w USING (j)
+        GROUP BY f.doc_id, f.y, f.held_out)"""
+
+
+SQL_TEXT_QUALITY_CLASSIFIER = f"""
+    WITH {_clf_cte()}
+    SELECT doc_id, CAST(y AS INTEGER) AS teacher_label, held_out,
+           ROUND(1.0 / (1.0 + EXP(-zs)), 6) AS score,
+           ROUND(1.0 / (1.0 + EXP(-zs)), 6) >= 0.5 AS predicted_quality
+    FROM scored
+"""
+
+SQL_TEXT_CLASSIFIER_EVAL = f"""
+    WITH {_clf_cte()},
+    sc AS MATERIALIZED (
+        SELECT doc_id, CAST(y AS INTEGER) AS teacher_label, held_out,
+               ROUND(1.0 / (1.0 + EXP(-zs)), 6) AS score,
+               ROUND(1.0 / (1.0 + EXP(-zs)), 6) >= 0.5 AS predicted_quality
+        FROM scored),
+    totals AS (
+        SELECT CAST(SUM(CASE WHEN NOT held_out THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train,
+               CAST(SUM(CASE WHEN held_out THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_holdout
+        FROM sc),
+    ranked AS (
+        SELECT teacher_label, score, predicted_quality,
+               RANK() OVER (ORDER BY score)
+               + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS r
+        FROM sc WHERE held_out),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN teacher_label = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN teacher_label <> 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_neg,
+               SUM(CASE WHEN teacher_label = 1 THEN r END) AS sum_r_pos,
+               CAST(SUM(CASE WHEN teacher_label = 1
+                        THEN CAST(score AS DECIMAL(28,6)) END) AS DOUBLE)
+                   AS sum_s_pos,
+               CAST(SUM(CASE WHEN teacher_label <> 1
+                        THEN CAST(score AS DECIMAL(28,6)) END) AS DOUBLE)
+                   AS sum_s_neg,
+               CAST(SUM(CASE WHEN (teacher_label = 1) = predicted_quality
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        FROM ranked)
+    SELECT n_train, n_holdout, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+               ROUND((sum_r_pos - CAST(n_pos AS DOUBLE)
+                      * (CAST(n_pos AS DOUBLE) + 1) / 2)
+                     / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+           END AS auc,
+           CASE WHEN n_pos > 0
+                THEN ROUND(sum_s_pos / CAST(n_pos AS DOUBLE), 6) END
+               AS mean_score_pos,
+           CASE WHEN n_neg > 0
+                THEN ROUND(sum_s_neg / CAST(n_neg AS DOUBLE), 6) END
+               AS mean_score_neg,
+           CASE WHEN n_holdout > 0
+                THEN ROUND(CAST(n_correct AS DOUBLE)
+                           / CAST(n_holdout AS DOUBLE), 6) END
+               AS accuracy
+    FROM totals CROSS JOIN agg
+"""
+
+
 QUERIES = {
+    "text_quality_classifier": Query(
+        q_text_quality_classifier, SQL_TEXT_QUALITY_CLASSIFIER
+    ),
+    "text_classifier_eval": Query(q_text_classifier_eval, SQL_TEXT_CLASSIFIER_EVAL),
     "text_kn_quality": Query(q_text_kn_quality, SQL_TEXT_KN_QUALITY),
     "text_kn_perplexity": Query(q_text_kn_perplexity, SQL_TEXT_KN_PERPLEXITY),
     "text_rake_keywords": Query(q_text_rake_keywords, SQL_TEXT_RAKE),

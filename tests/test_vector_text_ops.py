@@ -488,3 +488,42 @@ def test_line_dedup_hand_built(spark, tmp_path):
     assert out[3]["cleaned_text"] == "totally unique document"
     # blank lines are shared by docs 0 and 4 but never removed
     assert out[4]["n_removed_lines"] == 0 and out[4]["cleaned_text"] == "\n\n"
+
+
+def test_quality_classifier_holdout_separation(spark, sf_dir):
+    """The VERDICT r10 item-2 acceptance test: on the HELD-OUT split
+    (docs never seen by training or standardization), teacher-positive
+    documents must score above teacher-negative ones — mean separation
+    AND a rank statistic (AUC) comfortably above chance. The classifier
+    is only useful if the distilled gate generalizes off the train
+    split; train-split numbers would flatter any memorizing model."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_classifier_eval,
+        q_text_quality_classifier,
+    )
+
+    rows = q_text_quality_classifier(spark, sf_dir).collect()
+    ho = [r for r in rows if r["held_out"]]
+    pos = [r["score"] for r in ho if r["teacher_label"] == 1]
+    neg = [r["score"] for r in ho if r["teacher_label"] == 0]
+    assert pos and neg
+    assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.1
+    card = q_text_classifier_eval(spark, sf_dir).collect()[0]
+    assert card["auc"] > 0.75
+    assert card["n_train"] + card["n_holdout"] == len(rows)
+    assert card["n_pos"] == len(pos) and card["n_neg"] == len(neg)
+    assert 0.5 < card["accuracy"] <= 1.0
+
+
+def test_quality_classifier_weights_nonzero_and_deterministic(spark, sf_dir):
+    """Two independent builds must agree exactly (the decimal-exact
+    dataflow claim), and training must actually move off the zero
+    initialization (scores away from 0.5)."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_quality_classifier,
+    )
+
+    a = {r["doc_id"]: r["score"] for r in q_text_quality_classifier(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["score"] for r in q_text_quality_classifier(spark, sf_dir).collect()}
+    assert a == b
+    assert any(abs(s - 0.5) > 0.2 for s in a.values())
