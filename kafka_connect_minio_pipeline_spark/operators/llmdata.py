@@ -405,6 +405,138 @@ SQL_DECONTAMINATE = f"""
 
 
 # ---------------------------------------------------------------------------
+# 4b. semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+DECON_SEM_TAU = 0.45  # cosine threshold (the SemDeDup operating point)
+
+
+def decontaminate_semantic(vectors: DataFrame, eval_ids: DataFrame) -> DataFrame:
+    """Embedding-space decontamination: given the full vector relation
+    and the benchmark's id relation, flag every NON-benchmark vector
+    whose cosine to ANY benchmark vector reaches ``DECON_SEM_TAU``.
+
+    :func:`q_llm_decontaminate` is n-gram EXACT — a paraphrased copy of
+    an eval item (same meaning, different surface form) shares no
+    8-gram and slips straight through; in embedding space it still sits
+    next to its source (the leak mode Yang et al. 2023, "Rethinking
+    Benchmark and Contamination", measure). This operator composes the
+    SemDeDup cluster-bounding machinery (``dedup.q_dedup_semantic``,
+    Abbas et al. 2023) with an eval-row relation: k-means cells bound
+    the candidate set, so each corpus vector compares only against eval
+    vectors in ITS cell — never all-pairs. At 100 TB: K grows with the
+    corpus (cells stay constant-size), the eval relation is benchmark-
+    sized (thousands of rows — broadcast), so the pair stage is linear
+    in the corpus with a tiny constant; the same exact-cosine sequential
+    fold every similarity operator shares keeps it hash-checkable.
+
+    Cell-boundary caveat (documented, inherent to SemDeDup too): a
+    near-dup pair split across a cell boundary is missed; raise the
+    probe count or rerun with a second seeding for audit-grade recall.
+    The planted-paraphrase test (tests/test_llmdata.py) pins the case
+    n-gram decontamination provably misses: near-identical embedding,
+    zero shared 8-grams → flagged here, clean there.
+
+    Emits one row per non-eval vector: its cell, max cosine to any
+    same-cell eval vector (NULL when the cell holds none or either side
+    is a zero vector — the engine's zero-vector-exclusion rule), and
+    the contamination verdict. Max over pairs is order-free, so the
+    rounded score is cross-engine exact.
+    """
+    from ..functions.vectors import cosine_from_parts, dot, to_double
+    from .similarity import kmeans_assign
+
+    all_vecs = vectors.select("vec_id", "embedding")
+    # eval membership from the id relation itself (never a re-derived
+    # split rule): benchmark-sized → broadcast
+    marks = F.broadcast(eval_ids.select("vec_id", F.lit(True).alias("is_eval")))
+    assign = (
+        kmeans_assign(all_vecs)
+        .select("vec_id", "cluster")
+        .join(marks, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("is_eval", F.lit(False)).alias("is_eval"),
+        )
+    )
+    e = all_vecs.select("vec_id", to_double(F.col("embedding")).alias("v"))
+    e = e.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("nsq"))
+    clustered = assign.join(e, "vec_id").filter(F.col("nsq") > 0)
+    ev = clustered.filter(F.col("is_eval")).select(
+        "cluster", F.col("v").alias("e_v"), F.col("nsq").alias("e_nsq")
+    )
+    corp = clustered.filter(~F.col("is_eval")).select(
+        "vec_id",
+        "cluster",
+        F.col("v").alias("c_v"),
+        F.col("nsq").alias("c_nsq"),
+    )
+    cos = cosine_from_parts(
+        dot(F.col("c_v"), F.col("e_v")), F.col("c_nsq"), F.col("e_nsq")
+    )
+    best = (
+        corp.join(F.broadcast(ev), "cluster")
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return (
+        assign.filter(~F.col("is_eval"))
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.round("max_cos", 6).alias("max_eval_cos"),
+            F.coalesce(
+                F.col("max_cos") >= DECON_SEM_TAU, F.lit(False)
+            ).alias("semantic_contaminated"),
+        )
+    )
+
+
+def q_llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: ``vec_id % {BENCH_MOD} == 0`` plays the held-out
+    benchmark embeddings against the rest of ``embeddings`` (the same
+    split rule the n-gram operator applies to ``documents``)."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    is_bench = F.col("vec_id") % BENCH_MOD == 0
+    return decontaminate_semantic(emb, emb.filter(is_bench).select("vec_id"))
+
+
+def _decon_semantic_sql() -> str:
+    from .similarity import SQL_SIMILARITY_KMEANS
+
+    cos = (
+        "list_dot_product(c.v, b.v)"
+        " / (sqrt(list_dot_product(c.v, c.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return f"""
+    WITH assign AS MATERIALIZED ({SQL_SIMILARITY_KMEANS}),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cl AS MATERIALIZED (
+        SELECT vec_id, cluster, v FROM assign JOIN e USING (vec_id)
+        WHERE list_dot_product(v, v) > 0),
+    ev AS (SELECT * FROM cl WHERE vec_id % {BENCH_MOD} = 0),
+    best AS (
+        SELECT c.vec_id, MAX({cos}) AS max_cos
+        FROM (SELECT * FROM cl WHERE vec_id % {BENCH_MOD} <> 0) c
+        JOIN ev b ON c.cluster = b.cluster
+        GROUP BY c.vec_id)
+    SELECT a.vec_id, cluster,
+           ROUND(max_cos, 6) AS max_eval_cos,
+           COALESCE(max_cos >= {DECON_SEM_TAU}, FALSE)
+               AS semantic_contaminated
+    FROM (SELECT * FROM assign WHERE vec_id % {BENCH_MOD} <> 0) a
+    LEFT JOIN best ON a.vec_id = best.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # 5. target-mix resampling (training-mix construction)
 # ---------------------------------------------------------------------------
 
@@ -1483,6 +1615,9 @@ QUERIES = {
     "llm_pack_sequences": Query(q_llm_pack_sequences, SQL_PACK_SEQUENCES),
     "llm_pii_scrub": Query(q_llm_pii_scrub, SQL_PII_SCRUB),
     "llm_decontaminate": Query(q_llm_decontaminate, SQL_DECONTAMINATE),
+    "llm_decontaminate_semantic": Query(
+        q_llm_decontaminate_semantic, _decon_semantic_sql()
+    ),
     "llm_target_mix": Query(q_llm_target_mix, SQL_TARGET_MIX),
     "llm_corpus_pipeline": Query(q_llm_corpus_pipeline, SQL_CORPUS_PIPELINE),
 }

@@ -647,3 +647,53 @@ def test_substring_clean_removes_duplicated_spans(spark, sf_dir):
     )
     assert before > 0, "fixture has no cross-doc duplicated grams"
     assert after <= 0.05 * before, f"clean left {after}/{before} dup positions"
+
+
+def test_semantic_decontamination_catches_paraphrase_ngram_misses(spark, tmp_path):
+    """The VERDICT r10 item-3 acceptance test: a PARAPHRASED copy of an
+    eval item — same meaning (near-identical embedding, cosine ~1) but
+    zero shared 8-grams — must slip through n-gram decontamination and
+    be flagged by the semantic operator; an unrelated doc is flagged by
+    neither. doc_id/vec_id 0 plays the benchmark row (0 % 97 == 0)."""
+    import math
+
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_decontaminate,
+        q_llm_decontaminate_semantic,
+    )
+
+    dim = 8
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog near the river bank",
+        7: "a fast tan animal leaps across one sleepy canine beside that water edge",
+    }
+    vecs = {
+        i: [math.sin(0.7 * (i + 1) * (j + 1)) for j in range(dim)]
+        for i in range(14)
+    }
+    # vec 7 = near-copy of the eval vector 0 (paraphrase in embedding space)
+    vecs[7] = [x + 0.001 * (j + 1) for j, x in enumerate(vecs[0])]
+    doc_rows = [
+        (i, "en", texts.get(i, f"filler words alpha{i} beta{i} gamma{i} delta{i}"))
+        for i in range(14)
+    ]
+    spark.createDataFrame(
+        doc_rows, "doc_id long, lang string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    ngram = {
+        r.doc_id: r.contaminated
+        for r in q_llm_decontaminate(spark, str(tmp_path)).collect()
+    }
+    sem = {
+        r.vec_id: r for r in q_llm_decontaminate_semantic(spark, str(tmp_path)).collect()
+    }
+    assert ngram[7] is False  # the paraphrase provably evades n-grams
+    assert sem[7].semantic_contaminated is True
+    assert sem[7].max_eval_cos > 0.99
+    assert all(not sem[i].semantic_contaminated for i in sem if i != 7)
+    assert 0 not in sem  # eval rows are never scored against themselves
