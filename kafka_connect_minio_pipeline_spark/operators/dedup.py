@@ -109,6 +109,14 @@ def _doc_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core (see tables.spread); the staged files inherit the fan-out so
     # every downstream consumer reads in parallel too.
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    return shingle_sets_of(docs)
+
+
+def shingle_sets_of(docs: DataFrame) -> DataFrame:
+    """The narrow (doc_id, arr, n_sh) projection of any documents-shaped
+    relation — batch scan or streaming micro-batch alike (it is pure
+    per-row expression work, which is what lets stream_dedup_minhash
+    reuse the exact batch shingling)."""
     # tokenization staged behind a projection boundary — word_ngrams
     # slices its input n times and there is no CSE across higher-order-
     # function lambdas (same finding as text_fingerprint's hash array)
@@ -342,6 +350,24 @@ def minhash_signatures(sets_: DataFrame) -> DataFrame:
     return hashed.select("doc_id", *sigs)
 
 
+def minhash_band_rows(sets_: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_val) — one row per LSH band bucket claim.
+
+    Band key = the band's r signature values joined as a string —
+    portable across engines, unlike hashing the tuple. Shared by the
+    batch candidate join and the streaming near-dup gate (the bucket
+    relation IS the streaming state key)."""
+    sigs = minhash_signatures(sets_)
+    r = N_PERM // N_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(",", *[F.col(f"sig{b * r + i}") for i in range(r)])
+            for b in range(N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_val"))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: banded signature join → candidates → exact
     Jaccard verify at the same 0.8 threshold.
@@ -354,17 +380,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (whose output LSH only approaches at recall < 1).
     """
     sets_ = _staged_shingle_sets(spark, sf_dir)
-    sigs = minhash_signatures(sets_)
-    r = N_PERM // N_BANDS
-    # band key = the r signature values joined as a string — portable
-    # across engines, unlike hashing the tuple
-    bands = F.array(
-        *[
-            F.concat_ws(",", *[F.col(f"sig{b * r + i}") for i in range(r)])
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_val"))
+    banded = minhash_band_rows(sets_)
     # same rationale as the Jaccard prefix self-join: neither side of a
     # banded signature join broadcasts at scale, and shuffle-hash lets the
     # two identical subtrees share one exchange
@@ -464,6 +480,48 @@ def _minhash_oracle_sql() -> str:
 
 
 SQL_DEDUP_MINHASH = _minhash_oracle_sql()
+
+
+def minhash_band_rows_sql() -> str:
+    """CTE chain ending in ``brows (doc_id, band_idx, band_val)`` — the
+    DuckDB twin of :func:`minhash_band_rows`, shared by the streaming
+    near-dup gate's oracle."""
+    r = N_PERM // N_BANDS
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MH_P})) AS sig{p}"
+        for p, (a, b) in enumerate(zip(MH_A, MH_B))
+    )
+    band_exprs = ",\n               ".join(
+        "("
+        + " || ',' || ".join(
+            f"CAST(sig{band * r + i} AS VARCHAR)" for i in range(r)
+        )
+        + f") AS b{band}"
+        for band in range(N_BANDS)
+    )
+    union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {k} AS band_idx, b{k} AS band_val FROM banded"
+        for k in range(N_BANDS)
+    )
+    return f"""{SQL_SHINGLES_CTE},
+    sets AS (
+        SELECT doc_id, LIST(s) AS arr, COUNT(*) AS n
+        FROM shingle GROUP BY doc_id),
+    hashed AS (
+        SELECT doc_id,
+               list_transform(arr,
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MH_P}) AS hs
+        FROM sets WHERE n > 0),
+    sigs AS (
+        SELECT doc_id,
+               {sig_exprs}
+        FROM hashed),
+    banded AS MATERIALIZED (
+        SELECT doc_id,
+               {band_exprs}
+        FROM sigs),
+    brows AS MATERIALIZED (
+        {union})"""
 
 
 # ---------------------------------------------------------------------------

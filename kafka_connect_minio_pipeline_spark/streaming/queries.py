@@ -374,7 +374,78 @@ SQL_STREAM_TOPK = f"""
 """
 
 
+def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup gating as a STREAM (the batch keep decision
+    of ``dedup_minhash_lsh``, VERDICT r10 item 4): documents arrive as
+    files, each micro-batch computes its shingle sets / signatures /
+    band-bucket claims STATELESSLY (the exact batch expressions, via the
+    shared :func:`dedup.minhash_band_rows`), and the only streaming
+    state is the per-bucket MIN(doc_id) — associative, order-free,
+    bounded by the number of occupied buckets (≤ N_BANDS · docs, and at
+    100 TB the watermark-evicted variant caps it at the dedup horizon).
+    A document is a near-dup iff any of its buckets was claimed by a
+    smaller-id document — the keep-one-representative rule, which is
+    order-free and therefore converges to the identical batch answer no
+    matter how the source was micro-batched (the ``stream_hll``/
+    ``stream_countmin`` mergeable-state pattern; the finisher joins the
+    final bucket minima back against the batch claim relation, exactly
+    as ``cms_finish`` does). Candidate-level gating on purpose: the
+    exact-Jaccard verify needs prior documents' shingle arrays — i.e.
+    unbounded state — so the streaming gate applies the LSH bucket
+    decision and the batch pipeline verifies downstream; the whole
+    pipeline stays integer-exact, so the oracle hash-checks it fully."""
+    from ..operators.dedup import (
+        _doc_shingle_sets,
+        minhash_band_rows,
+        shingle_sets_of,
+    )
+    from ..sources.files import stream_table
+
+    claims = minhash_band_rows(shingle_sets_of(stream_table(spark, sf_dir, "documents")))
+    minima = run_to_memory(
+        claims.groupBy("band_idx", "band_val").agg(
+            F.min("doc_id").alias("first_doc")
+        )
+    )
+    batch_claims = minhash_band_rows(_doc_shingle_sets(spark, sf_dir))
+    return (
+        batch_claims.join(minima, ["band_idx", "band_val"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_dup_bands")
+        )
+        .select(
+            "doc_id",
+            "n_dup_bands",
+            (F.col("n_dup_bands") > 0).alias("is_near_dup"),
+        )
+    )
+
+
+def _sql_stream_dedup_minhash() -> str:
+    from ..operators.dedup import minhash_band_rows_sql
+
+    return f"""
+    WITH {minhash_band_rows_sql()},
+    mins AS (
+        SELECT band_idx, band_val, MIN(doc_id) AS first_doc
+        FROM brows GROUP BY band_idx, band_val)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_bands,
+           CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) > 0 AS is_near_dup
+    FROM brows JOIN mins USING (band_idx, band_val)
+    GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "stream_dedup_minhash": Query(
+        q_stream_dedup_minhash, _sql_stream_dedup_minhash()
+    ),
     "stream_topk": Query(q_stream_topk, SQL_STREAM_TOPK),
     "stream_cdc_merge": Query(q_stream_cdc_merge, _sql_stream_cdc_merge()),
     "stream_entropy": Query(q_stream_entropy, _sql_stream_entropy()),

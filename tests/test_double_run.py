@@ -45,7 +45,12 @@ _STATEFUL = sorted(
              "dedup_threshold_sweep",
              # r10: both KN LMs localCheckpoint their bigram-type model
              # relation — the same staged-lineage class as the above
-             "text_kn_perplexity", "text_kn_quality")
+             "text_kn_perplexity", "text_kn_quality",
+             # r11: the trained classifier localCheckpoints its feature
+             # grid and per-step weights; semantic decon composes the
+             # kmeans assignment
+             "text_quality_classifier", "text_classifier_eval",
+             "llm_decontaminate_semantic")
 )
 
 

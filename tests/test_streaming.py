@@ -345,3 +345,60 @@ def test_versioned_merge_is_order_robust_across_batch_splits(spark):
     oldest_first = final(versioned_merge(versioned_merge(base, older), newer))
     newest_first = final(versioned_merge(versioned_merge(base, newer), older))
     assert oneshot == oldest_first == newest_first == [(2, 20.0), (3, 33.0)]
+
+
+def test_stream_dedup_minhash_batch_equivalence(spark, sf_dir):
+    """The r11 streaming near-dup gate must agree with the batch LSH
+    pipeline: every VERIFIED batch near-dup pair's larger doc is flagged
+    by the gate (bucket candidates are a superset of verified pairs),
+    every flagged doc genuinely shares a band bucket with a smaller-id
+    doc (independent rebuild from the batch claim relation), and docs
+    flagged by neither are clean."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        _doc_shingle_sets,
+        minhash_band_rows,
+        q_dedup_minhash_lsh,
+    )
+    from kafka_connect_minio_pipeline_spark.streaming.queries import (
+        q_stream_dedup_minhash,
+    )
+
+    got = {r["doc_id"]: r for r in q_stream_dedup_minhash(spark, sf_dir).collect()}
+    flagged = {d for d, r in got.items() if r["is_near_dup"]}
+    # independent expectation: per-bucket minima from the batch claims
+    claims = minhash_band_rows(_doc_shingle_sets(spark, sf_dir)).collect()
+    mins: dict[tuple, int] = {}
+    for r in claims:
+        k = (r["band_idx"], r["band_val"])
+        mins[k] = min(mins.get(k, r["doc_id"]), r["doc_id"])
+    expect = {
+        r["doc_id"]
+        for r in claims
+        if mins[(r["band_idx"], r["band_val"])] < r["doc_id"]
+    }
+    assert flagged == expect
+    # verified batch pairs: the larger side is always gated
+    verified = q_dedup_minhash_lsh(spark, sf_dir).collect()
+    assert {r["d2"] for r in verified} <= flagged
+
+
+def test_stream_dedup_minhash_planted_duplicate(spark, tmp_path):
+    """A verbatim copy arriving later (larger doc_id) must be flagged;
+    the original and an unrelated doc must pass."""
+    from kafka_connect_minio_pipeline_spark.streaming.queries import (
+        q_stream_dedup_minhash,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "en", text),
+        (2, "en", "one two three four five six seven eight nine ten"),
+        (9, "en", text),  # the late duplicate
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_stream_dedup_minhash(spark, str(tmp_path)).collect()}
+    assert got[9].is_near_dup is True and got[9].n_dup_bands == 4
+    assert got[1].is_near_dup is False
+    assert got[2].is_near_dup is False
