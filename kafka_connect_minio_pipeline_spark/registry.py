@@ -61,12 +61,31 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.streaming.queries",
 )
 
-# Pinned to the FRONT of iteration order for ROUND-10 grading (the
+# Pinned to the FRONT of iteration order for ROUND-11 grading (the
 # driver hashes the first 50 entries). Steady-state rotation policy
 # (r7): front whatever the round ADDS or CHANGES, then backfill with the
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
-# further behind. This round:
+# further behind. ROUND 11:
+#   1-6:   r11 NEW: text_quality_classifier (trained hashed-linear gate,
+#          10 unrolled GD steps) / text_classifier_eval (held-out AUC
+#          card) / llm_decontaminate_semantic (embedding-space decon via
+#          the SemDeDup cell-bounded machinery) / stream_dedup_minhash
+#          (banded-bucket-min streaming near-dup gate);
+#          r11 CHANGED: graph_wcc (production path swapped to
+#          large-star/small-star, min-label kept as cross-check) and
+#          dedup_minhash_lsh (band derivation refactored into the shared
+#          minhash_band_rows helper the stream gate reuses).
+#   7-39:  ALL 33 remaining round-5-vintage rows — the r5 vintage CLEARS
+#          (VERDICT r10 item 1): corpus_shard_skew/split_leakage/
+#          weighted_median, the dedup eval quartet, llm transforms,
+#          multimodal wav/errors, pipeline_dq_checks, the cdc/entropy
+#          stream pair, text r5 five, the ts r5 batch, the rolling
+#          window pair, udf_grouped_znorm.
+#   40-50: the 11 alphabetically-first round-6-vintage rows (the r6
+#          drain begins; 34 r6 rows remain for r12, all still under the
+#          every-run local parity net).
+# History (round 10):
 #   1-10:  round-10 LATE additions/changes (graded the round they land):
 #          agg_skyline (Pareto frontier, windowed-linear vs the
 #          NOT EXISTS oracle), agg_column_profile (one-pass Deequ
@@ -117,61 +136,59 @@ _QUERY_MODULES = (
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # round-10 late additions (new operators must be graded the round
-    # they land): the preference/basket/robust-stats batch
-    "agg_skyline",
-    "agg_column_profile",
-    "join_copurchase_lift",
-    "ts_theil_sen",
-    "ts_attribution",
-    "agg_cuped",
-    "agg_srm",
+    # r11 new + changed (graded the round they land)
+    "text_quality_classifier",
+    "text_classifier_eval",
+    "llm_decontaminate_semantic",
+    "stream_dedup_minhash",
     "graph_wcc",
-    "join_min_price_supplier",
-    "text_kn_perplexity",
-    # round-10 new/changed
-    "join_order_count_dist",
-    "join_waiting_supplier",
-    "join_disjunctive_revenue",
-    "join_shipping_priority",
-    "join_returned_items",
-    "agg_promo_share",
-    "text_kn_quality",
-    "layout_zorder_key",
-    "layout_hilbert_key",
-    "layout_zorder_pruning",
-    "agg_ks_test",
-    "agg_chisq",
-    "graph_hits",
-    # 9-18: the last round-4-vintage rows (oldest standing — clears r4)
-    "scalar_array",
-    "scalar_conditional",
-    "scalar_date",
-    "window_distribution",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_rank",
-    "window_running",
-    "window_running_distinct",
-    "window_topn_per_group",
-    # 19-50: round-5-vintage rows (next oldest)
-    "agg_benford",
-    "agg_entropy",
-    "agg_gini",
-    "agg_skewkurt",
-    "agg_topk_share",
-    "agg_unpivot",
-    "graph_adamic_adar",
-    "graph_clustering",
-    "graph_degree_stats",
-    "graph_jaccard",
-    "graph_kcore",
-    "graph_lpa",
-    "join_cdc_merge",
-    "scalar_bitwise",
-    "similarity_kmeans",
-    "similarity_kmeans_eval",
-    "similarity_rerank_mmr",
+    "dedup_minhash_lsh",
+    # the 33 remaining r5-vintage rows — the r5 vintage clears
+    "corpus_shard_skew",
+    "corpus_split_leakage",
+    "corpus_weighted_median",
+    "dedup_cascade_eval",
+    "dedup_source_overlap",
+    "dedup_threshold_sweep",
+    "dedup_transitivity_eval",
+    "llm_fim_transform",
+    "llm_pack_eval",
+    "llm_span_corruption",
+    "multimodal_decode_errors",
+    "multimodal_wav_decode",
+    "pipeline_dq_checks",
+    "stream_cdc_merge",
+    "stream_entropy",
+    "text_boilerplate_edges",
+    "text_collocations",
+    "text_feature_hashing",
+    "text_readability",
+    "text_zipf",
+    "ts_acf",
+    "ts_anomaly_seasonal",
+    "ts_changepoint",
+    "ts_concurrency",
+    "ts_dow_hour_heatmap",
+    "ts_forecast_snaive",
+    "ts_interpolate",
+    "ts_markov",
+    "ts_survival",
+    "ts_week_over_week",
+    "udf_grouped_znorm",
+    "window_rolling_median",
+    "window_rolling_slope",
+    # r6 drain begins: the 11 alphabetically-first r6-vintage rows
+    "agg_conversion_ci",
+    "agg_poisson_bootstrap",
+    "agg_trimmed_mean",
+    "agg_tukey_fences",
+    "corpus_drift_psi",
+    "corpus_interleave",
+    "corpus_shuffle_split",
+    "corpus_weighted_sample",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
 )
 
 

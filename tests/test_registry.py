@@ -53,7 +53,9 @@ def test_grading_window_rotation_invariants():
     assert names[:50] == list(registry._GRADE_FIRST)
     root = pathlib.Path(__file__).resolve().parent.parent
     graded: set[str] = set()
-    for p in sorted(root.glob("CORRECTNESS_r0*.json")):
+    # r* not r0*: the r0-only glob silently dropped CORRECTNESS_r10+
+    # from the graded union (r11 finding)
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
         graded |= set(json.loads(p.read_text()))
     never = {n for n in names if n not in graded}
     missing = never - set(names[:50])
