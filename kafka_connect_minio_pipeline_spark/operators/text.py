@@ -2285,8 +2285,16 @@ CLF_HOLDOUT_MOD = 5  # doc_id % 5 == 0 → held-out eval split
 def _dec12(c: F.Column) -> F.Column:
     """Quantize a double term to DECIMAL(28,12) so the following SUM is
     order-free and cross-engine exact (the dec9 idiom, two digits wider
-    because gradient terms are products of two z-scored features)."""
-    return F.round(c, 12).cast("decimal(28,12)")
+    because gradient terms are products of two z-scored features).
+
+    DIRECT cast, never ROUND(x, 12) first: at scale 12 DuckDB's ROUND
+    (float multiply-round-divide) and Spark's (exact decimal HALF_UP)
+    disagree often enough that ten unrolled gradient steps accumulated a
+    visible ~3e-12 weight drift (r11 finding, caught by the
+    text_classifier_weights oracle); the double→decimal cast is the
+    exact-conversion path both engines implement identically — the
+    ``similarity_kmeans`` decimal(16,6) precedent."""
+    return c.cast("decimal(28,12)")
 
 
 def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
@@ -2331,6 +2339,31 @@ def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
     CLF_DIM (the hashing trick's whole point). An empty train split
     degrades totally: weights stay zero, every score is 0.5.
     """
+    feats, w = classifier_model(spark, docs)
+    scored = (
+        feats.join(F.broadcast(w), "j")
+        .groupBy("doc_id", "y", "held_out")
+        .agg(F.sum(_dec12(F.col("wt") * F.col("z"))).cast("double").alias("zs"))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zs"))), 6)
+    return scored.select(
+        "doc_id",
+        F.col("y").cast("int").alias("teacher_label"),
+        "held_out",
+        score.alias("score"),
+        (score >= 0.5).alias("predicted_quality"),
+    )
+
+
+def classifier_model(
+    spark: SparkSession, docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The training dataflow behind :func:`classifier_scores`: returns
+    (feats, weights) — the z-scored dense feature grid (checkpointed)
+    and the trained (CLF_DIM+2)-row weight relation after CLF_STEPS
+    unrolled gradient steps. Split out so the model-inspection query
+    (``text_classifier_weights``) reads the same trained relation the
+    scorer serves."""
     from .llmdata import _portable_hash
 
     lab = quality_features(docs).select(
@@ -2402,9 +2435,13 @@ def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
             "y",
             "held_out",
             "j",
+            # z needs NO quantization: x/mu/sd are identical doubles on
+            # both engines (exact decimal sums + one IEEE tree + exact
+            # sqrt), and subtraction/division are correctly rounded — so
+            # z is bit-identical by construction
             F.when(F.col("j") == CLF_DIM + 1, F.lit(1.0))
             .when(F.coalesce(F.col("sd"), F.lit(0.0)) == 0.0, F.lit(0.0))
-            .otherwise(F.round((F.col("x") - F.col("mu")) / F.col("sd"), 9))
+            .otherwise((F.col("x") - F.col("mu")) / F.col("sd"))
             .alias("z"),
         )
         .localCheckpoint(eager=True)
@@ -2438,32 +2475,29 @@ def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
             .crossJoin(F.broadcast(ntr))
             .select(
                 "j",
-                F.round(
+                # NO quantization on the weight itself: every input
+                # (prev weight, decimal-exact gradient sum, n_tr) is an
+                # identical double on both engines and -,*,/ are
+                # correctly rounded, so the update is bit-identical by
+                # construction. Quantizing here is what BROKE parity:
+                # gradients are exact 1e-12 multiples over n_tr=400, so
+                # weights land exactly ON half-ties of any decimal grid,
+                # and Spark (shortest-repr HALF_UP) vs DuckDB (exact
+                # binary expansion) resolve such ties differently (r11
+                # finding via the text_classifier_weights oracle).
+                (
                     F.col("wt")
                     - F.lit(CLF_ETA)
                     * F.when(
                         F.col("n_tr") > 0,
                         F.coalesce(F.col("g"), F.lit(0.0))
                         / F.col("n_tr").cast("double"),
-                    ).otherwise(F.lit(0.0)),
-                    12,
+                    ).otherwise(F.lit(0.0))
                 ).alias("wt"),
             )
             .localCheckpoint(eager=True)
         )
-    scored = (
-        feats.join(F.broadcast(w), "j")
-        .groupBy("doc_id", "y", "held_out")
-        .agg(F.sum(_dec12(F.col("wt") * F.col("z"))).cast("double").alias("zs"))
-    )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zs"))), 6)
-    return scored.select(
-        "doc_id",
-        F.col("y").cast("int").alias("teacher_label"),
-        "held_out",
-        score.alias("score"),
-        (score >= 0.5).alias("predicted_quality"),
-    )
+    return feats, w
 
 
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2550,6 +2584,61 @@ def q_text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model card for the trained quality gate: every learned weight
+    beside the hashing-trick collision profile behind it (how many
+    distinct terms share the bucket, their occurrence mass, an example
+    term) — the interpretability artifact a curation pipeline ships
+    with the gate, and the number that tells you whether a heavy weight
+    means one dominant term or an unlucky collision (the
+    ``text_feature_hashing`` audit, now joined to consequences).
+
+    The weight relation is CLF_DIM+2 rows; the profile is one
+    vocabulary-sized rollup folded to ≤CLF_DIM rows — both model-sized,
+    so the whole query costs one corpus token pass beyond training.
+    Weights are emitted ROUND(·, 9): the interior weights stay raw
+    doubles (quantizing them breaks parity — gradients are exact 1e-12
+    multiples over n_tr, so any decimal grid lands exactly on half-ties
+    that Spark's shortest-repr HALF_UP and DuckDB's exact-binary
+    rounding resolve differently), and DuckDB's decimal→double cast is
+    not correctly rounded, so raw weights carry a few-ulp engine drift —
+    the standard house answer is to quantize at the EXPOSURE, where the
+    drift is far below the rounding grain (both r11 findings, caught by
+    this query's oracle).
+    """
+    from .llmdata import _portable_hash
+
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    _, w = classifier_model(spark, docs)
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occur"))
+    )
+    prof = counts.groupBy(
+        F.pmod(_portable_hash(F.col("token")), F.lit(CLF_DIM))
+        .cast("int")
+        .alias("j")
+    ).agg(
+        F.count("*").alias("n_terms"),
+        F.sum("n_occur").alias("n_occurrences"),
+        F.min("token").alias("first_term"),
+    )
+    kind = (
+        F.when(F.col("j") == CLF_DIM + 1, F.lit("bias"))
+        .when(F.col("j") == CLF_DIM, F.lit("length"))
+        .otherwise(F.lit("bucket"))
+    )
+    return w.join(F.broadcast(prof), "j", "left").select(
+        "j",
+        kind.alias("kind"),
+        F.round(F.col("wt"), 9).alias("weight"),
+        "n_terms",
+        "n_occurrences",
+        "first_term",
+    )
+
+
 def _clf_cte() -> str:
     """Unrolled-CTE mirror of :func:`classifier_scores` through the
     ``scored`` relation — every reused CTE AS MATERIALIZED (DuckDB
@@ -2564,19 +2653,19 @@ def _clf_cte() -> str:
         SELECT doc_id,
                ROUND(1.0 / (1.0 + EXP(-zs)), 9) AS s
         FROM (SELECT f.doc_id,
-                     CAST(SUM(CAST(ROUND(w.wt * f.z, 12) AS DECIMAL(28,12)))
+                     CAST(SUM(CAST(w.wt * f.z AS DECIMAL(28,12)))
                           AS DOUBLE) AS zs
               FROM ftr f JOIN {prev} w USING (j) GROUP BY f.doc_id)),
     g{i} AS MATERIALIZED (
         SELECT f.j,
-               CAST(SUM(CAST(ROUND((z.s - f.y) * f.z, 12) AS DECIMAL(28,12)))
+               CAST(SUM(CAST((z.s - f.y) * f.z AS DECIMAL(28,12)))
                     AS DOUBLE) AS g
         FROM ftr f JOIN z{i} z USING (doc_id) GROUP BY f.j),
     w{i} AS MATERIALIZED (
         SELECT w.j,
-               ROUND(w.wt - {CLF_ETA} * (CASE WHEN ntr.n_tr > 0
+               w.wt - {CLF_ETA} * (CASE WHEN ntr.n_tr > 0
                    THEN COALESCE(g.g, 0.0) / CAST(ntr.n_tr AS DOUBLE)
-                   ELSE 0.0 END), 12) AS wt
+                   ELSE 0.0 END) AS wt
         FROM {prev} w LEFT JOIN g{i} g USING (j) CROSS JOIN ntr)""")
         prev = f"w{i}"
     return f"""
@@ -2624,16 +2713,16 @@ def _clf_cte() -> str:
     stats AS (
         SELECT j, mu, SQRT(GREATEST(msq - mu * mu, 0.0)) AS sd
         FROM (SELECT j,
-                     CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12)))
+                     CAST(SUM(CAST(x AS DECIMAL(28,12)))
                           AS DOUBLE) / COUNT(*) AS mu,
-                     CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(28,12)))
+                     CAST(SUM(CAST(x * x AS DECIMAL(28,12)))
                           AS DOUBLE) / COUNT(*) AS msq
               FROM grid WHERE NOT held_out GROUP BY j)),
     feats AS MATERIALIZED (
         SELECT doc_id, y, held_out, grid.j,
                CASE WHEN grid.j = {B} THEN 1.0
                     WHEN COALESCE(sd, 0.0) = 0.0 THEN 0.0
-                    ELSE ROUND((x - mu) / sd, 9) END AS z
+                    ELSE (x - mu) / sd END AS z
         FROM grid LEFT JOIN stats ON grid.j = stats.j),
     ftr AS MATERIALIZED (SELECT * FROM feats WHERE NOT held_out),
     ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tr
@@ -2641,7 +2730,7 @@ def _clf_cte() -> str:
     w0 AS (SELECT j, 0.0 AS wt FROM idx),{",".join(rounds)},
     scored AS MATERIALIZED (
         SELECT f.doc_id, f.y, f.held_out,
-               CAST(SUM(CAST(ROUND(w.wt * f.z, 12) AS DECIMAL(28,12)))
+               CAST(SUM(CAST(w.wt * f.z AS DECIMAL(28,12)))
                     AS DOUBLE) AS zs
         FROM feats f JOIN {prev} w USING (j)
         GROUP BY f.doc_id, f.y, f.held_out)"""
@@ -2708,11 +2797,37 @@ SQL_TEXT_CLASSIFIER_EVAL = f"""
 """
 
 
+SQL_TEXT_CLASSIFIER_WEIGHTS = f"""
+    WITH {_clf_cte()},
+    counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occur
+        FROM (SELECT UNNEST({SQL_TOKENS.format(col="text")}) AS token
+              FROM documents)
+        GROUP BY token),
+    prof AS (
+        SELECT CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % {CLF_DIM}
+                    AS INTEGER) AS j,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(n_occur) AS BIGINT) AS n_occurrences,
+               MIN(token) AS first_term
+        FROM counts GROUP BY 1)
+    SELECT w.j,
+           CASE WHEN w.j = {CLF_DIM + 1} THEN 'bias'
+                WHEN w.j = {CLF_DIM} THEN 'length'
+                ELSE 'bucket' END AS kind,
+           ROUND(w.wt, 9) AS weight, n_terms, n_occurrences, first_term
+    FROM w{CLF_STEPS} w LEFT JOIN prof ON w.j = prof.j
+"""
+
+
 QUERIES = {
     "text_quality_classifier": Query(
         q_text_quality_classifier, SQL_TEXT_QUALITY_CLASSIFIER
     ),
     "text_classifier_eval": Query(q_text_classifier_eval, SQL_TEXT_CLASSIFIER_EVAL),
+    "text_classifier_weights": Query(
+        q_text_classifier_weights, SQL_TEXT_CLASSIFIER_WEIGHTS
+    ),
     "text_kn_quality": Query(q_text_kn_quality, SQL_TEXT_KN_QUALITY),
     "text_kn_perplexity": Query(q_text_kn_perplexity, SQL_TEXT_KN_PERPLEXITY),
     "text_rake_keywords": Query(q_text_rake_keywords, SQL_TEXT_RAKE),

@@ -67,11 +67,13 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. ROUND 11:
-#   1-6:   r11 NEW: text_quality_classifier (trained hashed-linear gate,
+#   1-7:   r11 NEW: text_quality_classifier (trained hashed-linear gate,
 #          10 unrolled GD steps) / text_classifier_eval (held-out AUC
-#          card) / llm_decontaminate_semantic (embedding-space decon via
-#          the SemDeDup cell-bounded machinery) / stream_dedup_minhash
-#          (banded-bucket-min streaming near-dup gate);
+#          card) / text_classifier_weights (model card: weights joined
+#          to the hashing-collision profile) / llm_decontaminate_semantic
+#          (embedding-space decon via the SemDeDup cell-bounded
+#          machinery) / stream_dedup_minhash (banded-bucket-min
+#          streaming near-dup gate);
 #          r11 CHANGED: graph_wcc (production path swapped to
 #          large-star/small-star, min-label kept as cross-check) and
 #          dedup_minhash_lsh (band derivation refactored into the shared
@@ -82,8 +84,8 @@ _QUERY_MODULES = (
 #          multimodal wav/errors, pipeline_dq_checks, the cdc/entropy
 #          stream pair, text r5 five, the ts r5 batch, the rolling
 #          window pair, udf_grouped_znorm.
-#   40-50: the 11 alphabetically-first round-6-vintage rows (the r6
-#          drain begins; 34 r6 rows remain for r12, all still under the
+#   41-50: the 10 alphabetically-first round-6-vintage rows (the r6
+#          drain begins; 35 r6 rows remain for r12, all still under the
 #          every-run local parity net).
 # History (round 10):
 #   1-10:  round-10 LATE additions/changes (graded the round they land):
@@ -139,6 +141,7 @@ _GRADE_FIRST = (
     # r11 new + changed (graded the round they land)
     "text_quality_classifier",
     "text_classifier_eval",
+    "text_classifier_weights",
     "llm_decontaminate_semantic",
     "stream_dedup_minhash",
     "graph_wcc",
@@ -188,7 +191,6 @@ _GRADE_FIRST = (
     "corpus_weighted_sample",
     "dedup_edit_distance",
     "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
 )
 
 
