@@ -462,7 +462,13 @@ def decontaminate_semantic(vectors: DataFrame, eval_ids: DataFrame) -> DataFrame
     )
     e = all_vecs.select("vec_id", to_double(F.col("embedding")).alias("v"))
     e = e.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("nsq"))
-    clustered = assign.join(e, "vec_id").filter(F.col("nsq") > 0)
+    # stage the assignment ONCE: four downstream references (eval side,
+    # corpus side, output spine) would each re-derive the whole k-means
+    # subtree otherwise (measured ~15 redundant embedding scans in the
+    # un-staged plan); at index scale this relation is the written
+    # cell-partitioned assignment table of the IVF build story
+    staged = assign.join(e, "vec_id").localCheckpoint(eager=True)
+    clustered = staged.filter(F.col("nsq") > 0)
     ev = clustered.filter(F.col("is_eval")).select(
         "cluster", F.col("v").alias("e_v"), F.col("nsq").alias("e_nsq")
     )
@@ -482,7 +488,8 @@ def decontaminate_semantic(vectors: DataFrame, eval_ids: DataFrame) -> DataFrame
         .agg(F.max("cos").alias("max_cos"))
     )
     return (
-        assign.filter(~F.col("is_eval"))
+        staged.filter(~F.col("is_eval"))
+        .select("vec_id", "cluster")
         .join(best, "vec_id", "left")
         .select(
             "vec_id",

@@ -1488,3 +1488,50 @@ def test_srm_single_scan_single_exchange(spark, sf_dir):
     assert plan.count("events.parquet") == 1, plan
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_classifier_serving_is_broadcast_join_no_python(spark, sf_dir):
+    """The trained gate's serving plan: z-scored feature grid (staged
+    checkpoint) broadcast-joined against the (CLF_DIM+2)-row weight
+    relation, two-level hash aggregate, zero Python boundary — the
+    whole classifier is JVM-side dataflow."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_quality_classifier,
+    )
+
+    plan = formatted_plan(q_text_quality_classifier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan, plan
+
+
+def test_decon_semantic_reads_staged_assignment_once(spark, sf_dir):
+    """Semantic decontamination stages the k-means assignment once
+    (localCheckpoint — the written IVF assignment table at index scale):
+    the final plan must read ONLY the staged relation (no re-derivation
+    of the k-means subtree, which un-staged measured ~15 redundant
+    embedding scans), broadcast the benchmark-sized eval side, and
+    contain no cartesian product."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_decontaminate_semantic,
+    )
+
+    plan = formatted_plan(q_llm_decontaminate_semantic(spark, sf_dir))
+    assert plan.count("Scan parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_stream_dedup_minhash_finisher_shape(spark, sf_dir):
+    """The stream gate's finisher: batch band claims joined against the
+    memory-sink bucket minima, one per-doc aggregate, no Python
+    boundary anywhere (the signatures are array_min over integer
+    transforms)."""
+    from kafka_connect_minio_pipeline_spark.streaming.queries import (
+        q_stream_dedup_minhash,
+    )
+
+    plan = formatted_plan(q_stream_dedup_minhash(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "documents.parquet" in plan, plan
+    assert "CartesianProduct" not in plan, plan
