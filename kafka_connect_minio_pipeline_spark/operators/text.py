@@ -2632,7 +2632,11 @@ def q_text_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.join(F.broadcast(prof), "j", "left").select(
         "j",
         kind.alias("kind"),
-        F.round(F.col("wt"), 9).alias("weight"),
+        # + 0.0 normalizes IEEE negative zero: a tiny negative weight
+        # rounds to -0.0 through DuckDB's float ROUND but +0.0 through
+        # Spark's decimal round — the KN-LM r10 pathology, resurfaced
+        # here by the fuzz net's degenerate corpora
+        (F.round(F.col("wt"), 9) + F.lit(0.0)).alias("weight"),
         "n_terms",
         "n_occurrences",
         "first_term",
@@ -2815,7 +2819,7 @@ SQL_TEXT_CLASSIFIER_WEIGHTS = f"""
            CASE WHEN w.j = {CLF_DIM + 1} THEN 'bias'
                 WHEN w.j = {CLF_DIM} THEN 'length'
                 ELSE 'bucket' END AS kind,
-           ROUND(w.wt, 9) AS weight, n_terms, n_occurrences, first_term
+           ROUND(w.wt, 9) + 0.0 AS weight, n_terms, n_occurrences, first_term
     FROM w{CLF_STEPS} w LEFT JOIN prof ON w.j = prof.j
 """
 

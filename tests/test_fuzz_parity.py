@@ -72,6 +72,12 @@ TARGETS = (
     "text_ngram_top", "text_normalize", "text_rake_keywords",
     "text_readability", "text_tfidf", "udtf_sentences",
     "udtf_sentences_builtin",
+    # r11: the trained-classifier family (tiny/empty train splits, all-
+    # identical feature rows → sd=0 arms, degenerate teacher labels) and
+    # the streaming near-dup gate (whose converged bucket minima must
+    # equal the batch oracle on ANY corpus)
+    "text_quality_classifier", "text_classifier_eval",
+    "text_classifier_weights", "stream_dedup_minhash",
 )
 
 
