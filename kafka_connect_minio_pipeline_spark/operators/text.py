@@ -2339,7 +2339,7 @@ def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
     CLF_DIM (the hashing trick's whole point). An empty train split
     degrades totally: weights stay zero, every score is 0.5.
     """
-    feats, w = classifier_model(spark, docs)
+    feats, w, _ = classifier_model(spark, docs)
     scored = (
         feats.join(F.broadcast(w), "j")
         .groupBy("doc_id", "y", "held_out")
@@ -2357,13 +2357,16 @@ def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 def classifier_model(
     spark: SparkSession, docs: DataFrame
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The training dataflow behind :func:`classifier_scores`: returns
-    (feats, weights) — the z-scored dense feature grid (checkpointed)
-    and the trained (CLF_DIM+2)-row weight relation after CLF_STEPS
-    unrolled gradient steps. Split out so the model-inspection query
-    (``text_classifier_weights``) reads the same trained relation the
-    scorer serves."""
+    (feats, weights, stats) — the z-scored dense feature grid
+    (checkpointed), the trained (CLF_DIM+2)-row weight relation after
+    CLF_STEPS unrolled gradient steps, and the (j, mu, sd)
+    standardization stats (part of the deployment artifact: a served
+    model is weights ⊕ stats). Split out so the model-inspection query
+    (``text_classifier_weights``) and the serve-stream gate
+    (``stream_quality_classifier``) read the same trained relation the
+    batch scorer serves."""
     from .llmdata import _portable_hash
 
     lab = quality_features(docs).select(
@@ -2497,7 +2500,7 @@ def classifier_model(
             )
             .localCheckpoint(eager=True)
         )
-    return feats, w
+    return feats, w, stats
 
 
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2609,7 +2612,7 @@ def q_text_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata import _portable_hash
 
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    _, w = classifier_model(spark, docs)
+    _, w, _ = classifier_model(spark, docs)
     counts = (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")

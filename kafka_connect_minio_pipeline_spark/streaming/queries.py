@@ -442,9 +442,103 @@ def _sql_stream_dedup_minhash() -> str:
 """
 
 
+def q_stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED quality gate served on a stream — the train-batch /
+    serve-stream split every production classifier deployment runs
+    (``stream_quality`` is this query's heuristic twin): the logistic
+    model trains once on the batch table (``text.classifier_model`` —
+    the same trained relation the batch scorer serves), its 34-row
+    (weights ⊕ standardization stats) relation is collected into plan
+    LITERALS — a bounded, documented model-relation collect, the
+    deployment artifact pattern (IVF LUT precedent) — and each arriving
+    document is scored by one stateless narrow projection: per-bucket
+    token counts as 32 vectorized filter-counts (no explode, no
+    shuffle, no state), the z-score/dot-product/sigmoid fused into the
+    row expression. Only passing docs reach the sink.
+
+    Exactness: the stream's zs is the same 34 decimal(28,12) terms the
+    batch scorer sums, added in fixed j order — decimal addition is
+    exact, so order is irrelevant and the availableNow result equals
+    the batch gate bit-for-bit (the shared oracle asserts it)."""
+    from ..operators.text import CLF_DIM, classifier_model, _dec12
+    from ..operators.dedup import tokens
+    from ..sources.files import stream_table
+    from ..tables import load, spread
+
+    batch_docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    _, w, stats = classifier_model(spark, batch_docs)
+    # the ONE collect in this query: the (CLF_DIM+2)-row trained model
+    # (weights ⊕ standardization stats) — a bounded deployment artifact,
+    # the same class as the IVF/PQ broadcast LUTs
+    model = {
+        r["j"]: (r["wt"], r["mu"], r["sd"])
+        for r in w.join(stats, "j", "left").collect()
+    }
+    src = stream_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    staged = src.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    from ..operators.llmdata import _portable_hash
+
+    n_dbl = F.col("n").cast("double")
+    terms = []
+    for j in range(CLF_DIM + 2):
+        wt, mu, sd = model.get(j, (0.0, None, None))
+        if j == CLF_DIM + 1:
+            z = F.lit(1.0)
+        elif sd is None or sd == 0.0:
+            z = F.lit(0.0)
+        else:
+            if j == CLF_DIM:
+                x = F.least(n_dbl / F.lit(32.0), F.lit(1.0))
+            else:
+                cnt = F.size(
+                    F.filter(
+                        F.col("toks"),
+                        lambda t: F.pmod(_portable_hash(t), F.lit(CLF_DIM))
+                        == F.lit(j),
+                    )
+                )
+                x = F.when(F.col("n") > 0, cnt.cast("double") / n_dbl).otherwise(
+                    F.lit(0.0)
+                )
+            z = (x - F.lit(mu)) / F.lit(sd)
+        terms.append(_dec12(F.lit(wt) * z))
+    # re-cast the accumulator each step: chained decimal adds grow
+    # precision (28→29→…), hit Spark's 38 cap after ~10 terms and
+    # silently DROP SCALE below 12 (the dec9 precision-38 trap) —
+    # measured as a 1e-6 score drift vs the batch gate. |zs| is tiny,
+    # so the re-cast is exact.
+    zs_dec = terms[0]
+    for t in terms[1:]:
+        zs_dec = (zs_dec + t).cast("decimal(28,12)")
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-zs_dec.cast("double"))), 6
+    )
+    gated = staged.select("doc_id", score.alias("score")).filter(
+        F.col("score") >= 0.5
+    )
+    return run_to_memory(gated, output_mode="append")
+
+
+def _sql_stream_quality_classifier() -> str:
+    from ..operators.text import _clf_cte
+
+    return f"""
+    WITH {_clf_cte()}
+    SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-zs)), 6) AS score
+    FROM scored
+    WHERE ROUND(1.0 / (1.0 + EXP(-zs)), 6) >= 0.5
+"""
+
+
 QUERIES = {
     "stream_dedup_minhash": Query(
         q_stream_dedup_minhash, _sql_stream_dedup_minhash()
+    ),
+    "stream_quality_classifier": Query(
+        q_stream_quality_classifier, _sql_stream_quality_classifier()
     ),
     "stream_topk": Query(q_stream_topk, SQL_STREAM_TOPK),
     "stream_cdc_merge": Query(q_stream_cdc_merge, _sql_stream_cdc_merge()),

@@ -78,6 +78,7 @@ TARGETS = (
     # equal the batch oracle on ANY corpus)
     "text_quality_classifier", "text_classifier_eval",
     "text_classifier_weights", "stream_dedup_minhash",
+    "stream_quality_classifier",
 )
 
 
