@@ -410,15 +410,16 @@ _MODEL_CACHE_MAX = 64  # many (session, sf, param) combos only under pytest
 _MODEL_LOCK = threading.RLock()  # concurrent first-callers must not double-train
 
 
-def _data_fingerprint(sf_dir: str) -> tuple:
-    """(size, mtime_ns) fingerprint of ``embeddings.parquet`` under
-    ``sf_dir`` — folded into the cache key so a regenerated file at the
-    SAME path within one session retrains instead of silently serving
-    stale centroids/codebooks (the DuckDB oracle retrains per statement,
-    so a stale cache would be the one way Spark could diverge). Handles
-    both a single parquet file and a directory of part files; a missing
-    path fingerprints as empty and lets the load itself raise."""
-    p = os.path.join(sf_dir, "embeddings.parquet")
+def _data_fingerprint(sf_dir: str, table: str = "embeddings.parquet") -> tuple:
+    """(size, mtime_ns) fingerprint of ``table`` under ``sf_dir`` —
+    folded into the cache key so a regenerated file at the SAME path
+    within one session retrains instead of silently serving stale
+    centroids/codebooks/weights (the DuckDB oracle retrains per
+    statement, so a stale cache would be the one way Spark could
+    diverge). Handles both a single parquet file and a directory of
+    part files; a missing path fingerprints as empty and lets the load
+    itself raise."""
+    p = os.path.join(sf_dir, table)
     try:
         st = os.stat(p)
         if os.path.isdir(p):
@@ -434,6 +435,15 @@ def _data_fingerprint(sf_dir: str) -> tuple:
         return ()
 
 
+def _shuffle_partitions_conf(spark: SparkSession) -> str:
+    """Current shuffle-partition setting as a cache-key field, total on
+    sessions that never set the key explicitly."""
+    try:
+        return str(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return ""
+
+
 def _session_live(session) -> bool:
     try:
         return not session.sparkContext._jsc.sc().isStopped()
@@ -441,7 +451,12 @@ def _session_live(session) -> bool:
         return False
 
 
-def _trained(spark: SparkSession, key: tuple, build) -> DataFrame:
+def _trained(
+    spark: SparkSession,
+    key: tuple,
+    build,
+    table: str = "embeddings.parquet",
+):
     """Train-once cache for the bounded ANN model relations (IVF coarse
     centroids, PQ codebooks).
 
@@ -480,8 +495,12 @@ def _trained(spark: SparkSession, key: tuple, build) -> DataFrame:
     full_key = (
         spark.sparkContext.applicationId,
         id(spark),
-        spark.conf.get("spark.sql.shuffle.partitions", ""),
-        _data_fingerprint(key[0]),
+        # no-default get: Spark 4 TYPE-VALIDATES a provided default, so
+        # conf.get(key, "") raises INVALID_CONF_VALUE in a session that
+        # never set the key (r11 finding — every earlier caller ran
+        # after load() had set it)
+        _shuffle_partitions_conf(spark),
+        _data_fingerprint(key[0], table),
     ) + key
     with _MODEL_LOCK:
         hit = _MODEL_CACHE.get(full_key)

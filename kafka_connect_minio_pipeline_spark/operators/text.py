@@ -2297,7 +2297,7 @@ def _dec12(c: F.Column) -> F.Column:
     return c.cast("decimal(28,12)")
 
 
-def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained text-quality classifier: the fastText-style supervised
     gate CCNet/LLaMA-class pipelines run beside the LM perplexity filter
     (Joulin et al. 2016; DCLM's fastText gate), distilled here from the
@@ -2339,7 +2339,7 @@ def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
     CLF_DIM (the hashing trick's whole point). An empty train split
     degrades totally: weights stay zero, every score is 0.5.
     """
-    feats, w, _ = classifier_model(spark, docs)
+    feats, w, _ = classifier_model(spark, sf_dir)
     scored = (
         feats.join(F.broadcast(w), "j")
         .groupBy("doc_id", "y", "held_out")
@@ -2356,17 +2356,42 @@ def classifier_scores(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 def classifier_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The trained model for (session, sf): returns (feats, weights,
+    stats) — the z-scored dense feature grid (checkpointed), the
+    trained (CLF_DIM+2)-row weight relation after CLF_STEPS unrolled
+    gradient steps, and the (j, mu, sd) standardization stats (part of
+    the deployment artifact: a served model is weights ⊕ stats).
+
+    Trained ONCE per (session, sf, hyperparams) via the
+    ``similarity._trained`` cache — the FAISS train/add/search
+    separation the IVF/PQ family already applies: the training
+    dataflow is deterministic and decimal-exact, so a cached relation
+    is bit-identical to a retrained one (the DuckDB oracles, which
+    retrain per statement, still hash-match), while retraining per
+    query call would put ~20 sequential tiny-job constants in front of
+    EVERY classifier query (measured ~9.6 s at sf0.1 — scheduling
+    floor, not data). The cache key carries the documents fingerprint
+    and every hyperparameter; the bench's fresh-process runs still pay
+    one full training per session (honesty note in BASELINE.md)."""
+    from .similarity import _trained
+
+    return _trained(
+        spark,
+        (sf_dir, "clf_model", CLF_DIM, CLF_STEPS, CLF_ETA, CLF_GATE,
+         CLF_HOLDOUT_MOD),
+        lambda: _classifier_model_build(
+            spark, spread(load(spark, sf_dir, "documents"), "doc_id")
+        ),
+        table="documents.parquet",
+    )
+
+
+def _classifier_model_build(
     spark: SparkSession, docs: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The training dataflow behind :func:`classifier_scores`: returns
-    (feats, weights, stats) — the z-scored dense feature grid
-    (checkpointed), the trained (CLF_DIM+2)-row weight relation after
-    CLF_STEPS unrolled gradient steps, and the (j, mu, sd)
-    standardization stats (part of the deployment artifact: a served
-    model is weights ⊕ stats). Split out so the model-inspection query
-    (``text_classifier_weights``) and the serve-stream gate
-    (``stream_quality_classifier``) read the same trained relation the
-    batch scorer serves."""
+    """The training dataflow behind :func:`classifier_model` (uncached)."""
     from .llmdata import _portable_hash
 
     lab = quality_features(docs).select(
@@ -2430,6 +2455,7 @@ def classifier_model(
                 F.greatest(F.col("msq") - F.col("mu") * F.col("mu"), F.lit(0.0))
             ).alias("sd"),
         )
+        .localCheckpoint(eager=True)
     )
     feats = (
         grid.join(F.broadcast(stats), "j", "left")
@@ -2506,7 +2532,7 @@ def classifier_model(
 def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: trained hashed-linear quality gate over
     ``documents``."""
-    return classifier_scores(spark, spread(load(spark, sf_dir, "documents"), "doc_id"))
+    return classifier_scores(spark, sf_dir)
 
 
 def q_text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2523,9 +2549,7 @@ def q_text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the registry makes. Means are decimal-quantized sums; the AUC
     closing expression is one IEEE tree rounded at the end.
     """
-    sc = classifier_scores(
-        spark, spread(load(spark, sf_dir, "documents"), "doc_id")
-    ).localCheckpoint(eager=True)
+    sc = classifier_scores(spark, sf_dir).localCheckpoint(eager=True)
     totals = sc.agg(
         F.sum(F.when(~F.col("held_out"), 1).otherwise(0))
         .cast("long")
@@ -2612,7 +2636,7 @@ def q_text_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llmdata import _portable_hash
 
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    _, w, _ = classifier_model(spark, docs)
+    _, w, _ = classifier_model(spark, sf_dir)
     counts = (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")

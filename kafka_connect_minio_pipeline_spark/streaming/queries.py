@@ -445,81 +445,96 @@ def _sql_stream_dedup_minhash() -> str:
 def q_stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED quality gate served on a stream — the train-batch /
     serve-stream split every production classifier deployment runs
-    (``stream_quality`` is this query's heuristic twin): the logistic
-    model trains once on the batch table (``text.classifier_model`` —
-    the same trained relation the batch scorer serves), its 34-row
-    (weights ⊕ standardization stats) relation is collected into plan
-    LITERALS — a bounded, documented model-relation collect, the
-    deployment artifact pattern (IVF LUT precedent) — and each arriving
-    document is scored by one stateless narrow projection: per-bucket
-    token counts as 32 vectorized filter-counts (no explode, no
-    shuffle, no state), the z-score/dot-product/sigmoid fused into the
-    row expression. Only passing docs reach the sink.
+    (``stream_quality`` is this query's heuristic twin). The model
+    trains once on the batch table (``text.classifier_model``, the
+    session-cached relation the batch scorer serves); the STREAM side
+    maintains exactly the mergeable state the other streaming sketches
+    do: per-(doc, feature-bucket) token COUNTS from an explode +
+    streaming groupBy — associative integer sums, codegen throughout,
+    bounded per doc by CLF_DIM and in production evicted by watermark
+    once a doc's horizon passes. The finisher scores the final counts
+    relationally: dense grid ⨝ broadcast (weights ⊕ stats) model,
+    z-score, decimal(28,12) dot terms, per-doc exact decimal sum,
+    sigmoid — the IDENTICAL algebra the batch scorer runs, so the
+    availableNow result equals the batch gate bit-for-bit (shared
+    oracle). Only passing docs are returned.
 
-    Exactness: the stream's zs is the same 34 decimal(28,12) terms the
-    batch scorer sums, added in fixed j order — decimal addition is
-    exact, so order is irrelevant and the availableNow result equals
-    the batch gate bit-for-bit (the shared oracle asserts it)."""
-    from ..operators.text import CLF_DIM, classifier_model, _dec12
+    Rejected alternative (measured): scoring each arriving row with a
+    fused 32-bucket filter-count expression — higher-order functions
+    are CodegenFallback, the lambda forest evaluates interpreted and
+    re-derives the hash array per bucket reference (no CSE across HOF
+    lambdas), ~13 ms/doc/core ≈ 100× the relational form. A per-doc
+    zero-count sentinel row keeps zero-token documents in the state so
+    they score exactly as the batch gate scores them."""
     from ..operators.dedup import tokens
-    from ..sources.files import stream_table
-    from ..tables import load, spread
-
-    batch_docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    _, w, stats = classifier_model(spark, batch_docs)
-    # the ONE collect in this query: the (CLF_DIM+2)-row trained model
-    # (weights ⊕ standardization stats) — a bounded deployment artifact,
-    # the same class as the IVF/PQ broadcast LUTs
-    model = {
-        r["j"]: (r["wt"], r["mu"], r["sd"])
-        for r in w.join(stats, "j", "left").collect()
-    }
-    src = stream_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    staged = src.select("doc_id", toks.alias("toks")).select(
-        "doc_id", "toks", F.size("toks").alias("n")
-    )
     from ..operators.llmdata import _portable_hash
+    from ..operators.text import CLF_DIM, _dec12, classifier_model
+    from ..sources.files import stream_table
 
-    n_dbl = F.col("n").cast("double")
-    terms = []
-    for j in range(CLF_DIM + 2):
-        wt, mu, sd = model.get(j, (0.0, None, None))
-        if j == CLF_DIM + 1:
-            z = F.lit(1.0)
-        elif sd is None or sd == 0.0:
-            z = F.lit(0.0)
-        else:
-            if j == CLF_DIM:
-                x = F.least(n_dbl / F.lit(32.0), F.lit(1.0))
-            else:
-                cnt = F.size(
-                    F.filter(
-                        F.col("toks"),
-                        lambda t: F.pmod(_portable_hash(t), F.lit(CLF_DIM))
-                        == F.lit(j),
-                    )
-                )
-                x = F.when(F.col("n") > 0, cnt.cast("double") / n_dbl).otherwise(
-                    F.lit(0.0)
-                )
-            z = (x - F.lit(mu)) / F.lit(sd)
-        terms.append(_dec12(F.lit(wt) * z))
-    # re-cast the accumulator each step: chained decimal adds grow
-    # precision (28→29→…), hit Spark's 38 cap after ~10 terms and
-    # silently DROP SCALE below 12 (the dec9 precision-38 trap) —
-    # measured as a 1e-6 score drift vs the batch gate. |zs| is tiny,
-    # so the re-cast is exact.
-    zs_dec = terms[0]
-    for t in terms[1:]:
-        zs_dec = (zs_dec + t).cast("decimal(28,12)")
-    score = F.round(
-        F.lit(1.0) / (F.lit(1.0) + F.exp(-zs_dec.cast("double"))), 6
+    _, w, stats = classifier_model(spark, sf_dir)
+    src = stream_table(spark, sf_dir, "documents")
+    exploded = src.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).select(
+        "doc_id",
+        F.pmod(_portable_hash(F.col("t")), F.lit(CLF_DIM)).cast("int").alias("j"),
     )
-    gated = staged.select("doc_id", score.alias("score")).filter(
+    # sentinel j = -1 keeps zero-token docs in the aggregation state
+    sentinel = src.select("doc_id", F.lit(-1).cast("int").alias("j"))
+    sink = run_to_memory(
+        exploded.unionByName(sentinel).groupBy("doc_id", "j").count()
+    )
+    # stage the converged counts to scratch parquet: the finisher reads
+    # the relation twice (per-doc totals + the grid join) and a
+    # memory-sink view cannot self-join (shared attribute ids defeat
+    # Spark's disambiguation — r11 finding); two independent scans of
+    # the staged file get fresh attributes, and at a real deployment
+    # this is the written feature-counts table anyway
+    d = scratch_dir("kcm_sqc_counts_")
+    sink.write.mode("overwrite").parquet(d)
+    counts = spark.read.parquet(d)
+    spine = spark.read.parquet(d).groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("j") >= 0, F.col("count")).otherwise(F.lit(0))
+        ).alias("n")
+    )
+    idx = spark.range(CLF_DIM + 2).select(F.col("id").cast("int").alias("j"))
+    grid = (
+        spine.crossJoin(F.broadcast(idx))
+        .join(counts, ["doc_id", "j"], "left")
+        .select(
+            "doc_id",
+            "j",
+            F.when(F.col("j") == CLF_DIM + 1, F.lit(1.0))
+            .when(
+                F.col("j") == CLF_DIM,
+                F.least(F.col("n").cast("double") / F.lit(32.0), F.lit(1.0)),
+            )
+            .when(
+                F.col("n") > 0,
+                F.coalesce(F.col("count"), F.lit(0)).cast("double")
+                / F.col("n").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("x"),
+        )
+    )
+    model = F.broadcast(w.join(stats, "j", "left"))
+    z = (
+        F.when(F.col("j") == CLF_DIM + 1, F.lit(1.0))
+        .when(F.coalesce(F.col("sd"), F.lit(0.0)) == 0.0, F.lit(0.0))
+        .otherwise((F.col("x") - F.col("mu")) / F.col("sd"))
+    )
+    scored = (
+        grid.join(model, "j")
+        .select("doc_id", _dec12(F.col("wt") * z).alias("term"))
+        .groupBy("doc_id")
+        .agg(F.sum("term").cast("double").alias("zs"))
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("zs"))), 6)
+    return scored.select("doc_id", score.alias("score")).filter(
         F.col("score") >= 0.5
     )
-    return run_to_memory(gated, output_mode="append")
 
 
 def _sql_stream_quality_classifier() -> str:
