@@ -2535,6 +2535,143 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_scores(spark, sf_dir)
 
 
+def q_text_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the trained gate (the calibration half of
+    an ML-ops eval — AUC says the RANKING is right, calibration says
+    the PROBABILITIES are): held-out scores bucketed into deciles, per
+    bucket the count, observed positive rate, and mean predicted score
+    — the two columns a reliability diagram plots against each other.
+    A well-calibrated gate has frac_pos ≈ mean_score per bin; a
+    miscalibrated one needs Platt/temperature scaling before its
+    scores can be thresholded as probabilities.
+
+    Exactness: bin = floor(score·10) clamped to 9 (score is a 6-decimal
+    double, the ·10 product exact-ish and both engines compute the
+    identical tree); counts integer; mean score a decimal(28,6) sum.
+    One pass over the held-out slice, ≤10 output rows — model-sized.
+    """
+    sc = classifier_scores(spark, sf_dir).filter(F.col("held_out"))
+    bin_ = F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int")
+    return (
+        sc.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("teacher_label").cast("long").alias("n_pos"),
+            (
+                F.sum(F.col("score").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("ms"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("frac_pos"),
+            F.round(F.col("ms"), 6).alias("mean_score"),
+        )
+    )
+
+
+SQL_TEXT_CLASSIFIER_CALIBRATION = f"""
+    WITH {{cte}},
+    sc AS (
+        SELECT doc_id, CAST(y AS INTEGER) AS teacher_label,
+               ROUND(1.0 / (1.0 + EXP(-zs)), 6) AS score
+        FROM scored WHERE held_out)
+    SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(teacher_label) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(teacher_label) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score
+    FROM sc
+    GROUP BY 1
+"""
+
+
+def q_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language curation dashboard: how the TRAINED gate and the
+    HEURISTIC gate each judge every stratum, and how often they agree —
+    the relation a curation run reviews before committing a filter
+    change (a stratum where the two gates disagree wholesale is where
+    the distillation broke or the heuristic is wrong). Per lang:
+    doc count, mean trained score, trained pass rate, heuristic pass
+    rate (the same teacher rule the classifier distilled), and the
+    agreement rate between the two verdicts.
+
+    One broadcast join of the scored relation back onto the narrow
+    (doc_id, lang) projection, one stratum-sized rollup; all counts
+    integer, the mean a decimal(28,6) sum, ratios one IEEE tree
+    rounded at the end. NULL langs group as their own bucket
+    identically on both engines (the nullable-lang contract).
+    """
+    sc = classifier_scores(spark, sf_dir)
+    langs = load_meta(spark, sf_dir, "documents", "doc_id", "lang")
+    joined = sc.join(langs, "doc_id")
+    agree = F.col("predicted_quality") == (F.col("teacher_label") == 1)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(F.col("score").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("ms"),
+            F.sum(F.col("predicted_quality").cast("int"))
+            .cast("long")
+            .alias("n_pass_trained"),
+            F.sum("teacher_label").cast("long").alias("n_pass_teacher"),
+            F.sum(agree.cast("int")).cast("long").alias("n_agree"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("ms"), 6).alias("mean_score"),
+            F.round(
+                F.col("n_pass_trained").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("pass_rate_trained"),
+            F.round(
+                F.col("n_pass_teacher").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("pass_rate_teacher"),
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("agreement"),
+        )
+    )
+
+
+SQL_CORPUS_QUALITY_REPORT = f"""
+    WITH {{cte}},
+    sc AS (
+        SELECT doc_id, CAST(y AS INTEGER) AS teacher_label,
+               ROUND(1.0 / (1.0 + EXP(-zs)), 6) AS score,
+               ROUND(1.0 / (1.0 + EXP(-zs)), 6) >= 0.5 AS predicted_quality
+        FROM scored)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_score,
+           ROUND(CAST(SUM(CASE WHEN predicted_quality THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS pass_rate_trained,
+           ROUND(CAST(SUM(teacher_label) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS pass_rate_teacher,
+           ROUND(CAST(SUM(CASE WHEN predicted_quality = (teacher_label = 1)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS agreement
+    FROM sc JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)
+    GROUP BY d.lang
+"""
+
+
 def q_text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out evaluation card for the trained quality classifier: one
     row with split sizes, tie-averaged-rank AUC (Mann–Whitney U — exact
@@ -2858,6 +2995,14 @@ QUERIES = {
     "text_classifier_eval": Query(q_text_classifier_eval, SQL_TEXT_CLASSIFIER_EVAL),
     "text_classifier_weights": Query(
         q_text_classifier_weights, SQL_TEXT_CLASSIFIER_WEIGHTS
+    ),
+    "text_classifier_calibration": Query(
+        q_text_classifier_calibration,
+        SQL_TEXT_CLASSIFIER_CALIBRATION.format(cte=_clf_cte()),
+    ),
+    "corpus_quality_report": Query(
+        q_corpus_quality_report,
+        SQL_CORPUS_QUALITY_REPORT.format(cte=_clf_cte()),
     ),
     "text_kn_quality": Query(q_text_kn_quality, SQL_TEXT_KN_QUALITY),
     "text_kn_perplexity": Query(q_text_kn_perplexity, SQL_TEXT_KN_PERPLEXITY),

@@ -74,9 +74,11 @@ _QUERY_MODULES = (
 #          (embedding-space decon via the SemDeDup cell-bounded
 #          machinery) / stream_dedup_minhash (banded-bucket-min
 #          streaming near-dup gate) / stream_quality_classifier (the
-#          trained gate served on a stream: collected 34-row model
-#          literals, stateless narrow scoring, bit-equal to the batch
-#          gate);
+#          trained gate served on a stream: mergeable count state +
+#          relational finisher, bit-equal to the batch gate) /
+#          text_classifier_calibration (held-out reliability deciles) /
+#          corpus_quality_report (per-lang trained-vs-heuristic gate
+#          dashboard);
 #          r11 CHANGED: graph_wcc (production path swapped to
 #          large-star/small-star, min-label kept as cross-check) and
 #          dedup_minhash_lsh (band derivation refactored into the shared
@@ -87,8 +89,8 @@ _QUERY_MODULES = (
 #          multimodal wav/errors, pipeline_dq_checks, the cdc/entropy
 #          stream pair, text r5 five, the ts r5 batch, the rolling
 #          window pair, udf_grouped_znorm.
-#   42-50: the 9 alphabetically-first round-6-vintage rows (the r6
-#          drain begins; 36 r6 rows remain for r12, all still under the
+#   44-50: the 7 alphabetically-first round-6-vintage rows (the r6
+#          drain begins; 38 r6 rows remain for r12, all still under the
 #          every-run local parity net).
 # History (round 10):
 #   1-10:  round-10 LATE additions/changes (graded the round they land):
@@ -148,6 +150,8 @@ _GRADE_FIRST = (
     "llm_decontaminate_semantic",
     "stream_dedup_minhash",
     "stream_quality_classifier",
+    "text_classifier_calibration",
+    "corpus_quality_report",
     "graph_wcc",
     "dedup_minhash_lsh",
     # the 33 remaining r5-vintage rows — the r5 vintage clears
@@ -192,8 +196,6 @@ _GRADE_FIRST = (
     "corpus_drift_psi",
     "corpus_interleave",
     "corpus_shuffle_split",
-    "corpus_weighted_sample",
-    "dedup_edit_distance",
 )
 
 

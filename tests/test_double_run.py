@@ -50,6 +50,7 @@ _STATEFUL = sorted(
              # grid and per-step weights; semantic decon composes the
              # kmeans assignment
              "text_quality_classifier", "text_classifier_eval",
+             "text_classifier_calibration", "corpus_quality_report",
              "llm_decontaminate_semantic")
 )
 

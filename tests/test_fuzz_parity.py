@@ -78,7 +78,8 @@ TARGETS = (
     # equal the batch oracle on ANY corpus)
     "text_quality_classifier", "text_classifier_eval",
     "text_classifier_weights", "stream_dedup_minhash",
-    "stream_quality_classifier",
+    "stream_quality_classifier", "text_classifier_calibration",
+    "corpus_quality_report",
 )
 
 
