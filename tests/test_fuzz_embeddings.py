@@ -35,7 +35,18 @@ TARGETS = sorted(
     n
     for n, q in _QUERIES.items()
     if q.oracle is not None
-    and n.startswith(("similarity", "embedding", "dedup_embedding", "dedup_semantic"))
+    and n.startswith(
+        (
+            "similarity",
+            "embedding",
+            "dedup_embedding",
+            "dedup_semantic",
+            # r11: embedding-space decontamination shares every
+            # pathology this net generates (zero vectors, exact/near
+            # duplicates, anisotropic norms)
+            "llm_decontaminate_semantic",
+        )
+    )
 )
 
 N_VECS = 60
