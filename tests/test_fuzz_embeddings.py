@@ -47,7 +47,36 @@ TARGETS = sorted(
             "llm_decontaminate_semantic",
         )
     )
-)
+) + [
+    # non-prefix embeddings consumers (closure contract below):
+    # the DQ battery reads every table; scalar_array demos the array
+    # functions over the embedding column
+    "pipeline_dq_checks",
+    "scalar_array",
+]
+
+
+def test_emb_net_is_closed():
+    """Every embeddings-consuming oracle query must be enrolled here —
+    the twin of test_doc_net_is_closed / test_ev_net_is_closed (r11:
+    the prefix-derived list silently missed llm_decontaminate_semantic
+    until this contract was added)."""
+    import inspect
+
+    embq = set()
+    for name, q in _QUERIES.items():
+        if q.oracle is None:
+            continue
+        try:
+            fsrc = inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            continue
+        if '"embeddings"' in fsrc:
+            embq.add(name)
+    missing = embq - set(TARGETS)
+    assert not missing, f"embeddings queries outside the fuzz net: {sorted(missing)}"
+    unknown = set(TARGETS) - set(_QUERIES)
+    assert not unknown, f"fuzz net names not in the registry: {sorted(unknown)}"
 
 N_VECS = 60
 DIMS = 64  # PQ subspace layout (PQ_M × PQ_SUBDIM) is a schema constant
