@@ -15,7 +15,7 @@ from ..registry import Query
 from . import windows as W
 from .pipeline import streaming_profile_pipeline
 from .runner import run_to_memory
-from ..scratch import scratch_dir
+from ..scratch import scratch_dir, scratch_dir_keyed
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,8 +489,14 @@ def q_stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink view cannot self-join (shared attribute ids defeat
     # Spark's disambiguation — r11 finding); two independent scans of
     # the staged file get fresh attributes, and at a real deployment
-    # this is the written feature-counts table anyway
-    d = scratch_dir("kcm_sqc_counts_")
+    # this is the written feature-counts table anyway. Keyed per
+    # (session, sf) and rewritten with overwrite on every call: the
+    # work repeats, the DIRECTORY does not accumulate (ADVICE r11 —
+    # the fuzz nets and bench passes invoke this many times per
+    # long-lived session).
+    d = scratch_dir_keyed(
+        "kcm_sqc_counts_", spark.sparkContext.applicationId, id(spark), sf_dir
+    )
     sink.write.mode("overwrite").parquet(d)
     counts = spark.read.parquet(d)
     spine = spark.read.parquet(d).groupBy("doc_id").agg(

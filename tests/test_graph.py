@@ -4,6 +4,7 @@ hand-computed correctness on a tiny known graph."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_connect_minio_pipeline_spark.operators.graph import pagerank, q_graph_pagerank
@@ -435,3 +436,37 @@ def test_wcc_path_graph_ls_vs_min_label(spark):
     expect = {i: 0 for i in range(n)} | {100: 100, 101: 100}
     assert ls == expect
     assert ml == expect
+
+
+@pytest.mark.parametrize(
+    "graded_sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_wcc_oracle_round_budget_at_graded_sf(spark, graded_sf):
+    """ADVICE r11: the old min-label production path raised loudly if
+    convergence needed more rounds than the WCC_ORACLE_ROUNDS-unrolled
+    DuckDB oracle; the large-star/small-star path converges regardless
+    of depth, so an under-unrolled oracle on a deeper graph would now
+    surface only as an unexplained parity mismatch. Keep the cheap
+    guard: at each graded sf, min-label propagation with
+    oracle_rounds=WCC_ORACLE_ROUNDS must converge inside the oracle's
+    unroll (it raises RuntimeError otherwise) and must agree with the
+    production labels."""
+    from kafka_connect_minio_pipeline_spark.operators.graph import (
+        WCC_ORACLE_ROUNDS,
+        connected_components,
+        part_cooccurrence_edges,
+        q_graph_wcc,
+    )
+
+    edges = part_cooccurrence_edges(spark, graded_sf)
+    ml = {
+        r["node"]: (r["component"], r["component_size"])
+        for r in connected_components(
+            edges, oracle_rounds=WCC_ORACLE_ROUNDS
+        ).collect()
+    }
+    prod = {
+        r["node"]: (r["component"], r["component_size"])
+        for r in q_graph_wcc(spark, graded_sf).collect()
+    }
+    assert ml == prod and ml

@@ -515,15 +515,23 @@ def test_quality_classifier_holdout_separation(spark, sf_dir):
     assert 0.5 < card["accuracy"] <= 1.0
 
 
-def test_quality_classifier_weights_nonzero_and_deterministic(spark, sf_dir):
+def test_quality_classifier_weights_nonzero_and_deterministic(
+    spark, sf_dir, monkeypatch
+):
     """Two independent builds must agree exactly (the decimal-exact
     dataflow claim), and training must actually move off the zero
-    initialization (scores away from 0.5)."""
+    initialization (scores away from 0.5). The second run bypasses the
+    session model cache (ADVICE r11: with the cache both calls serve
+    ONE trained relation, so a == b would compare the cache against
+    itself and never exercise the determinism claim) — an empty
+    _MODEL_CACHE forces a full real retrain for run b."""
+    from kafka_connect_minio_pipeline_spark.operators import similarity
     from kafka_connect_minio_pipeline_spark.operators.text import (
         q_text_quality_classifier,
     )
 
     a = {r["doc_id"]: r["score"] for r in q_text_quality_classifier(spark, sf_dir).collect()}
+    monkeypatch.setattr(similarity, "_MODEL_CACHE", {})
     b = {r["doc_id"]: r["score"] for r in q_text_quality_classifier(spark, sf_dir).collect()}
     assert a == b
     assert any(abs(s - 0.5) > 0.2 for s in a.values())
