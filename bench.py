@@ -68,20 +68,26 @@ def main() -> None:
     for name in sorted(queries):
         materialize(queries[name].fn(spark, sf_dir))
 
-    # Health gate (VERDICT r9): the official per-round artifact shipped
-    # hot (whole-machine stolen time) three rounds running while healthy
-    # runs sat in BASELINE.md. The control query's min timing is the
-    # documented session-health signal (healthy ≈ 0.72-0.75 at sf0.1;
-    # ≥0.9 = hot). Rather than report the first snapshot, re-run the
-    # timed passes (bounded attempts) until the control reads healthy,
-    # accumulating per-query MINIMA across all attempts — min over more
-    # samples is strictly a better steady-state estimator under
-    # one-sided stolen-time noise. If every attempt stays hot, report
-    # the accumulated minima with control_healthy=false so a reader
-    # knows to discount the absolute numbers.
+    # Health gate (VERDICT r9, tightened r12): the official per-round
+    # artifact shipped hot (whole-machine stolen time) three rounds
+    # running while healthy runs sat in BASELINE.md. The control query's
+    # min timing is the documented session-health signal (healthy ≈
+    # 0.69-0.73 at sf0.1; ≥0.9 = hot). Rather than report the first
+    # snapshot, re-run the timed passes (bounded attempts) until the
+    # control reads healthy, accumulating per-query MINIMA across all
+    # attempts — min over more samples is strictly a better steady-state
+    # estimator under one-sided stolen-time noise. If every attempt
+    # stays hot, report the accumulated minima with
+    # control_healthy=false so a reader knows to discount the absolute
+    # numbers. r12 (VERDICT r11): the 0.8 gate let a 0.774-control
+    # session ship a near-uniform +9% artifact — gate lowered to 0.75,
+    # attempts raised, and the artifact now carries control_ratio
+    # (control / the 0.708 r10 healthy reference) so a reader can
+    # control-normalize even a passing-but-warm artifact.
     control_query = "agg_pricing_summary"
-    control_healthy_at = 0.8
-    max_attempts = 3 if control_query in queries else 1
+    control_healthy_at = 0.75
+    control_ref = 0.708  # r10 healthy-session control minimum
+    max_attempts = 5 if control_query in queries else 1
 
     timings: dict[str, float] = {}
     attempts = 0
@@ -105,20 +111,41 @@ def main() -> None:
         if control <= control_healthy_at:
             break
 
-    # Heavy-tail set: one warm pass then three timed passes (min), after
-    # the headline health gate has already vetted the session.
+    # Heavy-tail set: one warm pass then health-gated timed attempts
+    # (three passes each, accumulated minima), with its OWN control
+    # sample per attempt — the headline gate vets the session MINUTES
+    # earlier, and r11 showed heat arriving mid-run, so the heavy
+    # numbers carry their own attempts + control (VERDICT r11 item 2).
     registry = all_queries()
     heavy = {n: registry[n] for n in HEAVY_SET if n in registry}
     heavy_timings: dict[str, float] = {}
+    heavy_control = -1.0
+    heavy_attempts = 0
     for name in sorted(heavy):
         materialize(heavy[name].fn(spark, sf_dir))
-    for _pass in range(3):
-        for name in sorted(heavy):
-            t0 = time.perf_counter()
-            materialize(heavy[name].fn(spark, sf_dir))
-            dt = round(time.perf_counter() - t0, 3)
-            heavy_timings[name] = min(heavy_timings.get(name, dt), dt)
-            print(f"# heavy pass{_pass} {name}: {dt:.2f}s", file=sys.stderr)
+    for attempt in range(3):
+        heavy_attempts = attempt + 1
+        for _pass in range(3):
+            for name in sorted(heavy):
+                t0 = time.perf_counter()
+                materialize(heavy[name].fn(spark, sf_dir))
+                dt = round(time.perf_counter() - t0, 3)
+                heavy_timings[name] = min(heavy_timings.get(name, dt), dt)
+                print(
+                    f"# heavy attempt{attempt} pass{_pass} {name}: {dt:.2f}s",
+                    file=sys.stderr,
+                )
+        if control_query not in queries:
+            break
+        t0 = time.perf_counter()
+        materialize(queries[control_query].fn(spark, sf_dir))
+        hc = round(time.perf_counter() - t0, 3)
+        heavy_control = hc if heavy_control < 0 else min(heavy_control, hc)
+        print(
+            f"# heavy attempt{attempt} control: {hc:.3f}s", file=sys.stderr
+        )
+        if heavy_control <= control_healthy_at:
+            break
 
     control = timings.get(control_query, -1.0)
     print(
@@ -133,8 +160,16 @@ def main() -> None:
                 "sf": sf,
                 "cpus": cpus,
                 "control": control,
+                "control_ratio": round(control / control_ref, 3)
+                if control > 0
+                else -1.0,
                 "control_healthy": bool(0 <= control <= control_healthy_at),
                 "attempts": attempts,
+                "heavy_control": heavy_control,
+                "heavy_control_healthy": bool(
+                    0 <= heavy_control <= control_healthy_at
+                ),
+                "heavy_attempts": heavy_attempts,
             }
         )
     )

@@ -755,9 +755,9 @@ def q_corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     llm_dedup_keep_best BEFORE splitting; this query is the check that
     the pipeline actually did that.
     """
-    from .dedup import q_dedup_minhash_lsh
+    from .dedup import verified_pairs
 
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    pairs = verified_pairs(spark, sf_dir).select("d1", "d2")
     assign = shuffle_split(load(spark, sf_dir, "documents")).select(
         "doc_id", "split"
     )
