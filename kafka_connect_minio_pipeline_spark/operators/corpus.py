@@ -1122,6 +1122,189 @@ SQL_CORPUS_DSIR = """
 """
 
 
+# ---------------------------------------------------------------------------
+# domain/URL-level curation (RefinedWeb/C4-class pre-text filtering)
+# ---------------------------------------------------------------------------
+
+# RefinedWeb (Penedo 2023) and C4 both gate on the REGISTERED DOMAIN
+# before any text analysis: a blocklist drops whole domains, and a
+# per-domain document cap stops any single site from dominating the
+# corpus. The driver corpus has no URL column, so the URL is
+# synthesized deterministically from stable metadata (the scalar_url
+# recipe, plus a doc-derived subdomain so registered-domain extraction
+# actually strips something); everything downstream — suffix-based
+# domain extraction, broadcast blocklist, per-domain cap via the
+# zero-shuffle hash threshold — is the real operator shape.
+URL_SUBDOMAINS = ("www", "cdn", "api")
+URL_BLOCKLIST = ("src3.example.com", "src17.example.com")
+DOMAIN_CAP = 18  # max docs kept per registered domain
+
+# the engine's public-suffix knowledge, stubbed to the one suffix the
+# synthesized URLs use (a production deployment broadcasts the real
+# PSL — vocabulary-sized, same plan shape): registrable domain = one
+# label + the suffix.
+_DOMAIN_RE = r"([^.]+\.example\.com)$"
+_HOST_RE = r"^[a-z]+://([^/?]+)"
+
+
+def doc_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url) with url synthesized from stable metadata:
+    ``https://{www|cdn|api}.{source}.example.com/docs/{doc_id}?lang=``.
+    Narrow projection — fuses into the scan."""
+    sub = F.element_at(
+        F.array(*[F.lit(s) for s in URL_SUBDOMAINS]),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        sub,
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def url_filter(docs: DataFrame, cap: int = DOMAIN_CAP) -> DataFrame:
+    """Domain-level curation verdicts, one row per document: the
+    synthesized URL, its registered domain, the blocklist verdict, the
+    domain's doc count and cap keep-rate, and whether the doc survives.
+
+    Scale shape: domain extraction is two anchored regexes in the scan
+    projection (no UDF); the per-domain rollup is vocabulary-sized
+    (registered domains, not URLs) and broadcasts back; the cap is the
+    ``llm_target_mix`` zero-shuffle hash threshold — keep iff
+    portable_hash(doc_id) < floor(min(1, cap/n)·2^60) — so capping a
+    100 TB crawl is a metadata scan plus one broadcast join, with no
+    per-domain window (a row_number() cap would shuffle the corpus on
+    domain and die on the one mega-domain every crawl has; the hash
+    rate keeps EXPECTED survivors at the cap and is what RefinedWeb's
+    own pipeline does at the stage boundary). Blocklist and suffix
+    list are both broadcast-sized relations/literals by construction.
+    """
+    urls = doc_urls(docs)
+    host = F.regexp_extract(F.col("url"), _HOST_RE, 1)
+    staged = urls.select(
+        "doc_id",
+        "url",
+        F.regexp_extract(host, _DOMAIN_RE, 1).alias("domain"),
+    )
+    rates = (
+        staged.groupBy("domain")
+        .agg(F.count("*").alias("n_domain_docs"))
+        .select(
+            "domain",
+            "n_domain_docs",
+            F.col("domain").isin(*URL_BLOCKLIST).alias("blocked"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(cap)) / F.col("n_domain_docs").cast("double"),
+                ),
+                6,
+            ).alias("keep_rate"),
+        )
+    )
+    joined = staged.join(F.broadcast(rates), "domain")
+    kept = (
+        ~F.col("blocked")
+    ) & (
+        _portable_hash(F.col("doc_id"))
+        < F.floor(F.col("keep_rate") * F.lit(_HASH_SPACE))
+    )
+    return joined.select(
+        "doc_id", "url", "domain", "blocked",
+        "n_domain_docs", "keep_rate", kept.alias("kept"),
+    )
+
+
+def q_corpus_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: per-document domain-curation verdicts over the
+    documents catalog (metadata-only scan — text is never read)."""
+    return url_filter(load_meta(spark, sf_dir, "documents", "lang", "source"))
+
+
+def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-domain rollup of :func:`url_filter`: doc count, corpus
+    share, blocklist verdict, cap keep-rate, and how many docs actually
+    survive the hash threshold — the table a curation run reviews
+    before committing a blocklist/cap change. Domain-sized output; the
+    survivor count aggregates the same verdict column the per-doc query
+    emits, so the two views can never disagree."""
+    verdicts = q_corpus_url_filter(spark, sf_dir)
+    per = verdicts.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.max("blocked").alias("blocked"),
+        F.min("keep_rate").alias("keep_rate"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+    total = per.agg(F.sum("n_docs").alias("n_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("share"),
+        "blocked",
+        "keep_rate",
+        "n_kept",
+    )
+
+
+_URL_SQL_CTE = f"""
+    urls AS (
+        SELECT doc_id,
+               'https://' || (['www', 'cdn', 'api'])[(doc_id % 3) + 1]
+                   || '.' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url
+        FROM documents WHERE doc_id IS NOT NULL),
+    staged AS (
+        SELECT doc_id, url,
+               regexp_extract(
+                   regexp_extract(url, '^([a-z]+)://([^/?]+)', 2),
+                   '([^.]+\\.example\\.com)$', 1) AS domain
+        FROM urls),
+    rates AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_domain_docs,
+               domain IN {tuple(URL_BLOCKLIST)!r} AS blocked,
+               ROUND(LEAST(1.0, CAST({DOMAIN_CAP} AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)), 6) AS keep_rate
+        FROM staged GROUP BY domain),
+    verdicts AS (
+        SELECT s.doc_id, s.url, s.domain, r.blocked, r.n_domain_docs,
+               r.keep_rate,
+               (NOT r.blocked) AND
+               ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   < CAST(FLOOR(r.keep_rate * {{hs}}) AS BIGINT) AS kept
+        FROM staged s JOIN rates r USING (domain))
+"""
+
+SQL_CORPUS_URL_FILTER = f"""
+    WITH {_URL_SQL_CTE}
+    SELECT doc_id, url, domain, blocked, n_domain_docs, keep_rate, kept
+    FROM verdicts
+"""
+
+SQL_CORPUS_DOMAIN_MIX = f"""
+    WITH {_URL_SQL_CTE},
+    per AS (
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MAX(blocked) AS blocked,
+               MIN(keep_rate) AS keep_rate,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+        FROM verdicts GROUP BY domain)
+    SELECT domain, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST((SELECT SUM(n_docs) FROM per) AS DOUBLE), 6) AS share,
+           blocked, keep_rate, n_kept
+    FROM per
+"""
+
+
 QUERIES = {
     "corpus_drift_psi": Query(
         q_corpus_drift_psi,
@@ -1160,5 +1343,11 @@ QUERIES = {
         SQL_CORPUS_DSIR.format(
             nb=DSIR_BUCKETS, toks=SQL_TOKENS.format(col="text")
         ),
+    ),
+    "corpus_url_filter": Query(
+        q_corpus_url_filter, SQL_CORPUS_URL_FILTER.format(hs=_HASH_SPACE)
+    ),
+    "corpus_domain_mix": Query(
+        q_corpus_domain_mix, SQL_CORPUS_DOMAIN_MIX.format(hs=_HASH_SPACE)
     ),
 }

@@ -513,6 +513,97 @@ def q_llm_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_semantic(emb, emb.filter(is_bench).select("vec_id"))
 
 
+# τ operating points swept by llm_decon_semantic_sweep; the served
+# gate's DECON_SEM_TAU = 0.45 sits mid-grid so the report shows the
+# flagged-count curve on both sides of the production threshold.
+DECON_SWEEP_TAUS = (0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65, 0.70)
+
+
+def semantic_sweep(scored: DataFrame) -> DataFrame:
+    """Threshold sweep over an already-scored semantic-decon relation
+    (the output shape of :func:`decontaminate_semantic`): per τ in
+    ``DECON_SWEEP_TAUS``, how many corpus vectors the gate would flag
+    and what corpus share that is — the curve a curation run reads
+    before committing a threshold change (``dedup_threshold_sweep`` is
+    this report's Jaccard-index twin; τ = DECON_SEM_TAU was a bare
+    literal until now — VERDICT r11 item 6).
+
+    Scale shape: candidates are scored ONCE (the expensive cell-bounded
+    cosine stage); the sweep itself is one pass of |τ| conditional sums
+    folded into a single aggregate row, then unpivoted to |τ| rows with
+    ``stack`` — never |τ| passes over the corpus, never a τ×corpus
+    explode. Exactness: max_eval_cos is the 6-decimal rounded score
+    both engines already hash-match; each τ literal parses to the
+    identical double, so every comparison and integer count is exact,
+    and the one share division is a single IEEE tree rounded at the
+    end.
+    """
+    flags = [
+        F.sum(
+            F.when(F.col("max_eval_cos") >= F.lit(t), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"f{i}")
+        for i, t in enumerate(DECON_SWEEP_TAUS)
+    ]
+    one = scored.agg(
+        F.count("*").alias("n_corpus"),
+        F.count("max_eval_cos").alias("n_scored"),
+        *flags,
+    )
+    stack_args = ", ".join(
+        f"CAST({t} AS DOUBLE), f{i}" for i, t in enumerate(DECON_SWEEP_TAUS)
+    )
+    unpivoted = one.select(
+        F.expr(
+            f"stack({len(DECON_SWEEP_TAUS)}, {stack_args})"
+        ).alias("tau", "n_flagged"),
+        "n_scored",
+        "n_corpus",
+    )
+    return unpivoted.select(
+        "tau",
+        "n_flagged",
+        "n_scored",
+        "n_corpus",
+        F.round(
+            F.col("n_flagged").cast("double")
+            / F.col("n_corpus").cast("double"),
+            6,
+        ).alias("frac_flagged"),
+    )
+
+
+def q_llm_decon_semantic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: sweep the τ grid over the same scored relation
+    ``llm_decontaminate_semantic`` emits (one scoring pass, |τ| report
+    rows)."""
+    return semantic_sweep(q_llm_decontaminate_semantic(spark, sf_dir))
+
+
+def _decon_sweep_sql() -> str:
+    flags = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN max_eval_cos >= {t} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS f{i}"
+        for i, t in enumerate(DECON_SWEEP_TAUS)
+    )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS tau, f{i} AS n_flagged, n_scored,"
+        f" n_corpus, ROUND(CAST(f{i} AS DOUBLE) / CAST(n_corpus AS DOUBLE),"
+        f" 6) AS frac_flagged FROM agg"
+        for i, t in enumerate(DECON_SWEEP_TAUS)
+    )
+    return f"""
+    WITH decon AS ({_decon_semantic_sql()}),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+               CAST(COUNT(max_eval_cos) AS BIGINT) AS n_scored,
+               {flags}
+        FROM decon)
+    {arms}
+"""
+
+
 def _decon_semantic_sql() -> str:
     from .similarity import SQL_SIMILARITY_KMEANS
 
@@ -1624,6 +1715,9 @@ QUERIES = {
     "llm_decontaminate": Query(q_llm_decontaminate, SQL_DECONTAMINATE),
     "llm_decontaminate_semantic": Query(
         q_llm_decontaminate_semantic, _decon_semantic_sql()
+    ),
+    "llm_decon_semantic_sweep": Query(
+        q_llm_decon_semantic_sweep, _decon_sweep_sql()
     ),
     "llm_target_mix": Query(q_llm_target_mix, SQL_TARGET_MIX),
     "llm_corpus_pipeline": Query(q_llm_corpus_pipeline, SQL_CORPUS_PIPELINE),

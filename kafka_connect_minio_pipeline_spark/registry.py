@@ -61,37 +61,49 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.streaming.queries",
 )
 
-# Pinned to the FRONT of iteration order for ROUND-11 grading (the
+# Pinned to the FRONT of iteration order for ROUND-12 grading (the
 # driver hashes the first 50 entries). Steady-state rotation policy
 # (r7): front whatever the round ADDS or CHANGES, then backfill with the
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
-# further behind. ROUND 11:
-#   1-7:   r11 NEW: text_quality_classifier (trained hashed-linear gate,
-#          10 unrolled GD steps) / text_classifier_eval (held-out AUC
-#          card) / text_classifier_weights (model card: weights joined
-#          to the hashing-collision profile) / llm_decontaminate_semantic
-#          (embedding-space decon via the SemDeDup cell-bounded
-#          machinery) / stream_dedup_minhash (banded-bucket-min
-#          streaming near-dup gate) / stream_quality_classifier (the
-#          trained gate served on a stream: mergeable count state +
-#          relational finisher, bit-equal to the batch gate) /
-#          text_classifier_calibration (held-out reliability deciles) /
-#          corpus_quality_report (per-lang trained-vs-heuristic gate
-#          dashboard);
+# further behind. ROUND 12:
+#   1-5:   r12 NEW: llm_decon_semantic_sweep (τ operating-point curve
+#          over the ONCE-scored semantic-decon relation) /
+#          corpus_url_filter + corpus_domain_mix (RefinedWeb-class
+#          domain blocklist + per-domain hash-threshold cap over
+#          synthesized URLs) / text_unigram_tokenizer (unigram-LM
+#          tokenizer trainer, unrolled EM) / text_classifier_bigram_eval
+#          (hashed-bigram feature A/B card).
+#   6-13:  r12 CHANGED — the verified-pair session cache (VERDICT r11
+#          item 3) swapped the production path of llm_dedup_keep_best,
+#          dedup_cascade_eval, dedup_clusters, dedup_transitivity_eval,
+#          dedup_minhash_eval, dedup_source_overlap and
+#          corpus_split_leakage onto the cached relations (oracles
+#          recompute per statement, proving the cache exactness-neutral
+#          each grade); stream_quality_classifier's scratch staging is
+#          now keyed per (session, sf) (ADVICE r11).
+#   14-50: ALL 37 remaining round-6-vintage rows (alphabetical) — the
+#          r6 vintage CLEARS (VERDICT r11 item 1); the oldest standing
+#          vintage moves to r7 (43 rows, the r13 backfill pool), all
+#          still under the every-run local parity net.
+# History (round 11):
+#   1-10:  r11 NEW: text_quality_classifier / text_classifier_eval /
+#          text_classifier_weights / llm_decontaminate_semantic /
+#          stream_dedup_minhash / stream_quality_classifier /
+#          text_classifier_calibration / corpus_quality_report;
 #          r11 CHANGED: graph_wcc (production path swapped to
 #          large-star/small-star, min-label kept as cross-check) and
 #          dedup_minhash_lsh (band derivation refactored into the shared
 #          minhash_band_rows helper the stream gate reuses).
-#   7-39:  ALL 33 remaining round-5-vintage rows — the r5 vintage CLEARS
+#   11-43: ALL 33 remaining round-5-vintage rows — the r5 vintage CLEARS
 #          (VERDICT r10 item 1): corpus_shard_skew/split_leakage/
 #          weighted_median, the dedup eval quartet, llm transforms,
 #          multimodal wav/errors, pipeline_dq_checks, the cdc/entropy
 #          stream pair, text r5 five, the ts r5 batch, the rolling
 #          window pair, udf_grouped_znorm.
 #   44-50: the 7 alphabetically-first round-6-vintage rows (the r6
-#          drain begins; 38 r6 rows remain for r12, all still under the
-#          every-run local parity net).
+#          drain begins; 37 r6 rows remained for r12, all still under
+#          the every-run local parity net).
 # History (round 10):
 #   1-10:  round-10 LATE additions/changes (graded the round they land):
 #          agg_skyline (Pareto frontier, windowed-linear vs the
@@ -143,59 +155,63 @@ _QUERY_MODULES = (
 # DuckDB parity net (tests/test_oracle_parity.py re-checks all
 # registered queries at sf0.001 on every pytest run).
 _GRADE_FIRST = (
-    # r11 new + changed (graded the round they land)
-    "text_quality_classifier",
-    "text_classifier_eval",
-    "text_classifier_weights",
-    "llm_decontaminate_semantic",
-    "stream_dedup_minhash",
-    "stream_quality_classifier",
-    "text_classifier_calibration",
-    "corpus_quality_report",
-    "graph_wcc",
-    "dedup_minhash_lsh",
-    # the 33 remaining r5-vintage rows — the r5 vintage clears
-    "corpus_shard_skew",
-    "corpus_split_leakage",
-    "corpus_weighted_median",
+    # r12 new (graded the round they land)
+    "llm_decon_semantic_sweep",
+    "corpus_url_filter",
+    "corpus_domain_mix",
+    # r12 changed: the verified-pair session cache consumers + the
+    # keyed-scratch stream classifier
+    "llm_dedup_keep_best",
     "dedup_cascade_eval",
-    "dedup_source_overlap",
-    "dedup_threshold_sweep",
+    "dedup_clusters",
     "dedup_transitivity_eval",
-    "llm_fim_transform",
-    "llm_pack_eval",
-    "llm_span_corruption",
-    "multimodal_decode_errors",
-    "multimodal_wav_decode",
-    "pipeline_dq_checks",
-    "stream_cdc_merge",
-    "stream_entropy",
-    "text_boilerplate_edges",
-    "text_collocations",
-    "text_feature_hashing",
-    "text_readability",
-    "text_zipf",
-    "ts_acf",
-    "ts_anomaly_seasonal",
-    "ts_changepoint",
-    "ts_concurrency",
-    "ts_dow_hour_heatmap",
-    "ts_forecast_snaive",
-    "ts_interpolate",
-    "ts_markov",
-    "ts_survival",
-    "ts_week_over_week",
-    "udf_grouped_znorm",
-    "window_rolling_median",
-    "window_rolling_slope",
-    # r6 drain begins: the 11 alphabetically-first r6-vintage rows
-    "agg_conversion_ci",
-    "agg_poisson_bootstrap",
-    "agg_trimmed_mean",
-    "agg_tukey_fences",
-    "corpus_drift_psi",
-    "corpus_interleave",
-    "corpus_shuffle_split",
+    "dedup_minhash_eval",
+    "dedup_source_overlap",
+    "corpus_split_leakage",
+    "stream_quality_classifier",
+    # ALL 37 remaining r6-vintage rows — the r6 vintage clears
+    "corpus_weighted_sample",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_simhash",
+    "embedding_quantize",
+    "join_asof_nearest",
+    "join_role_dims",
+    "llm_corpus_pipeline",
+    "llm_rag_chunk",
+    "llm_sample_hash",
+    "llm_sample_stratified",
+    "llm_target_mix",
+    "multimodal_features",
+    "multimodal_resize",
+    "scalar_map",
+    "similarity_ann_eval",
+    "similarity_ann_lsh",
+    "similarity_knn_label_eval",
+    "similarity_matryoshka_eval",
+    "similarity_topk",
+    "similarity_topk_batch",
+    "sketch_bloom_join",
+    "sketch_hll",
+    "sketch_kmv",
+    "stream_hll",
+    "stream_multimodal",
+    "stream_quality",
+    "stream_session",
+    "text_quality",
+    "text_unigram_logprob",
+    "ts_runs_test",
+    "ts_silence_windows",
+    "ts_uptime_report",
+    "ts_zscore",
+    "udf_grouped_znorm_builtin",
+    # r7 drain begins: the 2 alphabetically-first r7-vintage rows
+    # (placeholders — displaced when the round's remaining additions
+    # text_unigram_tokenizer / text_classifier_bigram_eval land)
+    "agg_approx_distinct",
+    "agg_argmax",
 )
 
 

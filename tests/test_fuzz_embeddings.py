@@ -43,8 +43,10 @@ TARGETS = sorted(
             "dedup_semantic",
             # r11: embedding-space decontamination shares every
             # pathology this net generates (zero vectors, exact/near
-            # duplicates, anisotropic norms)
+            # duplicates, anisotropic norms); r12: its τ sweep rides
+            # the same scored relation
             "llm_decontaminate_semantic",
+            "llm_decon_semantic_sweep",
         )
     )
 ) + [

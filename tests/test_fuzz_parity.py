@@ -80,6 +80,9 @@ TARGETS = (
     "text_classifier_weights", "stream_dedup_minhash",
     "stream_quality_classifier", "text_classifier_calibration",
     "corpus_quality_report",
+    # r12: domain/URL curation (null langs → NULL urls, fuzz sources
+    # never hit the blocklist — both arms the driver fixture misses)
+    "corpus_url_filter", "corpus_domain_mix",
 )
 
 

@@ -697,3 +697,72 @@ def test_semantic_decontamination_catches_paraphrase_ngram_misses(spark, tmp_pat
     assert sem[7].max_eval_cos > 0.99
     assert all(not sem[i].semantic_contaminated for i in sem if i != 7)
     assert 0 not in sem  # eval rows are never scored against themselves
+
+    # τ sweep over the same planted fixture (VERDICT r11 item 6): the
+    # planted paraphrase sits at cosine ~1, so EVERY τ in the grid must
+    # recall it — n_flagged ≥ 1 at each τ, monotone non-increasing in τ,
+    # and the spine constant (n_corpus = the 13 non-eval vectors).
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        DECON_SWEEP_TAUS,
+        q_llm_decon_semantic_sweep,
+    )
+
+    sweep = {
+        r.tau: r for r in q_llm_decon_semantic_sweep(spark, str(tmp_path)).collect()
+    }
+    assert set(sweep) == {float(t) for t in DECON_SWEEP_TAUS}
+    flagged = [sweep[float(t)].n_flagged for t in DECON_SWEEP_TAUS]
+    assert all(f >= 1 for f in flagged)  # planted recall across the grid
+    assert flagged == sorted(flagged, reverse=True)
+    assert all(sweep[t].n_corpus == 13 for t in sweep)
+
+
+def test_url_filter_planted_blocklist_and_cap(spark, tmp_path):
+    """Planted-blocklist acceptance (VERDICT r11 item 5): a fixture with
+    one blocked domain, one mega-domain far over the cap, and one small
+    domain under it. The blocked domain must keep ZERO docs regardless
+    of the hash draw; the under-cap domain keeps everything (rate 1.0);
+    the mega-domain keeps roughly cap docs via the hash rate (strictly
+    fewer than it has, more than zero); and the registered-domain
+    extraction must strip the synthesized subdomain."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        DOMAIN_CAP,
+        q_corpus_domain_mix,
+        q_corpus_url_filter,
+    )
+
+    # URL_BLOCKLIST contains src3.example.com; plant 30 docs on src3,
+    # 200 on src5 (≫ DOMAIN_CAP=18), 10 on src6 (< cap).
+    rows = (
+        [(i, "en", "src3") for i in range(30)]
+        + [(100 + i, "en", "src5") for i in range(200)]
+        + [(1000 + i, "en", "src6") for i in range(10)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    v = q_corpus_url_filter(spark, str(tmp_path)).collect()
+    by_dom: dict[str, list] = {}
+    for r in v:
+        by_dom.setdefault(r["domain"], []).append(r)
+        # subdomain stripped: domain is exactly source.example.com
+        assert r["domain"].count(".") == 2
+        assert r["url"].startswith("https://www.") or r["url"].startswith(
+            ("https://cdn.", "https://api.")
+        )
+    assert set(by_dom) == {
+        "src3.example.com", "src5.example.com", "src6.example.com"
+    }
+    assert all(not r["kept"] and r["blocked"] for r in by_dom["src3.example.com"])
+    kept5 = sum(r["kept"] for r in by_dom["src5.example.com"])
+    assert 0 < kept5 < 200  # hash-rate cap: expected ≈ DOMAIN_CAP
+    assert kept5 <= 3 * DOMAIN_CAP  # loose concentration bound
+    assert all(r["kept"] for r in by_dom["src6.example.com"])
+
+    mix = {r["domain"]: r for r in q_corpus_domain_mix(spark, str(tmp_path)).collect()}
+    assert mix["src3.example.com"]["n_kept"] == 0
+    assert mix["src3.example.com"]["blocked"]
+    assert mix["src5.example.com"]["n_kept"] == kept5
+    assert mix["src6.example.com"]["keep_rate"] == 1.0
+    assert abs(sum(m["share"] for m in mix.values()) - 1.0) < 1e-5
