@@ -2272,6 +2272,337 @@ SQL_TEXT_KN_QUALITY = f"""
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM tokenizer trainer (SentencePiece-unigram, Kudo 2018)
+# ---------------------------------------------------------------------------
+
+UNI_PIECE_MAX = 4  # max candidate-piece length (chars)
+UNI_WORD_MAX = 8  # words truncate to this many chars for the lattice
+UNI_EM_ROUNDS = 2  # unrolled full EM rounds (fixed — no convergence loop)
+UNI_VOCAB_K = 48  # emitted vocabulary size (top-K by expected count)
+
+
+def _uni_compositions() -> list[list[int]]:
+    """Every ordered composition of n ∈ [1, UNI_WORD_MAX] into parts of
+    size ≤ UNI_PIECE_MAX — the complete segmentation lattice of a
+    (truncated) word, enumerated ONCE driver-side as a constant. 223
+    compositions for (8, 4); the count is a function of two small fixed
+    hyperparameters, never of the data."""
+    out: list[list[int]] = []
+
+    def rec(rem: int, acc: list[int]) -> None:
+        if rem == 0:
+            out.append(list(acc))
+            return
+        for piece in range(1, min(UNI_PIECE_MAX, rem) + 1):
+            rec(rem - piece, acc + [piece])
+
+    for n in range(1, UNI_WORD_MAX + 1):
+        rec(n, [])
+    return out
+
+
+def _uni_comp_rows() -> list[tuple[int, str, int, int, int]]:
+    """(n, seg, part_idx, j, l) rows of the composition lattice; ``seg``
+    is the comma-joined part-length string — the same key the oracle
+    derives by splitting the identical literal list, so the two engines
+    group segmentations identically by construction."""
+    rows = []
+    for parts in _uni_compositions():
+        seg = ",".join(map(str, parts))
+        j = 0
+        for k, piece_len in enumerate(parts):
+            rows.append((sum(parts), seg, k + 1, j, piece_len))
+            j += piece_len
+    return rows
+
+
+def _uni_prod(cols: list[F.Column]) -> F.Column:
+    """Fixed left-to-right product of per-part probabilities (missing
+    parts contribute the multiplicative identity) — one IEEE tree, the
+    same associativity the oracle's literal a*b*...*h parse yields, so
+    the segmentation probability is bit-identical without any decimal
+    quantization inside the product."""
+    out = F.coalesce(cols[0], F.lit(1.0))
+    for c in cols[1:]:
+        out = out * F.coalesce(c, F.lit(1.0))
+    return out
+
+
+def _unigram_tokenizer_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The training dataflow behind :func:`q_text_unigram_tokenizer`
+    (uncached): seed from substring counts, run UNI_EM_ROUNDS unrolled
+    full-EM rounds over the composition lattice, emit the top-K report.
+
+    Unigram-LM training (Kudo 2018) needs, per word, the total
+    likelihood over ALL segmentations and each piece's expected count —
+    normally a forward-backward DP over character positions. Words here
+    are TRUNCATED to UNI_WORD_MAX chars (SentencePiece's own trainer
+    caps piece/sentence lengths the same way), which makes the full
+    segmentation lattice a 223-row driver-side CONSTANT — so the E-step
+    becomes pure relational algebra: words ⨝ lattice ⨝ broadcast piece
+    probabilities, one ≤8-column pivot per segmentation (MAX of a
+    single value per part — order-free), a fixed-order IEEE product,
+    and decimal(28,12) sums for the order-free totals. No per-position
+    iteration, no UDF, no driver loop over data.
+
+    Scale shape: the corpus contributes ONE token-count pass (the
+    ``words`` rollup); everything after is vocabulary-bounded — |V|
+    distinct truncated words × ~25 lattice part-rows. At 100 TB the
+    vocab relation is millions of rows against a corpus of trillions of
+    tokens; the EM rounds never touch the corpus again. Exactness: the
+    within-segmentation product is one fixed IEEE tree; cross-
+    segmentation and cross-word sums quantize terms to decimal(28,12)
+    (the _dec12 idiom — sub-grid segmentations contribute exactly zero
+    on BOTH engines, a documented part of the spec, not drift); each
+    round's probabilities are ROUND(·, 9) at the exposure (the
+    classifier's per-step sigmoid precedent); zero-likelihood words are
+    guarded out of the E-step identically. Degenerate corpora: empty →
+    empty report; the rich-get-richer EM dynamics (whole-word pieces
+    absorbing mass from their single-char covers) are hand-pinned on a
+    tiny fixture in tests/test_ngram_properties.py."""
+    comps = F.broadcast(
+        spark.createDataFrame(
+            _uni_comp_rows(), "n int, seg string, part_idx int, j int, l int"
+        )
+    )
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .select(F.substring("t", 1, UNI_WORD_MAX).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+        .withColumn("n", F.length("w").cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    # span enumeration (end i, length l): substring(w, i-l+1, l)
+    spans = (
+        words.select(
+            "w", "cw", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i")
+        )
+        .select(
+            "w",
+            "cw",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(UNI_PIECE_MAX), F.col("i"))
+                )
+            ).alias("l"),
+        )
+        .select("cw", F.expr("substring(w, i - l + 1, l)").alias("piece"))
+    )
+    seeds = spans.groupBy("piece").agg(F.sum("cw").alias("seed_cnt"))
+    seed_tot = seeds.agg(F.sum("seed_cnt").alias("tot"))
+    p = (
+        seeds.crossJoin(F.broadcast(seed_tot))
+        .select(
+            "piece",
+            F.round(
+                F.col("seed_cnt").cast("double") / F.col("tot").cast("double"),
+                9,
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # the lattice-with-pieces relation is identical every round — stage it
+    segp = (
+        words.join(comps, "n")
+        .select(
+            "w",
+            "cw",
+            "seg",
+            "part_idx",
+            F.expr("substring(w, j + 1, l)").alias("piece"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    max_parts = UNI_WORD_MAX  # a composition has at most n parts
+    e = None
+    for _ in range(UNI_EM_ROUNDS):
+        terms = segp.join(F.broadcast(p), "piece")
+        sp = terms.groupBy("w", "cw", "seg").agg(
+            *[
+                F.max(F.when(F.col("part_idx") == k, F.col("p"))).alias(f"p{k}")
+                for k in range(1, max_parts + 1)
+            ]
+        ).select(
+            "w",
+            "cw",
+            "seg",
+            _uni_prod(
+                [F.col(f"p{k}") for k in range(1, max_parts + 1)]
+            ).alias("sp"),
+        )
+        pw = sp.groupBy("w").agg(
+            F.sum(_dec12(F.col("sp"))).cast("double").alias("pw")
+        )
+        contrib = (
+            terms.select("w", "seg", "piece")
+            .join(sp.select("w", "seg", "cw", "sp"), ["w", "seg"])
+            .join(pw, "w")
+            .filter(F.col("pw") > 0)
+            .select(
+                "piece",
+                _dec12(
+                    F.col("cw").cast("double")
+                    * F.col("sp")
+                    / F.col("pw")
+                ).alias("t"),
+            )
+        )
+        e = contrib.groupBy("piece").agg(F.sum("t").alias("ed")).localCheckpoint(
+            eager=True
+        )
+        e_tot = e.agg(F.sum("ed").alias("etot"))
+        p = (
+            e.crossJoin(F.broadcast(e_tot))
+            .select(
+                "piece",
+                F.round(
+                    F.col("ed").cast("double") / F.col("etot").cast("double"),
+                    9,
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ranked = (
+        e.join(p, "piece")
+        .join(seeds, "piece")
+        .select(
+            "piece",
+            "seed_cnt",
+            F.col("ed").cast("double").alias("ex"),
+            "p",
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("ex").desc(), F.col("piece"))
+            ),
+        )
+        .filter(F.col("rank") <= UNI_VOCAB_K)
+    )
+    return ranked.select(
+        F.col("rank").cast("int").alias("rank"),
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "seed_cnt",
+        F.round("ex", 6).alias("expected_cnt"),
+        F.col("p").alias("prob"),
+    ).localCheckpoint(eager=True)
+
+
+def q_text_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: unigram-LM tokenizer vocabulary trained on
+    ``documents`` — the OTHER production tokenizer family beside the
+    merge-based BPE quartet (``text_bpe_*``); trained once per
+    (session, sf, hyperparams) via the ``similarity._trained`` cache
+    (deterministic dataflow ⇒ the cached ≤K-row report is bit-identical
+    to a retrain; the oracle retrains per statement and keeps proving
+    it)."""
+    from .similarity import _trained
+
+    return _trained(
+        spark,
+        (sf_dir, "unigram_tok", UNI_PIECE_MAX, UNI_WORD_MAX, UNI_EM_ROUNDS,
+         UNI_VOCAB_K),
+        lambda: _unigram_tokenizer_build(
+            spark, spread(load(spark, sf_dir, "documents"), "doc_id")
+        ),
+        table="documents.parquet",
+    )
+
+
+def _unigram_sql() -> str:
+    """Unrolled-CTE mirror of the EM trainer: the identical composition
+    lattice ships as a literal list of part-length strings (split +
+    window prefix-sum recover (part_idx, j, l)); every reused CTE is AS
+    MATERIALIZED (DuckDB re-inlines per reference otherwise)."""
+    seg_lits = ", ".join(
+        "'" + ",".join(map(str, parts)) + "'" for parts in _uni_compositions()
+    )
+    prod = " * ".join(
+        f"COALESCE(MAX(CASE WHEN part_idx = {k} THEN p END), 1.0)"
+        for k in range(1, UNI_WORD_MAX + 1)
+    )
+    rounds = []
+    prev = "p0"
+    for r in range(1, UNI_EM_ROUNDS + 1):
+        rounds.append(f"""
+    terms{r} AS MATERIALIZED (
+        SELECT s.w, s.cw, s.seg, s.part_idx, s.piece, p.p
+        FROM segp s JOIN {prev} p USING (piece)),
+    sp{r} AS MATERIALIZED (
+        SELECT w, cw, seg, {prod} AS sp
+        FROM terms{r} GROUP BY w, cw, seg),
+    pw{r} AS MATERIALIZED (
+        SELECT w, CAST(SUM(CAST(sp AS DECIMAL(28,12))) AS DOUBLE) AS pw
+        FROM sp{r} GROUP BY w),
+    e{r} AS MATERIALIZED (
+        SELECT t.piece,
+               SUM(CAST(CAST(s.cw AS DOUBLE) * s.sp / pw.pw
+                        AS DECIMAL(28,12))) AS ed
+        FROM terms{r} t
+        JOIN sp{r} s ON t.w = s.w AND t.seg = s.seg
+        JOIN pw{r} pw ON t.w = pw.w
+        WHERE pw.pw > 0
+        GROUP BY t.piece),
+    p{r} AS MATERIALIZED (
+        SELECT piece,
+               ROUND(CAST(ed AS DOUBLE)
+                     / CAST((SELECT SUM(ed) FROM e{r}) AS DOUBLE), 9) AS p
+        FROM e{r})""")
+        prev = f"p{r}"
+    last = UNI_EM_ROUNDS
+    return f"""
+    WITH toks AS (
+        SELECT unnest({SQL_TOKENS.format(col='text')}) AS t FROM documents),
+    words AS MATERIALIZED (
+        SELECT substr(t, 1, {UNI_WORD_MAX}) AS w,
+               CAST(COUNT(*) AS BIGINT) AS cw,
+               CAST(LEN(substr(t, 1, {UNI_WORD_MAX})) AS INTEGER) AS n
+        FROM toks GROUP BY 1, 3),
+    seglist AS (
+        SELECT seg, string_split(seg, ',') AS parts
+        FROM (SELECT UNNEST([{seg_lits}]) AS seg)),
+    comps AS MATERIALIZED (
+        SELECT CAST(list_aggregate(list_transform(parts, x -> CAST(x AS INTEGER)),
+                    'sum') AS INTEGER) AS n,
+               seg,
+               CAST(i AS INTEGER) AS part_idx,
+               CAST(SUM(CAST(parts[i] AS INTEGER))
+                        OVER (PARTITION BY seg ORDER BY i)
+                    - CAST(parts[i] AS INTEGER) AS INTEGER) AS j,
+               CAST(parts[i] AS INTEGER) AS l
+        FROM seglist, LATERAL UNNEST(generate_series(1, LEN(parts))) u(i)),
+    spans AS (
+        SELECT substr(w, i - l + 1, l) AS piece, cw
+        FROM words,
+             LATERAL UNNEST(generate_series(1, n)) e_(i),
+             LATERAL UNNEST(generate_series(1, LEAST({UNI_PIECE_MAX}, i))) l_(l)),
+    seeds AS MATERIALIZED (
+        SELECT piece, CAST(SUM(cw) AS BIGINT) AS seed_cnt
+        FROM spans GROUP BY piece),
+    p0 AS MATERIALIZED (
+        SELECT piece,
+               ROUND(CAST(seed_cnt AS DOUBLE)
+                     / CAST((SELECT SUM(seed_cnt) FROM seeds) AS DOUBLE), 9)
+                   AS p
+        FROM seeds),
+    segp AS MATERIALIZED (
+        SELECT w, cw, seg, part_idx, substr(w, j + 1, l) AS piece
+        FROM words JOIN comps USING (n)),{",".join(rounds)},
+    ranked AS (
+        SELECT piece, seed_cnt, CAST(ed AS DOUBLE) AS ex, p,
+               CAST(ROW_NUMBER() OVER (ORDER BY CAST(ed AS DOUBLE) DESC,
+                                       piece) AS INTEGER) AS rank
+        FROM e{last} JOIN p{last} USING (piece) JOIN seeds USING (piece))
+    SELECT rank, piece, CAST(LEN(piece) AS INTEGER) AS piece_len, seed_cnt,
+           ROUND(ex, 6) AS expected_cnt, p AS prob
+    FROM ranked WHERE rank <= {UNI_VOCAB_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # trained quality classifier (fastText-style hashed linear gate)
 # ---------------------------------------------------------------------------
 
@@ -2297,7 +2628,9 @@ def _dec12(c: F.Column) -> F.Column:
     return c.cast("decimal(28,12)")
 
 
-def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def classifier_scores(
+    spark: SparkSession, sf_dir: str, bigrams: bool = False
+) -> DataFrame:
     """Trained text-quality classifier: the fastText-style supervised
     gate CCNet/LLaMA-class pipelines run beside the LM perplexity filter
     (Joulin et al. 2016; DCLM's fastText gate), distilled here from the
@@ -2339,7 +2672,7 @@ def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLF_DIM (the hashing trick's whole point). An empty train split
     degrades totally: weights stay zero, every score is 0.5.
     """
-    feats, w, _ = classifier_model(spark, sf_dir)
+    feats, w, _ = classifier_model(spark, sf_dir, bigrams=bigrams)
     scored = (
         feats.join(F.broadcast(w), "j")
         .groupBy("doc_id", "y", "held_out")
@@ -2356,7 +2689,7 @@ def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def classifier_model(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, bigrams: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The trained model for (session, sf): returns (feats, weights,
     stats) — the z-scored dense feature grid (checkpointed), the
@@ -2380,20 +2713,33 @@ def classifier_model(
     return _trained(
         spark,
         (sf_dir, "clf_model", CLF_DIM, CLF_STEPS, CLF_ETA, CLF_GATE,
-         CLF_HOLDOUT_MOD),
+         CLF_HOLDOUT_MOD, bigrams),
         lambda: _classifier_model_build(
-            spark, spread(load(spark, sf_dir, "documents"), "doc_id")
+            spark,
+            spread(load(spark, sf_dir, "documents"), "doc_id"),
+            bigrams=bigrams,
         ),
         table="documents.parquet",
     )
 
 
 def _classifier_model_build(
-    spark: SparkSession, docs: DataFrame
+    spark: SparkSession, docs: DataFrame, bigrams: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The training dataflow behind :func:`classifier_model` (uncached)."""
+    """The training dataflow behind :func:`classifier_model` (uncached).
+
+    ``bigrams=True`` (the r12 A/B arm — fastText's accuracy story is
+    word n-grams, Joulin et al. 2016) adds CLF_DIM hashed-BIGRAM share
+    buckets beside the CLF_DIM unigram ones: the feature grid grows by
+    a constant (j ∈ [CLF_DIM, 2·CLF_DIM) = bigram buckets, each
+    family's counts normalized by ITS family total), and everything
+    downstream — z-scoring, the unrolled GD steps, serving — is already
+    dimension-generic. Measured held-out AUC at sf0.001/0.01 decides
+    which variant serves (recorded in BASELINE.md r12)."""
+    from .dedup import word_ngrams
     from .llmdata import _portable_hash
 
+    dim = 2 * CLF_DIM if bigrams else CLF_DIM
     lab = quality_features(docs).select(
         "doc_id",
         F.coalesce(F.col("quality_score") >= CLF_GATE, F.lit(False))
@@ -2412,21 +2758,60 @@ def _classifier_model_build(
         .agg(F.count("*").alias("c"))
     )
     tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    idx = spark.range(CLF_DIM + 2).select(F.col("id").cast("int").alias("j"))
+    if bigrams:
+        cnt_bi = (
+            docs.select(
+                "doc_id",
+                F.explode(word_ngrams(tokens(F.col("text")), 2)).alias("t"),
+            )
+            .groupBy(
+                "doc_id",
+                (
+                    F.pmod(_portable_hash(F.col("t")), F.lit(CLF_DIM))
+                    + F.lit(CLF_DIM)
+                )
+                .cast("int")
+                .alias("j"),
+            )
+            .agg(F.count("*").alias("c"))
+        )
+        tot_bi = cnt_bi.groupBy("doc_id").agg(F.sum("c").alias("n2"))
+        cnt = cnt.unionByName(cnt_bi)
+    idx = spark.range(dim + 2).select(F.col("id").cast("int").alias("j"))
     base = lab.join(tot, "doc_id", "left").select(
         "doc_id", "y", "held_out", F.coalesce("n", F.lit(0)).alias("n")
     )
-    grid = (
-        base.crossJoin(F.broadcast(idx))
-        .join(cnt, ["doc_id", "j"], "left")
-        .select(
-            "doc_id",
-            "y",
-            "held_out",
-            "j",
-            F.when(F.col("j") == CLF_DIM + 1, F.lit(1.0))
+    if bigrams:
+        base = base.join(tot_bi, "doc_id", "left").select(
+            "doc_id", "y", "held_out", "n",
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+    if bigrams:
+        x = (
+            F.when(F.col("j") == dim + 1, F.lit(1.0))
             .when(
-                F.col("j") == CLF_DIM,
+                F.col("j") == dim,
+                F.least(F.col("n").cast("double") / F.lit(32.0), F.lit(1.0)),
+            )
+            .when(
+                (F.col("j") >= CLF_DIM) & (F.col("n2") > 0),
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n2").cast("double"),
+            )
+            .when(
+                (F.col("j") < CLF_DIM) & (F.col("n") > 0),
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+        )
+    else:
+        # the served unigram grid — expression kept byte-identical to
+        # the r11 form (and to the oracle CTE) on purpose
+        x = (
+            F.when(F.col("j") == dim + 1, F.lit(1.0))
+            .when(
+                F.col("j") == dim,
                 F.least(F.col("n").cast("double") / F.lit(32.0), F.lit(1.0)),
             )
             .when(
@@ -2435,8 +2820,11 @@ def _classifier_model_build(
                 / F.col("n").cast("double"),
             )
             .otherwise(F.lit(0.0))
-            .alias("x"),
         )
+    grid = (
+        base.crossJoin(F.broadcast(idx))
+        .join(cnt, ["doc_id", "j"], "left")
+        .select("doc_id", "y", "held_out", "j", x.alias("x"))
     )
     stats = (
         grid.filter(~F.col("held_out"))
@@ -2468,7 +2856,7 @@ def _classifier_model_build(
             # both engines (exact decimal sums + one IEEE tree + exact
             # sqrt), and subtraction/division are correctly rounded — so
             # z is bit-identical by construction
-            F.when(F.col("j") == CLF_DIM + 1, F.lit(1.0))
+            F.when(F.col("j") == dim + 1, F.lit(1.0))
             .when(F.coalesce(F.col("sd"), F.lit(0.0)) == 0.0, F.lit(0.0))
             .otherwise((F.col("x") - F.col("mu")) / F.col("sd"))
             .alias("z"),
@@ -2686,7 +3074,34 @@ def q_text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the registry makes. Means are decimal-quantized sums; the AUC
     closing expression is one IEEE tree rounded at the end.
     """
-    sc = classifier_scores(spark, sf_dir).localCheckpoint(eager=True)
+    return _classifier_eval_card(
+        classifier_scores(spark, sf_dir).localCheckpoint(eager=True)
+    )
+
+
+def q_text_classifier_bigram_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out eval card for the hashed-BIGRAM feature variant (r12
+    A/B, VERDICT r11 item 7): fastText's accuracy story is word
+    n-grams, so the variant trains the same 10-step gate over
+    2·CLF_DIM buckets (unigram + bigram families, each normalized by
+    its own total) and this card grades it on the identical held-out
+    slice — same schema as ``text_classifier_eval`` so the two rows
+    diff directly. MEASURED RESULT (recorded in BASELINE.md r12): the
+    bigram variant LOSES on this corpus — AUC 0.867 vs 0.900 at
+    sf0.001, 0.821 vs 0.860 at sf0.01 (word-soup text gives bigrams no
+    signal beyond their unigrams, and the fixed 10 steps spread over
+    2× dimensions) — so the UNIGRAM gate stays the served model and
+    this query is the standing evidence for that choice, re-graded
+    every round."""
+    return _classifier_eval_card(
+        classifier_scores(spark, sf_dir, bigrams=True).localCheckpoint(
+            eager=True
+        )
+    )
+
+
+def _classifier_eval_card(sc: DataFrame) -> DataFrame:
+    """The shared held-out eval-card dataflow over a scored relation."""
     totals = sc.agg(
         F.sum(F.when(~F.col("held_out"), 1).otherwise(0))
         .cast("long")
@@ -2807,11 +3222,90 @@ def q_text_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _clf_cte() -> str:
+def _clf_grid_cte(bigrams: bool) -> str:
+    """The cnt/tot/base/grid CTE block of :func:`_clf_cte` — the only
+    part the bigram A/B arm changes (a second hashed count family over
+    word bigrams at j ∈ [CLF_DIM, 2·CLF_DIM), each family normalized
+    by its OWN total; the unigram text is byte-identical to r11)."""
+    toks = SQL_TOKENS.format(col="text")
+    dim = 2 * CLF_DIM if bigrams else CLF_DIM
+    D, B = dim, dim + 1
+    if not bigrams:
+        return f"""cnt AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % {D}
+                    AS INTEGER) AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, UNNEST({toks}) AS tok FROM documents)
+        GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id),
+    idx AS (SELECT CAST(UNNEST(RANGE({D + 2})) AS INTEGER) AS j),
+    base AS (
+        SELECT lab.doc_id, y, held_out, COALESCE(n, 0) AS n
+        FROM lab LEFT JOIN tot ON lab.doc_id = tot.doc_id),
+    grid AS MATERIALIZED (
+        SELECT base.doc_id, y, held_out, idx.j,
+               CASE WHEN idx.j = {B} THEN 1.0
+                    WHEN idx.j = {D}
+                        THEN LEAST(CAST(n AS DOUBLE) / 32.0, 1.0)
+                    WHEN n > 0
+                        THEN CAST(COALESCE(c, 0) AS DOUBLE)
+                             / CAST(n AS DOUBLE)
+                    ELSE 0.0 END AS x
+        FROM base CROSS JOIN idx
+        LEFT JOIN cnt ON cnt.doc_id = base.doc_id AND cnt.j = idx.j),"""
+    return f"""cnt AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % {CLF_DIM}
+                    AS INTEGER) AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, UNNEST({toks}) AS tok FROM documents)
+        GROUP BY 1, 2),
+    cntb AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % {CLF_DIM}
+                    + {CLF_DIM} AS INTEGER) AS j,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id,
+                     UNNEST([w[i] || ' ' || w[i + 1]
+                             FOR i IN RANGE(1, GREATEST(LEN(w), 1))]) AS tok
+              FROM (SELECT doc_id, {toks} AS w FROM documents))
+        GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id),
+    totb AS (SELECT doc_id, SUM(c) AS n2 FROM cntb GROUP BY doc_id),
+    cnta AS MATERIALIZED (
+        SELECT * FROM cnt UNION ALL SELECT * FROM cntb),
+    idx AS (SELECT CAST(UNNEST(RANGE({D + 2})) AS INTEGER) AS j),
+    base AS (
+        SELECT lab.doc_id, y, held_out, COALESCE(n, 0) AS n,
+               COALESCE(n2, 0) AS n2
+        FROM lab LEFT JOIN tot ON lab.doc_id = tot.doc_id
+                 LEFT JOIN totb ON lab.doc_id = totb.doc_id),
+    grid AS MATERIALIZED (
+        SELECT base.doc_id, y, held_out, idx.j,
+               CASE WHEN idx.j = {B} THEN 1.0
+                    WHEN idx.j = {D}
+                        THEN LEAST(CAST(n AS DOUBLE) / 32.0, 1.0)
+                    WHEN idx.j >= {CLF_DIM} AND n2 > 0
+                        THEN CAST(COALESCE(c, 0) AS DOUBLE)
+                             / CAST(n2 AS DOUBLE)
+                    WHEN idx.j < {CLF_DIM} AND n > 0
+                        THEN CAST(COALESCE(c, 0) AS DOUBLE)
+                             / CAST(n AS DOUBLE)
+                    ELSE 0.0 END AS x
+        FROM base CROSS JOIN idx
+        LEFT JOIN cnta ON cnta.doc_id = base.doc_id AND cnta.j = idx.j),"""
+
+
+def _clf_cte(bigrams: bool = False) -> str:
     """Unrolled-CTE mirror of :func:`classifier_scores` through the
     ``scored`` relation — every reused CTE AS MATERIALIZED (DuckDB
-    re-inlines per reference otherwise; the probe-sweep precedent)."""
-    D, B = CLF_DIM, CLF_DIM + 1
+    re-inlines per reference otherwise; the probe-sweep precedent).
+    ``bigrams=True`` mirrors the r12 A/B arm: a second hashed count
+    family over word bigrams at j ∈ [CLF_DIM, 2·CLF_DIM), each family
+    share-normalized by its own total, grid width 2·CLF_DIM+2."""
+    dim = 2 * CLF_DIM if bigrams else CLF_DIM
+    D, B = dim, dim + 1
     toks = SQL_TOKENS.format(col="text")
     rounds = []
     prev = "w0"
@@ -2855,29 +3349,7 @@ def _clf_cte() -> str:
                            LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g'))
                                AS alpha_chars
                     FROM documents))),
-    cnt AS MATERIALIZED (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT % {D}
-                    AS INTEGER) AS j,
-               CAST(COUNT(*) AS BIGINT) AS c
-        FROM (SELECT doc_id, UNNEST({toks}) AS tok FROM documents)
-        GROUP BY 1, 2),
-    tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id),
-    idx AS (SELECT CAST(UNNEST(RANGE({D + 2})) AS INTEGER) AS j),
-    base AS (
-        SELECT lab.doc_id, y, held_out, COALESCE(n, 0) AS n
-        FROM lab LEFT JOIN tot ON lab.doc_id = tot.doc_id),
-    grid AS MATERIALIZED (
-        SELECT base.doc_id, y, held_out, idx.j,
-               CASE WHEN idx.j = {B} THEN 1.0
-                    WHEN idx.j = {D}
-                        THEN LEAST(CAST(n AS DOUBLE) / 32.0, 1.0)
-                    WHEN n > 0
-                        THEN CAST(COALESCE(c, 0) AS DOUBLE)
-                             / CAST(n AS DOUBLE)
-                    ELSE 0.0 END AS x
-        FROM base CROSS JOIN idx
-        LEFT JOIN cnt ON cnt.doc_id = base.doc_id AND cnt.j = idx.j),
+    {_clf_grid_cte(bigrams)}
     stats AS (
         SELECT j, mu, SQRT(GREATEST(msq - mu * mu, 0.0)) AS sd
         FROM (SELECT j,
@@ -2912,8 +3384,9 @@ SQL_TEXT_QUALITY_CLASSIFIER = f"""
     FROM scored
 """
 
-SQL_TEXT_CLASSIFIER_EVAL = f"""
-    WITH {_clf_cte()},
+def _clf_eval_sql(bigrams: bool = False) -> str:
+    return f"""
+    WITH {_clf_cte(bigrams)},
     sc AS MATERIALIZED (
         SELECT doc_id, CAST(y AS INTEGER) AS teacher_label, held_out,
                ROUND(1.0 / (1.0 + EXP(-zs)), 6) AS score,
@@ -2965,6 +3438,9 @@ SQL_TEXT_CLASSIFIER_EVAL = f"""
 """
 
 
+SQL_TEXT_CLASSIFIER_EVAL = _clf_eval_sql()
+
+
 SQL_TEXT_CLASSIFIER_WEIGHTS = f"""
     WITH {_clf_cte()},
     counts AS (
@@ -2993,6 +3469,9 @@ QUERIES = {
         q_text_quality_classifier, SQL_TEXT_QUALITY_CLASSIFIER
     ),
     "text_classifier_eval": Query(q_text_classifier_eval, SQL_TEXT_CLASSIFIER_EVAL),
+    "text_classifier_bigram_eval": Query(
+        q_text_classifier_bigram_eval, _clf_eval_sql(bigrams=True)
+    ),
     "text_classifier_weights": Query(
         q_text_classifier_weights, SQL_TEXT_CLASSIFIER_WEIGHTS
     ),
@@ -3014,6 +3493,7 @@ QUERIES = {
         q_text_unigram_logprob,
         SQL_TEXT_UNIGRAM_LOGPROB.format(toks=SQL_TOKENS.format(col="text")),
     ),
+    "text_unigram_tokenizer": Query(q_text_unigram_tokenizer, _unigram_sql()),
     "text_boilerplate_edges": Query(
         q_text_boilerplate_edges, SQL_TEXT_BOILERPLATE
     ),

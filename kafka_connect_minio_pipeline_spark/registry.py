@@ -207,11 +207,9 @@ _GRADE_FIRST = (
     "ts_uptime_report",
     "ts_zscore",
     "udf_grouped_znorm_builtin",
-    # r7 drain begins: the 2 alphabetically-first r7-vintage rows
-    # (placeholders — displaced when the round's remaining additions
-    # text_unigram_tokenizer / text_classifier_bigram_eval land)
-    "agg_approx_distinct",
-    "agg_argmax",
+    # r12 late additions (graded the round they land)
+    "text_unigram_tokenizer",
+    "text_classifier_bigram_eval",
 )
 
 

@@ -83,6 +83,12 @@ TARGETS = (
     # r12: domain/URL curation (null langs → NULL urls, fuzz sources
     # never hit the blocklist — both arms the driver fixture misses)
     "corpus_url_filter", "corpus_domain_mix",
+    # r12: unigram-LM tokenizer trainer (80-char fuzz words exercise the
+    # UNI_WORD_MAX truncation; whitespace soup → empty word relations)
+    "text_unigram_tokenizer",
+    # r12: the bigram-feature A/B card (sub-2-token docs → empty bigram
+    # families, the n2=0 arm the driver fixture never hits)
+    "text_classifier_bigram_eval",
 )
 
 

@@ -199,3 +199,77 @@ def test_versioned_merge_split_equivalence(spark, changes, cut):
     oneshot = final(versioned_merge(base, all_chg))
     assert final(versioned_merge(versioned_merge(base, lo), hi)) == oneshot
     assert final(versioned_merge(versioned_merge(base, hi), lo)) == oneshot
+
+
+def _uni_viterbi(word: str, probs: dict[str, float]) -> list[str] | None:
+    """Reference Viterbi segmentation over the emitted vocabulary: best
+    (max product) split of `word` into pieces from `probs`, or None if
+    no full cover exists."""
+    from kafka_connect_minio_pipeline_spark.operators.text import UNI_PIECE_MAX
+
+    n = len(word)
+    best: list[tuple[float, list[str]] | None] = [None] * (n + 1)
+    best[0] = (1.0, [])
+    for i in range(1, n + 1):
+        for piece_len in range(1, min(UNI_PIECE_MAX, i) + 1):
+            piece = word[i - piece_len : i]
+            prev = best[i - piece_len]
+            if prev is not None and piece in probs:
+                cand = (prev[0] * probs[piece], prev[1] + [piece])
+                if best[i] is None or cand[0] > best[i][0]:
+                    best[i] = cand
+    return best[n][1] if best[n] is not None else None
+
+
+def test_unigram_tokenizer_hand_pinned_em(spark, tmp_path):
+    """Hand-computed EM on the smallest non-trivial corpus (one word
+    'ab' × 3 docs): seeds a/b/ab = 3 each (p₀ = 1/3); round 1 posteriors
+    0.75 / 0.25 give p₁ ≈ (0.6, 0.2, 0.2); round 2 sharpens to the
+    whole-word piece — E(ab) = 3·0.6/0.64 = 2.8125, p(ab) = 2.8125 /
+    3.1875 ≈ 0.882352941. Pins the rich-get-richer EM dynamics and the
+    exact arithmetic, not just parity."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        _unigram_tokenizer_build,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "ab") for i in range(3)], "doc_id long, text string"
+    )
+    rows = {r["piece"]: r for r in _unigram_tokenizer_build(spark, docs).collect()}
+    assert set(rows) == {"a", "b", "ab"}
+    assert all(r["seed_cnt"] == 3 for r in rows.values())
+    assert rows["ab"]["rank"] == 1
+    assert abs(rows["ab"]["expected_cnt"] - 2.8125) < 1e-6
+    assert abs(rows["ab"]["prob"] - 0.882352941) < 1e-6
+    # symmetric singles tie on expected count; piece ASC breaks the tie
+    assert rows["a"]["rank"] == 2 and rows["b"]["rank"] == 3
+    assert rows["a"]["expected_cnt"] == rows["b"]["expected_cnt"]
+    assert abs(rows["a"]["prob"] - 0.058823529) < 1e-6
+
+
+def test_unigram_tokenizer_segmentation_round_trip(spark, tmp_path):
+    """Segmentation consistency: on a corpus whose whole candidate-piece
+    set fits inside the emitted top-K, every corpus word must be fully
+    coverable by the emitted vocabulary, its Viterbi pieces must
+    concatenate back to the word (round-trip), and repeated words must
+    segment as their whole-word piece (the EM compression payoff)."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        UNI_WORD_MAX,
+        _unigram_tokenizer_build,
+    )
+
+    words = ["spark", "scan", "join", "agg", "row"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words)) for i in range(4)], "doc_id long, text string"
+    )
+    out = _unigram_tokenizer_build(spark, docs).collect()
+    probs = {r["piece"]: r["prob"] for r in out}
+    for w in words:
+        seg = _uni_viterbi(w[:UNI_WORD_MAX], probs)
+        assert seg is not None, f"{w} not coverable by emitted vocab"
+        assert "".join(seg) == w[:UNI_WORD_MAX]
+        if len(w) <= 4:
+            assert seg == [w], (w, seg)  # whole-word piece wins
+    # probabilities are a (partial) distribution over the emitted top-K
+    assert all(0 < p <= 1 for p in probs.values())
+    assert sum(probs.values()) <= 1.0 + 1e-9

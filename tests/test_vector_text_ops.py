@@ -535,3 +535,23 @@ def test_quality_classifier_weights_nonzero_and_deterministic(
     b = {r["doc_id"]: r["score"] for r in q_text_quality_classifier(spark, sf_dir).collect()}
     assert a == b
     assert any(abs(s - 0.5) > 0.2 for s in a.values())
+
+
+def test_classifier_bigram_ab_decision(spark, sf_dir):
+    """The r12 feature A/B: the bigram variant must produce a VALID
+    card (real AUC on the same held-out slice), and on this corpus the
+    unigram gate must win — the measured basis for keeping unigrams as
+    the served model (docstring + BASELINE.md r12). If a corpus change
+    ever flips this, the assertion flags that the serving decision
+    needs re-measuring."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        q_text_classifier_bigram_eval,
+        q_text_classifier_eval,
+    )
+
+    uni = q_text_classifier_eval(spark, sf_dir).collect()[0]
+    bi = q_text_classifier_bigram_eval(spark, sf_dir).collect()[0]
+    assert bi["n_holdout"] == uni["n_holdout"]
+    assert bi["n_pos"] == uni["n_pos"] and bi["n_neg"] == uni["n_neg"]
+    assert 0.5 < bi["auc"] <= 1.0  # the variant genuinely learns
+    assert uni["auc"] > bi["auc"]  # ...but unigrams win here
