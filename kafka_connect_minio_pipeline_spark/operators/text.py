@@ -2328,6 +2328,37 @@ def _uni_prod(cols: list[F.Column]) -> F.Column:
     return out
 
 
+def _uni_words(docs: DataFrame) -> DataFrame:
+    """(w, cw, n): distinct UNI_WORD_MAX-truncated words with corpus
+    counts — the ONE corpus-sized pass the unigram family makes."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .select(F.substring("t", 1, UNI_WORD_MAX).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cw"))
+        .withColumn("n", F.length("w").cast("int"))
+    )
+
+
+def _uni_seg_probs(segp: DataFrame, p: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., sp): per-segmentation probability — pivot the ≤8 part
+    probabilities (MAX of one value per part, order-free) and multiply
+    in fixed left-to-right IEEE order (identical to the oracle's
+    literal a*b*...*h parse)."""
+    terms = segp.join(F.broadcast(p), "piece")
+    return terms.groupBy(*keys).agg(
+        *[
+            F.max(F.when(F.col("part_idx") == k, F.col("p"))).alias(f"p{k}")
+            for k in range(1, UNI_WORD_MAX + 1)
+        ]
+    ).select(
+        *keys,
+        _uni_prod(
+            [F.col(f"p{k}") for k in range(1, UNI_WORD_MAX + 1)]
+        ).alias("sp"),
+    )
+
+
 def _unigram_tokenizer_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """The training dataflow behind :func:`q_text_unigram_tokenizer`
     (uncached): seed from substring counts, run UNI_EM_ROUNDS unrolled
@@ -2360,19 +2391,23 @@ def _unigram_tokenizer_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
     empty report; the rich-get-richer EM dynamics (whole-word pieces
     absorbing mass from their single-char covers) are hand-pinned on a
     tiny fixture in tests/test_ngram_properties.py."""
+    p, e, seeds = _unigram_model_build(spark, docs)
+    return _unigram_report(p, e, seeds)
+
+
+def _unigram_model_build(
+    spark: SparkSession, docs: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The uncached trainer: returns (p, e, seeds) — the FULL trained
+    piece-probability relation (the model ``text_unigram_segment``
+    applies), the final expected counts, and the seed counts; all
+    vocabulary-bounded and localCheckpointed."""
     comps = F.broadcast(
         spark.createDataFrame(
             _uni_comp_rows(), "n int, seg string, part_idx int, j int, l int"
         )
     )
-    words = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
-        .select(F.substring("t", 1, UNI_WORD_MAX).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("cw"))
-        .withColumn("n", F.length("w").cast("int"))
-        .localCheckpoint(eager=True)
-    )
+    words = _uni_words(docs).localCheckpoint(eager=True)
     # span enumeration (end i, length l): substring(w, i-l+1, l)
     spans = (
         words.select(
@@ -2390,7 +2425,11 @@ def _unigram_tokenizer_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
         .select("cw", F.expr("substring(w, i - l + 1, l)").alias("piece"))
     )
-    seeds = spans.groupBy("piece").agg(F.sum("cw").alias("seed_cnt"))
+    seeds = (
+        spans.groupBy("piece")
+        .agg(F.sum("cw").alias("seed_cnt"))
+        .localCheckpoint(eager=True)
+    )
     seed_tot = seeds.agg(F.sum("seed_cnt").alias("tot"))
     p = (
         seeds.crossJoin(F.broadcast(seed_tot))
@@ -2415,28 +2454,14 @@ def _unigram_tokenizer_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    max_parts = UNI_WORD_MAX  # a composition has at most n parts
     e = None
     for _ in range(UNI_EM_ROUNDS):
-        terms = segp.join(F.broadcast(p), "piece")
-        sp = terms.groupBy("w", "cw", "seg").agg(
-            *[
-                F.max(F.when(F.col("part_idx") == k, F.col("p"))).alias(f"p{k}")
-                for k in range(1, max_parts + 1)
-            ]
-        ).select(
-            "w",
-            "cw",
-            "seg",
-            _uni_prod(
-                [F.col(f"p{k}") for k in range(1, max_parts + 1)]
-            ).alias("sp"),
-        )
+        sp = _uni_seg_probs(segp, p, ["w", "cw", "seg"])
         pw = sp.groupBy("w").agg(
             F.sum(_dec12(F.col("sp"))).cast("double").alias("pw")
         )
         contrib = (
-            terms.select("w", "seg", "piece")
+            segp.select("w", "seg", "piece")
             .join(sp.select("w", "seg", "cw", "sp"), ["w", "seg"])
             .join(pw, "w")
             .filter(F.col("pw") > 0)
@@ -2464,6 +2489,13 @@ def _unigram_tokenizer_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return p, e, seeds
+
+
+def _unigram_report(p: DataFrame, e: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Top-K vocabulary report over the trained model relations —
+    vocabulary-sized window, derived per call (the model tuple is the
+    cached artifact)."""
     ranked = (
         e.join(p, "piece")
         .join(seeds, "piece")
@@ -2488,35 +2520,123 @@ def _unigram_tokenizer_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
         "seed_cnt",
         F.round("ex", 6).alias("expected_cnt"),
         F.col("p").alias("prob"),
-    ).localCheckpoint(eager=True)
+    )
 
 
-def q_text_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry binding: unigram-LM tokenizer vocabulary trained on
-    ``documents`` — the OTHER production tokenizer family beside the
-    merge-based BPE quartet (``text_bpe_*``); trained once per
-    (session, sf, hyperparams) via the ``similarity._trained`` cache
-    (deterministic dataflow ⇒ the cached ≤K-row report is bit-identical
-    to a retrain; the oracle retrains per statement and keeps proving
-    it)."""
+def unigram_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The trained unigram-LM model tuple (p, e, seeds) for
+    (session, sf) — trained once via the ``similarity._trained`` cache
+    (deterministic dataflow ⇒ the cached vocabulary-sized relations are
+    bit-identical to a retrain; the oracles retrain per statement and
+    keep proving it)."""
     from .similarity import _trained
 
     return _trained(
         spark,
-        (sf_dir, "unigram_tok", UNI_PIECE_MAX, UNI_WORD_MAX, UNI_EM_ROUNDS,
-         UNI_VOCAB_K),
-        lambda: _unigram_tokenizer_build(
+        (sf_dir, "unigram_model", UNI_PIECE_MAX, UNI_WORD_MAX,
+         UNI_EM_ROUNDS),
+        lambda: _unigram_model_build(
             spark, spread(load(spark, sf_dir, "documents"), "doc_id")
         ),
         table="documents.parquet",
     )
 
 
-def _unigram_sql() -> str:
-    """Unrolled-CTE mirror of the EM trainer: the identical composition
-    lattice ships as a literal list of part-length strings (split +
-    window prefix-sum recover (part_idx, j, l)); every reused CTE is AS
-    MATERIALIZED (DuckDB re-inlines per reference otherwise)."""
+def q_text_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: unigram-LM tokenizer vocabulary trained on
+    ``documents`` — the OTHER production tokenizer family beside the
+    merge-based BPE quartet (``text_bpe_*``); the top-K report over the
+    session-cached model (:func:`unigram_model`)."""
+    p, e, seeds = unigram_model(spark, sf_dir)
+    return _unigram_report(p, e, seeds)
+
+
+def q_text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained unigram LM (the ``text_bpe_apply`` sibling):
+    Viterbi-segment every (truncated) corpus word under the final piece
+    probabilities and roll up per document — word count, piece count,
+    fertility (pieces/word, THE tokenizer-quality number), and mean
+    piece length.
+
+    Viterbi over the same composition lattice the trainer uses: one
+    more segmentation-probability pass under the FINAL model (the
+    pivot/fixed-order-product machinery), then argmax per word =
+    row_number over (sp DESC, seg ASC) — sp values are bit-identical
+    doubles on both engines and the seg-string tiebreak is total, so
+    the chosen segmentation is deterministic and cross-engine exact.
+    Per-doc sums are pure integers; the two ratios are single IEEE
+    divisions rounded at the end. Scale: the corpus contributes the
+    (doc_id, word) rollup; the Viterbi side is vocabulary-bounded, and
+    the rollup join keys on the word relation — corpus-sized relations
+    never meet each other (the KN-LM shape). Docs with zero tokens
+    have no words and drop from the output on both engines."""
+    p, _, _ = unigram_model(spark, sf_dir)
+    comps = F.broadcast(
+        spark.createDataFrame(
+            _uni_comp_rows(), "n int, seg string, part_idx int, j int, l int"
+        )
+    )
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    docw = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .select("doc_id", F.substring("t", 1, UNI_WORD_MAX).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("k"))
+    )
+    words = (
+        docw.select("w").distinct().withColumn("n", F.length("w").cast("int"))
+    )
+    segp = words.join(comps, "n").select(
+        "w", "seg", "part_idx", F.expr("substring(w, j + 1, l)").alias("piece")
+    )
+    sp = _uni_seg_probs(segp, p, ["w", "seg"])
+    best = (
+        sp.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("w").orderBy(F.col("sp").desc(), "seg")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "w",
+            F.size(F.split(F.col("seg"), ",")).cast("long").alias("np"),
+        )
+    )
+    return (
+        docw.join(best, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.sum(F.col("k") * F.col("np")).alias("n_pieces"),
+            F.sum(F.col("k") * F.length("w").cast("long")).alias("nch"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            F.round(
+                F.col("n_pieces").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("nch").cast("double") / F.col("n_pieces").cast("double"),
+                6,
+            ).alias("mean_piece_len"),
+        )
+    )
+
+
+def _unigram_cte() -> str:
+    """Unrolled-CTE mirror of the EM trainer through p{last}/e{last}:
+    the identical composition lattice ships as a literal list of
+    part-length strings (split + window prefix-sum recover
+    (part_idx, j, l)); every reused CTE is AS MATERIALIZED (DuckDB
+    re-inlines per reference otherwise). Shared by the report and
+    segment oracles."""
     seg_lits = ", ".join(
         "'" + ",".join(map(str, parts)) + "'" for parts in _uni_compositions()
     )
@@ -2552,9 +2672,7 @@ def _unigram_sql() -> str:
                      / CAST((SELECT SUM(ed) FROM e{r}) AS DOUBLE), 9) AS p
         FROM e{r})""")
         prev = f"p{r}"
-    last = UNI_EM_ROUNDS
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT unnest({SQL_TOKENS.format(col='text')}) AS t FROM documents),
     words AS MATERIALIZED (
         SELECT substr(t, 1, {UNI_WORD_MAX}) AS w,
@@ -2590,7 +2708,14 @@ def _unigram_sql() -> str:
         FROM seeds),
     segp AS MATERIALIZED (
         SELECT w, cw, seg, part_idx, substr(w, j + 1, l) AS piece
-        FROM words JOIN comps USING (n)),{",".join(rounds)},
+        FROM words JOIN comps USING (n)),{",".join(rounds)}"""
+
+
+def _unigram_sql() -> str:
+    """Top-K report oracle: the trainer CTE chain + the rank window."""
+    last = UNI_EM_ROUNDS
+    return f"""
+    WITH {_unigram_cte()},
     ranked AS (
         SELECT piece, seed_cnt, CAST(ed AS DOUBLE) AS ex, p,
                CAST(ROW_NUMBER() OVER (ORDER BY CAST(ed AS DOUBLE) DESC,
@@ -2599,6 +2724,48 @@ def _unigram_sql() -> str:
     SELECT rank, piece, CAST(LEN(piece) AS INTEGER) AS piece_len, seed_cnt,
            ROUND(ex, 6) AS expected_cnt, p AS prob
     FROM ranked WHERE rank <= {UNI_VOCAB_K}
+"""
+
+
+def _unigram_segment_sql() -> str:
+    """Segment-application oracle: the trainer CTE chain, one more
+    segmentation-probability pass under the FINAL model, Viterbi argmax
+    per word (max sp, seg-string ascending tiebreak), per-doc rollup."""
+    last = UNI_EM_ROUNDS
+    prod = " * ".join(
+        f"COALESCE(MAX(CASE WHEN part_idx = {k} THEN p END), 1.0)"
+        for k in range(1, UNI_WORD_MAX + 1)
+    )
+    return f"""
+    WITH {_unigram_cte()},
+    termsF AS MATERIALIZED (
+        SELECT s.w, s.seg, s.part_idx, p.p
+        FROM segp s JOIN p{last} p USING (piece)),
+    spF AS MATERIALIZED (
+        SELECT w, seg, {prod} AS sp
+        FROM termsF GROUP BY w, seg),
+    best AS MATERIALIZED (
+        SELECT w, CAST(LEN(string_split(seg, ',')) AS BIGINT) AS np
+        FROM (SELECT w, seg,
+                     ROW_NUMBER() OVER (PARTITION BY w
+                                        ORDER BY sp DESC, seg) AS rn
+              FROM spF)
+        WHERE rn = 1),
+    docw AS (
+        SELECT doc_id, substr(t, 1, {UNI_WORD_MAX}) AS w,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM (SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS t
+              FROM documents)
+        GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_words,
+           CAST(SUM(k * np) AS BIGINT) AS n_pieces,
+           ROUND(CAST(SUM(k * np) AS DOUBLE)
+                 / CAST(SUM(k) AS DOUBLE), 6) AS fertility,
+           ROUND(CAST(SUM(k * LEN(w)) AS DOUBLE)
+                 / CAST(SUM(k * np) AS DOUBLE), 6) AS mean_piece_len
+    FROM docw JOIN best USING (w)
+    GROUP BY doc_id
 """
 
 
@@ -3494,6 +3661,9 @@ QUERIES = {
         SQL_TEXT_UNIGRAM_LOGPROB.format(toks=SQL_TOKENS.format(col="text")),
     ),
     "text_unigram_tokenizer": Query(q_text_unigram_tokenizer, _unigram_sql()),
+    "text_unigram_segment": Query(
+        q_text_unigram_segment, _unigram_segment_sql()
+    ),
     "text_boilerplate_edges": Query(
         q_text_boilerplate_edges, SQL_TEXT_BOILERPLATE
     ),

@@ -67,14 +67,12 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. ROUND 12:
-#   1-5:   r12 NEW: llm_decon_semantic_sweep (τ operating-point curve
+#   1-3:   r12 NEW: llm_decon_semantic_sweep (τ operating-point curve
 #          over the ONCE-scored semantic-decon relation) /
 #          corpus_url_filter + corpus_domain_mix (RefinedWeb-class
 #          domain blocklist + per-domain hash-threshold cap over
-#          synthesized URLs) / text_unigram_tokenizer (unigram-LM
-#          tokenizer trainer, unrolled EM) / text_classifier_bigram_eval
-#          (hashed-bigram feature A/B card).
-#   6-13:  r12 CHANGED — the verified-pair session cache (VERDICT r11
+#          synthesized URLs).
+#   4-11:  r12 CHANGED — the verified-pair session cache (VERDICT r11
 #          item 3) swapped the production path of llm_dedup_keep_best,
 #          dedup_cascade_eval, dedup_clusters, dedup_transitivity_eval,
 #          dedup_minhash_eval, dedup_source_overlap and
@@ -82,10 +80,16 @@ _QUERY_MODULES = (
 #          recompute per statement, proving the cache exactness-neutral
 #          each grade); stream_quality_classifier's scratch staging is
 #          now keyed per (session, sf) (ADVICE r11).
-#   14-50: ALL 37 remaining round-6-vintage rows (alphabetical) — the
-#          r6 vintage CLEARS (VERDICT r11 item 1); the oldest standing
-#          vintage moves to r7 (43 rows, the r13 backfill pool), all
-#          still under the every-run local parity net.
+#   12-47: 36 of the 37 remaining round-6-vintage rows (alphabetical) —
+#          the r6 vintage all but CLEARS (VERDICT r11 item 1); the one
+#          leftover (udf_grouped_znorm_builtin, displaced by the three
+#          late additions below) fronts r13's backfill, still under the
+#          every-run local parity net.
+#   48-50: r12 LATE NEW (graded the round they land):
+#          text_unigram_tokenizer (unigram-LM tokenizer trainer,
+#          unrolled EM) / text_classifier_bigram_eval (hashed-bigram
+#          feature A/B card) / text_unigram_segment (Viterbi APPLY of
+#          the trained unigram model).
 # History (round 11):
 #   1-10:  r11 NEW: text_quality_classifier / text_classifier_eval /
 #          text_classifier_weights / llm_decontaminate_semantic /
@@ -206,10 +210,10 @@ _GRADE_FIRST = (
     "ts_silence_windows",
     "ts_uptime_report",
     "ts_zscore",
-    "udf_grouped_znorm_builtin",
     # r12 late additions (graded the round they land)
     "text_unigram_tokenizer",
     "text_classifier_bigram_eval",
+    "text_unigram_segment",
 )
 
 

@@ -87,8 +87,9 @@ TARGETS = (
     # UNI_WORD_MAX truncation; whitespace soup → empty word relations)
     "text_unigram_tokenizer",
     # r12: the bigram-feature A/B card (sub-2-token docs → empty bigram
-    # families, the n2=0 arm the driver fixture never hits)
-    "text_classifier_bigram_eval",
+    # families, the n2=0 arm the driver fixture never hits) and the
+    # unigram APPLY side (Viterbi ties + truncation on fuzz words)
+    "text_classifier_bigram_eval", "text_unigram_segment",
 )
 
 

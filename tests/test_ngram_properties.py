@@ -273,3 +273,43 @@ def test_unigram_tokenizer_segmentation_round_trip(spark, tmp_path):
     # probabilities are a (partial) distribution over the emitted top-K
     assert all(0 < p <= 1 for p in probs.values())
     assert sum(probs.values()) <= 1.0 + 1e-9
+
+
+def test_unigram_segment_matches_python_viterbi(spark, tmp_path):
+    """Cross-implementation check of the APPLY side: the engine's
+    relational Viterbi (pivot product + row_number argmax) must agree
+    with the plain-Python DP reference on per-word piece counts and on
+    per-doc rollups, using the FULL trained model."""
+    from kafka_connect_minio_pipeline_spark.operators.text import (
+        UNI_WORD_MAX,
+        _unigram_model_build,
+        q_text_unigram_segment,
+    )
+
+    texts = {
+        1: "spark scan join agg row spark scan",
+        2: "customer ordering spark",
+        3: "agg agg agg",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    p, _, _ = _unigram_model_build(spark, docs)
+    probs = {r["piece"]: r["p"] for r in p.collect()}
+
+    def doc_stats(text):
+        words = [w[:UNI_WORD_MAX] for w in text.split()]
+        n_pieces = 0
+        for w in words:
+            seg = _uni_viterbi(w, probs)
+            assert seg is not None and "".join(seg) == w
+            n_pieces += len(seg)
+        return len(words), n_pieces
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"])
+        for r in q_text_unigram_segment(spark, str(tmp_path)).collect()
+    }
+    want = {d: doc_stats(t) for d, t in texts.items()}
+    assert got == want
