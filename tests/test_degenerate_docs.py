@@ -318,6 +318,10 @@ _CATALOG_QUERIES = {
     "llm_sample_stratified", "llm_sample_hash", "corpus_shuffle_split",
     "corpus_interleave", "corpus_weighted_sample", "llm_target_mix",
     "llm_mix_temperature",
+    # r12: domain/URL curation runs over the catalog (load_meta — the
+    # text column is deliberately never read, so the content contract
+    # does not apply; a null-text doc still has a domain verdict)
+    "corpus_url_filter", "corpus_domain_mix",
 }
 
 
