@@ -1254,6 +1254,126 @@ def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_urls_messy(docs: DataFrame) -> DataFrame:
+    """(doc_id, url) with DETERMINISTICALLY MESSY urls — the crawl-
+    frontier reality canonicalization exists for: scheme flips
+    http/https by doc_id parity, the subdomain cases vary, a trailing
+    slash appears on every 5th doc, and the two query params swap
+    order by parity. Page id is doc_id % 13, so distinct docs genuinely
+    collide onto one canonical page (the mirror-crawl scenario)."""
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(
+        F.lit("http")
+    )
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("WWW"), F.lit("Www")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    p1 = F.concat(F.lit("lang="), F.col("lang"))
+    p2 = F.lit("v=1")
+    query = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(p1, F.lit("&"), p2)
+    ).otherwise(F.concat(p2, F.lit("&"), p1))
+    url = F.concat(
+        scheme,
+        F.lit("://"),
+        sub,
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.pmod(F.col("doc_id"), F.lit(13)),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        query,
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+_URL_PARSE_RE = r"^([a-zA-Z]+)://([^/?]+)([^?]*)\?(.*)$"
+
+
+def url_canonicalize(urls: DataFrame) -> DataFrame:
+    """Canonical form + exact URL-level dedup verdicts, one row per doc:
+    normalize scheme to https, lowercase the host, strip the trailing
+    slash, sort the query params — then group by the canonical string
+    (the crawl-frontier dedup C4/RefinedWeb-class pipelines run BEFORE
+    fetching, and the first dedup layer of a mirror-heavy crawl).
+
+    Scale shape: canonicalization is four anchored regex/string
+    builtins in the scan projection (no UDF); the group stats ride ONE
+    hash exchange on the canonical string (window functions over the
+    canonical partition — the dedup_exact single-exchange shape, no
+    groupBy+join-back). At 100 TB this is the URL-keyed shuffle every
+    frontier dedup pays exactly once.
+    """
+    host = F.regexp_extract(F.col("url"), _URL_PARSE_RE, 2)
+    path = F.regexp_extract(F.col("url"), _URL_PARSE_RE, 3)
+    qs = F.regexp_extract(F.col("url"), _URL_PARSE_RE, 4)
+    canon = F.concat(
+        F.lit("https://"),
+        F.lower(host),
+        F.regexp_replace(path, "/$", ""),
+        F.lit("?"),
+        F.array_join(F.sort_array(F.split(qs, "&")), "&"),
+    )
+    staged = urls.select("doc_id", "url", canon.alias("canonical_url"))
+    w = Window.partitionBy("canonical_url")
+    return staged.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        F.count("*").over(w).alias("group_size"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+        F.size(F.collect_set("url").over(w)).cast("int").alias("n_variants"),
+    )
+
+
+def q_corpus_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding: canonicalize + URL-dedup the messy synthesized
+    frontier over the documents catalog (metadata-only scan)."""
+    return url_canonicalize(
+        doc_urls_messy(load_meta(spark, sf_dir, "documents", "lang", "source"))
+    )
+
+
+SQL_CORPUS_URL_CANONICAL = f"""
+    WITH urls AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+               || '://'
+               || (['www', 'WWW', 'Www'])[(doc_id % 3) + 1]
+               || '.' || source || '.example.com/docs/'
+               || CAST(doc_id % 13 AS VARCHAR)
+               || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+               || '?'
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN 'lang=' || lang || '&v=1'
+                        ELSE 'v=1&lang=' || lang END) AS url
+        FROM documents WHERE doc_id IS NOT NULL),
+    staged AS (
+        SELECT doc_id, url,
+               'https://'
+               || lower(regexp_extract(url,
+                      '^([a-zA-Z]+)://([^/?]+)([^?]*)\\?(.*)$', 2))
+               || regexp_replace(regexp_extract(url,
+                      '^([a-zA-Z]+)://([^/?]+)([^?]*)\\?(.*)$', 3), '/$', '')
+               || '?'
+               || array_to_string(list_sort(string_split(
+                      regexp_extract(url,
+                          '^([a-zA-Z]+)://([^/?]+)([^?]*)\\?(.*)$', 4),
+                      '&')), '&') AS canonical_url
+        FROM urls)
+    SELECT doc_id, url, canonical_url,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+               AS group_size,
+           MIN(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY canonical_url) AS is_dup,
+           CAST(COUNT(DISTINCT url) OVER (PARTITION BY canonical_url)
+                AS INTEGER) AS n_variants
+    FROM staged
+"""
+
+
 _URL_SQL_CTE = f"""
     urls AS (
         SELECT doc_id,
@@ -1349,5 +1469,8 @@ QUERIES = {
     ),
     "corpus_domain_mix": Query(
         q_corpus_domain_mix, SQL_CORPUS_DOMAIN_MIX.format(hs=_HASH_SPACE)
+    ),
+    "corpus_url_canonical": Query(
+        q_corpus_url_canonical, SQL_CORPUS_URL_CANONICAL
     ),
 }

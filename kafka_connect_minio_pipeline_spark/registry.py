@@ -80,16 +80,17 @@ _QUERY_MODULES = (
 #          recompute per statement, proving the cache exactness-neutral
 #          each grade); stream_quality_classifier's scratch staging is
 #          now keyed per (session, sf) (ADVICE r11).
-#   12-47: 36 of the 37 remaining round-6-vintage rows (alphabetical) —
-#          the r6 vintage all but CLEARS (VERDICT r11 item 1); the one
-#          leftover (udf_grouped_znorm_builtin, displaced by the three
-#          late additions below) fronts r13's backfill, still under the
-#          every-run local parity net.
-#   48-50: r12 LATE NEW (graded the round they land):
+#   12-46: 35 of the 37 remaining round-6-vintage rows (alphabetical) —
+#          the r6 vintage all but CLEARS (VERDICT r11 item 1); the two
+#          leftovers (ts_zscore / udf_grouped_znorm_builtin, displaced
+#          by the four late additions below) front r13's backfill,
+#          still under the every-run local parity net.
+#   47-50: r12 LATE NEW (graded the round they land):
 #          text_unigram_tokenizer (unigram-LM tokenizer trainer,
 #          unrolled EM) / text_classifier_bigram_eval (hashed-bigram
 #          feature A/B card) / text_unigram_segment (Viterbi APPLY of
-#          the trained unigram model).
+#          the trained unigram model) / corpus_url_canonical (URL
+#          canonicalization + frontier exact-dedup).
 # History (round 11):
 #   1-10:  r11 NEW: text_quality_classifier / text_classifier_eval /
 #          text_classifier_weights / llm_decontaminate_semantic /
@@ -209,11 +210,11 @@ _GRADE_FIRST = (
     "ts_runs_test",
     "ts_silence_windows",
     "ts_uptime_report",
-    "ts_zscore",
     # r12 late additions (graded the round they land)
     "text_unigram_tokenizer",
     "text_classifier_bigram_eval",
     "text_unigram_segment",
+    "corpus_url_canonical",
 )
 
 

@@ -321,7 +321,7 @@ _CATALOG_QUERIES = {
     # r12: domain/URL curation runs over the catalog (load_meta — the
     # text column is deliberately never read, so the content contract
     # does not apply; a null-text doc still has a domain verdict)
-    "corpus_url_filter", "corpus_domain_mix",
+    "corpus_url_filter", "corpus_domain_mix", "corpus_url_canonical",
 }
 
 

@@ -90,6 +90,9 @@ TARGETS = (
     # families, the n2=0 arm the driver fixture never hits) and the
     # unigram APPLY side (Viterbi ties + truncation on fuzz words)
     "text_classifier_bigram_eval", "text_unigram_segment",
+    # r12: URL canonicalization (null langs → NULL canonical groups —
+    # both engines window NULL partitions together)
+    "corpus_url_canonical",
 )
 
 

@@ -766,3 +766,33 @@ def test_url_filter_planted_blocklist_and_cap(spark, tmp_path):
     assert mix["src5.example.com"]["n_kept"] == kept5
     assert mix["src6.example.com"]["keep_rate"] == 1.0
     assert abs(sum(m["share"] for m in mix.values()) - 1.0) < 1e-5
+
+
+def test_url_canonical_planted_mirrors(spark, tmp_path):
+    """Planted mirror-crawl fixture: doc_ids congruent mod 13 with the
+    same source+lang must collapse onto ONE canonical URL across scheme
+    case/slash/param-order variants; a lone page stays a singleton. The
+    canonical form itself is pinned exactly."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_url_canonical,
+    )
+
+    rows = [
+        (0, "en", "srcA"),    # page 0: https, www,  slash,  lang-first
+        (130, "en", "srcA"),  # page 0: https, WWW,  slash,  lang-first
+        (13, "en", "srcA"),   # page 0: http,  WWW,  plain,  v-first
+        (5, "de", "srcB"),    # page 5: singleton
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_corpus_url_canonical(spark, str(tmp_path)).collect()}
+    want_canon = "https://www.srca.example.com/docs/0?lang=en&v=1"
+    for d in (0, 13, 130):
+        assert got[d]["canonical_url"] == want_canon, got[d]
+        assert got[d]["group_size"] == 3
+        assert got[d]["canonical_id"] == 0
+        assert got[d]["n_variants"] == 3  # three distinct messy forms
+    assert not got[0]["is_dup"] and got[13]["is_dup"] and got[130]["is_dup"]
+    assert got[5]["group_size"] == 1 and not got[5]["is_dup"]
+    assert got[5]["canonical_url"].startswith("https://www.srcb.example.com/docs/5?")
