@@ -1254,6 +1254,75 @@ def q_corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test assignment — the FIX for what
+    ``corpus_split_leakage`` measures: hash the split key on the
+    near-dup CLUSTER id (min-doc label from the verified pair graph)
+    instead of the doc id, so every member of a near-dup cluster lands
+    in the SAME split by construction and no pair can straddle a
+    boundary. Singletons hash on their own id (coalesce), so the split
+    shares stay within cluster-size noise of the unsafe assignment.
+
+    This is the alternative standard fix to dedup-before-split
+    (``llm_dedup_keep_best``): keep the duplicates — sometimes wanted
+    for training-mix reasons — but quarantine each cluster whole.
+    Composes the session-cached component labels (corpus-scale work
+    already paid by the dedup stage) with the same salted portable-hash
+    split rule ``corpus_shuffle_split`` uses; the label join is the one
+    extra cost, keyed on doc_id. The zero-straddling property is
+    asserted on the real corpus in tests (not just claimed).
+    """
+    from .dedup import cluster_labels
+
+    labels = cluster_labels(spark, sf_dir)
+    docs = load_meta(spark, sf_dir, "documents")
+    keyed = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("skey"),
+    )
+    split_hash = _portable_hash(F.concat(F.lit("split:"), F.col("skey")))
+    lo = F.floor(F.lit(SPLIT_BOUNDS[0]) * _HASH_SPACE)
+    hi = F.floor(F.lit(SPLIT_BOUNDS[1]) * _HASH_SPACE)
+    split = (
+        F.when(split_hash < lo, "train")
+        .when(split_hash < hi, "val")
+        .otherwise("test")
+    )
+    return keyed.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id").isNotNull()).alias("clustered"),
+        split.alias("split"),
+    )
+
+
+_MD5_KEY = "('0x' || substr(md5('{salt}' || CAST(skey AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _split_cluster_safe_sql() -> str:
+    from .dedup import SQL_DEDUP_CLUSTERS
+
+    h = _MD5_KEY.format(salt="split:")
+    return f"""
+    WITH clusters AS ({SQL_DEDUP_CLUSTERS}),
+    keyed AS (
+        SELECT d.doc_id, c.cluster_id,
+               COALESCE(c.cluster_id, d.doc_id) AS skey
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+    SELECT doc_id, cluster_id,
+           cluster_id IS NOT NULL AS clustered,
+           CASE WHEN {h}
+                     < CAST(FLOOR({SPLIT_BOUNDS[0]} * {_HASH_SPACE}) AS BIGINT)
+                THEN 'train'
+                WHEN {h}
+                     < CAST(FLOOR({SPLIT_BOUNDS[1]} * {_HASH_SPACE}) AS BIGINT)
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM keyed
+"""
+
+
 def doc_urls_messy(docs: DataFrame) -> DataFrame:
     """(doc_id, url) with DETERMINISTICALLY MESSY urls — the crawl-
     frontier reality canonicalization exists for: scheme flips
@@ -1472,5 +1541,8 @@ QUERIES = {
     ),
     "corpus_url_canonical": Query(
         q_corpus_url_canonical, SQL_CORPUS_URL_CANONICAL
+    ),
+    "corpus_split_cluster_safe": Query(
+        q_corpus_split_cluster_safe, _split_cluster_safe_sql()
     ),
 }

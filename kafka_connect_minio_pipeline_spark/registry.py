@@ -80,17 +80,20 @@ _QUERY_MODULES = (
 #          recompute per statement, proving the cache exactness-neutral
 #          each grade); stream_quality_classifier's scratch staging is
 #          now keyed per (session, sf) (ADVICE r11).
-#   12-46: 35 of the 37 remaining round-6-vintage rows (alphabetical) —
-#          the r6 vintage all but CLEARS (VERDICT r11 item 1); the two
-#          leftovers (ts_zscore / udf_grouped_znorm_builtin, displaced
-#          by the four late additions below) front r13's backfill,
-#          still under the every-run local parity net.
-#   47-50: r12 LATE NEW (graded the round they land):
+#   12-45: 34 of the 37 remaining round-6-vintage rows (alphabetical) —
+#          the r6 vintage all but CLEARS (VERDICT r11 item 1); the
+#          three leftovers (ts_uptime_report / ts_zscore /
+#          udf_grouped_znorm_builtin, displaced by the five late
+#          additions below) front r13's backfill, still under the
+#          every-run local parity net.
+#   46-50: r12 LATE NEW (graded the round they land):
 #          text_unigram_tokenizer (unigram-LM tokenizer trainer,
 #          unrolled EM) / text_classifier_bigram_eval (hashed-bigram
 #          feature A/B card) / text_unigram_segment (Viterbi APPLY of
 #          the trained unigram model) / corpus_url_canonical (URL
-#          canonicalization + frontier exact-dedup).
+#          canonicalization + frontier exact-dedup) /
+#          corpus_split_cluster_safe (leakage-proof split — whole
+#          near-dup clusters share one split by construction).
 # History (round 11):
 #   1-10:  r11 NEW: text_quality_classifier / text_classifier_eval /
 #          text_classifier_weights / llm_decontaminate_semantic /
@@ -209,12 +212,12 @@ _GRADE_FIRST = (
     "text_unigram_logprob",
     "ts_runs_test",
     "ts_silence_windows",
-    "ts_uptime_report",
     # r12 late additions (graded the round they land)
     "text_unigram_tokenizer",
     "text_classifier_bigram_eval",
     "text_unigram_segment",
     "corpus_url_canonical",
+    "corpus_split_cluster_safe",
 )
 
 

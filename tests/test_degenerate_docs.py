@@ -322,6 +322,10 @@ _CATALOG_QUERIES = {
     # text column is deliberately never read, so the content contract
     # does not apply; a null-text doc still has a domain verdict)
     "corpus_url_filter", "corpus_domain_mix", "corpus_url_canonical",
+    # cluster-safe split: the catalog side keeps null-text docs (they
+    # still get a split); the cluster side is contract-identical under
+    # both views because a null-text doc contributes zero shingles
+    "corpus_split_cluster_safe",
 }
 
 

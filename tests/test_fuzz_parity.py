@@ -91,8 +91,9 @@ TARGETS = (
     # unigram APPLY side (Viterbi ties + truncation on fuzz words)
     "text_classifier_bigram_eval", "text_unigram_segment",
     # r12: URL canonicalization (null langs → NULL canonical groups —
-    # both engines window NULL partitions together)
-    "corpus_url_canonical",
+    # both engines window NULL partitions together) and the cluster-safe
+    # split (fuzz corpora produce different pair graphs every seed)
+    "corpus_url_canonical", "corpus_split_cluster_safe",
 )
 
 

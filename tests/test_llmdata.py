@@ -796,3 +796,41 @@ def test_url_canonical_planted_mirrors(spark, tmp_path):
     assert not got[0]["is_dup"] and got[13]["is_dup"] and got[130]["is_dup"]
     assert got[5]["group_size"] == 1 and not got[5]["is_dup"]
     assert got[5]["canonical_url"].startswith("https://www.srcb.example.com/docs/5?")
+
+
+def test_cluster_safe_split_has_zero_leakage(spark, sf_dir):
+    """The zero-straddling property, asserted on the REAL corpus: after
+    cluster-safe assignment, NO verified near-dup pair crosses a split
+    boundary (whereas the plain doc-hash split measurably leaks — that
+    contrast is what corpus_split_leakage exists to show). Cluster
+    members must all share their cluster's split, and the split rule
+    must agree with shuffle_split for singletons (same salt, same key)."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_split_cluster_safe,
+        shuffle_split,
+    )
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        q_dedup_ngram_jaccard,
+    )
+    from kafka_connect_minio_pipeline_spark.tables import load
+
+    assign = {
+        r["doc_id"]: r
+        for r in q_corpus_split_cluster_safe(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r["d1"], r["d2"])
+        for r in q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture has no near-dup pairs — the property is vacuous"
+    for d1, d2 in pairs:
+        assert assign[d1]["split"] == assign[d2]["split"], (d1, d2)
+        assert assign[d1]["clustered"] and assign[d2]["clustered"]
+    # singletons: identical verdict to the plain doc-hash split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in shuffle_split(load(spark, sf_dir, "documents")).collect()
+    }
+    for d, r in assign.items():
+        if not r["clustered"]:
+            assert r["split"] == plain[d], d
