@@ -89,6 +89,44 @@ def main() -> None:
     control_ref = 0.708  # r10 healthy-session control minimum
     max_attempts = 5 if control_query in queries else 1
 
+    # Idle-cooldown spin (VERDICT r12 item 4): the driver's grade run
+    # follows the ~45-minute suite run on the same box, so the session
+    # is warm BY CONSTRUCTION — two consecutive official artifacts
+    # shipped control-hot despite the retry gate, because retrying
+    # immediately re-samples the same hot machine. Before the first
+    # timed pass, probe the control query on a sleep interval until it
+    # reads healthy twice CONSECUTIVELY (one healthy read can be a
+    # scheduler lull), bounded by a wall-clock budget so a genuinely
+    # busy box still produces an artifact (the existing health gate
+    # then labels it honestly). The probe itself is ~0.7 s every 15 s —
+    # it keeps the JIT'd plan warm without meaningfully heating the box.
+    cooldown_budget = float(os.environ.get("SPARK_GRAFT_COOLDOWN_S", "480"))
+    cooldown_deadline = time.monotonic() + cooldown_budget
+    cooldown_spent = 0.0
+    if control_query in queries:
+        t_start = time.monotonic()
+        consecutive = 0
+        while consecutive < 2:
+            t0 = time.perf_counter()
+            materialize(queries[control_query].fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            consecutive = consecutive + 1 if dt <= control_healthy_at else 0
+            print(
+                f"# cooldown control: {dt:.3f}s ({consecutive}/2 healthy)",
+                file=sys.stderr,
+            )
+            if consecutive >= 2:
+                break
+            if time.monotonic() >= cooldown_deadline:
+                print(
+                    "# cooldown budget exhausted — proceeding hot; the"
+                    " health gate will label the artifact",
+                    file=sys.stderr,
+                )
+                break
+            time.sleep(15)
+        cooldown_spent = round(time.monotonic() - t_start, 1)
+
     timings: dict[str, float] = {}
     attempts = 0
     for attempt in range(max_attempts):
@@ -165,6 +203,7 @@ def main() -> None:
                 else -1.0,
                 "control_healthy": bool(0 <= control <= control_healthy_at),
                 "attempts": attempts,
+                "cooldown_s": cooldown_spent,
                 "heavy_control": heavy_control,
                 "heavy_control_healthy": bool(
                     0 <= heavy_control <= control_healthy_at

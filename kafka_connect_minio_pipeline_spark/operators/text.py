@@ -18,6 +18,8 @@ parquet scan prune to (doc_id, text[, lang]).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2279,6 +2281,14 @@ UNI_PIECE_MAX = 4  # max candidate-piece length (chars)
 UNI_WORD_MAX = 8  # words truncate to this many chars for the lattice
 UNI_EM_ROUNDS = 2  # unrolled full EM rounds (fixed — no convergence loop)
 UNI_VOCAB_K = 48  # emitted vocabulary size (top-K by expected count)
+# Kudo 2018 §3.2 vocabulary-pruning schedule (VERDICT r12 item 3): after
+# the seed EM rounds, alternate PRUNE (keep the top-k multi-char pieces
+# by expected count — the lowest-contribution pieces drop; single-char
+# pieces are never pruned, SentencePiece's required-character rule, so
+# every word stays coverable) with one re-EM round that redistributes
+# the dropped pieces' mass. Budgets are the multi-char keep counts per
+# round (the shrink schedule toward the target vocabulary).
+UNI_PRUNE_TARGETS = (256, 96)
 
 
 def _uni_compositions() -> list[list[int]]:
@@ -2359,7 +2369,9 @@ def _uni_seg_probs(segp: DataFrame, p: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
-def _unigram_tokenizer_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _unigram_tokenizer_build(
+    spark: SparkSession, docs: DataFrame, prune: bool = True
+) -> DataFrame:
     """The training dataflow behind :func:`q_text_unigram_tokenizer`
     (uncached): seed from substring counts, run UNI_EM_ROUNDS unrolled
     full-EM rounds over the composition lattice, emit the top-K report.
@@ -2391,17 +2403,37 @@ def _unigram_tokenizer_build(spark: SparkSession, docs: DataFrame) -> DataFrame:
     empty report; the rich-get-richer EM dynamics (whole-word pieces
     absorbing mass from their single-char covers) are hand-pinned on a
     tiny fixture in tests/test_ngram_properties.py."""
-    p, e, seeds = _unigram_model_build(spark, docs)
-    return _unigram_report(p, e, seeds)
+    p, e, seeds, keep, _ = _unigram_model_build(spark, docs, prune=prune)
+    return _unigram_report(p, e, seeds, keep)
 
 
 def _unigram_model_build(
-    spark: SparkSession, docs: DataFrame
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The uncached trainer: returns (p, e, seeds) — the FULL trained
-    piece-probability relation (the model ``text_unigram_segment``
-    applies), the final expected counts, and the seed counts; all
-    vocabulary-bounded and localCheckpointed."""
+    spark: SparkSession, docs: DataFrame, prune: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The uncached trainer: returns (p, e, seeds, keep, prune_stats) —
+    the FULL trained piece-probability relation over the seed domain
+    (pruned pieces carry p = 0.0 exactly, so any segmentation touching
+    one contributes zero likelihood downstream — the model
+    ``text_unigram_segment`` applies), the final expected counts, the
+    seed counts, the surviving vocabulary, and the per-prune-round
+    diagnostics relation ``q_text_unigram_prune`` serves.
+
+    Pruning (Kudo 2018 §3.2, ``prune=True`` is the production path;
+    ``prune=False`` keeps the seed-EM-only model for the hand-pinned EM
+    arithmetic tests): after the seed EM rounds, each UNI_PRUNE_TARGETS
+    round (a) ranks multi-char pieces by expected count (exact decimal,
+    piece-ASC tiebreak — cross-engine total order), keeps the top
+    budget plus ALL single-char pieces (required characters never
+    prune, so every word keeps its all-singles segmentation and the
+    E-step's pw > 0 guard never fires on a live word), (b) renormalizes
+    the kept mass (ROUND(·, 9) at the exposure, the existing idiom),
+    zeroing pruned pieces IN PLACE — the relation keeps the seed
+    domain, so the inner piece-join in the E-step still matches every
+    lattice part and a pruned part multiplies a hard 0.0 into the
+    segmentation product — then (c) runs ONE re-EM round to
+    redistribute the dropped mass (pruned pieces' expected counts come
+    back exactly 0, so pruning is absorbing). Everything stays
+    vocabulary-bounded; the corpus is still touched exactly once."""
     comps = F.broadcast(
         spark.createDataFrame(
             _uni_comp_rows(), "n int, seg string, part_idx int, j int, l int"
@@ -2454,9 +2486,10 @@ def _unigram_model_build(
         )
         .localCheckpoint(eager=True)
     )
-    e = None
-    for _ in range(UNI_EM_ROUNDS):
-        sp = _uni_seg_probs(segp, p, ["w", "cw", "seg"])
+    def em_round(p_in: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """One full EM round under ``p_in``: returns (e, p) — expected
+        counts and the renormalized next-round probabilities."""
+        sp = _uni_seg_probs(segp, p_in, ["w", "cw", "seg"])
         pw = sp.groupBy("w").agg(
             F.sum(_dec12(F.col("sp"))).cast("double").alias("pw")
         )
@@ -2474,12 +2507,12 @@ def _unigram_model_build(
                 ).alias("t"),
             )
         )
-        e = contrib.groupBy("piece").agg(F.sum("t").alias("ed")).localCheckpoint(
-            eager=True
-        )
-        e_tot = e.agg(F.sum("ed").alias("etot"))
-        p = (
-            e.crossJoin(F.broadcast(e_tot))
+        e_out = contrib.groupBy("piece").agg(
+            F.sum("t").alias("ed")
+        ).localCheckpoint(eager=True)
+        e_tot = e_out.agg(F.sum("ed").alias("etot"))
+        p_out = (
+            e_out.crossJoin(F.broadcast(e_tot))
             .select(
                 "piece",
                 F.round(
@@ -2489,15 +2522,106 @@ def _unigram_model_build(
             )
             .localCheckpoint(eager=True)
         )
-    return p, e, seeds
+        return e_out, p_out
+
+    e = None
+    for _ in range(UNI_EM_ROUNDS):
+        e, p = em_round(p)
+
+    # keep defaults to the whole seed domain (prune=False path and the
+    # pre-prune model); stats defaults to the empty trajectory
+    keep = e.select("piece").localCheckpoint(eager=True)
+    stats_schema = (
+        "prune_round int, keep_budget int, n_kept_multi bigint,"
+        " n_single bigint, n_pieces bigint, mass_kept double"
+    )
+    stats_rounds: list[DataFrame] = []
+    if prune:
+        for ti, keep_k in enumerate(UNI_PRUNE_TARGETS, start=1):
+            ranked = (
+                e.filter(F.length("piece") > 1)
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.orderBy(F.col("ed").desc(), "piece")
+                    ),
+                )
+            )
+            keep = (
+                ranked.filter(F.col("rn") <= keep_k)
+                .select("piece")
+                .unionByName(
+                    e.filter(F.length("piece") == 1).select("piece")
+                )
+                .localCheckpoint(eager=True)
+            )
+            marked = e.join(
+                keep.withColumn("kept", F.lit(1)), "piece", "left"
+            )
+            stats_rounds.append(
+                marked.agg(
+                    F.lit(ti).cast("int").alias("prune_round"),
+                    F.lit(keep_k).cast("int").alias("keep_budget"),
+                    F.count(
+                        F.when(
+                            (F.length("piece") > 1)
+                            & F.col("kept").isNotNull(),
+                            1,
+                        )
+                    ).alias("n_kept_multi"),
+                    F.count(
+                        F.when(F.length("piece") == 1, 1)
+                    ).alias("n_single"),
+                    F.count("*").alias("n_pieces"),
+                    F.round(
+                        F.sum(
+                            F.when(F.col("kept").isNotNull(), F.col("ed"))
+                        ).cast("double")
+                        / F.sum("ed").cast("double"),
+                        6,
+                    ).alias("mass_kept"),
+                )
+            )
+            kept_tot = marked.filter(F.col("kept").isNotNull()).agg(
+                F.sum("ed").alias("ktot")
+            )
+            p = (
+                marked.crossJoin(F.broadcast(kept_tot))
+                .select(
+                    "piece",
+                    F.when(
+                        F.col("kept").isNotNull(),
+                        F.round(
+                            F.col("ed").cast("double")
+                            / F.col("ktot").cast("double"),
+                            9,
+                        ),
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("p"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            e, p = em_round(p)
+    if stats_rounds:
+        prune_stats = reduce(DataFrame.unionByName, stats_rounds)
+    else:
+        prune_stats = spark.createDataFrame([], stats_schema)
+    return p, e, seeds, keep, prune_stats.localCheckpoint(eager=True)
 
 
-def _unigram_report(p: DataFrame, e: DataFrame, seeds: DataFrame) -> DataFrame:
-    """Top-K vocabulary report over the trained model relations —
+def _unigram_report(
+    p: DataFrame, e: DataFrame, seeds: DataFrame, keep: DataFrame
+) -> DataFrame:
+    """Top-K vocabulary report over the trained model relations,
+    restricted to the SURVIVING vocabulary (pruned pieces carry p = 0
+    and expected count 0 but stay in the model domain; the report is
+    the deliverable vocab, so it ranks survivors only) —
     vocabulary-sized window, derived per call (the model tuple is the
     cached artifact)."""
     ranked = (
-        e.join(p, "piece")
+        e.join(keep.select("piece"), "piece")
+        .join(p, "piece")
         .join(seeds, "piece")
         .select(
             "piece",
@@ -2525,18 +2649,18 @@ def _unigram_report(p: DataFrame, e: DataFrame, seeds: DataFrame) -> DataFrame:
 
 def unigram_model(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The trained unigram-LM model tuple (p, e, seeds) for
-    (session, sf) — trained once via the ``similarity._trained`` cache
-    (deterministic dataflow ⇒ the cached vocabulary-sized relations are
-    bit-identical to a retrain; the oracles retrain per statement and
-    keep proving it)."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The trained unigram-LM model tuple (p, e, seeds, keep,
+    prune_stats) for (session, sf) — trained once via the
+    ``similarity._trained`` cache (deterministic dataflow ⇒ the cached
+    vocabulary-sized relations are bit-identical to a retrain; the
+    oracles retrain per statement and keep proving it)."""
     from .similarity import _trained
 
     return _trained(
         spark,
         (sf_dir, "unigram_model", UNI_PIECE_MAX, UNI_WORD_MAX,
-         UNI_EM_ROUNDS),
+         UNI_EM_ROUNDS, UNI_PRUNE_TARGETS),
         lambda: _unigram_model_build(
             spark, spread(load(spark, sf_dir, "documents"), "doc_id")
         ),
@@ -2548,9 +2672,27 @@ def q_text_unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry binding: unigram-LM tokenizer vocabulary trained on
     ``documents`` — the OTHER production tokenizer family beside the
     merge-based BPE quartet (``text_bpe_*``); the top-K report over the
-    session-cached model (:func:`unigram_model`)."""
-    p, e, seeds = unigram_model(spark, sf_dir)
-    return _unigram_report(p, e, seeds)
+    session-cached PRUNED model (:func:`unigram_model`, Kudo 2018 with
+    the full prune/re-EM schedule as of r13)."""
+    p, e, seeds, keep, _ = unigram_model(spark, sf_dir)
+    return _unigram_report(p, e, seeds, keep)
+
+
+def q_text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune-trajectory diagnostics for the unigram-LM trainer: one row
+    per Kudo prune round — multi-char keep budget, how many multi-char
+    pieces actually survived, the never-pruned single-char count, the
+    candidate-domain size, and the fraction of expected-count mass the
+    kept vocabulary retains (the number that says the prune was safe:
+    high mass_kept = the dropped tail was genuinely redundant).
+
+    All inputs are the trainer's own vocabulary-bounded relations (the
+    stats ride the session-cached model tuple); the oracle re-derives
+    the identical trajectory from the unrolled CTE chain per statement,
+    re-proving the cache and the prune ranking (exact-decimal expected
+    counts, piece-ASC tiebreak) cross-engine on every grade."""
+    _, _, _, _, prune_stats = unigram_model(spark, sf_dir)
+    return prune_stats
 
 
 def q_text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2572,7 +2714,7 @@ def q_text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup join keys on the word relation — corpus-sized relations
     never meet each other (the KN-LM shape). Docs with zero tokens
     have no words and drop from the output on both engines."""
-    p, _, _ = unigram_model(spark, sf_dir)
+    p, *_ = unigram_model(spark, sf_dir)
     comps = F.broadcast(
         spark.createDataFrame(
             _uni_comp_rows(), "n int, seg string, part_idx int, j int, l int"
@@ -2630,13 +2772,22 @@ def q_text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _uni_last_round() -> int:
+    """Index of the FINAL EM round in the unrolled CTE chain: the seed
+    rounds plus one re-EM round per prune round."""
+    return UNI_EM_ROUNDS + len(UNI_PRUNE_TARGETS)
+
+
 def _unigram_cte() -> str:
-    """Unrolled-CTE mirror of the EM trainer through p{last}/e{last}:
-    the identical composition lattice ships as a literal list of
-    part-length strings (split + window prefix-sum recover
-    (part_idx, j, l)); every reused CTE is AS MATERIALIZED (DuckDB
-    re-inlines per reference otherwise). Shared by the report and
-    segment oracles."""
+    """Unrolled-CTE mirror of the EM trainer through
+    p{last}/e{last}/keep{lastT}: the identical composition lattice
+    ships as a literal list of part-length strings (split + window
+    prefix-sum recover (part_idx, j, l)); every reused CTE is AS
+    MATERIALIZED (DuckDB re-inlines per reference otherwise). After the
+    seed EM rounds, each prune round adds rank{t}/keep{t} (expected-
+    count ranking of multi-char pieces, singles always kept), the
+    renormalized-with-zeros pp{t}, and one re-EM round — the exact
+    Spark schedule. Shared by the report, segment, and prune oracles."""
     seg_lits = ", ".join(
         "'" + ",".join(map(str, parts)) + "'" for parts in _uni_compositions()
     )
@@ -2644,10 +2795,9 @@ def _unigram_cte() -> str:
         f"COALESCE(MAX(CASE WHEN part_idx = {k} THEN p END), 1.0)"
         for k in range(1, UNI_WORD_MAX + 1)
     )
-    rounds = []
-    prev = "p0"
-    for r in range(1, UNI_EM_ROUNDS + 1):
-        rounds.append(f"""
+
+    def em_round_sql(r: int, prev: str) -> str:
+        return f"""
     terms{r} AS MATERIALIZED (
         SELECT s.w, s.cw, s.seg, s.part_idx, s.piece, p.p
         FROM segp s JOIN {prev} p USING (piece)),
@@ -2670,7 +2820,34 @@ def _unigram_cte() -> str:
         SELECT piece,
                ROUND(CAST(ed AS DOUBLE)
                      / CAST((SELECT SUM(ed) FROM e{r}) AS DOUBLE), 9) AS p
-        FROM e{r})""")
+        FROM e{r})"""
+
+    rounds = []
+    prev = "p0"
+    for r in range(1, UNI_EM_ROUNDS + 1):
+        rounds.append(em_round_sql(r, prev))
+        prev = f"p{r}"
+    for t, keep_k in enumerate(UNI_PRUNE_TARGETS, start=1):
+        r = UNI_EM_ROUNDS + t
+        e_prev = f"e{r - 1}"
+        rounds.append(f"""
+    rank{t} AS MATERIALIZED (
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY ed DESC, piece) AS rn
+        FROM {e_prev} WHERE LEN(piece) > 1),
+    keep{t} AS MATERIALIZED (
+        SELECT piece FROM rank{t} WHERE rn <= {keep_k}
+        UNION ALL
+        SELECT piece FROM {e_prev} WHERE LEN(piece) = 1),
+    pp{t} AS MATERIALIZED (
+        SELECT e.piece,
+               CASE WHEN k.piece IS NOT NULL THEN
+                   ROUND(CAST(e.ed AS DOUBLE)
+                         / CAST((SELECT SUM(e2.ed) FROM {e_prev} e2
+                                 JOIN keep{t} k2 ON e2.piece = k2.piece)
+                                AS DOUBLE), 9)
+               ELSE 0.0 END AS p
+        FROM {e_prev} e LEFT JOIN keep{t} k ON e.piece = k.piece)""")
+        rounds.append(em_round_sql(r, f"pp{t}"))
         prev = f"p{r}"
     return f"""toks AS (
         SELECT unnest({SQL_TOKENS.format(col='text')}) AS t FROM documents),
@@ -2712,26 +2889,54 @@ def _unigram_cte() -> str:
 
 
 def _unigram_sql() -> str:
-    """Top-K report oracle: the trainer CTE chain + the rank window."""
-    last = UNI_EM_ROUNDS
+    """Top-K report oracle: the trainer CTE chain (seed EM + prune/re-EM
+    rounds) + the rank window over the SURVIVING vocabulary."""
+    last = _uni_last_round()
+    last_t = len(UNI_PRUNE_TARGETS)
     return f"""
     WITH {_unigram_cte()},
     ranked AS (
         SELECT piece, seed_cnt, CAST(ed AS DOUBLE) AS ex, p,
                CAST(ROW_NUMBER() OVER (ORDER BY CAST(ed AS DOUBLE) DESC,
                                        piece) AS INTEGER) AS rank
-        FROM e{last} JOIN p{last} USING (piece) JOIN seeds USING (piece))
+        FROM e{last} JOIN keep{last_t} USING (piece)
+        JOIN p{last} USING (piece) JOIN seeds USING (piece))
     SELECT rank, piece, CAST(LEN(piece) AS INTEGER) AS piece_len, seed_cnt,
            ROUND(ex, 6) AS expected_cnt, p AS prob
     FROM ranked WHERE rank <= {UNI_VOCAB_K}
 """
 
 
+def _unigram_prune_sql() -> str:
+    """Prune-trajectory oracle: re-derives each round's keep counts and
+    kept-mass ratio from the unrolled CTE chain."""
+    stats = []
+    for t, keep_k in enumerate(UNI_PRUNE_TARGETS, start=1):
+        e_prev = f"e{UNI_EM_ROUNDS + t - 1}"
+        stats.append(f"""
+    SELECT CAST({t} AS INTEGER) AS prune_round,
+           CAST({keep_k} AS INTEGER) AS keep_budget,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rank{t}
+            WHERE rn <= {keep_k}) AS n_kept_multi,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {e_prev}
+            WHERE LEN(piece) = 1) AS n_single,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {e_prev}) AS n_pieces,
+           ROUND(CAST((SELECT SUM(e2.ed) FROM {e_prev} e2
+                       JOIN keep{t} k2 ON e2.piece = k2.piece) AS DOUBLE)
+                 / CAST((SELECT SUM(ed) FROM {e_prev}) AS DOUBLE), 6)
+               AS mass_kept""")
+    return f"""
+    WITH {_unigram_cte()}
+    {" UNION ALL ".join(stats)}
+"""
+
+
 def _unigram_segment_sql() -> str:
     """Segment-application oracle: the trainer CTE chain, one more
-    segmentation-probability pass under the FINAL model, Viterbi argmax
-    per word (max sp, seg-string ascending tiebreak), per-doc rollup."""
-    last = UNI_EM_ROUNDS
+    segmentation-probability pass under the FINAL (pruned) model,
+    Viterbi argmax per word (max sp, seg-string ascending tiebreak),
+    per-doc rollup."""
+    last = _uni_last_round()
     prod = " * ".join(
         f"COALESCE(MAX(CASE WHEN part_idx = {k} THEN p END), 1.0)"
         for k in range(1, UNI_WORD_MAX + 1)
@@ -3661,6 +3866,7 @@ QUERIES = {
         SQL_TEXT_UNIGRAM_LOGPROB.format(toks=SQL_TOKENS.format(col="text")),
     ),
     "text_unigram_tokenizer": Query(q_text_unigram_tokenizer, _unigram_sql()),
+    "text_unigram_prune": Query(q_text_unigram_prune, _unigram_prune_sql()),
     "text_unigram_segment": Query(
         q_text_unigram_segment, _unigram_segment_sql()
     ),

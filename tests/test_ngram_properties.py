@@ -235,7 +235,10 @@ def test_unigram_tokenizer_hand_pinned_em(spark, tmp_path):
     docs = spark.createDataFrame(
         [(i, "ab") for i in range(3)], "doc_id long, text string"
     )
-    rows = {r["piece"]: r for r in _unigram_tokenizer_build(spark, docs).collect()}
+    rows = {
+        r["piece"]: r
+        for r in _unigram_tokenizer_build(spark, docs, prune=False).collect()
+    }
     assert set(rows) == {"a", "b", "ab"}
     assert all(r["seed_cnt"] == 3 for r in rows.values())
     assert rows["ab"]["rank"] == 1
@@ -270,9 +273,16 @@ def test_unigram_tokenizer_segmentation_round_trip(spark, tmp_path):
         assert "".join(seg) == w[:UNI_WORD_MAX]
         if len(w) <= 4:
             assert seg == [w], (w, seg)  # whole-word piece wins
-    # probabilities are a (partial) distribution over the emitted top-K
-    assert all(0 < p <= 1 for p in probs.values())
-    assert sum(probs.values()) <= 1.0 + 1e-9
+        # the winning path is live: every piece on it kept positive
+        # probability through the prune/re-EM schedule
+        assert all(probs[piece] > 0 for piece in seg), (w, seg)
+    # probabilities are a (partial) distribution over the emitted top-K;
+    # EM-dominated residue pieces may round to exactly 0.0 at the
+    # 9-decimal exposure after the prune schedule's extra re-EM rounds
+    assert all(0 <= p <= 1 for p in probs.values())
+    # each piece's prob is ROUND(·, 9), so the sum can sit above 1 by
+    # up to half an ulp-of-rounding per piece
+    assert sum(probs.values()) <= 1.0 + 5e-10 * len(probs)
 
 
 def test_unigram_segment_matches_python_viterbi(spark, tmp_path):
@@ -295,7 +305,7 @@ def test_unigram_segment_matches_python_viterbi(spark, tmp_path):
         list(texts.items()), "doc_id long, text string"
     )
     docs.write.parquet(f"{tmp_path}/documents.parquet")
-    p, _, _ = _unigram_model_build(spark, docs)
+    p, *_ = _unigram_model_build(spark, docs)
     probs = {r["piece"]: r["p"] for r in p.collect()}
 
     def doc_stats(text):
@@ -313,3 +323,47 @@ def test_unigram_segment_matches_python_viterbi(spark, tmp_path):
     }
     want = {d: doc_stats(t) for d, t in texts.items()}
     assert got == want
+
+
+def test_unigram_prune_drops_redundant_family_keeps_coverage(
+    spark, monkeypatch
+):
+    """Kudo pruning end-to-end on a tight budget: with the multi-char
+    keep schedule squeezed to (2, 1), the redundant sub-piece family of
+    a dominant repeated word is pruned (p = 0 in the final model, out
+    of the keep set), single-char pieces are NEVER pruned, and every
+    corpus word remains coverable by a positive-probability Viterbi
+    path (the required-character coverage guarantee)."""
+    from kafka_connect_minio_pipeline_spark.operators import text as T
+
+    monkeypatch.setattr(T, "UNI_PRUNE_TARGETS", (2, 1))
+    docs = spark.createDataFrame(
+        [(i, "abab abab abab cd") for i in range(3)],
+        "doc_id long, text string",
+    )
+    p, e, seeds, keep, stats = T._unigram_model_build(spark, docs)
+    probs = {r["piece"]: r["p"] for r in p.collect()}
+    kept = {r["piece"] for r in keep.collect()}
+    singles = {pc for pc in probs if len(pc) == 1}
+    multis = {pc for pc in probs if len(pc) > 1}
+    # singles always survive; exactly one multi-char piece survives
+    assert singles <= kept
+    assert len(kept & multis) == 1
+    # the survivor is the whole-word piece of the dominant word (the
+    # highest-expected-count multi piece); its redundant sub-family
+    # (ab/ba/aba/bab/...) is pruned to exactly 0 probability
+    assert kept & multis == {"abab"}
+    for piece in multis - kept:
+        assert probs[piece] == 0.0, piece
+    # coverage survives: every corpus word has a positive-prob path
+    for w in ("abab", "cd"):
+        seg = _uni_viterbi(w, {k: v for k, v in probs.items() if v > 0})
+        assert seg is not None and "".join(seg) == w
+    # trajectory diagnostics: budgets enforced, kept mass is a ratio
+    rows = {r["prune_round"]: r for r in stats.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["keep_budget"] == 2 and rows[2]["keep_budget"] == 1
+    assert rows[1]["n_kept_multi"] == 2 and rows[2]["n_kept_multi"] == 1
+    assert all(0 < r["mass_kept"] <= 1.0 for r in rows.values())
+    # prune is monotone: round-2 mass concentrates on the survivor
+    assert rows[2]["mass_kept"] >= 0.5
