@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.llmdata import SQL_DECONTAMINATE as SQL_DECONTAMINATE_STREAM
 from ..operators.text import SQL_TEXT_QUALITY
 from ..pipeline.profile import TRANSFORM_SQL
 from ..registry import Query
@@ -554,9 +555,71 @@ def _sql_stream_quality_classifier() -> str:
 """
 
 
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination as an INGEST-TIME stream gate — the
+    overlap check a production intake runs on every arriving document
+    before it enters the training corpus (the streaming twin of
+    ``llm_decontaminate``, VERDICT r12 item 5).
+
+    Deployment-artifact pattern (the ``stream_quality_classifier``
+    split): the benchmark's distinct 8-gram set is a BOUNDED static
+    relation (benchmarks are KBs-to-MBs against a 100 TB corpus) built
+    once from the batch table and broadcast into the stream-static
+    join. Each micro-batch is STATELESS per document — a doc's grams
+    come entirely from its own text column (array_distinct makes the
+    per-doc gram set unique within the row, so no cross-batch distinct
+    is needed) — and the only streaming state is the per-doc matched-
+    gram COUNT: associative integer sums over (doc, gram) rows that are
+    already distinct, bounded by contaminated-doc count, order-free ⇒
+    availableNow converges to the batch answer bit-for-bit, which is
+    why this query shares ``SQL_DECONTAMINATE`` with the batch operator
+    verbatim. The finisher left-joins the corpus spine so clean and
+    zero-gram docs report an explicit 0/false."""
+    from ..operators.dedup import tokens, word_ngrams
+    from ..operators.llmdata import BENCH_MOD, DECON_N
+    from ..sources.files import stream_table
+    from ..tables import load, spread
+
+    grams = F.array_distinct(
+        word_ngrams(tokens(F.col("text")), DECON_N)
+    )
+    batch_docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench_grams = (
+        batch_docs.filter(is_bench)
+        .select(F.explode(grams).alias("s"))
+        .distinct()
+    )
+    src = stream_table(spark, sf_dir, "documents").filter(~is_bench)
+    staged = src.select("doc_id", F.explode(grams).alias("s"))
+    counts = run_to_memory(
+        staged.join(F.broadcast(bench_grams), "s")
+        .groupBy("doc_id")
+        .count()
+    )
+    return (
+        batch_docs.filter(~is_bench)
+        .select("doc_id", "lang")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("count"), F.lit(0).cast("long")).alias(
+                "n_shared"
+            ),
+            (F.coalesce(F.col("count"), F.lit(0).cast("long")) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "stream_dedup_minhash": Query(
         q_stream_dedup_minhash, _sql_stream_dedup_minhash()
+    ),
+    "stream_decontaminate": Query(
+        q_stream_decontaminate, SQL_DECONTAMINATE_STREAM
     ),
     "stream_quality_classifier": Query(
         q_stream_quality_classifier, _sql_stream_quality_classifier()

@@ -402,3 +402,56 @@ def test_stream_dedup_minhash_planted_duplicate(spark, tmp_path):
     assert got[9].is_near_dup is True and got[9].n_dup_bands == 4
     assert got[1].is_near_dup is False
     assert got[2].is_near_dup is False
+
+
+def test_stream_decontaminate_planted_contamination(spark, tmp_path):
+    """Ingest-time decon gate on a planted fixture: doc_id 0 plays the
+    benchmark (0 % 97 == 0); a corpus doc embedding one of its 8-grams
+    verbatim is flagged with the exact shared-gram count, a clean doc
+    and a too-short doc report explicit 0/false, and benchmark rows
+    never appear in the output."""
+    from kafka_connect_minio_pipeline_spark.streaming.queries import (
+        q_stream_decontaminate,
+    )
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "en", bench),  # the benchmark doc
+        # shares the 8-gram window alpha..theta (3 distinct shared 8-grams:
+        # the contaminated doc repeats the full 10-word span verbatim)
+        (1, "en", "intro words " + bench + " trailing words"),
+        (2, "en", "one two three four five six seven eight nine ten"),
+        (3, "en", "short text"),  # no 8-gram at all
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in q_stream_decontaminate(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 3}  # benchmark rows excluded from output
+    assert got[1]["contaminated"] is True and got[1]["n_shared"] == 3
+    assert got[2]["contaminated"] is False and got[2]["n_shared"] == 0
+    assert got[3]["contaminated"] is False and got[3]["n_shared"] == 0
+
+
+def test_stream_decontaminate_batch_equivalence(spark, sf_dir):
+    """The streaming gate must converge to the batch operator's answer
+    exactly — same flags, same shared-gram counts, every doc."""
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import (
+        q_llm_decontaminate,
+    )
+    from kafka_connect_minio_pipeline_spark.streaming.queries import (
+        q_stream_decontaminate,
+    )
+
+    want = {
+        r["doc_id"]: (r["lang"], r["n_shared"], r["contaminated"])
+        for r in q_llm_decontaminate(spark, sf_dir).collect()
+    }
+    got = {
+        r["doc_id"]: (r["lang"], r["n_shared"], r["contaminated"])
+        for r in q_stream_decontaminate(spark, sf_dir).collect()
+    }
+    assert got == want
