@@ -1494,6 +1494,166 @@ SQL_CORPUS_DOMAIN_MIX = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# snapshot diff: crawl N−1 vs crawl N churn report
+# ---------------------------------------------------------------------------
+
+SNAP_RM_FRAC = 0.12  # docs present only in the OLD snapshot (dropped pages)
+SNAP_ADD_FRAC = 0.12  # docs present only in the NEW snapshot (new pages)
+SNAP_CHG_FRAC = 0.25  # of docs in both: content changed between crawls
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl churn report: what changed between crawl N−1
+    and crawl N, per source — the first question a curation loop asks
+    before re-running dedup/decon on a refreshed corpus (VERDICT r12
+    item 6; ``corpus_drift_psi`` answers the distribution-shift half,
+    this answers the document-identity half).
+
+    With one documents fixture, the two snapshots are synthesized
+    deterministically (the ``dedup_incremental`` convention): three
+    independent portable-hash draws on doc_id mark removed docs (old
+    snapshot only), added docs (new only — removal wins when both
+    draws fire, so the states are disjoint), and, among docs present
+    in both, content changes (the new snapshot's text gains a revision
+    suffix). A real deployment points the two sides at two crawl
+    paths and keeps everything downstream of the fingerprints.
+
+    Shape: content fingerprint = md5(text) computed in each snapshot's
+    scan projection; ONE full-outer join co-partitioned on doc_id
+    classifies every doc added / removed / changed / unchanged; the
+    churn report is a bounded per-source rollup. At 100 TB both
+    snapshots are bucketed on doc_id (the crawl's natural layout), so
+    the join is co-located and shuffle-free; nothing else touches the
+    corpus. churn_rate = (added + removed + changed) / old-snapshot
+    size — the fraction of last crawl's corpus a refresh invalidates."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+
+    def draw(salt: str, frac: float) -> F.Column:
+        return _portable_hash(
+            F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+        ) < int(frac * _HASH_SPACE)
+
+    staged = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        draw("snaprm|", SNAP_RM_FRAC).alias("is_rm"),
+        draw("snapadd|", SNAP_ADD_FRAC).alias("is_add_raw"),
+        draw("snapchg|", SNAP_CHG_FRAC).alias("is_chg"),
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        "is_rm",
+        (F.col("is_add_raw") & ~F.col("is_rm")).alias("is_add"),
+        "is_chg",
+    )
+    old = staged.filter(~F.col("is_add")).select(
+        "doc_id", "source", F.md5("text").alias("fp_old")
+    )
+    new = staged.filter(~F.col("is_rm")).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("is_chg"), F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("fp_new"),
+    )
+    joined = old.withColumnRenamed("source", "src_old").join(
+        new.withColumnRenamed("source", "src_new"), "doc_id", "full_outer"
+    )
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    per_doc = joined.select(
+        F.coalesce("src_old", "src_new").alias("source"),
+        status.alias("status"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.when(F.col("status") != "added", 1)).alias("n_old"),
+        F.count(F.when(F.col("status") != "removed", 1)).alias("n_new"),
+        F.count(F.when(F.col("status") == "added", 1)).alias("n_added"),
+        F.count(F.when(F.col("status") == "removed", 1)).alias("n_removed"),
+        F.count(F.when(F.col("status") == "changed", 1)).alias("n_changed"),
+        F.count(F.when(F.col("status") == "unchanged", 1)).alias(
+            "n_unchanged"
+        ),
+    )
+    churn = (
+        F.col("n_added") + F.col("n_removed") + F.col("n_changed")
+    ).cast("double") / F.when(F.col("n_old") > 0, F.col("n_old")).cast(
+        "double"
+    )
+    return agg.select(
+        "source",
+        "n_old",
+        "n_new",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        F.round(churn, 6).alias("churn_rate"),
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    h = "('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    rm = h.format(salt="snaprm|") + f" < {int(SNAP_RM_FRAC * _HASH_SPACE)}"
+    add = h.format(salt="snapadd|") + f" < {int(SNAP_ADD_FRAC * _HASH_SPACE)}"
+    chg = h.format(salt="snapchg|") + f" < {int(SNAP_CHG_FRAC * _HASH_SPACE)}"
+    return f"""
+    WITH staged AS (
+        SELECT doc_id, source, text,
+               {rm} AS is_rm,
+               ({add}) AND NOT ({rm}) AS is_add,
+               {chg} AS is_chg
+        FROM documents),
+    snap_old AS (
+        SELECT doc_id, source, md5(text) AS fp_old
+        FROM staged WHERE NOT is_add),
+    snap_new AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN is_chg THEN text || ' [rev2]' ELSE text END)
+                   AS fp_new
+        FROM staged WHERE NOT is_rm),
+    per_doc AS (
+        SELECT COALESCE(snap_old.source, snap_new.source) AS source,
+               CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old <> fp_new THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM snap_old FULL OUTER JOIN snap_new USING (doc_id))
+    SELECT source,
+           CAST(COUNT(CASE WHEN status <> 'added' THEN 1 END) AS BIGINT)
+               AS n_old,
+           CAST(COUNT(CASE WHEN status <> 'removed' THEN 1 END) AS BIGINT)
+               AS n_new,
+           CAST(COUNT(CASE WHEN status = 'added' THEN 1 END) AS BIGINT)
+               AS n_added,
+           CAST(COUNT(CASE WHEN status = 'removed' THEN 1 END) AS BIGINT)
+               AS n_removed,
+           CAST(COUNT(CASE WHEN status = 'changed' THEN 1 END) AS BIGINT)
+               AS n_changed,
+           CAST(COUNT(CASE WHEN status = 'unchanged' THEN 1 END) AS BIGINT)
+               AS n_unchanged,
+           ROUND(CAST(COUNT(CASE WHEN status IN ('added', 'removed',
+                                                 'changed')
+                            THEN 1 END) AS DOUBLE)
+                 / CAST(CASE WHEN COUNT(CASE WHEN status <> 'added'
+                                        THEN 1 END) > 0
+                             THEN COUNT(CASE WHEN status <> 'added'
+                                        THEN 1 END) END AS DOUBLE), 6)
+               AS churn_rate
+    FROM per_doc
+    GROUP BY source
+"""
+
+
 QUERIES = {
     "corpus_drift_psi": Query(
         q_corpus_drift_psi,
@@ -1544,5 +1704,8 @@ QUERIES = {
     ),
     "corpus_split_cluster_safe": Query(
         q_corpus_split_cluster_safe, _split_cluster_safe_sql()
+    ),
+    "corpus_snapshot_diff": Query(
+        q_corpus_snapshot_diff, _snapshot_diff_sql()
     ),
 }

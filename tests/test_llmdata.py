@@ -834,3 +834,60 @@ def test_cluster_safe_split_has_zero_leakage(spark, sf_dir):
     for d, r in assign.items():
         if not r["clustered"]:
             assert r["split"] == plain[d], d
+
+
+def test_corpus_snapshot_diff_planted_churn(spark, tmp_path):
+    """Churn report vs an independent Python recomputation of the
+    synthesized-snapshot rules on a planted fixture: per-doc status
+    (added / removed / changed / unchanged) re-derived with hashlib
+    md5 draws, rolled up per source, must equal the engine's report —
+    and the doc-level identities must reconcile (n_old + added = n_new
+    + removed; churn is the invalidated fraction of the old crawl)."""
+    import hashlib
+
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        SNAP_ADD_FRAC,
+        SNAP_CHG_FRAC,
+        SNAP_RM_FRAC,
+        q_corpus_snapshot_diff,
+    )
+
+    rows = [
+        (i, f"document body {i} alpha beta", "en", f"src{i % 3}", 20)
+        for i in range(120)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    def draw(salt, doc_id, frac):
+        h = int(hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:15], 16)
+        return h < int(frac * (1 << 60))
+
+    want: dict[str, dict[str, int]] = {}
+    for doc_id, _, _, source, _ in rows:
+        rm = draw("snaprm|", doc_id, SNAP_RM_FRAC)
+        add = draw("snapadd|", doc_id, SNAP_ADD_FRAC) and not rm
+        chg = draw("snapchg|", doc_id, SNAP_CHG_FRAC)
+        status = (
+            "added" if add else "removed" if rm
+            else "changed" if chg else "unchanged"
+        )
+        want.setdefault(source, {}).setdefault(status, 0)
+        want[source][status] += 1
+    got = {r["source"]: r for r in q_corpus_snapshot_diff(
+        spark, str(tmp_path)).collect()}
+    assert set(got) == set(want)
+    for src, r in got.items():
+        w = want[src]
+        assert r["n_added"] == w.get("added", 0), src
+        assert r["n_removed"] == w.get("removed", 0), src
+        assert r["n_changed"] == w.get("changed", 0), src
+        assert r["n_unchanged"] == w.get("unchanged", 0), src
+        # snapshot-size identities
+        assert r["n_old"] == r["n_removed"] + r["n_changed"] + r["n_unchanged"]
+        assert r["n_new"] == r["n_added"] + r["n_changed"] + r["n_unchanged"]
+        assert r["churn_rate"] == round(
+            (r["n_added"] + r["n_removed"] + r["n_changed"]) / r["n_old"], 6
+        )
