@@ -56,6 +56,21 @@ def dec9(c: Column, precision: int = 28) -> Column:
     return F.round(c, 9).cast(f"decimal({precision},9)")
 
 
+def dec12(c: Column) -> Column:
+    """Quantize a double term to DECIMAL(28,12) so the following SUM is
+    order-free and cross-engine exact (the dec9 idiom, two digits wider
+    because gradient terms are products of two z-scored features).
+
+    DIRECT cast, never ROUND(x, 12) first: at scale 12 DuckDB's ROUND
+    (float multiply-round-divide) and Spark's (exact decimal HALF_UP)
+    disagree often enough that ten unrolled gradient steps accumulated a
+    visible ~3e-12 weight drift (r11 finding, caught by the
+    text_classifier_weights oracle); the double→decimal cast is the
+    exact-conversion path both engines implement identically — the
+    ``similarity_kmeans`` decimal(16,6) precedent."""
+    return c.cast("decimal(28,12)")
+
+
 def sum_dec2(c: Column) -> Column:
     """Order-independent exact sum of a cent-exact column, emitted as double.
 

@@ -447,7 +447,7 @@ def q_stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TRAINED quality gate served on a stream — the train-batch /
     serve-stream split every production classifier deployment runs
     (``stream_quality`` is this query's heuristic twin). The model
-    trains once on the batch table (``text.classifier_model``, the
+    trains once on the batch table (``text_classifier.classifier_model``, the
     session-cached relation the batch scorer serves); the STREAM side
     maintains exactly the mergeable state the other streaming sketches
     do: per-(doc, feature-bucket) token COUNTS from an explode +
@@ -469,7 +469,8 @@ def q_stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     they score exactly as the batch gate scores them."""
     from ..operators.dedup import tokens
     from ..operators.llmdata import _portable_hash
-    from ..operators.text import CLF_DIM, _dec12, classifier_model
+    from ..functions.exact import dec12 as _dec12
+    from ..operators.text_classifier import CLF_DIM, classifier_model
     from ..sources.files import stream_table
 
     _, w, stats = classifier_model(spark, sf_dir)
@@ -545,7 +546,7 @@ def q_stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_stream_quality_classifier() -> str:
-    from ..operators.text import _clf_cte
+    from ..operators.text_classifier import _clf_cte
 
     return f"""
     WITH {_clf_cte()}

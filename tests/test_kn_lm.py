@@ -9,9 +9,9 @@ import math
 
 from kafka_connect_minio_pipeline_spark.operators.dedup import tokens
 from kafka_connect_minio_pipeline_spark.operators.text import (
-    KN_DISCOUNT,
-    q_text_kn_perplexity,
-)
+        KN_DISCOUNT,
+        q_text_kn_perplexity,
+    )
 from kafka_connect_minio_pipeline_spark.tables import load
 
 from pyspark.sql import functions as F
@@ -111,9 +111,7 @@ def test_kn_quality_matches_pure_python_rebuild(spark, sf_dir):
     """Independent reference for the target-trained (CCNet-semantics)
     variant: train on the en slice in pure Python, score every doc with
     the <unk>-floored formula, compare per-doc outputs."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_kn_quality,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_kn_quality
 
     rows = (
         load(spark, sf_dir, "documents")
@@ -172,9 +170,7 @@ def test_kn_quality_target_slice_scores_better(spark, sf_dir):
     """The VERDICT r10 acceptance test: in-domain (en) docs must score
     a lower mean perplexity than off-domain docs under the en-trained
     LM — the whole point of the CCNet construction."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_kn_quality,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_kn_quality
 
     rows = q_text_kn_quality(spark, sf_dir).collect()
     en = [r["ppl"] for r in rows if r["lang"] == "en"]

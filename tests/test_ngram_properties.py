@@ -205,7 +205,7 @@ def _uni_viterbi(word: str, probs: dict[str, float]) -> list[str] | None:
     """Reference Viterbi segmentation over the emitted vocabulary: best
     (max product) split of `word` into pieces from `probs`, or None if
     no full cover exists."""
-    from kafka_connect_minio_pipeline_spark.operators.text import UNI_PIECE_MAX
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import UNI_PIECE_MAX
 
     n = len(word)
     best: list[tuple[float, list[str]] | None] = [None] * (n + 1)
@@ -228,9 +228,7 @@ def test_unigram_tokenizer_hand_pinned_em(spark, tmp_path):
     whole-word piece — E(ab) = 3·0.6/0.64 = 2.8125, p(ab) = 2.8125 /
     3.1875 ≈ 0.882352941. Pins the rich-get-richer EM dynamics and the
     exact arithmetic, not just parity."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        _unigram_tokenizer_build,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import _unigram_tokenizer_build
 
     docs = spark.createDataFrame(
         [(i, "ab") for i in range(3)], "doc_id long, text string"
@@ -256,7 +254,7 @@ def test_unigram_tokenizer_segmentation_round_trip(spark, tmp_path):
     coverable by the emitted vocabulary, its Viterbi pieces must
     concatenate back to the word (round-trip), and repeated words must
     segment as their whole-word piece (the EM compression payoff)."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import (
         UNI_WORD_MAX,
         _unigram_tokenizer_build,
     )
@@ -290,7 +288,7 @@ def test_unigram_segment_matches_python_viterbi(spark, tmp_path):
     relational Viterbi (pivot product + row_number argmax) must agree
     with the plain-Python DP reference on per-word piece counts and on
     per-doc rollups, using the FULL trained model."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import (
         UNI_WORD_MAX,
         _unigram_model_build,
         q_text_unigram_segment,
@@ -334,7 +332,9 @@ def test_unigram_prune_drops_redundant_family_keeps_coverage(
     of the keep set), single-char pieces are NEVER pruned, and every
     corpus word remains coverable by a positive-probability Viterbi
     path (the required-character coverage guarantee)."""
-    from kafka_connect_minio_pipeline_spark.operators import text as T
+    from kafka_connect_minio_pipeline_spark.operators import (
+        text_tokenizers as T,
+    )
 
     monkeypatch.setattr(T, "UNI_PRUNE_TARGETS", (2, 1))
     docs = spark.createDataFrame(

@@ -509,7 +509,7 @@ def test_new_topk_queries_avoid_global_sort(spark, sf_dir):
     """graph_jaccard / text_bpe_pairs return top-k via TakeOrdered
     (per-partition heaps), never a range-partitioned global sort."""
     from kafka_connect_minio_pipeline_spark.operators.graph import q_graph_jaccard
-    from kafka_connect_minio_pipeline_spark.operators.text import q_text_bpe_pairs
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import q_text_bpe_pairs
 
     for q in (q_graph_jaccard, q_text_bpe_pairs):
         df = q(spark, sf_dir)
@@ -637,9 +637,7 @@ def test_kmeans_centroids_broadcast_no_cartesian(spark, sf_dir):
 def test_collocations_topk_is_take_ordered(spark, sf_dir):
     """Top-k collocations must be TakeOrderedAndProject (per-partition
     heaps + driver merge), never a global sort."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_collocations,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_collocations
 
     plan = formatted_plan(q_text_collocations(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
@@ -993,9 +991,7 @@ def test_poisson_bootstrap_partial_aggregates_replicates(spark, sf_dir):
 def test_unigram_logprob_prunes_scan(spark, sf_dir):
     """The LM score reads only (doc_id, text) from documents — lang,
     source, n_chars must be pruned from the scan."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_unigram_logprob,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_unigram_logprob
 
     plan = formatted_plan(q_text_unigram_logprob(spark, sf_dir))
     read = plan.split("ReadSchema: ")[1].split("\n")[0]
@@ -1006,9 +1002,7 @@ def test_bpe_apply_prunes_scan_and_broadcasts_vocab(spark, sf_dir):
     """The BPE encode pass must read only (doc_id, text) — never the
     lang/source/n_chars metadata — and join the vocabulary-sized
     segmentation table by broadcast, not sort-merge."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_bpe_apply,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import q_text_bpe_apply
 
     df = q_text_bpe_apply(spark, sf_dir)
     plan = formatted_plan(df)
@@ -1026,9 +1020,7 @@ def test_bpe_fertility_lang_scan_is_metadata_only(spark, sf_dir):
     """The fertility report's lang lookup must come from a
     (doc_id, lang)-only scan — re-reading the wide text column for a
     metadata join is the classic pruning failure."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_bpe_fertility,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import q_text_bpe_fertility
 
     plan = formatted_plan(q_text_bpe_fertility(spark, sf_dir))
     schemas = [
@@ -1097,9 +1089,7 @@ def test_gopher_rules_is_pure_narrow_map(spark, sf_dir):
     (doc_id, text)) — except the engine's compute-spread repartition of
     the compressed text, which is round-robin, not a hash shuffle of
     derived keys; and no join at all."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_gopher_rules,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_gopher_rules
 
     df = q_text_gopher_rules(spark, sf_dir)
     plan = formatted_plan(df)
@@ -1161,9 +1151,7 @@ def test_c4_rules_has_no_join(spark, sf_dir):
     """C4's doc-level flags ride the exploded lines via first() — the
     plan must contain NO join of any kind (one pruned scan, one
     explode, one groupBy; the 100 TB cost is a single text read)."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_c4_rules,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_c4_rules
 
     plan = formatted_plan(q_text_c4_rules(spark, sf_dir))
     assert "Join" not in plan, plan
@@ -1272,9 +1260,7 @@ def test_kn_perplexity_single_scan_after_model_cut(spark, sf_dir):
     scoring pass) — the model side reads the checkpointed
     vocabulary-bounded type relation, never re-tokenizing the corpus
     (uncut, the tokenization re-evaluated five times)."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_kn_perplexity,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_kn_perplexity
 
     plan = formatted_plan(q_text_kn_perplexity(spark, sf_dir))
     assert plan.count("documents.parquet") <= 1, plan
@@ -1315,9 +1301,7 @@ def test_kn_quality_single_scan_after_model_cut(spark, sf_dir):
     operator — the final plan reads documents ONCE (the scoring pass);
     the target model side reads the checkpointed vocabulary-bounded
     type relation, never re-tokenizing the corpus."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_kn_quality,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_kn_quality
 
     plan = formatted_plan(q_text_kn_quality(spark, sf_dir))
     assert plan.count("documents.parquet") <= 1, plan
@@ -1495,9 +1479,7 @@ def test_classifier_serving_is_broadcast_join_no_python(spark, sf_dir):
     checkpoint) broadcast-joined against the (CLF_DIM+2)-row weight
     relation, two-level hash aggregate, zero Python boundary — the
     whole classifier is JVM-side dataflow."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_quality_classifier,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text_classifier import q_text_quality_classifier
 
     plan = formatted_plan(q_text_quality_classifier(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
@@ -1585,7 +1567,7 @@ def test_unigram_family_plans_are_jvm_side(spark, sf_dir):
     vocabulary-sized EM relations) with zero Python boundary; segment's
     Viterbi argmax is the one window, partitioned by word (never a
     global sort over the corpus)."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import (
         q_text_unigram_segment,
         q_text_unigram_tokenizer,
     )

@@ -9,9 +9,7 @@ import shutil
 
 import pytest
 
-from kafka_connect_minio_pipeline_spark.operators.text import (
-    q_text_rake_keywords,
-)
+from kafka_connect_minio_pipeline_spark.operators.text import q_text_rake_keywords
 
 SF_SRC = "/root/testdata/sf0.001"
 

@@ -234,9 +234,7 @@ def test_file_sink_exactly_once_on_rerun(spark, sf_dir):
 def test_stream_quality_equals_batch_filter(spark, sf_dir):
     """The streaming quality gate (stateless, append mode) must converge
     to exactly the batch quality_features + filter result."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        quality_features,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import quality_features
     from kafka_connect_minio_pipeline_spark.streaming.queries import (
         QUALITY_THRESHOLD,
         q_stream_quality,

@@ -103,7 +103,7 @@ def test_phash_pairs_contract(spark):
 def test_bpe_pairs_count_multiplicity(spark, tmp_path):
     """Adjacent-pair counts must respect within-word multiplicity
     ('aaa' contains 'aa' twice) and word frequency weighting."""
-    from kafka_connect_minio_pipeline_spark.operators.text import q_text_bpe_pairs
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import q_text_bpe_pairs
 
     spark.createDataFrame(
         [(1, "aaa bb"), (2, "ab ab ab x")], "doc_id long, text string"
@@ -158,7 +158,7 @@ def test_bpe_apply_roundtrip_known_tokenizations(spark, tmp_path):
     including the hand-checkable first merges (es before st on the 9-9
     tie, then est, then lo on the 7-7 tie) — and the per-doc encode
     counts must be exactly the summed segment counts."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import (
         BPE_MERGES,
         bpe_learn_segment,
         q_text_bpe_apply,
@@ -208,9 +208,7 @@ def test_bpe_apply_roundtrip_known_tokenizations(spark, tmp_path):
     assert out == expect
 
     # the emitted merge TABLE equals the reference's ordered merges
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_bpe_vocab,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import q_text_bpe_vocab
 
     vocab = {
         r.merge_rank: (r.pair, r.n_occ)
@@ -331,9 +329,7 @@ def test_gopher_rules_semantics(spark, tmp_path):
     an empty doc yields NULL ratios and keep=false (never NULL), a
     symbol-heavy doc fails the symbol-ratio rule, and a doc without two
     distinct stopwords fails the required-stopword rule."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_gopher_rules,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_gopher_rules
 
     healthy = "the quick brown fox jumps over a lazy dog and then it " + (
         "runs far away tonight " * 5
@@ -385,9 +381,7 @@ def test_c4_rules_hand_built(spark, tmp_path):
     import os
     import shutil
 
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_c4_rules,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_c4_rules
 
     d = str(tmp_path / "c4")
     shutil.copytree("/root/testdata/sf0.001", d)
@@ -431,9 +425,7 @@ def test_ccnet_buckets_partition_semantics(spark, sf_dir):
     partition the scored docs, each bucket's token mass is within one
     document of the exact third, and quality ordering holds (every head
     doc scores no worse than every tail doc)."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_ccnet_buckets,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_ccnet_buckets
 
     rows = q_text_ccnet_buckets(spark, sf_dir).collect()
     by_lang = {}
@@ -464,9 +456,7 @@ def test_line_dedup_hand_built(spark, tmp_path):
     """Line dedup on a hand-built corpus (driver fixture has no
     byte-equal lines): shared non-blank lines removed everywhere, blank
     lines immune, unique lines kept, fully-boilerplate docs emptied."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_line_dedup,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text import q_text_line_dedup
 
     banner = "subscribe to our newsletter"
     rows = [
@@ -497,7 +487,7 @@ def test_quality_classifier_holdout_separation(spark, sf_dir):
     AND a rank statistic (AUC) comfortably above chance. The classifier
     is only useful if the distilled gate generalizes off the train
     split; train-split numbers would flatter any memorizing model."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
+    from kafka_connect_minio_pipeline_spark.operators.text_classifier import (
         q_text_classifier_eval,
         q_text_quality_classifier,
     )
@@ -526,9 +516,7 @@ def test_quality_classifier_weights_nonzero_and_deterministic(
     itself and never exercise the determinism claim) — an empty
     _MODEL_CACHE forces a full real retrain for run b."""
     from kafka_connect_minio_pipeline_spark.operators import similarity
-    from kafka_connect_minio_pipeline_spark.operators.text import (
-        q_text_quality_classifier,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.text_classifier import q_text_quality_classifier
 
     a = {r["doc_id"]: r["score"] for r in q_text_quality_classifier(spark, sf_dir).collect()}
     monkeypatch.setattr(similarity, "_MODEL_CACHE", {})
@@ -544,7 +532,7 @@ def test_classifier_bigram_ab_decision(spark, sf_dir):
     the served model (docstring + BASELINE.md r12). If a corpus change
     ever flips this, the assertion flags that the serving decision
     needs re-measuring."""
-    from kafka_connect_minio_pipeline_spark.operators.text import (
+    from kafka_connect_minio_pipeline_spark.operators.text_classifier import (
         q_text_classifier_bigram_eval,
         q_text_classifier_eval,
     )
