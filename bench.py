@@ -25,6 +25,12 @@ def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _timed(mat, build, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    mat(build(spark, sf_dir))
+    return time.perf_counter() - t0
+
+
 # Frozen heavy-tail set (VERDICT r10 item 5): the expensive families —
 # iterative graph ops, dedup evals, IVFPQ, substring clean, phash
 # clustering — get the same round-over-round regression tracking the
@@ -85,7 +91,17 @@ def main() -> None:
     # (control / the 0.708 r10 healthy reference) so a reader can
     # control-normalize even a passing-but-warm artifact.
     control_query = "agg_pricing_summary"
-    control_healthy_at = 0.75
+    # r13 recalibration (measured, documented): two fresh-session
+    # idle-box series (load avg ≤0.6, nothing else running, 14 warm
+    # passes each) read min 0.751 / 0.770, median 0.88 / 0.95 — this VM
+    # vintage's idle FLOOR sits at ~0.75-0.77, so the old 0.75 gate
+    # (calibrated to r10's 0.708 reference) mislabels a provably idle
+    # machine as hot and can never pass. Gate = today's floor + the
+    # same ~6% margin the old gate carried over its reference. The
+    # artifact still reports the raw control and the ratio against the
+    # historical 0.708 reference, so a reader can control-normalize
+    # regardless of the gate verdict.
+    control_healthy_at = 0.80
     control_ref = 0.708  # r10 healthy-session control minimum
     max_attempts = 5 if control_query in queries else 1
 
@@ -107,12 +123,19 @@ def main() -> None:
         t_start = time.monotonic()
         consecutive = 0
         while consecutive < 2:
-            t0 = time.perf_counter()
-            materialize(queries[control_query].fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            consecutive = consecutive + 1 if dt <= control_healthy_at else 0
+            # min-of-3 probe: the health gate compares MINIMA over many
+            # passes, and a single control sample sits well above the
+            # floor even on an idle box (r13 measurement: singles
+            # 0.77-1.44 around a min-of-14 of 0.75) — a single-sample
+            # probe would spin the whole budget on a healthy machine
+            probe = min(
+                _timed(materialize, queries[control_query].fn, spark, sf_dir)
+                for _ in range(3)
+            )
+            consecutive = consecutive + 1 if probe <= control_healthy_at else 0
             print(
-                f"# cooldown control: {dt:.3f}s ({consecutive}/2 healthy)",
+                f"# cooldown control (min of 3): {probe:.3f}s"
+                f" ({consecutive}/2 healthy)",
                 file=sys.stderr,
             )
             if consecutive >= 2:
@@ -146,7 +169,13 @@ def main() -> None:
             f"# attempt{attempt} control {control_query}: {control:.3f}s",
             file=sys.stderr,
         )
-        if control <= control_healthy_at:
+        # health decides whether to KEEP RETRYING, not how many samples
+        # the estimator gets: min-of-N is the steady-state estimator
+        # under one-sided noise, so always accumulate at least three
+        # attempts (12 samples) before an early healthy exit — r13
+        # found a healthy attempt-1 exit shipping 4-sample minima that
+        # read ~5% above the same session's 20-sample minima
+        if attempts >= 3 and control <= control_healthy_at:
             break
 
     # Heavy-tail set: one warm pass then health-gated timed attempts
@@ -182,7 +211,7 @@ def main() -> None:
         print(
             f"# heavy attempt{attempt} control: {hc:.3f}s", file=sys.stderr
         )
-        if heavy_control <= control_healthy_at:
+        if heavy_attempts >= 2 and heavy_control <= control_healthy_at:
             break
 
     control = timings.get(control_query, -1.0)
