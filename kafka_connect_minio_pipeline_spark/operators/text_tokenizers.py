@@ -798,25 +798,11 @@ def q_text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prune_stats
 
 
-def q_text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPLY the trained unigram LM (the ``text_bpe_apply`` sibling):
-    Viterbi-segment every (truncated) corpus word under the final piece
-    probabilities and roll up per document — word count, piece count,
-    fertility (pieces/word, THE tokenizer-quality number), and mean
-    piece length.
-
-    Viterbi over the same composition lattice the trainer uses: one
-    more segmentation-probability pass under the FINAL model (the
-    pivot/fixed-order-product machinery), then argmax per word =
-    row_number over (sp DESC, seg ASC) — sp values are bit-identical
-    doubles on both engines and the seg-string tiebreak is total, so
-    the chosen segmentation is deterministic and cross-engine exact.
-    Per-doc sums are pure integers; the two ratios are single IEEE
-    divisions rounded at the end. Scale: the corpus contributes the
-    (doc_id, word) rollup; the Viterbi side is vocabulary-bounded, and
-    the rollup join keys on the word relation — corpus-sized relations
-    never meet each other (the KN-LM shape). Docs with zero tokens
-    have no words and drop from the output on both engines."""
+def _uni_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w, k, np): every (doc, truncated-word) pair with its
+    occurrence count and the Viterbi piece count under the final pruned
+    model — the apply-side relation ``text_unigram_segment`` rolls up
+    per doc and ``text_tokenizer_ab`` rolls up corpus-wide."""
     p, *_ = unigram_model(spark, sf_dir)
     comps = F.broadcast(
         spark.createDataFrame(
@@ -850,8 +836,30 @@ def q_text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("seg"), ",")).cast("long").alias("np"),
         )
     )
+    return docw.join(best, "w")
+
+
+def q_text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained unigram LM (the ``text_bpe_apply`` sibling):
+    Viterbi-segment every (truncated) corpus word under the final piece
+    probabilities and roll up per document — word count, piece count,
+    fertility (pieces/word, THE tokenizer-quality number), and mean
+    piece length.
+
+    Viterbi over the same composition lattice the trainer uses: one
+    more segmentation-probability pass under the FINAL model (the
+    pivot/fixed-order-product machinery), then argmax per word =
+    row_number over (sp DESC, seg ASC) — sp values are bit-identical
+    doubles on both engines and the seg-string tiebreak is total, so
+    the chosen segmentation is deterministic and cross-engine exact.
+    Per-doc sums are pure integers; the two ratios are single IEEE
+    divisions rounded at the end. Scale: the corpus contributes the
+    (doc_id, word) rollup; the Viterbi side is vocabulary-bounded, and
+    the rollup join keys on the word relation — corpus-sized relations
+    never meet each other (the KN-LM shape). Docs with zero tokens
+    have no words and drop from the output on both engines."""
     return (
-        docw.join(best, "w")
+        _uni_word_pieces(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_words"),
@@ -871,6 +879,84 @@ def q_text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nch").cast("double") / F.col("n_pieces").cast("double"),
                 6,
             ).alias("mean_piece_len"),
+        )
+    )
+
+
+def q_text_tokenizer_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-family A/B evidence card: the corpus-trained BPE
+    encoder vs the pruned unigram-LM, side by side — one row per
+    family with the numbers a vocab-shipping decision reads (the
+    ``text_classifier_bigram_eval`` decision-by-measurement pattern):
+    covered word occurrences, emitted pieces, fertility (pieces/word,
+    lower = cheaper sequence length), and chars/piece (higher = denser
+    pieces).
+
+    The two families deliberately keep their OWN word domains — BPE
+    encodes alphanumeric whitespace words (its merge alphabet), the
+    unigram model every whitespace token truncated to UNI_WORD_MAX —
+    so the card exposes ``n_corpus_tokens`` beside each family's
+    ``n_words``: coverage and fertility are BOTH part of the trade,
+    and hiding the domain difference would bias the comparison. Cost:
+    the unigram side rides the session-cached model; the BPE side is
+    the same learn+segment pass ``text_bpe_fertility`` runs. Both
+    rollups are corpus-token-bounded sums — nothing new at 100 TB."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    n_tok = docs.select(
+        F.coalesce(F.sum(F.size(tokens(F.col("text")))), F.lit(0))
+        .cast("bigint")
+        .alias("n_corpus_tokens")
+    )
+    dw, words = _corpus_words(spark, sf_dir)
+    vocab = bpe_learn_segment(words).select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><")
+        ).alias("n_syms"),
+    )
+    bpe = dw.join(vocab, "word").agg(
+        F.lit("bpe").alias("tokenizer"),
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        F.sum("n_syms").cast("bigint").alias("n_pieces"),
+    )
+    uni = _uni_word_pieces(spark, sf_dir).agg(
+        F.lit("unigram").alias("tokenizer"),
+        F.sum("k").cast("bigint").alias("n_words"),
+        F.sum(F.col("k") * F.length("w").cast("long"))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.sum(F.col("k") * F.col("np")).cast("bigint").alias("n_pieces"),
+    )
+    return (
+        bpe.unionByName(uni)
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "tokenizer",
+            "n_corpus_tokens",
+            "n_words",
+            "n_pieces",
+            F.round(
+                F.col("n_pieces").cast("double")
+                / F.when(F.col("n_words") > 0, F.col("n_words")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.when(F.col("n_pieces") > 0, F.col("n_pieces")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("chars_per_piece"),
+            F.round(
+                F.col("n_words").cast("double")
+                / F.when(
+                    F.col("n_corpus_tokens") > 0, F.col("n_corpus_tokens")
+                ).cast("double"),
+                6,
+            ).alias("coverage"),
         )
     )
 
@@ -1034,6 +1120,90 @@ def _unigram_prune_sql() -> str:
 """
 
 
+_SQL_NTOK = (
+    "(SELECT CAST(COALESCE(SUM(len({toks})), 0) AS BIGINT)"
+    " FROM documents)".format(toks=SQL_TOKENS.format(col="text"))
+)
+
+
+def _tokenizer_ab_sql() -> str:
+    """A/B card oracle: each family's full chain runs in its own
+    parenthesized WITH-subquery (the two chains share CTE names like
+    ``words``, so they cannot live in one WITH), glued by UNION ALL."""
+    chain, prev = _bpe_cte_chain()
+    last = _uni_last_round()
+    prod = " * ".join(
+        f"COALESCE(MAX(CASE WHEN part_idx = {k} THEN p END), 1.0)"
+        for k in range(1, UNI_WORD_MAX + 1)
+    )
+    return f"""
+    SELECT * FROM (
+        WITH {chain}
+        SELECT 'bpe' AS tokenizer,
+               {_SQL_NTOK} AS n_corpus_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(string_split(substr(v.seq, 2,
+                                                length(v.seq) - 2),
+                                         '><'))) AS BIGINT) AS n_pieces,
+               ROUND(CAST(SUM(len(string_split(substr(v.seq, 2,
+                                                      length(v.seq) - 2),
+                                               '><'))) AS DOUBLE)
+                     / CAST(CASE WHEN COUNT(*) > 0 THEN COUNT(*) END
+                            AS DOUBLE), 6) AS fertility,
+               ROUND(CAST(SUM(LENGTH(d.word)) AS DOUBLE)
+                     / CAST(CASE WHEN SUM(len(string_split(
+                               substr(v.seq, 2, length(v.seq) - 2),
+                               '><'))) > 0
+                            THEN SUM(len(string_split(
+                               substr(v.seq, 2, length(v.seq) - 2),
+                               '><'))) END AS DOUBLE), 6)
+                   AS chars_per_piece,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / CAST(CASE WHEN {_SQL_NTOK} > 0
+                            THEN {_SQL_NTOK} END AS DOUBLE), 6)
+                   AS coverage
+        FROM dw d JOIN {prev} v USING (word))
+    UNION ALL
+    SELECT * FROM (
+        WITH {_unigram_cte()},
+        termsF AS MATERIALIZED (
+            SELECT s.w, s.seg, s.part_idx, p.p
+            FROM segp s JOIN p{last} p USING (piece)),
+        spF AS MATERIALIZED (
+            SELECT w, seg, {prod} AS sp
+            FROM termsF GROUP BY w, seg),
+        best AS MATERIALIZED (
+            SELECT w, CAST(LEN(string_split(seg, ',')) AS BIGINT) AS np
+            FROM (SELECT w, seg,
+                         ROW_NUMBER() OVER (PARTITION BY w
+                                            ORDER BY sp DESC, seg) AS rn
+                  FROM spF)
+            WHERE rn = 1),
+        docw AS (
+            SELECT doc_id, substr(t, 1, {UNI_WORD_MAX}) AS w,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM (SELECT doc_id,
+                         unnest({SQL_TOKENS.format(col='text')}) AS t
+                  FROM documents)
+            GROUP BY 1, 2)
+        SELECT 'unigram' AS tokenizer,
+               {_SQL_NTOK} AS n_corpus_tokens,
+               CAST(SUM(k) AS BIGINT) AS n_words,
+               CAST(SUM(k * np) AS BIGINT) AS n_pieces,
+               ROUND(CAST(SUM(k * np) AS DOUBLE)
+                     / CAST(CASE WHEN SUM(k) > 0 THEN SUM(k) END
+                            AS DOUBLE), 6) AS fertility,
+               ROUND(CAST(SUM(k * LEN(w)) AS DOUBLE)
+                     / CAST(CASE WHEN SUM(k * np) > 0 THEN SUM(k * np) END
+                            AS DOUBLE), 6) AS chars_per_piece,
+               ROUND(CAST(SUM(k) AS DOUBLE)
+                     / CAST(CASE WHEN {_SQL_NTOK} > 0
+                            THEN {_SQL_NTOK} END AS DOUBLE), 6)
+                   AS coverage
+        FROM docw JOIN best USING (w))
+"""
+
+
 def _unigram_segment_sql() -> str:
     """Segment-application oracle: the trainer CTE chain, one more
     segmentation-probability pass under the FINAL (pruned) model,
@@ -1086,4 +1256,5 @@ QUERIES = {
     "text_unigram_segment": Query(
         q_text_unigram_segment, _unigram_segment_sql()
     ),
+    "text_tokenizer_ab": Query(q_text_tokenizer_ab, _tokenizer_ab_sql()),
 }

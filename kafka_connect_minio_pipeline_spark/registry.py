@@ -72,23 +72,25 @@ _QUERY_MODULES = (
 # OLDEST standing driver rows (latest-grade round per query, derived
 # from the recorded CORRECTNESS files) so no row's vintage falls ever
 # further behind. ROUND 13:
-#   1-3:   r13 NEW: text_unigram_prune (Kudo prune-trajectory
+#   1-4:   r13 NEW: text_unigram_prune (Kudo prune-trajectory
 #          diagnostics — VERDICT r12 item 3) / stream_decontaminate
 #          (ingest-time n-gram decon gate, shares the batch oracle —
 #          item 5) / corpus_snapshot_diff (crawl N−1 vs N churn report
-#          — item 6).
-#   4-6:   r13 CHANGED: text_unigram_tokenizer + text_unigram_segment
+#          — item 6) / text_tokenizer_ab (BPE vs unigram fertility/
+#          coverage A/B evidence card, the classifier-bigram
+#          decision-by-measurement pattern).
+#   5-7:   r13 CHANGED: text_unigram_tokenizer + text_unigram_segment
 #          (the trained model now runs the full prune/re-EM schedule) /
 #          dedup_cascade_eval (its exact + SimHash layers moved onto
 #          the session-cached verified relations — item 2; oracle
 #          recomputes per statement, proving the cache neutral).
-#   7-9:   the LAST 3 round-6-vintage rows (ts_uptime_report /
+#   8-10:  the LAST 3 round-6-vintage rows (ts_uptime_report /
 #          ts_zscore / udf_grouped_znorm_builtin) — the r6 vintage
 #          CLEARS (VERDICT r12 item 1).
-#   10-50: 41 of the 43 round-7-vintage rows (alphabetical) — the r7
-#          vintage drops to 2 (udaf_weighted_value / udtf_sentences,
-#          displaced by the six rows above; target was ≤10), both
-#          still under the every-run local parity net.
+#   11-50: 40 of the 43 round-7-vintage rows (alphabetical) — the r7
+#          vintage drops to 3 (ts_sessionize / udaf_weighted_value /
+#          udtf_sentences, displaced by the seven rows above; target
+#          was ≤10), all still under the every-run local parity net.
 #   NOTE: the text.py hygiene split (item 7) moved the tokenizer and
 #   classifier families into operators/text_tokenizers.py /
 #   operators/text_classifier.py UNCHANGED — pure move, no re-grade
@@ -193,6 +195,7 @@ _GRADE_FIRST = (
     "text_unigram_prune",
     "stream_decontaminate",
     "corpus_snapshot_diff",
+    "text_tokenizer_ab",
     "text_unigram_tokenizer",
     "text_unigram_segment",
     "dedup_cascade_eval",
@@ -239,7 +242,6 @@ _GRADE_FIRST = (
     "ts_funnel",
     "ts_gapfill",
     "ts_scd2",
-    "ts_sessionize",
 )
 
 

@@ -367,3 +367,27 @@ def test_unigram_prune_drops_redundant_family_keeps_coverage(
     assert all(0 < r["mass_kept"] <= 1.0 for r in rows.values())
     # prune is monotone: round-2 mass concentrates on the survivor
     assert rows[2]["mass_kept"] >= 0.5
+
+
+def test_tokenizer_ab_card_consistent_with_family_queries(spark, sf_dir):
+    """The A/B card's corpus-level numbers must reconcile exactly with
+    the per-doc / per-lang rollups the two family queries publish:
+    unigram row = sum over text_unigram_segment docs, BPE row = sum
+    over text_bpe_fertility langs — same joins, different grain."""
+    from kafka_connect_minio_pipeline_spark.operators.text_tokenizers import (
+        q_text_bpe_fertility,
+        q_text_tokenizer_ab,
+        q_text_unigram_segment,
+    )
+
+    card = {r["tokenizer"]: r for r in q_text_tokenizer_ab(spark, sf_dir).collect()}
+    seg = q_text_unigram_segment(spark, sf_dir).collect()
+    assert card["unigram"]["n_words"] == sum(r["n_words"] for r in seg)
+    assert card["unigram"]["n_pieces"] == sum(r["n_pieces"] for r in seg)
+    bpe = q_text_bpe_fertility(spark, sf_dir).collect()
+    assert card["bpe"]["n_words"] == sum(r["total_words"] for r in bpe)
+    assert card["bpe"]["n_pieces"] == sum(r["total_bpe"] for r in bpe)
+    for fam in ("bpe", "unigram"):
+        r = card[fam]
+        assert r["fertility"] == round(r["n_pieces"] / r["n_words"], 6)
+        assert 0 < r["coverage"] <= 1.0
