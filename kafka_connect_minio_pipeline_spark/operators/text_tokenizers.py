@@ -15,7 +15,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dec12 as _dec12
+from ..functions.exact import dec9, dec12 as _dec12
 from ..registry import Query
 from ..tables import load, load_meta, spread
 from .dedup import SQL_TOKENS, tokens
@@ -589,17 +589,22 @@ def _unigram_model_build(
         )
         .localCheckpoint(eager=True)
     )
-    def em_round(p_in: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """One full EM round under ``p_in``: returns (e, p) — expected
-        counts and the renormalized next-round probabilities."""
+    def em_round(
+        p_in: DataFrame,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """One full EM round under ``p_in``: returns (e, p, pw) —
+        expected counts, the renormalized next-round probabilities, and
+        the per-word total likelihood relation (w, cw, pw) under
+        ``p_in`` (the prune trajectory reads its corpus log-likelihood
+        off this)."""
         sp = _uni_seg_probs(segp, p_in, ["w", "cw", "seg"])
-        pw = sp.groupBy("w").agg(
+        pw = sp.groupBy("w", "cw").agg(
             F.sum(_dec12(F.col("sp"))).cast("double").alias("pw")
         )
         contrib = (
             segp.select("w", "seg", "piece")
             .join(sp.select("w", "seg", "cw", "sp"), ["w", "seg"])
-            .join(pw, "w")
+            .join(pw.select("w", "pw"), "w")
             .filter(F.col("pw") > 0)
             .select(
                 "piece",
@@ -625,18 +630,19 @@ def _unigram_model_build(
             )
             .localCheckpoint(eager=True)
         )
-        return e_out, p_out
+        return e_out, p_out, pw
 
     e = None
     for _ in range(UNI_EM_ROUNDS):
-        e, p = em_round(p)
+        e, p, _pw = em_round(p)
 
     # keep defaults to the whole seed domain (prune=False path and the
     # pre-prune model); stats defaults to the empty trajectory
     keep = e.select("piece").localCheckpoint(eager=True)
     stats_schema = (
         "prune_round int, keep_budget int, n_kept_multi bigint,"
-        " n_single bigint, n_pieces bigint, mass_kept double"
+        " n_single bigint, n_pieces bigint, mass_kept double,"
+        " ll_kept double"
     )
     stats_rounds: list[DataFrame] = []
     if prune:
@@ -661,29 +667,27 @@ def _unigram_model_build(
             marked = e.join(
                 keep.withColumn("kept", F.lit(1)), "piece", "left"
             )
-            stats_rounds.append(
-                marked.agg(
-                    F.lit(ti).cast("int").alias("prune_round"),
-                    F.lit(keep_k).cast("int").alias("keep_budget"),
-                    F.count(
-                        F.when(
-                            (F.length("piece") > 1)
-                            & F.col("kept").isNotNull(),
-                            1,
-                        )
-                    ).alias("n_kept_multi"),
-                    F.count(
-                        F.when(F.length("piece") == 1, 1)
-                    ).alias("n_single"),
-                    F.count("*").alias("n_pieces"),
-                    F.round(
-                        F.sum(
-                            F.when(F.col("kept").isNotNull(), F.col("ed"))
-                        ).cast("double")
-                        / F.sum("ed").cast("double"),
-                        6,
-                    ).alias("mass_kept"),
-                )
+            counts_row = marked.agg(
+                F.lit(ti).cast("int").alias("prune_round"),
+                F.lit(keep_k).cast("int").alias("keep_budget"),
+                F.count(
+                    F.when(
+                        (F.length("piece") > 1)
+                        & F.col("kept").isNotNull(),
+                        1,
+                    )
+                ).alias("n_kept_multi"),
+                F.count(
+                    F.when(F.length("piece") == 1, 1)
+                ).alias("n_single"),
+                F.count("*").alias("n_pieces"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("kept").isNotNull(), F.col("ed"))
+                    ).cast("double")
+                    / F.sum("ed").cast("double"),
+                    6,
+                ).alias("mass_kept"),
             )
             kept_tot = marked.filter(F.col("kept").isNotNull()).agg(
                 F.sum("ed").alias("ktot")
@@ -705,7 +709,29 @@ def _unigram_model_build(
                 )
                 .localCheckpoint(eager=True)
             )
-            e, p = em_round(p)
+            e, p, pw = em_round(p)
+            # corpus log-likelihood under the PRUNED model — the number
+            # Kudo's prune criterion trades against (a cheap prune
+            # keeps ll_kept near the unpruned trajectory). pw is the
+            # per-word total likelihood the re-EM round just computed;
+            # ln is the one transcendental, so terms ride the dec9
+            # idiom; the pw > 0 guard mirrors the E-step's (dead words
+            # contribute no likelihood on either engine).
+            ll_row = (
+                pw.filter(F.col("pw") > 0)
+                .agg(
+                    F.round(
+                        F.sum(
+                            dec9(
+                                F.col("cw").cast("double")
+                                * F.log(F.col("pw"))
+                            )
+                        ).cast("double"),
+                        6,
+                    ).alias("ll_kept")
+                )
+            )
+            stats_rounds.append(counts_row.crossJoin(F.broadcast(ll_row)))
     if stats_rounds:
         prune_stats = reduce(DataFrame.unionByName, stats_rounds)
     else:
@@ -994,8 +1020,8 @@ def _unigram_cte() -> str:
         SELECT w, cw, seg, {prod} AS sp
         FROM terms{r} GROUP BY w, cw, seg),
     pw{r} AS MATERIALIZED (
-        SELECT w, CAST(SUM(CAST(sp AS DECIMAL(28,12))) AS DOUBLE) AS pw
-        FROM sp{r} GROUP BY w),
+        SELECT w, cw, CAST(SUM(CAST(sp AS DECIMAL(28,12))) AS DOUBLE) AS pw
+        FROM sp{r} GROUP BY w, cw),
     e{r} AS MATERIALIZED (
         SELECT t.piece,
                SUM(CAST(CAST(s.cw AS DOUBLE) * s.sp / pw.pw
@@ -1102,6 +1128,7 @@ def _unigram_prune_sql() -> str:
     stats = []
     for t, keep_k in enumerate(UNI_PRUNE_TARGETS, start=1):
         e_prev = f"e{UNI_EM_ROUNDS + t - 1}"
+        r = UNI_EM_ROUNDS + t
         stats.append(f"""
     SELECT CAST({t} AS INTEGER) AS prune_round,
            CAST({keep_k} AS INTEGER) AS keep_budget,
@@ -1113,7 +1140,10 @@ def _unigram_prune_sql() -> str:
            ROUND(CAST((SELECT SUM(e2.ed) FROM {e_prev} e2
                        JOIN keep{t} k2 ON e2.piece = k2.piece) AS DOUBLE)
                  / CAST((SELECT SUM(ed) FROM {e_prev}) AS DOUBLE), 6)
-               AS mass_kept""")
+               AS mass_kept,
+           ROUND(CAST((SELECT SUM(CAST(ROUND(CAST(cw AS DOUBLE) * LN(pw), 9)
+                                       AS DECIMAL(28,9)))
+                       FROM pw{r} WHERE pw > 0) AS DOUBLE), 6) AS ll_kept""")
     return f"""
     WITH {_unigram_cte()}
     {" UNION ALL ".join(stats)}

@@ -367,6 +367,10 @@ def test_unigram_prune_drops_redundant_family_keeps_coverage(
     assert all(0 < r["mass_kept"] <= 1.0 for r in rows.values())
     # prune is monotone: round-2 mass concentrates on the survivor
     assert rows[2]["mass_kept"] >= 0.5
+    # corpus log-likelihood under each pruned model is finite and
+    # negative (probabilities < 1); the dominant word keeps likelihood
+    # concentrated, so the final prune costs little
+    assert all(r["ll_kept"] < 0 for r in rows.values())
 
 
 def test_tokenizer_ab_card_consistent_with_family_queries(spark, sf_dir):
