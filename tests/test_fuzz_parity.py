@@ -94,6 +94,17 @@ TARGETS = (
     # both engines window NULL partitions together) and the cluster-safe
     # split (fuzz corpora produce different pair graphs every seed)
     "corpus_url_canonical", "corpus_split_cluster_safe",
+    # r13: the prune trajectory (fuzz corpora with < budget multi-char
+    # candidates exercise the keep-everything arm; whitespace soup →
+    # empty candidate domains → NULL mass/ll rows on both engines), the
+    # streaming decon gate (converged count state must equal the batch
+    # oracle on ANY corpus), the snapshot churn report (fuzz null langs
+    # / sources group as their own bucket through the full-outer join),
+    # and the tokenizer A/B card (fuzz punctuation words live in the
+    # unigram domain but not BPE's — the coverage split the card is
+    # FOR)
+    "text_unigram_prune", "stream_decontaminate", "corpus_snapshot_diff",
+    "text_tokenizer_ab",
 )
 
 
