@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.functions.udafs",
     "kafka_connect_minio_pipeline_spark.operators.joins",
     "kafka_connect_minio_pipeline_spark.operators.aggregates",
+    "kafka_connect_minio_pipeline_spark.operators.aggregates_stats",
     "kafka_connect_minio_pipeline_spark.operators.windows",
     "kafka_connect_minio_pipeline_spark.operators.setops",
     "kafka_connect_minio_pipeline_spark.functions.scalar",
@@ -58,8 +59,10 @@ _QUERY_MODULES = (
     "kafka_connect_minio_pipeline_spark.operators.text_classifier",
     "kafka_connect_minio_pipeline_spark.operators.multimodal",
     "kafka_connect_minio_pipeline_spark.operators.similarity",
+    "kafka_connect_minio_pipeline_spark.operators.similarity_pq",
     "kafka_connect_minio_pipeline_spark.operators.dedup",
     "kafka_connect_minio_pipeline_spark.operators.timeseries",
+    "kafka_connect_minio_pipeline_spark.operators.timeseries_analytics",
     "kafka_connect_minio_pipeline_spark.operators.layout",
     "kafka_connect_minio_pipeline_spark.operators.llmdata",
     "kafka_connect_minio_pipeline_spark.pipeline.queries",

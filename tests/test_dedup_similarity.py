@@ -9,7 +9,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kafka_connect_minio_pipeline_spark.operators import dedup, similarity
+from kafka_connect_minio_pipeline_spark.operators import (
+    dedup,
+    similarity,
+    similarity_pq,
+)
 from kafka_connect_minio_pipeline_spark.operators.multimodal import (
     binary_table,
     decode_image,
@@ -70,9 +74,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"ANN recall@3 {recall:.2f}"
     # the scale property: ANN scored a small fraction of the corpus
     n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    from kafka_connect_minio_pipeline_spark.operators.similarity import (
-        lsh_signatures,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.similarity import lsh_signatures
     from kafka_connect_minio_pipeline_spark.tables import load
 
     sigs = lsh_signatures(load(spark, sf_dir, "embeddings"))
@@ -116,7 +118,7 @@ def test_ann_adc_recall_vs_bruteforce(spark, sf_dir):
     and the compression contract holds: the code table is exactly M
     codes per vector drawn from the ≤ M·K-row codebook."""
     exact = similarity.q_similarity_topk_batch(spark, sf_dir)
-    adc = similarity.q_similarity_ann_adc(spark, sf_dir)
+    adc = similarity_pq.q_similarity_ann_adc(spark, sf_dir)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in adc.collect()}
     recall = len(a & e) / len(e)
@@ -124,14 +126,14 @@ def test_ann_adc_recall_vs_bruteforce(spark, sf_dir):
     plain = similarity.load(spark, sf_dir, "embeddings").select(
         "vec_id", similarity.to_double(F.col("embedding")).alias("v")
     )
-    books = similarity.pq_codebooks(plain)
-    assert books.count() <= similarity.PQ_M * similarity.PQ_K
+    books = similarity_pq.pq_codebooks(plain)
+    assert books.count() <= similarity_pq.PQ_M * similarity_pq.PQ_K
     assert books.filter(
-        F.size("c") != similarity.PQ_SUBDIM
+        F.size("c") != similarity_pq.PQ_SUBDIM
     ).count() == 0, "codebook entry has wrong sub-dimension"
-    codes = similarity.pq_encode(similarity._ivf_relation(spark, sf_dir), books)
+    codes = similarity_pq.pq_encode(similarity._ivf_relation(spark, sf_dir), books)
     n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    assert codes.count() == n_corpus * similarity.PQ_M
+    assert codes.count() == n_corpus * similarity_pq.PQ_M
     # every (sub, code) the encoder emits exists in the codebook
     orphan = codes.join(
         books.select("sub", "code"), ["sub", "code"], "left_anti"
@@ -145,25 +147,25 @@ def test_ann_ivfpq_recall_and_index_contract(spark, sf_dir):
     recall column is consistent with its counts, and the index relation
     carries exactly M codes per vector with ONE cell per vector."""
     exact = similarity.q_similarity_topk_batch(spark, sf_dir)
-    ann = similarity.q_similarity_ann_ivfpq(spark, sf_dir)
+    ann = similarity_pq.q_similarity_ann_ivfpq(spark, sf_dir)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.3, f"IVF-PQ recall@3 {recall:.2f}"
-    ev = similarity.q_similarity_ann_ivfpq_eval(spark, sf_dir).collect()
+    ev = similarity_pq.q_similarity_ann_ivfpq_eval(spark, sf_dir).collect()
     assert sum(r["n_hit"] for r in ev) == len(a & e)
     for r in ev:
         assert abs(r["recall"] - r["n_hit"] / r["n_truth"]) < 1e-6
     plain = similarity.load(spark, sf_dir, "embeddings").select(
         "vec_id", similarity.to_double(F.col("embedding")).alias("v")
     )
-    idx = similarity.ivfpq_index(
+    idx = similarity_pq.ivfpq_index(
         similarity._ivf_relation(spark, sf_dir),
         similarity.ivf_centroids(spark, sf_dir, plain),
-        similarity.pq_books(spark, sf_dir, plain),
+        similarity_pq.pq_books(spark, sf_dir, plain),
     )
     n_corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    assert idx.count() == n_corpus * similarity.PQ_M
+    assert idx.count() == n_corpus * similarity_pq.PQ_M
     assert (
         idx.groupBy("vec_id").agg(F.countDistinct("cell").alias("nc"))
         .filter(F.col("nc") != 1).count() == 0
@@ -175,9 +177,9 @@ def test_ann_adc_deterministic(spark, sf_dir):
     # the codebooks from scratch — this is the end-to-end trainer
     # determinism check, not just the search side
     similarity._MODEL_CACHE.clear()
-    a = {tuple(r) for r in similarity.q_similarity_ann_adc(spark, sf_dir).collect()}
+    a = {tuple(r) for r in similarity_pq.q_similarity_ann_adc(spark, sf_dir).collect()}
     similarity._MODEL_CACHE.clear()
-    b = {tuple(r) for r in similarity.q_similarity_ann_adc(spark, sf_dir).collect()}
+    b = {tuple(r) for r in similarity_pq.q_similarity_ann_adc(spark, sf_dir).collect()}
     assert a == b
 
 
@@ -192,9 +194,9 @@ def test_pq_distortion_shrinks_with_finer_codebooks(spark, sf_dir, monkeypatch):
             r["avg_distortion"] * r["n_vectors"] for r in df.collect()
         )
 
-    fine = total(similarity.q_embedding_pq(spark, sf_dir))
-    monkeypatch.setattr(similarity, "PQ_K", 1)
-    coarse = total(similarity.q_embedding_pq(spark, sf_dir))
+    fine = total(similarity_pq.q_embedding_pq(spark, sf_dir))
+    monkeypatch.setattr(similarity_pq, "PQ_K", 1)
+    coarse = total(similarity_pq.q_embedding_pq(spark, sf_dir))
     assert fine < coarse, f"K=16 distortion {fine} not below K=1 {coarse}"
 
 
@@ -297,9 +299,7 @@ def test_class_centroids_match_numpy(spark, sf_dir):
     decimal(…,6) quantization the operator applies per element."""
     import numpy as np
 
-    from kafka_connect_minio_pipeline_spark.operators.similarity import (
-        class_centroids,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.similarity import class_centroids
     from kafka_connect_minio_pipeline_spark.tables import load
 
     em = load(spark, sf_dir, "embeddings")
@@ -568,9 +568,7 @@ def test_median_twopass_property(spark):
     """The histogram-walk selection must equal the plain sorted lower
     median on adversarial inputs: negatives, duplicates, exact
     bucket-boundary values, single element, all-equal."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        exact_median_twopass,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import exact_median_twopass
 
     import random
 
@@ -734,7 +732,7 @@ def test_ann_ivfpq_residual_recall_and_distortion(spark, sf_dir):
     residuals is strictly below raw codebooks over raw vectors
     (measured ~10% lower at sf0.001/0.01/0.1)."""
     exact = similarity.q_similarity_topk_batch(spark, sf_dir)
-    ann = similarity.q_similarity_ann_ivfpq_residual(spark, sf_dir)
+    ann = similarity_pq.q_similarity_ann_ivfpq_residual(spark, sf_dir)
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in ann.collect()}
     assert len(a & e) / len(e) >= 0.3
@@ -747,12 +745,12 @@ def test_ann_ivfpq_residual_recall_and_distortion(spark, sf_dir):
     def total_distortion(rel, books):
         subs = rel.select(
             "vec_id",
-            F.posexplode(similarity._sub_slices("v")).alias("sub", "sv"),
+            F.posexplode(similarity_pq._sub_slices("v")).alias("sub", "sv"),
         )
         best = (
             subs.withColumn("dsv", similarity.dot(F.col("sv"), F.col("sv")))
-            .join(F.broadcast(similarity._with_dcc(books)), "sub")
-            .withColumn("score", similarity._code_score())
+            .join(F.broadcast(similarity_pq._with_dcc(books)), "sub")
+            .withColumn("score", similarity_pq._code_score())
             .groupBy("vec_id", "sub")
             .agg(
                 F.min(F.struct("score", "code")).alias("b"),
@@ -763,10 +761,10 @@ def test_ann_ivfpq_residual_recall_and_distortion(spark, sf_dir):
             (F.col("dsv") + F.col("b.score")).alias("d")
         ).agg(F.sum("d")).collect()[0][0]
 
-    raw = total_distortion(plain, similarity.pq_books(spark, sf_dir, plain))
+    raw = total_distortion(plain, similarity_pq.pq_books(spark, sf_dir, plain))
     res = total_distortion(
-        similarity.residuals(plain, cents).select("vec_id", "v"),
-        similarity.pq_residual_books(spark, sf_dir, plain, cents),
+        similarity_pq.residuals(plain, cents).select("vec_id", "v"),
+        similarity_pq.pq_residual_books(spark, sf_dir, plain, cents),
     )
     assert res < raw, f"residual coding did not reduce distortion: {res} >= {raw}"
 

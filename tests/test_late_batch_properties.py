@@ -7,19 +7,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-    q_agg_skyline,
-)
+from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_skyline
 from kafka_connect_minio_pipeline_spark.operators.graph import (
     connected_components,
 )
 from kafka_connect_minio_pipeline_spark.operators.joins import (
     q_join_copurchase_lift,
 )
-from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-    q_ts_attribution,
-    q_ts_theil_sen,
-)
+from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import (
+        q_ts_attribution,
+        q_ts_theil_sen,
+    )
 from kafka_connect_minio_pipeline_spark.tables import load
 
 SF = "/root/testdata/sf0.001"

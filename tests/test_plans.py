@@ -11,9 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kafka_connect_minio_pipeline_spark.operators import joins, windows as w_ops
-from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-    q_agg_pricing_summary,
-)
+from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_pricing_summary
 from kafka_connect_minio_pipeline_spark.pipeline.profile import (
     profile_transform,
     users_from_customer,
@@ -438,9 +436,7 @@ def test_phash_band_join_is_equi_not_cartesian(spark, sf_dir):
 def test_embedding_quantize_is_narrow(spark, sf_dir):
     """Quantization is per-row array algebra: nothing but the
     compute-spread repartition may exchange."""
-    from kafka_connect_minio_pipeline_spark.operators.similarity import (
-        q_embedding_quantize,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.similarity import q_embedding_quantize
 
     plan = formatted_plan(q_embedding_quantize(spark, sf_dir))
     # formatted output lists each node twice (tree + details); count the
@@ -463,9 +459,7 @@ def test_overlap_join_is_bucketized_equi_join(spark, sf_dir):
     """The interval-overlap join must go through the hour-bucket
     equi-join — a BroadcastNestedLoopJoin would be the quadratic naive
     plan the bucketization exists to avoid."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_overlap_join,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_overlap_join
 
     plan = formatted_plan(q_ts_overlap_join(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
@@ -574,9 +568,7 @@ def test_median_twopass_pushes_bucket_range_to_scan(spark, sf_dir):
     bucket: its min/max bounds must reach the parquet scan as pushed
     range filters, and the plan must contain no global Sort (the in-
     bucket selection is TakeOrdered)."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_median_twopass,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_median_twopass
 
     df = q_agg_median_twopass(spark, sf_dir)
     pf = pushed_filters(df)
@@ -592,9 +584,7 @@ def test_cross_corr_lags_are_broadcast(spark, sf_dir):
     never a shuffle of the grid, and the only hash exchanges are the
     hourly pre-aggregation + grid/bounds plumbing — nothing data-sized
     after the first collapse."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_cross_corr,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_cross_corr
 
     plan = formatted_plan(q_ts_cross_corr(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan
@@ -624,9 +614,7 @@ def test_kmeans_centroids_broadcast_no_cartesian(spark, sf_dir):
     """The K-row centroid relation must reach the corpus as a broadcast
     (BroadcastNestedLoopJoin cross), never a CartesianProduct shuffle;
     no global sort anywhere."""
-    from kafka_connect_minio_pipeline_spark.operators.similarity import (
-        q_similarity_kmeans,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.similarity import q_similarity_kmeans
 
     plan = formatted_plan(q_similarity_kmeans(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan
@@ -697,9 +685,7 @@ def test_markov_single_userkey_window_then_bounded_aggs(spark, sf_dir):
     """The only data-sized ops are the user-keyed lead() window and the
     pair groupBy; the probability-normalizing window runs on the |types|²
     relation. No cartesian, no range partitioning anywhere."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_markov,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_markov
 
     plan = formatted_plan(q_ts_markov(spark, sf_dir))
     assert plan.count("hashpartitioning") == 3, plan
@@ -713,9 +699,7 @@ def test_changepoint_scans_events_once(spark, sf_dir):
     """Everything after the hourly collapse runs on the checkpointed
     bounded hour grid: the raw events parquet never appears in the final
     plan (both join branches read the ExistingRDD checkpoint)."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_changepoint,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_changepoint
 
     plan = formatted_plan(q_ts_changepoint(spark, sf_dir))
     assert plan.count("Scan parquet") == 0, plan
@@ -728,9 +712,7 @@ def test_interpolate_one_fill_window_two_exchanges(spark, sf_dir):
     a single Window node; the whole plan carries two hash exchanges (grid
     groupBy + per-bucket last-observation window) with the obs side
     broadcast back onto the user-partitioned grid."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_interpolate,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_interpolate
 
     plan = formatted_plan(q_ts_interpolate(spark, sf_dir))
     assert plan.count("hashpartitioning") == 2, plan
@@ -742,9 +724,7 @@ def test_interpolate_one_fill_window_two_exchanges(spark, sf_dir):
 def test_entropy_is_two_hash_aggs_no_window(spark, sf_dir):
     """Entropy closes as two partial-aggregated hash aggregations (cat
     counts, per-key close) — no window, no sort aggregate, two exchanges."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_entropy,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_entropy
 
     plan = formatted_plan(q_agg_entropy(spark, sf_dir))
     assert plan.count("hashpartitioning") == 2, plan
@@ -785,9 +765,7 @@ def test_concurrency_running_sum_is_bucket_partitioned(spark, sf_dir):
     partitions (the token_budget decomposition); only the BOUNDED
     bucket-offsets relation may use an unpartitioned window, and offsets
     reach the deltas by broadcast."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_concurrency,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_concurrency
 
     plan = formatted_plan(q_ts_concurrency(spark, sf_dir))
     assert "hashpartitioning(bucket" in plan, plan
@@ -812,9 +790,7 @@ def test_kcore_final_plan_reads_checkpoints_only(spark, sf_dir):
 def test_skewkurt_single_partial_agg_shuffle(spark, sf_dir):
     """All four power sums ride one partial-aggregated groupBy — a single
     exchange, no window, no sort aggregate."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_skewkurt,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_skewkurt
 
     plan = formatted_plan(q_agg_skewkurt(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
@@ -841,9 +817,7 @@ def test_cdc_merge_is_agg_plus_one_join(spark, sf_dir):
 def test_gini_window_and_agg_share_one_exchange(spark, sf_dir):
     """The per-series rank window and the co-moment groupBy hash on the
     same key — one exchange, no global sort."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_gini,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_gini
 
     plan = formatted_plan(q_agg_gini(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
@@ -890,9 +864,7 @@ def test_asof_nearest_single_window_pass(spark, sf_dir):
 def test_anomaly_seasonal_no_window_broadcast_dims(spark, sf_dir):
     """Cells and sigmas must reach the events as broadcasts; the whole
     plan carries no Window operator at all."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_anomaly_seasonal,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_anomaly_seasonal
 
     plan = formatted_plan(q_ts_anomaly_seasonal(spark, sf_dir))
     tree = plan.split("(1) Scan")[0]
@@ -903,9 +875,7 @@ def test_anomaly_seasonal_no_window_broadcast_dims(spark, sf_dir):
 def test_snaive_scans_events_once(spark, sf_dir):
     """Everything after the hourly collapse runs on the checkpointed
     bounded grid — the raw events parquet never appears in the plan."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_forecast_snaive,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_forecast_snaive
 
     plan = formatted_plan(q_ts_forecast_snaive(spark, sf_dir))
     assert plan.count("Scan parquet") == 0, plan
@@ -915,9 +885,7 @@ def test_snaive_scans_events_once(spark, sf_dir):
 def test_topk_share_single_exchange(spark, sf_dir):
     """Rank window and closing rollup hash on the segment key — one
     exchange, no join-back, no global sort."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_topk_share,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_topk_share
 
     plan = formatted_plan(q_agg_topk_share(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
@@ -927,9 +895,7 @@ def test_topk_share_single_exchange(spark, sf_dir):
 def test_survival_curve_windows_are_bounded_only(spark, sf_dir):
     """The only unpartitioned window runs on the minute-bounded
     relation; the session totals reach it by broadcast."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_survival,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import q_ts_survival
 
     plan = formatted_plan(q_ts_survival(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
@@ -978,9 +944,7 @@ def test_weighted_sample_uses_window_group_limit(spark, sf_dir):
 def test_poisson_bootstrap_partial_aggregates_replicates(spark, sf_dir):
     """The replicate groupBy must partial-aggregate (map-side combine
     over the ×B explode) and the shipdate filter must reach the scan."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_poisson_bootstrap,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_poisson_bootstrap
 
     df = q_agg_poisson_bootstrap(spark, sf_dir)
     plan = formatted_plan(df)
@@ -1034,9 +998,7 @@ def test_ivf_assignment_is_broadcast_no_corpus_self_join(spark, sf_dir):
     """IVF cell assignment must broadcast the centroid relation (the
     corpus side never shuffles wider than its pre-combined rows) and the
     whole query must contain no sort-merge self-join of the corpus."""
-    from kafka_connect_minio_pipeline_spark.operators.similarity import (
-        q_similarity_ann_ivf,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.similarity import q_similarity_ann_ivf
 
     df = q_similarity_ann_ivf(spark, sf_dir)
     assert_in_plan(df, "BroadcastNestedLoopJoin")  # centroid crossJoin
@@ -1049,7 +1011,7 @@ def test_pq_encode_is_broadcast_no_corpus_shuffle_join(spark, sf_dir):
     corpus sub-vectors (BroadcastHashJoin on sub) — never a sort-merge or
     cartesian corpus join — and the ADC search must additionally
     broadcast the per-query lookup table onto the code table."""
-    from kafka_connect_minio_pipeline_spark.operators.similarity import (
+    from kafka_connect_minio_pipeline_spark.operators.similarity_pq import (
         q_embedding_pq,
         q_similarity_ann_adc,
     )
@@ -1065,13 +1027,9 @@ def test_ivfpq_search_is_all_broadcast(spark, sf_dir):
     index build (centroid crossJoin = BroadcastNestedLoopJoin, codebook
     join = BroadcastHashJoin); probes and the ADC lookup table broadcast
     onto it — never a sort-merge or unbounded cartesian join anywhere."""
-    from kafka_connect_minio_pipeline_spark.operators.similarity import (
-        q_similarity_ann_ivfpq,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.similarity_pq import q_similarity_ann_ivfpq
 
-    from kafka_connect_minio_pipeline_spark.operators.similarity import (
-        q_similarity_ann_ivfpq_residual,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.similarity_pq import q_similarity_ann_ivfpq_residual
 
     for df in (
         q_similarity_ann_ivfpq(spark, sf_dir),
@@ -1161,9 +1119,7 @@ def test_m4_single_series_shuffle_no_join(spark, sf_dir):
     """M4 is windows-only: no join anywhere, and every exchange hashes
     on the series key (user_id) — the four role ranks share the
     (user, bucket) partitioning."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_downsample_m4,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import q_ts_downsample_m4
 
     plan = formatted_plan(q_ts_downsample_m4(spark, sf_dir))
     assert "Join" not in plan, plan
@@ -1203,9 +1159,7 @@ def test_small_qty_revenue_single_fact_pass(spark, sf_dir):
     window exchange (sum+count as unordered window aggregates) — the
     fact is scanned once, never the classic aggregate-then-rejoin
     double scan; the brand dimension broadcasts."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_small_qty_revenue,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_small_qty_revenue
 
     plan = formatted_plan(q_agg_small_qty_revenue(spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1, plan
@@ -1217,9 +1171,7 @@ def test_large_orders_aggregates_below_joins(spark, sf_dir):
     """Q18 analog: lineitem must collapse to per-order quantity sums
     (partial agg below the exchange) and the HAVING filter must apply
     to the rollup BEFORE any join touches orders/customer."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_large_orders,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_large_orders
 
     plan = formatted_plan(q_agg_large_orders(spark, sf_dir))
     assert "partial_sum(cast(l_quantity" in plan, plan
@@ -1232,9 +1184,7 @@ def test_bollinger_single_window_pass(spark, sf_dir):
     """Bollinger bands: count/sum/sum-of-squares frame aggregates must
     share ONE Window operator over one user_id exchange (a withColumn
     chain would compile to five Window passes), with no join."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_bollinger,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import q_ts_bollinger
 
     plan = formatted_plan(q_ts_bollinger(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
@@ -1246,9 +1196,7 @@ def test_rsi_shares_one_exchange(spark, sf_dir):
     """RSI: the delta lag and the two frame sums use the same
     (user_id | ts, event_id) spec — two Window operators over ONE
     exchange, no join."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_rsi,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import q_ts_rsi
 
     plan = formatted_plan(q_ts_rsi(spark, sf_dir))
     assert plan.count("hashpartitioning") == 1, plan
@@ -1354,9 +1302,7 @@ def test_promo_share_single_fold(spark, sf_dir):
     """Q14 analog: month filter pushed to the lineitem scan, part
     broadcast, ONE partial-aggregated fold to a single row — no
     hash-partitioned exchange anywhere."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_promo_share,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_promo_share
 
     plan = formatted_plan(q_agg_promo_share(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
@@ -1370,9 +1316,7 @@ def test_skyline_is_windowed_linear_with_broadcast_back(spark, sf_dir):
     self-join: one groupBy exchange on price, the prefix-max window over
     the domain-sized rollup, and the tiny frontier BROADCAST back onto
     the base scan. No SortMergeJoin, no cartesian anywhere."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_skyline,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_skyline
 
     plan = formatted_plan(q_agg_skyline(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
@@ -1390,9 +1334,7 @@ def test_column_profile_is_one_pass(spark, sf_dir):
     exchange, and the per-column rows generated driver-side from the
     single aggregate row (Generate/stack), never a per-column union of
     scans."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_column_profile,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_column_profile
 
     plan = formatted_plan(q_agg_column_profile(spark, sf_dir))
     assert plan.count("orders.parquet") == 1, plan
@@ -1417,9 +1359,7 @@ def test_theil_sen_single_corpus_pass(spark, sf_dir):
     the ExistingRDD — events never scanned twice), the pair join
     broadcasts the day-level relation, and rank selection rides one
     type-keyed exchange."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_theil_sen,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import q_ts_theil_sen
 
     plan = formatted_plan(q_ts_theil_sen(spark, sf_dir))
     assert "events.parquet" not in plan, plan
@@ -1433,9 +1373,7 @@ def test_attribution_single_pass_two_scans(spark, sf_dir):
     the type predicate in PushedFilters), both rank directions on one
     pid exchange, and the model fan-out as Generate (explode) — never a
     Union re-deriving the join per model."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_attribution,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import q_ts_attribution
 
     plan = formatted_plan(q_ts_attribution(spark, sf_dir))
     assert plan.count("events.parquet") == 2, plan
@@ -1451,9 +1389,7 @@ def test_cuped_two_level_single_scan(spark, sf_dir):
     """CUPED must be two stacked partial-aggregated groupBys over ONE
     events scan (user rollup -> scalar co-moments) — no self-join, no
     second scan, no window."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_cuped,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates_stats import q_agg_cuped
 
     plan = formatted_plan(q_agg_cuped(spark, sf_dir))
     assert plan.count("events.parquet") == 1, plan
@@ -1464,9 +1400,7 @@ def test_cuped_two_level_single_scan(spark, sf_dir):
 def test_srm_single_scan_single_exchange(spark, sf_dir):
     """SRM is a distinct-users rollup folded to one row: one events
     scan, one user_id exchange, no join/window."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_srm,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates_stats import q_agg_srm
 
     plan = formatted_plan(q_agg_srm(spark, sf_dir))
     assert plan.count("events.parquet") == 1, plan

@@ -13,10 +13,10 @@ from __future__ import annotations
 from pyspark.sql import Row
 
 from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-    _PROFILE_COLS,
-    q_agg_column_profile,
-    q_agg_skyline,
-)
+        _PROFILE_COLS,
+        q_agg_column_profile,
+        q_agg_skyline,
+    )
 from kafka_connect_minio_pipeline_spark.operators.joins import (
     MIN_PAIR_SUPPORT,
     q_join_copurchase_lift,

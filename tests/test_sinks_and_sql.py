@@ -176,6 +176,7 @@ def test_ivfpq_index_persisted_by_cell_prunes(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from kafka_connect_minio_pipeline_spark.operators import similarity as S
+    from kafka_connect_minio_pipeline_spark.operators import similarity_pq as SP
     from kafka_connect_minio_pipeline_spark.sinks import write_partitioned
     from kafka_connect_minio_pipeline_spark.tables import load
 
@@ -183,8 +184,8 @@ def test_ivfpq_index_persisted_by_cell_prunes(spark, sf_dir):
         "vec_id", S.to_double(F.col("embedding")).alias("v")
     )
     cents = S.ivf_centroids(spark, sf_dir, plain)
-    books = S.pq_books(spark, sf_dir, plain)
-    idx = S.ivfpq_index(S._ivf_relation(spark, sf_dir), cents, books)
+    books = SP.pq_books(spark, sf_dir, plain)
+    idx = SP.ivfpq_index(S._ivf_relation(spark, sf_dir), cents, books)
     out = os.path.join(tempfile.mkdtemp(), "ivfpq_index")
     write_partitioned(idx, out, ["cell"])
     back = spark.read.parquet(out)

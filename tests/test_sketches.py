@@ -222,9 +222,7 @@ def test_poisson_weights_mean_near_one(spark):
     resample."""
     from pyspark.sql import functions as F
 
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        _poisson_weight,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import _poisson_weight
 
     h = F.conv(
         F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10
@@ -250,9 +248,7 @@ def test_approx_distinct_within_rsd_bound(spark, sf_dir):
     nature) — so pin its MEANING here instead: the estimate it returns
     beside the exact count must sit within a generous multiple of the
     requested 2% rsd for every group."""
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_approx_distinct,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_approx_distinct
 
     rows = q_agg_approx_distinct(spark, sf_dir).collect()
     assert rows

@@ -9,11 +9,11 @@ from __future__ import annotations
 
 import math
 
-from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-    KS_BASELINE,
-    q_agg_chisq,
-    q_agg_ks_test,
-)
+from kafka_connect_minio_pipeline_spark.operators.aggregates_stats import (
+        KS_BASELINE,
+        q_agg_chisq,
+        q_agg_ks_test,
+    )
 from kafka_connect_minio_pipeline_spark.tables import load
 
 
@@ -71,9 +71,7 @@ def test_chisq_matches_pure_python_reference(spark, sf_dir):
 
 
 def test_welch_matches_pure_python_reference(spark, sf_dir):
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_welch_ttest,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates_stats import q_agg_welch_ttest
 
     ev = (
         load(spark, sf_dir, "events").select("event_type", "value").collect()
@@ -105,9 +103,7 @@ def test_welch_matches_pure_python_reference(spark, sf_dir):
 
 
 def test_mann_whitney_matches_pure_python_reference(spark, sf_dir):
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_mann_whitney,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates_stats import q_agg_mann_whitney
 
     ev = (
         load(spark, sf_dir, "events").select("event_type", "value").collect()
@@ -153,7 +149,7 @@ def test_cuped_matches_pure_python_reference(spark, sf_dir):
     co-moments, theta = cov/var, var_adj = var_post*(1-rho^2)."""
     import datetime
 
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+    from kafka_connect_minio_pipeline_spark.operators.aggregates_stats import (
         CUPED_SPLIT,
         q_agg_cuped,
     )
@@ -187,7 +183,7 @@ def test_cuped_matches_pure_python_reference(spark, sf_dir):
 
 
 def test_srm_matches_pure_python_reference(spark, sf_dir):
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
+    from kafka_connect_minio_pipeline_spark.operators.aggregates_stats import (
         SRM_CRIT_95,
         q_agg_srm,
     )

@@ -9,6 +9,9 @@ from datetime import timedelta
 from pyspark.sql import functions as F
 
 from kafka_connect_minio_pipeline_spark.operators import timeseries as T
+from kafka_connect_minio_pipeline_spark.operators import (
+    timeseries_analytics as TA,
+)
 from kafka_connect_minio_pipeline_spark.tables import load
 
 
@@ -244,9 +247,7 @@ def test_cross_correlation_detects_known_lag(spark):
     the operator, independent of the oracle."""
     import datetime as dt
 
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        cross_correlation,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import cross_correlation
 
     base = dt.datetime(2024, 1, 1)
     rows, eid = [], 0
@@ -436,9 +437,7 @@ def test_entropy_closed_forms(spark):
 
     rows = [(1, c) for c in "ABCD" for _ in range(25)] + [(2, "A")] * 10
     df = spark.createDataFrame(rows, "user_id long, event_type string")
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        entropy_per_group,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import entropy_per_group
 
     got = {r["user_id"]: r for r in entropy_per_group(df, "user_id", "event_type").collect()}
     assert got[1]["entropy_norm"] == 1.0
@@ -532,9 +531,7 @@ def test_skewkurt_closed_forms(spark):
         "event_id long, ts timestamp_ntz, user_id long, event_type string,"
         " value double, props string",
     )
-    from kafka_connect_minio_pipeline_spark.operators.aggregates import (
-        q_agg_skewkurt,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.aggregates import q_agg_skewkurt
     import tempfile, os
     d = tempfile.mkdtemp()
     df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
@@ -809,9 +806,9 @@ def test_lttb_matches_pure_python_reference(spark, sf_dir):
     (the DuckDB oracle only pins cross-engine agreement). Decimal-mean
     vs float-mean anchor differences are far below the area argmax
     margins on this data, so the selected sets must be identical."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import _micros
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import (
         LTTB_BUCKETS,
-        _micros,
         q_ts_downsample_lttb,
     )
 
@@ -837,7 +834,7 @@ def test_lttb_matches_pure_python_reference(spark, sf_dir):
     per_user = {}
     for uid, _, _ in got:
         per_user[uid] = per_user.get(uid, 0) + 1
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import (
         LTTB_BUCKETS as T,
     )
     assert all(c <= T for c in per_user.values())
@@ -847,9 +844,9 @@ def test_m4_selects_true_extrema_per_bucket(spark, sf_dir):
     """M4's losslessness contract: per (user, time-bucket), the flagged
     rows are exactly the bucket's value-min, value-max, time-first and
     time-last (event_id tiebreaks), recomputed independently in Python."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+    from kafka_connect_minio_pipeline_spark.operators.timeseries import _micros
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import (
         M4_BUCKETS,
-        _micros,
         q_ts_downsample_m4,
     )
 
@@ -892,9 +889,7 @@ def test_bollinger_invariants_and_breakout(spark, sf_dir):
     """Bands exist iff the frame has n>1 and positive variance; breakout
     is true iff value is strictly outside the bands; sma lies within the
     frame's [min, max]."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-        q_ts_bollinger,
-    )
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import q_ts_bollinger
 
     rows = q_ts_bollinger(spark, sf_dir).collect()
     assert rows
@@ -917,7 +912,7 @@ def test_bollinger_invariants_and_breakout(spark, sf_dir):
 def test_rsi_matches_pure_python_reference(spark, sf_dir):
     """Cutler's RSI against an independent per-user Python rebuild:
     same deltas, same 14-row SMA frames, same 100-pin convention."""
-    from kafka_connect_minio_pipeline_spark.operators.timeseries import (
+    from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import (
         RSI_PERIOD,
         q_ts_rsi,
     )
@@ -964,7 +959,7 @@ def test_theil_sen_matches_pure_python(spark, sf_dir):
     from decimal import Decimal
 
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
-    epoch = datetime.date.fromisoformat(T.TS_EPOCH)
+    epoch = datetime.date.fromisoformat(TA.TS_EPOCH)
     daily: dict[tuple, list] = {}
     for r in ev:
         day = (r["ts"].date() - epoch).days
@@ -986,7 +981,7 @@ def test_theil_sen_matches_pure_python(spark, sf_dir):
         expect[etype] = (n, round(slopes[(n + 1) // 2 - 1], 6))
     got = {
         r["event_type"]: (r["n_pairs"], r["sen_slope"])
-        for r in T.q_ts_theil_sen(spark, sf_dir).collect()
+        for r in TA.q_ts_theil_sen(spark, sf_dir).collect()
     }
     assert set(got) == set(expect) and got
     for etype in expect:
@@ -1000,8 +995,8 @@ def test_attribution_matches_pure_python(spark, sf_dir):
     from datetime import timedelta as _td
 
     ev = load(spark, sf_dir, "events").collect()
-    look = _td(days=T.ATTRIB_LOOKBACK_DAYS)
-    touches = [r for r in ev if r["event_type"] in T.ATTRIB_TOUCH_TYPES]
+    look = _td(days=TA.ATTRIB_LOOKBACK_DAYS)
+    touches = [r for r in ev if r["event_type"] in TA.ATTRIB_TOUCH_TYPES]
     expect: dict[tuple, int] = {}
     for p in ev:
         if p["event_type"] != "purchase":
@@ -1022,7 +1017,7 @@ def test_attribution_matches_pure_python(spark, sf_dir):
             expect[k] = expect.get(k, 0) + 1
     got = {
         (r["model"], r["touch_type"]): r["conversions"]
-        for r in T.q_ts_attribution(spark, sf_dir).collect()
+        for r in TA.q_ts_attribution(spark, sf_dir).collect()
     }
     assert got == expect and got
 
@@ -1056,7 +1051,7 @@ def test_attribution_window_edges(spark, tmp_path):
     ).parquet(f"{tmp_path}/events.parquet")
     got = {
         (r["model"], r["touch_type"]): r["conversions"]
-        for r in T.q_ts_attribution(spark, str(tmp_path)).collect()
+        for r in TA.q_ts_attribution(spark, str(tmp_path)).collect()
     }
     # user 1: only touch 1 in-window -> first=last=click
     # user 2: first = id 6 (view, lower event_id), last = id 7 (click)

@@ -6,14 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from kafka_connect_minio_pipeline_spark.operators.similarity import (
-    q_embedding_quantize,
-)
+from kafka_connect_minio_pipeline_spark.operators.similarity import q_embedding_quantize
 from kafka_connect_minio_pipeline_spark.operators.text import q_text_pretokenize
 from kafka_connect_minio_pipeline_spark.operators.timeseries import (
-    EWMA_ALPHA,
-    q_ts_ewma,
-)
+        EWMA_ALPHA,
+        q_ts_ewma,
+    )
 from kafka_connect_minio_pipeline_spark.tables import load
 
 
