@@ -31,6 +31,55 @@ def _timed(mat, build, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
+def _cooldown_spin(
+    spark,
+    sf_dir: str,
+    control_fn,
+    budget_s: float,
+    healthy_at: float,
+    label: str,
+) -> float:
+    """Idle-cooldown spin (VERDICT r12 item 4, extended to the heavy
+    phase per VERDICT r13 item 2): probe the control query on a sleep
+    interval until it reads healthy twice CONSECUTIVELY (one healthy
+    read can be a scheduler lull), bounded by a wall-clock budget so a
+    genuinely busy box still produces an artifact (the health gate then
+    labels it honestly). Each probe is min-of-3: the gate compares
+    MINIMA over many passes, and a single control sample sits well
+    above the floor even on an idle box (r13 measurement: singles
+    0.77-1.44 around a min-of-14 of 0.75). Returns seconds spent.
+    """
+    print(
+        f"# {label} cooldown budget: {budget_s:.0f}s"
+        f" (gate {healthy_at:.2f}s, min-of-3 probe every 15s)",
+        file=sys.stderr,
+    )
+    t_start = time.monotonic()
+    deadline = t_start + budget_s
+    consecutive = 0
+    while consecutive < 2:
+        probe = min(
+            _timed(materialize, control_fn, spark, sf_dir) for _ in range(3)
+        )
+        consecutive = consecutive + 1 if probe <= healthy_at else 0
+        print(
+            f"# {label} cooldown control (min of 3): {probe:.3f}s"
+            f" ({consecutive}/2 healthy)",
+            file=sys.stderr,
+        )
+        if consecutive >= 2:
+            break
+        if time.monotonic() >= deadline:
+            print(
+                f"# {label} cooldown budget exhausted — proceeding hot;"
+                " the health gate will label the artifact",
+                file=sys.stderr,
+            )
+            break
+        time.sleep(15)
+    return round(time.monotonic() - t_start, 1)
+
+
 # Frozen heavy-tail set (VERDICT r10 item 5): the expensive families —
 # iterative graph ops, dedup evals, IVFPQ, substring clean, phash
 # clustering — get the same round-over-round regression tracking the
@@ -117,38 +166,16 @@ def main() -> None:
     # then labels it honestly). The probe itself is ~0.7 s every 15 s —
     # it keeps the JIT'd plan warm without meaningfully heating the box.
     cooldown_budget = float(os.environ.get("SPARK_GRAFT_COOLDOWN_S", "480"))
-    cooldown_deadline = time.monotonic() + cooldown_budget
     cooldown_spent = 0.0
     if control_query in queries:
-        t_start = time.monotonic()
-        consecutive = 0
-        while consecutive < 2:
-            # min-of-3 probe: the health gate compares MINIMA over many
-            # passes, and a single control sample sits well above the
-            # floor even on an idle box (r13 measurement: singles
-            # 0.77-1.44 around a min-of-14 of 0.75) — a single-sample
-            # probe would spin the whole budget on a healthy machine
-            probe = min(
-                _timed(materialize, queries[control_query].fn, spark, sf_dir)
-                for _ in range(3)
-            )
-            consecutive = consecutive + 1 if probe <= control_healthy_at else 0
-            print(
-                f"# cooldown control (min of 3): {probe:.3f}s"
-                f" ({consecutive}/2 healthy)",
-                file=sys.stderr,
-            )
-            if consecutive >= 2:
-                break
-            if time.monotonic() >= cooldown_deadline:
-                print(
-                    "# cooldown budget exhausted — proceeding hot; the"
-                    " health gate will label the artifact",
-                    file=sys.stderr,
-                )
-                break
-            time.sleep(15)
-        cooldown_spent = round(time.monotonic() - t_start, 1)
+        cooldown_spent = _cooldown_spin(
+            spark,
+            sf_dir,
+            queries[control_query].fn,
+            cooldown_budget,
+            control_healthy_at,
+            "headline",
+        )
 
     timings: dict[str, float] = {}
     attempts = 0
@@ -190,6 +217,26 @@ def main() -> None:
     heavy_attempts = 0
     for name in sorted(heavy):
         materialize(heavy[name].fn(spark, sf_dir))
+    # Heavy-phase cooldown (VERDICT r13 item 2): the headline gate vets
+    # the session MINUTES before the heavy passes start, and the
+    # headline attempts themselves re-warm the box — three straight
+    # official artifacts shipped heavy_control_healthy=false while the
+    # headline set read healthy. Re-run the same min-of-3 probe spin
+    # (same 0.80 gate, its own bounded budget) AFTER the heavy warm
+    # pass and BEFORE the heavy timed passes.
+    heavy_cooldown_budget = float(
+        os.environ.get("SPARK_GRAFT_HEAVY_COOLDOWN_S", "300")
+    )
+    heavy_cooldown_spent = 0.0
+    if control_query in queries:
+        heavy_cooldown_spent = _cooldown_spin(
+            spark,
+            sf_dir,
+            queries[control_query].fn,
+            heavy_cooldown_budget,
+            control_healthy_at,
+            "heavy",
+        )
     for attempt in range(3):
         heavy_attempts = attempt + 1
         for _pass in range(3):
@@ -233,6 +280,7 @@ def main() -> None:
                 "control_healthy": bool(0 <= control <= control_healthy_at),
                 "attempts": attempts,
                 "cooldown_s": cooldown_spent,
+                "heavy_cooldown_s": heavy_cooldown_spent,
                 "heavy_control": heavy_control,
                 "heavy_control_healthy": bool(
                     0 <= heavy_control <= control_healthy_at

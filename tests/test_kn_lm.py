@@ -9,9 +9,9 @@ import math
 
 from kafka_connect_minio_pipeline_spark.operators.dedup import tokens
 from kafka_connect_minio_pipeline_spark.operators.text import (
-        KN_DISCOUNT,
-        q_text_kn_perplexity,
-    )
+    KN_DISCOUNT,
+    q_text_kn_perplexity,
+)
 from kafka_connect_minio_pipeline_spark.tables import load
 
 from pyspark.sql import functions as F

@@ -15,9 +15,9 @@ from kafka_connect_minio_pipeline_spark.operators.joins import (
     q_join_copurchase_lift,
 )
 from kafka_connect_minio_pipeline_spark.operators.timeseries_analytics import (
-        q_ts_attribution,
-        q_ts_theil_sen,
-    )
+    q_ts_attribution,
+    q_ts_theil_sen,
+)
 from kafka_connect_minio_pipeline_spark.tables import load
 
 SF = "/root/testdata/sf0.001"
