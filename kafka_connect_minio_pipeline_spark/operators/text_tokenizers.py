@@ -160,6 +160,35 @@ def bpe_learn_segment(words: DataFrame, n_merges: int = BPE_MERGES) -> DataFrame
     return cur
 
 
+def bpe_apply_merges(
+    words: DataFrame, winners: list[DataFrame]
+) -> DataFrame:
+    """ENCODE an arbitrary (w) relation with an already-learned merge
+    table — the inference-on-new-domain half of BPE (the trained
+    winners apply to any string, seen or not; that is the whole point
+    of a subword vocab). Same representation and fold as the trainer:
+    wrap every char, apply each 1-row broadcast winner in merge order
+    via ``replace`` (exhausted rounds carry the unmatchable sentinel).
+    |words| rows × n_merges vocabulary-sized folds; never corpus-sized."""
+    cur = words.select(
+        "w", F.regexp_replace(F.col("w"), "(.)", "<$1>").alias("seq")
+    )
+    for best in winners:
+        tgt = F.coalesce(F.col("pr"), F.lit("\x01"))
+        cur = (
+            # the winner's weight column is also named w — keep only pr
+            cur.crossJoin(F.broadcast(best.select("pr")))
+            .select(
+                "w",
+                F.replace(
+                    F.col("seq"), tgt, F.replace(tgt, F.lit("><"), F.lit(""))
+                ).alias("seq"),
+            )
+            .localCheckpoint()  # bounded: |words| rows
+        )
+    return cur
+
+
 def _corpus_words(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(doc-word rows, checkpointed (word, cnt) vocabulary) — pass 1 of
     the tokenizer pipeline, shared by the vocab/apply/fertility queries."""
@@ -293,12 +322,15 @@ def _bpe_cte_chain(n_merges: int = BPE_MERGES) -> tuple[str, str]:
               FROM {prev}),
              LATERAL UNNEST(generate_series(1, len(syms) - 1)) t(i)
         GROUP BY 1),
-    b{m} AS (
+    b{m} AS MATERIALIZED (
         -- exactly ONE reference to p{m}: a second scalar subquery here
         -- doubles the reference count per round, and DuckDB's CTE
         -- inlining then re-evaluates the whole prefix 2^rounds times
         -- (measured: >60 s at sf0.001 vs milliseconds); the 1-row
-        -- left join keeps b{m} total when p{m} is empty
+        -- left join keeps b{m} total when p{m} is empty. MATERIALIZED
+        -- (r14): the A/B card's shared-domain apply chain references
+        -- each b{m} a second time — pinning the 1-row winner guards
+        -- the same inlining blowup for every multi-consumer oracle
         SELECT COALESCE(t.pr, chr(1)) AS pr, t.w
         FROM (VALUES (1)) d(x)
         LEFT JOIN (SELECT pr, w FROM p{m}
@@ -524,9 +556,25 @@ def _unigram_model_build(
     Pruning (Kudo 2018 §3.2, ``prune=True`` is the production path;
     ``prune=False`` keeps the seed-EM-only model for the hand-pinned EM
     arithmetic tests): after the seed EM rounds, each UNI_PRUNE_TARGETS
-    round (a) ranks multi-char pieces by expected count (exact decimal,
-    piece-ASC tiebreak — cross-engine total order), keeps the top
-    budget plus ALL single-char pieces (required characters never
+    round (a) ranks multi-char pieces by LIKELIHOOD LOSS — the drop in
+    corpus log-likelihood if the piece were removed and its occurrences
+    re-encoded by their best surviving alternative, Kudo §3.2's actual
+    criterion (upgraded from expected-count rank, VERDICT r13 item 3):
+    ``loss = ed · (ln p − ln p_alt)`` where ``p_alt`` is the best
+    MULTI-part segmentation of the piece's own character string under
+    the current model (its sub-pieces are substrings of the same words,
+    so they always live in the seed domain — the alternative relation
+    is piece-lattice-bounded, never corpus-sized). A high-count piece
+    whose sub-pieces are themselves near-free prunes EARLY (removing it
+    costs almost nothing — exactly the redundancy expected-count rank
+    cannot see), while a modest-count piece with no cheap alternative
+    survives. Terms ride the dec9 idiom (ln is the one transcendental;
+    quantizing to DECIMAL(28,9) makes the rank key cross-engine exact);
+    sentinel losses ±1e15 pin the degenerate arms (p = 0 ⇒ already
+    pruned, re-pruning is free and absorbing; p_alt = 0 ⇒ the piece is
+    unencodable without itself, infinite loss, always keep); piece-ASC
+    tiebreak totalizes the order. The round keeps the top budget plus
+    ALL single-char pieces (required characters never
     prune, so every word keeps its all-singles segmentation and the
     E-step's pw > 0 guard never fires on a live word), (b) renormalizes
     the kept mass (ROUND(·, 9) at the exposure, the existing idiom),
@@ -647,14 +695,58 @@ def _unigram_model_build(
     stats_rounds: list[DataFrame] = []
     if prune:
         for ti, keep_k in enumerate(UNI_PRUNE_TARGETS, start=1):
-            ranked = (
+            # alternative-encoding probability per candidate: the best
+            # MULTI-part segmentation of the piece's own characters
+            # under the current model — the piece string (≤ UNI_PIECE_MAX
+            # chars) rides the same composition lattice as a word, with
+            # the identity single-part row excluded (seg strings with a
+            # comma are exactly the ≥2-part compositions)
+            alt_segp = (
                 e.filter(F.length("piece") > 1)
-                .withColumn(
-                    "rn",
-                    F.row_number().over(
-                        Window.orderBy(F.col("ed").desc(), "piece")
-                    ),
+                .select(F.col("piece").alias("w"))
+                .withColumn("n", F.length("w").cast("int"))
+                .join(comps.filter(F.col("seg").contains(",")), "n")
+                .select(
+                    "w",
+                    "seg",
+                    "part_idx",
+                    F.expr("substring(w, j + 1, l)").alias("piece"),
                 )
+            )
+            p_alt = (
+                _uni_seg_probs(alt_segp, p, ["w", "seg"])
+                .groupBy("w")
+                .agg(F.max("sp").alias("p_alt"))
+                .withColumnRenamed("w", "piece")
+            )
+            loss = (
+                e.filter(F.length("piece") > 1)
+                .join(p, "piece")
+                .join(p_alt, "piece")
+                .select(
+                    "piece",
+                    F.when(
+                        F.col("p") <= 0,
+                        F.lit(-1e15).cast("decimal(28,9)"),
+                    )
+                    .when(
+                        F.col("p_alt") <= 0,
+                        F.lit(1e15).cast("decimal(28,9)"),
+                    )
+                    .otherwise(
+                        dec9(
+                            F.col("ed").cast("double")
+                            * (F.log(F.col("p")) - F.log(F.col("p_alt")))
+                        )
+                    )
+                    .alias("loss"),
+                )
+            )
+            ranked = loss.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.orderBy(F.col("loss").desc(), "piece")
+                ),
             )
             keep = (
                 ranked.filter(F.col("rn") <= keep_k)
@@ -824,11 +916,13 @@ def q_text_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prune_stats
 
 
-def _uni_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, w, k, np): every (doc, truncated-word) pair with its
-    occurrence count and the Viterbi piece count under the final pruned
-    model — the apply-side relation ``text_unigram_segment`` rolls up
-    per doc and ``text_tokenizer_ab`` rolls up corpus-wide."""
+def _uni_docw_best(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(docw, best): the (doc_id, truncated-word, count) rollup and the
+    per-distinct-word Viterbi piece count (w, np) under the final
+    pruned model — the two apply-side relations the segment query and
+    both unigram card arms compose from."""
     p, *_ = unigram_model(spark, sf_dir)
     comps = F.broadcast(
         spark.createDataFrame(
@@ -862,6 +956,15 @@ def _uni_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("seg"), ",")).cast("long").alias("np"),
         )
     )
+    return docw, best
+
+
+def _uni_word_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w, k, np): every (doc, truncated-word) pair with its
+    occurrence count and the Viterbi piece count under the final pruned
+    model — the apply-side relation ``text_unigram_segment`` rolls up
+    per doc and ``text_tokenizer_ab`` rolls up corpus-wide."""
+    docw, best = _uni_docw_best(spark, sf_dir)
     return docw.join(best, "w")
 
 
@@ -923,10 +1026,22 @@ def q_text_tokenizer_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram model every whitespace token truncated to UNI_WORD_MAX —
     so the card exposes ``n_corpus_tokens`` beside each family's
     ``n_words``: coverage and fertility are BOTH part of the trade,
-    and hiding the domain difference would bias the comparison. Cost:
-    the unigram side rides the session-cached model; the BPE side is
-    the same learn+segment pass ``text_bpe_fertility`` runs. Both
-    rollups are corpus-token-bounded sums — nothing new at 100 TB."""
+    and hiding the domain difference would bias the comparison.
+
+    FAIR-DOMAIN arms (r14, VERDICT r13 item 6): two more rows
+    (``bpe_shared`` / ``unigram_shared``) score BOTH trained models on
+    the shared intersection domain — alphanumeric tokens truncated to
+    UNI_WORD_MAX chars — so the card also carries a true
+    apples-to-apples fertility/density comparison (identical
+    ``n_words``/``n_chars``/``coverage`` by construction; only the
+    piece counts differ). The models are NOT retrained: the unigram
+    Viterbi relation already covers every truncated word, and the BPE
+    merge table applies to the truncated strings via
+    :func:`bpe_apply_merges` (encoding unseen strings is what a merge
+    table is for). Cost: the unigram side rides the session-cached
+    model; the BPE side is the same learn+segment pass
+    ``text_bpe_fertility`` runs plus one vocabulary-sized apply fold.
+    All rollups are corpus-token-bounded sums — nothing new at 100 TB."""
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     n_tok = docs.select(
         F.coalesce(F.sum(F.size(tokens(F.col("text")))), F.lit(0))
@@ -934,7 +1049,8 @@ def q_text_tokenizer_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_corpus_tokens")
     )
     dw, words = _corpus_words(spark, sf_dir)
-    vocab = bpe_learn_segment(words).select(
+    seg_full, winners = _bpe_rounds(words)
+    vocab = seg_full.select(
         "word",
         F.size(
             F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><")
@@ -946,8 +1062,41 @@ def q_text_tokenizer_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("word")).cast("bigint").alias("n_chars"),
         F.sum("n_syms").cast("bigint").alias("n_pieces"),
     )
-    uni = _uni_word_pieces(spark, sf_dir).agg(
+    docw, best = _uni_docw_best(spark, sf_dir)
+    uni = docw.join(best, "w").agg(
         F.lit("unigram").alias("tokenizer"),
+        F.sum("k").cast("bigint").alias("n_words"),
+        F.sum(F.col("k") * F.length("w").cast("long"))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.sum(F.col("k") * F.col("np")).cast("bigint").alias("n_pieces"),
+    )
+    # shared intersection domain: alnum tokens, truncated — feeds both
+    # fair arms (vocabulary-bounded, checkpointed once)
+    shared = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .filter(F.col("t").rlike(BPE_WORD_RE))
+        .select(F.substring("t", 1, UNI_WORD_MAX).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint()
+    )
+    sh_vocab = bpe_apply_merges(shared.select("w"), winners).select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(seq, 2, length(seq) - 2)"), "><")
+        ).alias("n_syms"),
+    )
+    bpe_sh = shared.join(sh_vocab, "w").agg(
+        F.lit("bpe_shared").alias("tokenizer"),
+        F.sum("k").cast("bigint").alias("n_words"),
+        F.sum(F.col("k") * F.length("w").cast("long"))
+        .cast("bigint")
+        .alias("n_chars"),
+        F.sum(F.col("k") * F.col("n_syms")).cast("bigint").alias("n_pieces"),
+    )
+    uni_sh = shared.join(best, "w").agg(
+        F.lit("unigram_shared").alias("tokenizer"),
         F.sum("k").cast("bigint").alias("n_words"),
         F.sum(F.col("k") * F.length("w").cast("long"))
         .cast("bigint")
@@ -956,6 +1105,8 @@ def q_text_tokenizer_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         bpe.unionByName(uni)
+        .unionByName(bpe_sh)
+        .unionByName(uni_sh)
         .crossJoin(F.broadcast(n_tok))
         .select(
             "tokenizer",
@@ -1045,10 +1196,33 @@ def _unigram_cte() -> str:
     for t, keep_k in enumerate(UNI_PRUNE_TARGETS, start=1):
         r = UNI_EM_ROUNDS + t
         e_prev = f"e{r - 1}"
+        p_prev = prev  # the model the candidates' ed was computed under
         rounds.append(f"""
+    altsp{t} AS MATERIALIZED (
+        SELECT a.w, a.seg, {prod} AS sp
+        FROM (SELECT e.piece AS w, c.seg, c.part_idx, p.p
+              FROM {e_prev} e
+              JOIN comps c ON c.n = LEN(e.piece) AND c.seg LIKE '%,%'
+              JOIN {p_prev} p ON p.piece = substr(e.piece, c.j + 1, c.l)
+              WHERE LEN(e.piece) > 1) a
+        GROUP BY a.w, a.seg),
+    palt{t} AS MATERIALIZED (
+        SELECT w AS piece, MAX(sp) AS p_alt FROM altsp{t} GROUP BY w),
+    loss{t} AS MATERIALIZED (
+        SELECT e.piece,
+               CASE WHEN p.p <= 0 THEN CAST(-1e15 AS DECIMAL(28,9))
+                    WHEN a.p_alt <= 0 THEN CAST(1e15 AS DECIMAL(28,9))
+                    ELSE CAST(ROUND(CAST(e.ed AS DOUBLE)
+                                    * (LN(p.p) - LN(a.p_alt)), 9)
+                              AS DECIMAL(28,9))
+               END AS loss
+        FROM {e_prev} e
+        JOIN {p_prev} p USING (piece)
+        JOIN palt{t} a USING (piece)
+        WHERE LEN(e.piece) > 1),
     rank{t} AS MATERIALIZED (
-        SELECT piece, ROW_NUMBER() OVER (ORDER BY ed DESC, piece) AS rn
-        FROM {e_prev} WHERE LEN(piece) > 1),
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY loss DESC, piece) AS rn
+        FROM loss{t}),
     keep{t} AS MATERIALIZED (
         SELECT piece FROM rank{t} WHERE rn <= {keep_k}
         UNION ALL
@@ -1159,16 +1333,43 @@ _SQL_NTOK = (
 def _tokenizer_ab_sql() -> str:
     """A/B card oracle: each family's full chain runs in its own
     parenthesized WITH-subquery (the two chains share CTE names like
-    ``words``, so they cannot live in one WITH), glued by UNION ALL."""
+    ``words``, so they cannot live in one WITH), glued by UNION ALL.
+    The r14 fair-domain arms ride INSIDE their family's WITH block (the
+    shared-word relation + the t{{m}} merge-apply chain beside the BPE
+    rounds; one extra rollup beside the unigram Viterbi), so neither
+    trained model is re-derived."""
     chain, prev = _bpe_cte_chain()
     last = _uni_last_round()
+    n_pieces_seq = (
+        "len(string_split(substr(v.seq, 2, length(v.seq) - 2), '><'))"
+    )
     prod = " * ".join(
         f"COALESCE(MAX(CASE WHEN part_idx = {k} THEN p END), 1.0)"
         for k in range(1, UNI_WORD_MAX + 1)
     )
+    apply_rounds = "".join(
+        f""",
+        t{m} AS (
+            -- b{m}'s weight column is also named w — qualify both sides
+            SELECT t.w, replace(t.seq, b.pr, replace(b.pr, '><', '')) AS seq
+            FROM t{m - 1} t, b{m} b)"""
+        for m in range(1, BPE_MERGES + 1)
+    )
+    shared_ctes = f""",
+        swords AS MATERIALIZED (
+            SELECT substr(t.w, 1, {UNI_WORD_MAX}) AS w,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM (SELECT {SQL_TOKENS.format(col='text')} AS toks
+                  FROM documents),
+                 UNNEST(toks) t(w)
+            WHERE regexp_full_match(t.w, '[a-z0-9]+')
+            GROUP BY 1),
+        t0 AS (
+            SELECT w, regexp_replace(w, '(.)', '<\\1>', 'g') AS seq
+            FROM swords){apply_rounds}"""
     return f"""
     SELECT * FROM (
-        WITH {chain}
+        WITH {chain}{shared_ctes}
         SELECT 'bpe' AS tokenizer,
                {_SQL_NTOK} AS n_corpus_tokens,
                CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -1192,7 +1393,24 @@ def _tokenizer_ab_sql() -> str:
                      / CAST(CASE WHEN {_SQL_NTOK} > 0
                             THEN {_SQL_NTOK} END AS DOUBLE), 6)
                    AS coverage
-        FROM dw d JOIN {prev} v USING (word))
+        FROM dw d JOIN {prev} v USING (word)
+        UNION ALL
+        SELECT 'bpe_shared' AS tokenizer,
+               {_SQL_NTOK} AS n_corpus_tokens,
+               CAST(SUM(s.k) AS BIGINT) AS n_words,
+               CAST(SUM(s.k * {n_pieces_seq}) AS BIGINT) AS n_pieces,
+               ROUND(CAST(SUM(s.k * {n_pieces_seq}) AS DOUBLE)
+                     / CAST(CASE WHEN SUM(s.k) > 0 THEN SUM(s.k) END
+                            AS DOUBLE), 6) AS fertility,
+               ROUND(CAST(SUM(s.k * LENGTH(s.w)) AS DOUBLE)
+                     / CAST(CASE WHEN SUM(s.k * {n_pieces_seq}) > 0
+                            THEN SUM(s.k * {n_pieces_seq}) END
+                            AS DOUBLE), 6) AS chars_per_piece,
+               ROUND(CAST(SUM(s.k) AS DOUBLE)
+                     / CAST(CASE WHEN {_SQL_NTOK} > 0
+                            THEN {_SQL_NTOK} END AS DOUBLE), 6)
+                   AS coverage
+        FROM swords s JOIN t{BPE_MERGES} v USING (w))
     UNION ALL
     SELECT * FROM (
         WITH {_unigram_cte()},
@@ -1215,7 +1433,14 @@ def _tokenizer_ab_sql() -> str:
             FROM (SELECT doc_id,
                          unnest({SQL_TOKENS.format(col='text')}) AS t
                   FROM documents)
-            GROUP BY 1, 2)
+            GROUP BY 1, 2),
+        sdocw AS (
+            SELECT substr(t, 1, {UNI_WORD_MAX}) AS w,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM (SELECT unnest({SQL_TOKENS.format(col='text')}) AS t
+                  FROM documents)
+            WHERE regexp_full_match(t, '[a-z0-9]+')
+            GROUP BY 1)
         SELECT 'unigram' AS tokenizer,
                {_SQL_NTOK} AS n_corpus_tokens,
                CAST(SUM(k) AS BIGINT) AS n_words,
@@ -1230,7 +1455,23 @@ def _tokenizer_ab_sql() -> str:
                      / CAST(CASE WHEN {_SQL_NTOK} > 0
                             THEN {_SQL_NTOK} END AS DOUBLE), 6)
                    AS coverage
-        FROM docw JOIN best USING (w))
+        FROM docw JOIN best USING (w)
+        UNION ALL
+        SELECT 'unigram_shared' AS tokenizer,
+               {_SQL_NTOK} AS n_corpus_tokens,
+               CAST(SUM(k) AS BIGINT) AS n_words,
+               CAST(SUM(k * np) AS BIGINT) AS n_pieces,
+               ROUND(CAST(SUM(k * np) AS DOUBLE)
+                     / CAST(CASE WHEN SUM(k) > 0 THEN SUM(k) END
+                            AS DOUBLE), 6) AS fertility,
+               ROUND(CAST(SUM(k * LEN(w)) AS DOUBLE)
+                     / CAST(CASE WHEN SUM(k * np) > 0 THEN SUM(k * np) END
+                            AS DOUBLE), 6) AS chars_per_piece,
+               ROUND(CAST(SUM(k) AS DOUBLE)
+                     / CAST(CASE WHEN {_SQL_NTOK} > 0
+                            THEN {_SQL_NTOK} END AS DOUBLE), 6)
+                   AS coverage
+        FROM sdocw JOIN best USING (w))
 """
 
 

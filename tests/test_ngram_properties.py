@@ -323,15 +323,22 @@ def test_unigram_segment_matches_python_viterbi(spark, tmp_path):
     assert got == want
 
 
-def test_unigram_prune_drops_redundant_family_keeps_coverage(
+def test_unigram_prune_loss_rank_drops_redundant_high_count_piece(
     spark, monkeypatch
 ):
-    """Kudo pruning end-to-end on a tight budget: with the multi-char
-    keep schedule squeezed to (2, 1), the redundant sub-piece family of
-    a dominant repeated word is pruned (p = 0 in the final model, out
-    of the keep set), single-char pieces are NEVER pruned, and every
-    corpus word remains coverable by a positive-probability Viterbi
-    path (the required-character coverage guarantee)."""
+    """Kudo §3.2 LIKELIHOOD-LOSS pruning end-to-end on a tight budget
+    (the r14 criterion upgrade — VERDICT r13 item 3): with the
+    multi-char keep schedule squeezed to (2, 1) on a corpus dominated
+    by the repeated word ``abab``, the whole-word piece ``abab`` is the
+    HIGHEST-expected-count multi-char candidate, yet it prunes in
+    round 1 — its best alternative encoding (ab)(ab) is nearly free,
+    so removing it costs almost no corpus likelihood. The reusable
+    sub-piece ``ab`` (whose own alternative (a)(b) is terrible) is the
+    final survivor. Under the r13 expected-count ranking this same
+    fixture kept ``abab`` (the git-history pin of the predecessor
+    test) — this IS the criterion flip, demonstrated on one corpus.
+    Single-char pieces are never pruned, pruning stays absorbing
+    (p = 0 in place), and the trajectory diagnostics stay coherent."""
     from kafka_connect_minio_pipeline_spark.operators import (
         text_tokenizers as T,
     )
@@ -341,36 +348,58 @@ def test_unigram_prune_drops_redundant_family_keeps_coverage(
         [(i, "abab abab abab cd") for i in range(3)],
         "doc_id long, text string",
     )
+    # premise: under the PRE-prune model (seed EM only), abab is the
+    # top multi-char piece by expected count — so count-ranking with
+    # any budget >= 1 would have kept it
+    _, e0, *_ = T._unigram_model_build(spark, docs, prune=False)
+    ed = {r["piece"]: float(r["ed"]) for r in e0.collect()}
+    multis0 = sorted(
+        (pc for pc in ed if len(pc) > 1), key=lambda pc: -ed[pc]
+    )
+    assert multis0[0] == "abab"
+    assert ed["abab"] > ed["ab"]
+
     p, e, seeds, keep, stats = T._unigram_model_build(spark, docs)
     probs = {r["piece"]: r["p"] for r in p.collect()}
     kept = {r["piece"] for r in keep.collect()}
     singles = {pc for pc in probs if len(pc) == 1}
     multis = {pc for pc in probs if len(pc) > 1}
-    # singles always survive; exactly one multi-char piece survives
+    # singles always survive; exactly one multi-char piece survives —
+    # and it is the reusable sub-piece, NOT the high-count whole word
     assert singles <= kept
-    assert len(kept & multis) == 1
-    # the survivor is the whole-word piece of the dominant word (the
-    # highest-expected-count multi piece); its redundant sub-family
-    # (ab/ba/aba/bab/...) is pruned to exactly 0 probability
-    assert kept & multis == {"abab"}
+    assert kept & multis == {"ab"}
+    assert "abab" not in kept
     for piece in multis - kept:
         assert probs[piece] == 0.0, piece
-    # coverage survives: every corpus word has a positive-prob path
-    for w in ("abab", "cd"):
-        seg = _uni_viterbi(w, {k: v for k, v in probs.items() if v > 0})
-        assert seg is not None and "".join(seg) == w
+    # the dominant word stays coverable by a positive-prob path
+    # through the survivor ((ab)(ab))
+    seg = _uni_viterbi("abab", {k: v for k, v in probs.items() if v > 0})
+    assert seg == ["ab", "ab"]
+    # documented dec12-grid death, not drift: word ``cd`` lost its
+    # multi piece in round 2, and its singles' path probability
+    # (~1e-17) sits below the DECIMAL(28,12) quantization grid, so the
+    # word drops out of the E-step domain identically on both engines
+    # (the "sub-grid segmentations contribute exactly zero" clause of
+    # the trainer spec)
+    assert "c" not in probs and "d" not in probs
     # trajectory diagnostics: budgets enforced, kept mass is a ratio
     rows = {r["prune_round"]: r for r in stats.collect()}
     assert set(rows) == {1, 2}
     assert rows[1]["keep_budget"] == 2 and rows[2]["keep_budget"] == 1
     assert rows[1]["n_kept_multi"] == 2 and rows[2]["n_kept_multi"] == 1
     assert all(0 < r["mass_kept"] <= 1.0 for r in rows.values())
-    # prune is monotone: round-2 mass concentrates on the survivor
+    # round 1 prunes the heavy-but-redundant abab, so the KEPT mass is
+    # well under the ~0.97 a count-ranked keep of {abab, ab} would
+    # retain — the mass number shows the criterion trading raw count
+    # away for likelihood
+    assert rows[1]["mass_kept"] < 0.6
+    # round 2: mass re-concentrates on the survivor after re-EM
     assert rows[2]["mass_kept"] >= 0.5
     # corpus log-likelihood under each pruned model is finite and
-    # negative (probabilities < 1); the dominant word keeps likelihood
-    # concentrated, so the final prune costs little
+    # negative; the round-2 model encodes the dominant word almost
+    # freely ((ab)(ab) with p(ab) ~ 1), so ll_kept recovers toward 0
     assert all(r["ll_kept"] < 0 for r in rows.values())
+    assert rows[2]["ll_kept"] > rows[1]["ll_kept"]
 
 
 def test_tokenizer_ab_card_consistent_with_family_queries(spark, sf_dir):
@@ -385,13 +414,33 @@ def test_tokenizer_ab_card_consistent_with_family_queries(spark, sf_dir):
     )
 
     card = {r["tokenizer"]: r for r in q_text_tokenizer_ab(spark, sf_dir).collect()}
+    assert set(card) == {"bpe", "unigram", "bpe_shared", "unigram_shared"}
     seg = q_text_unigram_segment(spark, sf_dir).collect()
     assert card["unigram"]["n_words"] == sum(r["n_words"] for r in seg)
     assert card["unigram"]["n_pieces"] == sum(r["n_pieces"] for r in seg)
     bpe = q_text_bpe_fertility(spark, sf_dir).collect()
     assert card["bpe"]["n_words"] == sum(r["total_words"] for r in bpe)
     assert card["bpe"]["n_pieces"] == sum(r["total_bpe"] for r in bpe)
-    for fam in ("bpe", "unigram"):
+    for fam in ("bpe", "unigram", "bpe_shared", "unigram_shared"):
         r = card[fam]
         assert r["fertility"] == round(r["n_pieces"] / r["n_words"], 6)
         assert 0 < r["coverage"] <= 1.0
+    # fair-domain arms (r14): both shared rows score the IDENTICAL
+    # word multiset — alnum tokens truncated to UNI_WORD_MAX — so
+    # their occurrence/char/coverage columns agree exactly and only
+    # the piece economics differ; the shared domain is the alnum
+    # token set (truncation preserves count), so its size equals the
+    # full BPE domain and nests inside the full unigram domain
+    b_sh, u_sh = card["bpe_shared"], card["unigram_shared"]
+    assert b_sh["n_words"] == u_sh["n_words"] == card["bpe"]["n_words"]
+    assert b_sh["coverage"] == u_sh["coverage"] == card["bpe"]["coverage"]
+    assert u_sh["n_words"] <= card["unigram"]["n_words"]
+    # identical char mass (reconstructed: chars_per_piece is
+    # round(n_chars / n_pieces, 6), so cpp·n_pieces recovers the
+    # integer n_chars exactly at test scale), and truncation can only
+    # shrink it vs the full-word BPE row
+    def chars(r):
+        return round(r["chars_per_piece"] * r["n_pieces"])
+
+    assert chars(b_sh) == chars(u_sh)
+    assert chars(b_sh) <= chars(card["bpe"])
