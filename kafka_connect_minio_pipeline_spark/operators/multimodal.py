@@ -311,7 +311,7 @@ def compute_phash(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
-def phash_near_dup_pairs(ph: DataFrame) -> DataFrame:
+def phash_near_dup_pairs(ph: DataFrame, ham_t: int = PHASH_HAM_T) -> DataFrame:
     """Near-dup pairs from banded perceptual hashes.
 
     Standard LSH shape: two hashes within hamming distance t must agree
@@ -354,7 +354,7 @@ def phash_near_dup_pairs(ph: DataFrame) -> DataFrame:
             ).cast("int").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= PHASH_HAM_T)
+        .filter(F.col("hamming") <= ham_t)
     )
     return pairs.orderBy("a_id", "b_id")
 
@@ -706,6 +706,176 @@ SQL_MULTIMODAL_WAV = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# audio near-dup fingerprinting (VERDICT r13 item 7)
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_WINDOWS = 20  # time windows over the decoded waveform
+AUDIO_FP_SCALES = 3  # envelope + two Haar detail scales = 60 bits total
+AUDIO_FP_HAM_T = 2  # strict operating point: the synthetic sawtooth
+# family is globally self-similar (every doc is the same waveform up to
+# phase/slope), so the report keeps only identical-audio and
+# nearest-phase pairs — measured at sf0.01: ham<=2 -> 2,315 pairs vs
+# 10,807 at the image path's 14 (which would label 8.7% of ALL pairs)
+
+
+def audio_fingerprint60(samples) -> int:
+    """60-bit banded spectral fingerprint of a decoded waveform —
+    per-window band-energy signs (the Haitsma-Kalker family, with Haar
+    detail bands standing in for DFT bins so every energy is an exact
+    INTEGER — no libm FFT divergence anywhere). Three bands per window:
+    envelope Σ|v|, scale-1 Haar detail Σ|v₂ⱼ−v₂ⱼ₊₁| (high-frequency
+    content), scale-2 Haar detail Σ|(v₄ⱼ+v₄ⱼ₊₁)−(v₄ⱼ₊₂+v₄ⱼ₊₃)|
+    (mid-frequency). Bit (b·20 + w) is set iff window w's band-b
+    energy exceeds the across-window mean in exact cross-multiplied
+    integer arithmetic (e·W > total — the phash64 rule). Bit 59 max,
+    so the hash stays positive in signed 64-bit on every engine."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n = len(s)
+    if n == 0:
+        return 0
+    w_cnt = AUDIO_FP_WINDOWS
+    bounds = [w * n // w_cnt for w in range(w_cnt + 1)]
+    e = [[0] * w_cnt for _ in range(AUDIO_FP_SCALES)]
+    for w in range(w_cnt):
+        seg = s[bounds[w] : bounds[w + 1]]
+        if len(seg) == 0:
+            continue
+        e[0][w] = int(np.abs(seg).sum())
+        d1 = seg[: (len(seg) // 2) * 2].reshape(-1, 2)
+        e[1][w] = int(np.abs(d1[:, 0] - d1[:, 1]).sum()) if len(d1) else 0
+        d2 = seg[: (len(seg) // 4) * 4].reshape(-1, 4)
+        e[2][w] = (
+            int(np.abs(d2[:, 0] + d2[:, 1] - d2[:, 2] - d2[:, 3]).sum())
+            if len(d2)
+            else 0
+        )
+    bits = 0
+    for b in range(AUDIO_FP_SCALES):
+        tot = sum(e[b])
+        for w in range(w_cnt):
+            if e[b][w] * w_cnt > tot:
+                bits |= 1 << (b * w_cnt + w)
+    return bits
+
+
+def compute_audio_fp(docs: DataFrame) -> DataFrame:
+    """(doc_id, phash): generate each doc's synthetic WAV, decode it
+    with the real RIFF walker, fingerprint the decoded samples — two
+    concerns (codec, fingerprint) in ONE Arrow-batched stage because
+    the intermediate payload is never needed downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for d in pdf["doc_id"]:
+                _, samples = decode_wav(encode_wav(int(d)))
+                fps.append(audio_fingerprint60(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "phash": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def q_multimodal_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-dup pairs — the audio twin of
+    ``multimodal_phash_pairs``: synthesize each document's WAV
+    (``encode_wav``'s sawtooth — docs 256 apart carry IDENTICAL audio
+    and small ``7·Δdoc mod 256`` phase shifts are near-identical, so
+    real near-dup structure exists in the fixture), decode with the
+    real RIFF chunk walker, fingerprint the WAVEFORM (not the bytes —
+    a re-containered copy of the same audio hashes identically, which
+    byte-phash cannot claim), then the SAME banded-LSH pair machinery
+    the image path uses (:func:`phash_near_dup_pairs` — 4×15-bit
+    bands, exact ``bit_count(xor)`` verify at the stricter
+    AUDIO_FP_HAM_T). The oracle never touches the codec: it evaluates
+    the sample closed form and re-derives windows/energies/bits in
+    exact integer SQL, so a parser bug and a fingerprint bug are both
+    caught. Scale shape: one Arrow-batched narrow stage + the
+    sub-quadratic band join — same 100 TB story as the image pairs."""
+    docs = spread(load(spark, sf_dir, "documents").select("doc_id"), "doc_id")
+    return phash_near_dup_pairs(compute_audio_fp(docs), ham_t=AUDIO_FP_HAM_T)
+
+
+def _audio_fp_sql() -> str:
+    """DuckDB twin: closed-form samples → literal window-bounds join →
+    the three integer band energies (pair/quad details via offset
+    parity within the window) → e·W > total bits → the band join."""
+    n, w_cnt = WAV_N_SAMPLES, AUDIO_FP_WINDOWS
+    bounds = ", ".join(
+        f"({w}, {w * n // w_cnt}, {(w + 1) * n // w_cnt})"
+        for w in range(w_cnt)
+    )
+    return f"""
+    WITH samples AS (
+        SELECT d.doc_id, i.range AS i,
+               ((7 * d.doc_id + 3 * i.range) % 256) - 128 AS v
+        FROM (SELECT doc_id FROM documents) d, range({WAV_N_SAMPLES}) i),
+    win(w, lo, hi) AS (VALUES {bounds}),
+    placed AS (
+        SELECT s.doc_id, win.w, s.i - win.lo AS o, s.v
+        FROM samples s JOIN win ON s.i >= win.lo AND s.i < win.hi),
+    pairs2 AS (
+        SELECT a.doc_id, a.w, ABS(a.v - b.v) AS d1
+        FROM placed a JOIN placed b
+          ON a.doc_id = b.doc_id AND a.w = b.w AND b.o = a.o + 1
+        WHERE a.o % 2 = 0),
+    quads AS (
+        SELECT a.doc_id, a.w, ABS(a.v + b.v - c.v - d.v) AS d2
+        FROM placed a
+        JOIN placed b ON a.doc_id = b.doc_id AND a.w = b.w AND b.o = a.o + 1
+        JOIN placed c ON a.doc_id = c.doc_id AND a.w = c.w AND c.o = a.o + 2
+        JOIN placed d ON a.doc_id = d.doc_id AND a.w = d.w AND d.o = a.o + 3
+        WHERE a.o % 4 = 0),
+    e0s AS (
+        SELECT doc_id, w, SUM(ABS(v)) AS e0
+        FROM placed GROUP BY doc_id, w),
+    energies AS (
+        SELECT e0s.doc_id, e0s.w, e0s.e0,
+               COALESCE(p2.s1, 0) AS e1,
+               COALESCE(q.s2, 0) AS e2
+        FROM e0s
+        LEFT JOIN (SELECT doc_id, w, SUM(d1) AS s1
+                   FROM pairs2 GROUP BY doc_id, w) p2
+          ON e0s.doc_id = p2.doc_id AND e0s.w = p2.w
+        LEFT JOIN (SELECT doc_id, w, SUM(d2) AS s2
+                   FROM quads GROUP BY doc_id, w) q
+          ON e0s.doc_id = q.doc_id AND e0s.w = q.w),
+    tot AS (
+        SELECT doc_id, SUM(e0) AS t0, SUM(e1) AS t1, SUM(e2) AS t2
+        FROM energies GROUP BY doc_id),
+    h AS (
+        SELECT e.doc_id,
+               SUM(CASE WHEN e.e0 * {w_cnt} > t.t0
+                        THEN (1::BIGINT << e.w) ELSE 0 END
+                   + CASE WHEN e.e1 * {w_cnt} > t.t1
+                          THEN (1::BIGINT << ({w_cnt} + e.w)) ELSE 0 END
+                   + CASE WHEN e.e2 * {w_cnt} > t.t2
+                          THEN (1::BIGINT << ({2 * w_cnt} + e.w)) ELSE 0 END
+                  ) AS phash
+        FROM energies e JOIN tot t USING (doc_id)
+        GROUP BY e.doc_id),
+    bands AS (
+        SELECT doc_id, phash, j AS band,
+               (phash >> (j * {PHASH_BAND_BITS})) & {(1 << PHASH_BAND_BITS) - 1} AS val
+        FROM h, UNNEST(RANGE(0, {PHASH_BANDS})) r(j))
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {AUDIO_FP_HAM_T}
+    ORDER BY a_id, b_id
+"""
+
+
 CORRUPT_EVERY = 97  # deterministic corruption: doc_id % 97 == 0 truncated
 
 
@@ -775,5 +945,8 @@ QUERIES = {
     "multimodal_wav_decode": Query(q_multimodal_wav_decode, SQL_MULTIMODAL_WAV),
     "multimodal_decode_errors": Query(
         q_multimodal_decode_errors, SQL_MULTIMODAL_DECODE_ERRORS
+    ),
+    "multimodal_audio_fingerprint": Query(
+        q_multimodal_audio_fingerprint, _audio_fp_sql()
     ),
 }

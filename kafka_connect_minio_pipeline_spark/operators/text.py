@@ -1109,7 +1109,15 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace-only doc yields NULL ratios and keep=false on both
     engines (false AND NULL = false in 3-valued logic, so ``keep``
     itself is never NULL)."""
-    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    return gopher_report(spread(load(spark, sf_dir, "documents"), "doc_id"))
+
+
+def gopher_report(docs: DataFrame) -> DataFrame:
+    """The Gopher featurization + keep verdict over ANY (doc_id, text)
+    relation — factored out (r14) so composed pipelines (the crawl-
+    refresh delta gate) can run the identical rule set on a delta
+    relation instead of the whole table. Same narrow no-shuffle shape
+    as the registry query above."""
     toks = tokens(F.col("text"))
     base = docs.select("doc_id", toks.alias("toks"), "text")
     n_words = F.size("toks")
@@ -1147,15 +1155,20 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_MIN_WORDS = 30
 GOPHER_MAX_WORDS = 100_000
 
-SQL_TEXT_GOPHER_RULES = f"""
-    WITH t AS (
-        SELECT doc_id,
-               {SQL_TOKENS.format(col='text')} AS toks,
-               LENGTH(REGEXP_REPLACE(text, '{WS_CLASS}', '', 'g')) AS word_chars,
-               LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '#', '', 'g')) AS n_hash,
-               (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS n_ell
-        FROM documents),
-    feat AS (
+
+def gopher_sql(src: str) -> str:
+    """DuckDB twin of :func:`gopher_report` over an arbitrary
+    (doc_id, text) relation name ``src`` — a full SELECT producing the
+    same report columns. ``SQL_TEXT_GOPHER_RULES`` is this over
+    ``documents``; the crawl-refresh oracle runs it over its delta CTE."""
+    return f"""
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           stop_hits,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.8
+            AND stop_hits >= 2) AS keep
+    FROM (
         SELECT doc_id,
                CAST(LEN(toks) AS INTEGER) AS n_words,
                CASE WHEN LEN(toks) > 0 THEN
@@ -1166,15 +1179,17 @@ SQL_TEXT_GOPHER_RULES = f"""
                    ROUND(LEN(LIST_FILTER(toks, x -> regexp_matches(x, '[a-zA-Z]')))
                          * 1.0 / LEN(toks), 6) END AS alpha_word_ratio,
                CAST(LEN(LIST_INTERSECT(toks, [{_STOP_SQL}])) AS INTEGER) AS stop_hits
-        FROM t)
-    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
-           stop_hits,
-           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
-            AND mean_word_len >= 3 AND mean_word_len <= 10
-            AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.8
-            AND stop_hits >= 2) AS keep
-    FROM feat
+        FROM (
+            SELECT doc_id,
+                   {SQL_TOKENS.format(col='text')} AS toks,
+                   LENGTH(REGEXP_REPLACE(text, '{WS_CLASS}', '', 'g')) AS word_chars,
+                   LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '#', '', 'g')) AS n_hash,
+                   (LENGTH(text) - LENGTH(REPLACE(text, '...', ''))) // 3 AS n_ell
+            FROM {src}))
 """
+
+
+SQL_TEXT_GOPHER_RULES = gopher_sql("documents")
 
 
 # ---------------------------------------------------------------------------

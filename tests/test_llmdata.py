@@ -891,3 +891,135 @@ def test_corpus_snapshot_diff_planted_churn(spark, tmp_path):
         assert r["churn_rate"] == round(
             (r["n_added"] + r["n_removed"] + r["n_changed"]) / r["n_old"], 6
         )
+
+
+def test_corpus_refresh_pipeline_planted_gates(spark, tmp_path):
+    """Composed crawl-refresh pipeline on a planted fixture: statuses
+    re-derived with independent hashlib draws pick real added/unchanged
+    docs, and the texts are then planted so each gate fires exactly
+    once — one short added doc (quality_fail), one added doc copying an
+    unchanged doc's text verbatim (duplicate via the canonical shingle
+    fingerprint), one added doc carrying a benchmark 8-gram
+    (contaminated) — every other delta doc is kept. The engine's
+    per-source accounting must equal the Python rollup, and the
+    keep-list / reprocessed-fraction identities must hold row by row
+    (unchanged docs enter the keep-list WITHOUT being scored)."""
+    import hashlib
+
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        SNAP_ADD_FRAC,
+        SNAP_CHG_FRAC,
+        SNAP_RM_FRAC,
+        q_corpus_refresh_pipeline,
+    )
+    from kafka_connect_minio_pipeline_spark.operators.llmdata import BENCH_MOD
+
+    def draw(salt, doc_id, frac):
+        h = int(hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:15], 16)
+        return h < int(frac * (1 << 60))
+
+    n_docs = 120
+    status = {}
+    for i in range(n_docs):
+        if i % BENCH_MOD == 0:
+            continue  # benchmark universe, excluded from the crawl
+        rm = draw("snaprm|", i, SNAP_RM_FRAC)
+        add = draw("snapadd|", i, SNAP_ADD_FRAC) and not rm
+        chg = draw("snapchg|", i, SNAP_CHG_FRAC)
+        status[i] = (
+            "added" if add else "removed" if rm
+            else "changed" if chg else "unchanged"
+        )
+    added = sorted(i for i, s in status.items() if s == "added")
+    unchanged = sorted(i for i, s in status.items() if s == "unchanged")
+    assert len(added) >= 3 and unchanged, "fixture draw starved a state"
+    d_dup, d_contam, d_qfail = added[0], added[1], added[2]
+    u_src = unchanged[0]
+
+    base = "the quick brown fox jumps over a lazy dog again " * 4
+    leak = "benchmark leak phrase one two three four five"
+
+    def text_of(i):
+        if i % BENCH_MOD == 0:
+            return leak
+        if i == d_dup:
+            return f"entry {u_src} token{u_src} " + base.strip()
+        if i == d_contam:
+            return f"entry {i} token{i} " + base + leak
+        if i == d_qfail:
+            return f"short document body {i}"
+        return f"entry {i} token{i} " + base.strip()
+
+    rows = [
+        (i, text_of(i), "en", f"src{i % 3}", len(text_of(i)))
+        for i in range(n_docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    want: dict[str, dict[str, int]] = {}
+    for i, s in status.items():
+        src = f"src{i % 3}"
+        w = want.setdefault(
+            src,
+            {"n_new": 0, "n_delta": 0, "n_quality_fail": 0, "n_dup": 0,
+             "n_contaminated": 0, "n_kept": 0},
+        )
+        if s == "removed":
+            continue
+        w["n_new"] += 1
+        if s in ("added", "changed"):
+            w["n_delta"] += 1
+            if i == d_qfail:
+                w["n_quality_fail"] += 1
+            elif i == d_dup:
+                w["n_dup"] += 1
+            elif i == d_contam:
+                w["n_contaminated"] += 1
+            else:
+                w["n_kept"] += 1
+
+    got = {
+        r["source"]: r
+        for r in q_corpus_refresh_pipeline(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {s for s, w in want.items() if w["n_new"] > 0}
+    for src, r in got.items():
+        w = want[src]
+        for k in ("n_new", "n_delta", "n_quality_fail", "n_dup",
+                  "n_contaminated", "n_kept"):
+            assert r[k] == w[k], (src, k, r[k], w[k])
+        # identities: the gates partition the delta; unchanged docs
+        # flow into the keep-list unscored
+        assert r["n_delta"] == (
+            r["n_quality_fail"] + r["n_dup"] + r["n_contaminated"]
+            + r["n_kept"]
+        )
+        assert r["n_keeplist"] == r["n_new"] - r["n_delta"] + r["n_kept"]
+        assert r["reprocessed_frac"] == round(r["n_delta"] / r["n_new"], 6)
+
+
+def test_corpus_refresh_pipeline_accounting_on_fixture(spark, sf_dir):
+    """Row identities on the real fixture corpus: verdicts partition
+    the delta, keep-list algebra holds, and the refresh re-processes a
+    strict minority of the new snapshot (the incrementality win the
+    operator exists to measure)."""
+    from kafka_connect_minio_pipeline_spark.operators.corpus import (
+        q_corpus_refresh_pipeline,
+    )
+
+    rows = q_corpus_refresh_pipeline(spark, sf_dir).collect()
+    assert rows
+    tot_new = sum(r["n_new"] for r in rows)
+    tot_delta = sum(r["n_delta"] for r in rows)
+    for r in rows:
+        assert r["n_delta"] == (
+            r["n_quality_fail"] + r["n_dup"] + r["n_contaminated"]
+            + r["n_kept"]
+        )
+        assert r["n_keeplist"] == r["n_new"] - r["n_delta"] + r["n_kept"]
+        assert r["reprocessed_frac"] == round(r["n_delta"] / r["n_new"], 6)
+    # synthesis fractions put the delta well under half the snapshot
+    assert 0 < tot_delta < 0.5 * tot_new

@@ -541,3 +541,47 @@ def test_classifier_bigram_ab_decision(spark, sf_dir):
     assert bi["n_pos"] == uni["n_pos"] and bi["n_neg"] == uni["n_neg"]
     assert 0.5 < bi["auc"] <= 1.0  # the variant genuinely learns
     assert uni["auc"] > bi["auc"]  # ...but unigrams win here
+
+
+def test_audio_fingerprint_planted_near_dups(spark, tmp_path):
+    """Audio near-dup gate on a planted fixture: doc ids 256 apart carry
+    bit-identical synthetic audio (7·Δ ≡ 0 mod 256), so their waveform
+    fingerprints are equal and the pair ships at hamming 0; a far-phase
+    doc pairs with neither. Kernel pins: the fingerprint is a pure
+    function of the decoded samples (re-encoding the same audio in a
+    different container byte layout cannot change it), empty input
+    hashes to 0, and the bit budget stays inside 60."""
+    from kafka_connect_minio_pipeline_spark.operators.multimodal import (
+        AUDIO_FP_HAM_T,
+        audio_fingerprint60,
+        decode_wav,
+        encode_wav,
+        q_multimodal_audio_fingerprint,
+    )
+
+    # ids 5 and 261 (Δ=256): identical audio; 133 is 128 apart from
+    # both → phase shift 7·128 % 256 = 128, maximally out of phase
+    ids = [5, 133, 261]
+    rows = [(i, f"body {i}", "en", "src0", 6) for i in ids]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in q_multimodal_audio_fingerprint(spark, str(tmp_path)).collect()
+    }
+    assert got.get((5, 261)) == 0
+    assert (5, 133) not in got and (133, 261) not in got
+    # kernel: waveform-level determinism + identity across containers
+    _, s5 = decode_wav(encode_wav(5))
+    _, s261 = decode_wav(encode_wav(261))
+    fp5 = audio_fingerprint60(s5)
+    assert fp5 == audio_fingerprint60(s261)
+    assert 0 < fp5 < (1 << 60)
+    assert audio_fingerprint60([]) == 0
+    # a real near (not identical) phase pair stays within the gate:
+    # Δ=183 → phase shift 7·183 % 256 = 1
+    _, s188 = decode_wav(encode_wav(188))
+    ham = bin(fp5 ^ audio_fingerprint60(s188)).count("1")
+    assert 0 < ham <= AUDIO_FP_HAM_T
