@@ -1673,10 +1673,13 @@ def q_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED crawl-refresh pipeline — the production reason
     ``corpus_snapshot_diff`` exists: when crawl N lands, route ONLY the
     added/changed docs (the delta) through the curation gates — quality
-    (the Gopher rule set), exact dedup against the standing corpus (the
-    ``dedup_incremental`` asymmetric-layer shape: canonical shingle-set
-    fingerprints of the delta joined against the UNCHANGED base's
-    fingerprint index), and benchmark n-gram decontamination (the
+    (the Gopher rule set), BOTH of ``dedup_incremental``'s asymmetric
+    dedup layers against the standing corpus (EXACT: canonical
+    shingle-set fingerprints of the delta joined against the UNCHANGED
+    base's fingerprint index; NEAR: the delta's banded MinHash joined
+    against the base's bands only, exact-Jaccard verify at 0.8 — so
+    candidate volume scales with |delta| x collision rate, never
+    |corpus|²), and benchmark n-gram decontamination (the
     ``llm_decontaminate`` broadcast gate) — and emit the per-source
     accounting of the refreshed keep-list: how many docs were
     re-processed, what each gate rejected, and the incrementality win
@@ -1699,13 +1702,20 @@ def q_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe is the complement. Gate order is sequential — quality
     first (cheap narrow rules), fingerprints and gram probes only for
     quality survivors — and the reject reasons are mutually exclusive
-    by CASE priority (quality_fail > duplicate > contaminated).
+    by CASE priority (quality_fail > duplicate_exact > duplicate_near
+    > contaminated).
 
     Cites the reference's end-to-end transform-then-verify pipeline
     shape (UserProfileTransform.java:23-86 filter→derive chain +
     verifier_ui.py:101-138 accounting): the same compose-gates-and-
     account pattern, lifted to corpus refresh."""
-    from .dedup import shingle_sets_of
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        N_PERM,
+        minhash_signatures,
+        shingle_sets_of,
+    )
     from .llmdata import BENCH_MOD, DECON_N
     from .text import gopher_report
 
@@ -1731,22 +1741,92 @@ def q_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality = gopher_report(delta).select("doc_id", "keep")
     qpass = delta.join(quality, "doc_id").filter("keep")
-    # asymmetric exact layer: delta fingerprints vs the unchanged
+    # both dedup layers consume the shingle-set relations 2-3 times
+    # (fingerprint, signatures, verify side) — stage each once; at
+    # 100 TB the BASE side's fingerprints AND signatures are the
+    # maintained ingest-time index of the dedup_incremental story
+    d_sets = (
+        shingle_sets_of(qpass.select("doc_id", "text"))
+        .filter(F.col("n_sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    b_sets = (
+        shingle_sets_of(
+            newsnap.filter(~F.col("is_delta")).select("doc_id", "text")
+        )
+        .filter(F.col("n_sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    # asymmetric EXACT layer: delta fingerprints vs the unchanged
     # base's fingerprint index (canonical sorted-shingle-set md5, the
     # dedup_incremental convention; quality-passers always have >= 30
     # words, so the zero-shingle guard never bites on the delta side)
-    fp_of = lambda rel: shingle_sets_of(rel).filter(  # noqa: E731
-        F.col("n_sh") > 0
-    ).select("doc_id", F.md5(F.concat_ws(" ", "arr")).alias("fp"))
-    base_fp = (
-        fp_of(newsnap.filter(~F.col("is_delta"))).select("fp").distinct()
+    fp_of = lambda rel: rel.select(  # noqa: E731
+        "doc_id", F.md5(F.concat_ws(" ", "arr")).alias("fp")
     )
-    dup = (
-        fp_of(qpass)
+    base_fp = fp_of(b_sets).select("fp").distinct()
+    dup_exact = (
+        fp_of(d_sets)
         .join(base_fp, "fp")
         .select("doc_id")
         .distinct()
-        .withColumn("is_dup", F.lit(True))
+        .withColumn("is_dup_exact", F.lit(True))
+    )
+    # asymmetric NEAR layer (dedup_incremental's second layer): banded
+    # MinHash of the delta joined against the base's bands only —
+    # candidate volume scales with |delta| x collision rate — then the
+    # exact-Jaccard verify at the standard 0.8 threshold
+    r = N_PERM // N_BANDS
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ",", *[F.col(f"sig{b * r + i}") for i in range(r)]
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    band_of = lambda sets_rel: minhash_signatures(sets_rel).select(  # noqa: E731
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_val")
+    )
+    cand = (
+        band_of(d_sets)
+        .alias("a")
+        .hint("shuffle_hash")
+        .join(
+            band_of(b_sets).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("base_id"),
+        )
+        .distinct()
+    )
+    dup_near = (
+        cand.join(
+            d_sets.select(
+                "doc_id", F.col("arr").alias("arr1"), F.col("n_sh").alias("n1")
+            ),
+            "doc_id",
+        )
+        .join(
+            b_sets.select(
+                F.col("doc_id").alias("base_id"),
+                F.col("arr").alias("arr2"),
+                F.col("n_sh").alias("n2"),
+            ),
+            "base_id",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("arr1", "arr2")))
+        .filter(
+            F.col("n_common")
+            / (F.col("n1") + F.col("n2") - F.col("n_common"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup_near", F.lit(True))
     )
     # benchmark n-gram gate (llm_decontaminate shape): benchmark grams
     # built from the held-out docs' ORIGINAL text and broadcast
@@ -1765,13 +1845,15 @@ def q_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     status = (
         F.when(~F.col("keep"), F.lit("quality_fail"))
-        .when(F.col("is_dup").isNotNull(), F.lit("duplicate"))
+        .when(F.col("is_dup_exact").isNotNull(), F.lit("duplicate_exact"))
+        .when(F.col("is_dup_near").isNotNull(), F.lit("duplicate_near"))
         .when(F.col("is_contam").isNotNull(), F.lit("contaminated"))
         .otherwise(F.lit("kept"))
     )
     verdicts = (
         delta.join(quality, "doc_id")
-        .join(dup, "doc_id", "left")
+        .join(dup_exact, "doc_id", "left")
+        .join(dup_near, "doc_id", "left")
         .join(contam, "doc_id", "left")
         .select("source", status.alias("status"))
     )
@@ -1779,7 +1861,12 @@ def q_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("status") == "quality_fail", 1)).alias(
             "n_quality_fail"
         ),
-        F.count(F.when(F.col("status") == "duplicate", 1)).alias("n_dup"),
+        F.count(F.when(F.col("status") == "duplicate_exact", 1)).alias(
+            "n_dup_exact"
+        ),
+        F.count(F.when(F.col("status") == "duplicate_near", 1)).alias(
+            "n_dup_near"
+        ),
         F.count(F.when(F.col("status") == "contaminated", 1)).alias(
             "n_contaminated"
         ),
@@ -1797,7 +1884,8 @@ def q_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_new",
             "n_delta",
             F.coalesce("n_quality_fail", z).alias("n_quality_fail"),
-            F.coalesce("n_dup", z).alias("n_dup"),
+            F.coalesce("n_dup_exact", z).alias("n_dup_exact"),
+            F.coalesce("n_dup_near", z).alias("n_dup_near"),
             F.coalesce("n_contaminated", z).alias("n_contaminated"),
             F.coalesce("n_kept", z).alias("n_kept"),
             (
@@ -1817,11 +1905,30 @@ def q_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _refresh_pipeline_sql() -> str:
     """DuckDB twin of the composed refresh pipeline: identical snapshot
     synthesis (benchmark docs excluded), Gopher gate over the delta CTE
-    (the shared :func:`text.gopher_sql` template), canonical-fingerprint
-    dedup of quality-passers vs the unchanged base, benchmark 8-gram
-    probe, CASE-priority verdicts, per-source rollup."""
+    (the shared :func:`text.gopher_sql` template), BOTH asymmetric
+    dedup layers of quality-passers vs the unchanged base (canonical
+    fingerprint equi-join + banded MinHash candidates with the
+    exact-Jaccard verify — the ``_incremental_oracle_sql`` machinery
+    re-derived over the snapshot relations), benchmark 8-gram probe,
+    CASE-priority verdicts, per-source rollup."""
+    from .dedup import JACCARD_THRESHOLD, MH_A, MH_B, MH_P, N_BANDS, N_PERM
     from .llmdata import BENCH_MOD, DECON_N
     from .text import gopher_sql
+
+    r = N_PERM // N_BANDS
+    sig_exprs = ",\n               ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MH_P})) AS sig{p}"
+        for p, (a, b) in enumerate(zip(MH_A, MH_B))
+    )
+    band_exprs = ",\n               ".join(
+        "("
+        + " || ',' || ".join(
+            f"CAST(sig{band * r + i} AS VARCHAR)" for i in range(r)
+        )
+        + f") AS b{band}"
+        for band in range(N_BANDS)
+    )
+    band_match = " OR ".join(f"a.b{k} = b.b{k}" for k in range(N_BANDS))
 
     h = "('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
     rm = h.format(salt="snaprm|") + f" < {int(SNAP_RM_FRAC * _HASH_SPACE)}"
@@ -1859,18 +1966,46 @@ def _refresh_pipeline_sql() -> str:
     dsh AS (
         SELECT DISTINCT doc_id, s
         FROM (SELECT doc_id, {toks} AS w FROM qpass), {sh3}),
-    dfp AS (
-        SELECT doc_id, md5(array_to_string(LIST(s ORDER BY s), ' ')) AS fp
+    dsets AS MATERIALIZED (
+        SELECT doc_id, LIST(s ORDER BY s) AS arr, COUNT(*) AS n
         FROM dsh GROUP BY doc_id),
     bsh AS (
         SELECT DISTINCT doc_id, s
         FROM (SELECT doc_id, {toks} AS w FROM newsnap
               WHERE NOT is_delta), {sh3}),
-    bfp AS (
-        SELECT DISTINCT md5(array_to_string(LIST(s ORDER BY s), ' ')) AS fp
+    bsets AS MATERIALIZED (
+        SELECT doc_id, LIST(s ORDER BY s) AS arr, COUNT(*) AS n
         FROM bsh GROUP BY doc_id),
-    dup AS MATERIALIZED (
+    dfp AS (
+        SELECT doc_id, md5(array_to_string(arr, ' ')) AS fp FROM dsets),
+    bfp AS (
+        SELECT DISTINCT md5(array_to_string(arr, ' ')) AS fp FROM bsets),
+    dupx AS MATERIALIZED (
         SELECT DISTINCT d.doc_id FROM dfp d JOIN bfp USING (fp)),
+    dband AS MATERIALIZED (
+        SELECT doc_id, arr, n, {band_exprs}
+        FROM (SELECT doc_id, arr, n, {sig_exprs}
+              FROM (SELECT doc_id, arr, n,
+                           list_transform(arr,
+                               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                    % {MH_P}) AS hs
+                    FROM dsets))),
+    bband AS MATERIALIZED (
+        SELECT doc_id, arr, n, {band_exprs}
+        FROM (SELECT doc_id, arr, n, {sig_exprs}
+              FROM (SELECT doc_id, arr, n,
+                           list_transform(arr,
+                               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                                    % {MH_P}) AS hs
+                    FROM bsets))),
+    dupn AS MATERIALIZED (
+        SELECT DISTINCT doc_id
+        FROM (SELECT a.doc_id,
+                     a.arr AS arr1, a.n AS n1, b.arr AS arr2, b.n AS n2
+              FROM dband a JOIN bband b ON ({band_match}))
+        WHERE LEN(list_intersect(arr1, arr2)) * 1.0
+              / (n1 + n2 - LEN(list_intersect(arr1, arr2)))
+              >= {JACCARD_THRESHOLD}),
     bench AS MATERIALIZED (
         SELECT DISTINCT s
         FROM (SELECT {toks} AS w FROM documents
@@ -1883,18 +2018,23 @@ def _refresh_pipeline_sql() -> str:
     verdicts AS (
         SELECT d.source,
                CASE WHEN NOT g.keep THEN 'quality_fail'
-                    WHEN dup.doc_id IS NOT NULL THEN 'duplicate'
+                    WHEN dx.doc_id IS NOT NULL THEN 'duplicate_exact'
+                    WHEN dn.doc_id IS NOT NULL THEN 'duplicate_near'
                     WHEN c.doc_id IS NOT NULL THEN 'contaminated'
                     ELSE 'kept' END AS status
         FROM delta d
         JOIN gq g USING (doc_id)
-        LEFT JOIN dup ON d.doc_id = dup.doc_id
+        LEFT JOIN dupx dx ON d.doc_id = dx.doc_id
+        LEFT JOIN dupn dn ON d.doc_id = dn.doc_id
         LEFT JOIN contam c ON d.doc_id = c.doc_id),
     per_delta AS (
         SELECT source,
                COUNT(CASE WHEN status = 'quality_fail' THEN 1 END)
                    AS n_quality_fail,
-               COUNT(CASE WHEN status = 'duplicate' THEN 1 END) AS n_dup,
+               COUNT(CASE WHEN status = 'duplicate_exact' THEN 1 END)
+                   AS n_dup_exact,
+               COUNT(CASE WHEN status = 'duplicate_near' THEN 1 END)
+                   AS n_dup_near,
                COUNT(CASE WHEN status = 'contaminated' THEN 1 END)
                    AS n_contaminated,
                COUNT(CASE WHEN status = 'kept' THEN 1 END) AS n_kept
@@ -1908,7 +2048,8 @@ def _refresh_pipeline_sql() -> str:
            CAST(s.n_new AS BIGINT) AS n_new,
            CAST(s.n_delta AS BIGINT) AS n_delta,
            CAST(COALESCE(d.n_quality_fail, 0) AS BIGINT) AS n_quality_fail,
-           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+           CAST(COALESCE(d.n_dup_exact, 0) AS BIGINT) AS n_dup_exact,
+           CAST(COALESCE(d.n_dup_near, 0) AS BIGINT) AS n_dup_near,
            CAST(COALESCE(d.n_contaminated, 0) AS BIGINT) AS n_contaminated,
            CAST(COALESCE(d.n_kept, 0) AS BIGINT) AS n_kept,
            CAST(s.n_new - s.n_delta + COALESCE(d.n_kept, 0) AS BIGINT)

@@ -898,9 +898,10 @@ def test_corpus_refresh_pipeline_planted_gates(spark, tmp_path):
     re-derived with independent hashlib draws pick real added/unchanged
     docs, and the texts are then planted so each gate fires exactly
     once — one short added doc (quality_fail), one added doc copying an
-    unchanged doc's text verbatim (duplicate via the canonical shingle
-    fingerprint), one added doc carrying a benchmark 8-gram
-    (contaminated) — every other delta doc is kept. The engine's
+    unchanged doc's text verbatim (duplicate_exact via the canonical
+    shingle fingerprint), one added doc one word away from an unchanged
+    doc (duplicate_near via the banded-MinHash layer at J~0.93), one
+    added doc carrying a benchmark 8-gram (contaminated) — every other delta doc is kept. The engine's
     per-source accounting must equal the Python rollup, and the
     keep-list / reprocessed-fraction identities must hold row by row
     (unchanged docs enter the keep-list WITHOUT being scored)."""
@@ -932,9 +933,9 @@ def test_corpus_refresh_pipeline_planted_gates(spark, tmp_path):
         )
     added = sorted(i for i, s in status.items() if s == "added")
     unchanged = sorted(i for i, s in status.items() if s == "unchanged")
-    assert len(added) >= 3 and unchanged, "fixture draw starved a state"
-    d_dup, d_contam, d_qfail = added[0], added[1], added[2]
-    u_src = unchanged[0]
+    assert len(added) >= 4 and len(unchanged) >= 2, "draw starved a state"
+    d_dup, d_contam, d_qfail, d_near = added[:4]
+    u_src, u_near = unchanged[:2]
 
     base = "the quick brown fox jumps over a lazy dog again " * 4
     leak = "benchmark leak phrase one two three four five"
@@ -944,6 +945,10 @@ def test_corpus_refresh_pipeline_planted_gates(spark, tmp_path):
             return leak
         if i == d_dup:
             return f"entry {u_src} token{u_src} " + base.strip()
+        if i == d_near:
+            # one word changed vs u_near's text: shingle-set Jaccard
+            # ~0.93 (verified offline) — near-dup, not exact
+            return f"entry {u_near} token{u_near} " + base.strip()[:-5] + "altered"
         if i == d_contam:
             return f"entry {i} token{i} " + base + leak
         if i == d_qfail:
@@ -964,8 +969,9 @@ def test_corpus_refresh_pipeline_planted_gates(spark, tmp_path):
         src = f"src{i % 3}"
         w = want.setdefault(
             src,
-            {"n_new": 0, "n_delta": 0, "n_quality_fail": 0, "n_dup": 0,
-             "n_contaminated": 0, "n_kept": 0},
+            {"n_new": 0, "n_delta": 0, "n_quality_fail": 0,
+             "n_dup_exact": 0, "n_dup_near": 0, "n_contaminated": 0,
+             "n_kept": 0},
         )
         if s == "removed":
             continue
@@ -975,7 +981,9 @@ def test_corpus_refresh_pipeline_planted_gates(spark, tmp_path):
             if i == d_qfail:
                 w["n_quality_fail"] += 1
             elif i == d_dup:
-                w["n_dup"] += 1
+                w["n_dup_exact"] += 1
+            elif i == d_near:
+                w["n_dup_near"] += 1
             elif i == d_contam:
                 w["n_contaminated"] += 1
             else:
@@ -988,14 +996,14 @@ def test_corpus_refresh_pipeline_planted_gates(spark, tmp_path):
     assert set(got) == {s for s, w in want.items() if w["n_new"] > 0}
     for src, r in got.items():
         w = want[src]
-        for k in ("n_new", "n_delta", "n_quality_fail", "n_dup",
-                  "n_contaminated", "n_kept"):
+        for k in ("n_new", "n_delta", "n_quality_fail", "n_dup_exact",
+                  "n_dup_near", "n_contaminated", "n_kept"):
             assert r[k] == w[k], (src, k, r[k], w[k])
         # identities: the gates partition the delta; unchanged docs
         # flow into the keep-list unscored
         assert r["n_delta"] == (
-            r["n_quality_fail"] + r["n_dup"] + r["n_contaminated"]
-            + r["n_kept"]
+            r["n_quality_fail"] + r["n_dup_exact"] + r["n_dup_near"]
+            + r["n_contaminated"] + r["n_kept"]
         )
         assert r["n_keeplist"] == r["n_new"] - r["n_delta"] + r["n_kept"]
         assert r["reprocessed_frac"] == round(r["n_delta"] / r["n_new"], 6)
@@ -1016,8 +1024,8 @@ def test_corpus_refresh_pipeline_accounting_on_fixture(spark, sf_dir):
     tot_delta = sum(r["n_delta"] for r in rows)
     for r in rows:
         assert r["n_delta"] == (
-            r["n_quality_fail"] + r["n_dup"] + r["n_contaminated"]
-            + r["n_kept"]
+            r["n_quality_fail"] + r["n_dup_exact"] + r["n_dup_near"]
+            + r["n_contaminated"] + r["n_kept"]
         )
         assert r["n_keeplist"] == r["n_new"] - r["n_delta"] + r["n_kept"]
         assert r["reprocessed_frac"] == round(r["n_delta"] / r["n_new"], 6)

@@ -1559,21 +1559,24 @@ def test_snapshot_diff_single_fullouter_join(spark, sf_dir):
 
 def test_refresh_pipeline_gates_are_delta_sized(spark, sf_dir):
     """The crawl-refresh composition re-scores ONLY the delta: every
-    gate subtree (quality, fingerprints, decon grams) reads the staged
-    delta relation (Scan ExistingRDD — the localCheckpoint), and the
-    corpus parquet appears exactly THREE times — the new-snapshot
-    per-source counts, the unchanged-base fingerprint index (the
-    maintained on-disk index at scale), and the benchmark gram build.
-    An unchanged doc's text is never tokenized/shingled/probed."""
+    gate subtree (quality, both dedup layers, decon grams) reads a
+    staged relation (Scan ExistingRDD — the checkpointed delta and the
+    two shingle-set stagings, of which the BASE one is the maintained
+    ingest-time fingerprint/signature index at scale), and the corpus
+    parquet appears exactly TWICE in the final plan — the new-snapshot
+    per-source counts and the benchmark gram build. An unchanged doc's
+    text is never re-tokenized inside the serving plan, and the banded
+    MinHash candidate join is an equi join, never a pair scan."""
     from kafka_connect_minio_pipeline_spark.operators.corpus import (
         q_corpus_refresh_pipeline,
     )
 
     plan = formatted_plan(q_corpus_refresh_pipeline(spark, sf_dir))
-    assert plan.count("Scan parquet") == 6, plan  # 3 nodes x (tree+details)
+    assert plan.count("Scan parquet") == 4, plan  # 2 nodes x (tree+details)
     assert "Scan ExistingRDD" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_audio_fingerprint_band_join_is_equi(spark, sf_dir):
