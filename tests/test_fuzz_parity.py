@@ -105,6 +105,13 @@ TARGETS = (
     # FOR)
     "text_unigram_prune", "stream_decontaminate", "corpus_snapshot_diff",
     "text_tokenizer_ab",
+    # r14: the composed crawl-refresh pipeline (fuzz corpora rarely pass
+    # the Gopher gate, so the empty-qpass arm — empty fingerprint/band/
+    # gram relations through both dedup layers — runs on most seeds;
+    # doc 0 is always benchmark-resident) and the audio fingerprint
+    # (tiny id sets → usually an empty pair relation on both engines;
+    # close ids exercise small-phase-shift hamming arms)
+    "corpus_refresh_pipeline", "multimodal_audio_fingerprint",
 )
 
 
