@@ -1819,10 +1819,18 @@ def q_corpus_refresh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "base_id",
         )
         .withColumn("n_common", F.size(F.array_intersect("arr1", "arr2")))
-        .filter(
+    )
+    # threshold above the projection, not in the join condition — pushed
+    # down, the Jaccard predicate re-evaluates array_intersect per
+    # candidate inside the join (functions/barrier.py)
+    from ..functions.barrier import filter_above
+
+    dup_near = (
+        filter_above(
+            dup_near,
             F.col("n_common")
             / (F.col("n1") + F.col("n2") - F.col("n_common"))
-            >= JACCARD_THRESHOLD
+            >= JACCARD_THRESHOLD,
         )
         .select("doc_id")
         .distinct()

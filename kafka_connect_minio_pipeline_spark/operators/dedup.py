@@ -31,6 +31,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.barrier import filter_above
 from ..functions.vectors import cosine_from_parts, dot, to_double
 from ..registry import Query
 from ..scratch import scratch_dir
@@ -238,7 +239,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
         )
         .filter(F.col("rnk") <= prefix_len)
-        .select("doc_id", "n_sh", "s")
+        # the self-join only needs EQUALITY of prefix shingles, so it
+        # joins on the 8-byte xxhash64 of the shingle instead of the
+        # string (r14, guide §2.3 narrower types): the shuffled rows
+        # shrink by the string width and the probe compares longs. A
+        # hash collision can only ADD a candidate pair (equal strings
+        # always hash equal), and every candidate is verified against
+        # the exact shingle arrays below — losslessness is unchanged
+        # and re-proven by the quadratic oracle each grade. The PREFIX
+        # itself is still chosen under the exact (df, s) string order,
+        # which stays a total order on the shingle universe.
+        .select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
     )
     # shuffle_hash: at scale neither side of the inverted-index self-join
     # is broadcastable, and both sides being the same subtree means the
@@ -249,7 +260,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # size filter: J >= t is impossible unless t*|larger| <= |smaller|
             & (F.col("a.n_sh") >= JACCARD_THRESHOLD * F.col("b.n_sh"))
@@ -259,8 +270,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # verify against the NARROW set relation (scan+project, no shuffle to
-    # rebuild — the rarity order matters only for the prefix, not here)
-    return (
+    # rebuild — the rarity order matters only for the prefix, not here).
+    # filter_above keeps the threshold out of the join condition: pushed
+    # down, the Jaccard predicate re-evaluates array_intersect 2x in the
+    # condition plus 1x in the projection (r14; measured numbers in
+    # OPTIMIZATION_r14.md; see functions/barrier.py).
+    scored = (
         cand.join(
             sets_.select(
                 F.col("doc_id").alias("d1"), F.col("arr").alias("arr1"), F.col("n_sh").alias("n1")
@@ -280,8 +295,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("d1", "d2", "jaccard")
+    )
+    return filter_above(scored, F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "d1", "d2", "jaccard"
     )
 
 
@@ -424,8 +440,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    # threshold above the projection, not in the join condition — the
+    # pushed-down predicate re-evaluates the intersection 2x per
+    # candidate (see functions/barrier.py)
+    verified = filter_above(verified, F.col("jaccard") >= JACCARD_THRESHOLD)
     return verified.select("d1", "d2", "jaccard")
 
 
@@ -625,6 +644,13 @@ def connected_components_ls(
     per component, so the parent column IS the component min. Raises on
     round-cap exhaustion — truncated labels are never returned.
     """
+    # ONE materialization of the canonical edge set (r14): nodes and the
+    # parent relation both used to checkpoint independently, which ran
+    # the upstream pair GENERATION twice — for the phash cluster query
+    # that upstream is the whole banded-LSH candidate/verify pipeline.
+    # Checkpoint e once; nodes and b are narrow projections of its
+    # blocks (nodes is only consumed by the closing label join, so it
+    # stays lazy).
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
@@ -632,23 +658,24 @@ def connected_components_ls(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("lo").alias("n"))
         .union(e.select(F.col("hi").alias("n")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # parent relation, canonical direction: u (child) -> v (parent), v < u
-    b = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).localCheckpoint(
-        eager=True
-    )
-    n_edges = b.count()
+    b = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
     converged = False
     for _ in range(max_iter):
         # large-star: over the SYMMETRIC relation, every neighbor v > u
         # re-attaches to min(N(u) ∪ {u}); output is already canonical
-        # because the new parent m ≤ u < v
+        # because the new parent m ≤ u < v. No dedup here: duplicate
+        # (u, m) rows cannot change the next min-aggregate and small's
+        # closing distinct removes them — dropping the intermediate
+        # .distinct() removes one full exchange per round (r14; the
+        # duplicate volume is bounded by |sym| = 2|b|).
         sym = b.union(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m_lg = sym.groupBy("u").agg(F.min("v").alias("mn"))
         m_lg = m_lg.select("u", F.least("mn", F.col("u")).alias("m"))
@@ -656,7 +683,6 @@ def connected_components_ls(
             sym.join(m_lg, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # small-star: parents and children of each u collapse onto the
         # minimum parent; roots emit their own (u, m) link
@@ -667,15 +693,28 @@ def connected_components_ls(
             .union(m_sm.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the convergence probe below is the materializing
+            # action, so each round schedules one job, not two (r14)
+            .localCheckpoint(eager=False)
         )
-        new_n = small.count()
+        # edge-set fixpoint in ONE job: the exact symmetric diff is empty
+        # iff the sets are equal (both relations are distinct-deduped), so
+        # the old two-job check (count compare + one-sided anti diff)
+        # collapses into a single limit-1 probe per round (r14)
         changed = (
-            new_n != n_edges
-            or small.join(b, ["u", "v"], "left_anti").limit(1).count() > 0
+            small.join(b, ["u", "v"], "left_anti")
+            .select(F.lit(1).alias("one"))
+            .union(
+                b.join(small, ["u", "v"], "left_anti").select(
+                    F.lit(1).alias("one")
+                )
+            )
+            .limit(1)
+            .count()
+            > 0
         )
         b.unpersist()
-        b, n_edges = small, new_n
+        b = small
         if not changed:
             converged = True
             break
@@ -1381,16 +1420,21 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
         )
         .filter(F.col("rnk") <= prefix_len)
-        .select("doc_id", "n_sh", "s")
+        # join on the 8-byte shingle hash, not the string (r14): a
+        # collision only ADDS a candidate, the exact verify below
+        # removes it — see q_dedup_ngram_jaccard's prefix for the full
+        # argument; here the win is larger because the probe side is
+        # the FULL posting relation
+        .select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
     )
     # inner prefix is the small side → build it in a shuffled hash join
     # against the full posting relation (neither is broadcastable at scale)
     a = prefix.alias("a").hint("shuffle_hash")
-    b = sh.alias("b")
+    b = sh.select("doc_id", "n_sh", F.xxhash64("s").alias("h")).alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
+            (F.col("a.h") == F.col("b.h"))
             & (
                 (F.col("a.n_sh") < F.col("b.n_sh"))
                 | (
@@ -1404,7 +1448,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return (
+    scored = (
         cand.join(
             sets_.select(
                 F.col("doc_id").alias("inner_id"),
@@ -1425,14 +1469,17 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "containment", F.round(F.col("n_common") / F.col("n_inner"), 6)
         )
-        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
-        .select(
-            "inner_id",
-            "outer_id",
-            F.col("n_inner").cast("long").alias("n_inner"),
-            F.col("n_outer").cast("long").alias("n_outer"),
-            "containment",
-        )
+    )
+    # threshold above the projection — pushed into the join condition it
+    # re-evaluates the intersection per candidate (functions/barrier.py)
+    return filter_above(
+        scored, F.col("containment") >= CONTAINMENT_THRESHOLD
+    ).select(
+        "inner_id",
+        "outer_id",
+        F.col("n_inner").cast("long").alias("n_inner"),
+        F.col("n_outer").cast("long").alias("n_outer"),
+        "containment",
     )
 
 
@@ -1562,13 +1609,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
             ),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select(
-            "doc_id",
-            F.col("base_id").alias("match_id"),
-            F.lit(0).alias("prio"),
-            "jaccard",
-        )
+    )
+    # threshold above the projection, not in the join condition
+    # (functions/barrier.py — the near layer's verify is the same shape
+    # as dedup_minhash_lsh's)
+    near = filter_above(near, F.col("jaccard") >= JACCARD_THRESHOLD).select(
+        "doc_id",
+        F.col("base_id").alias("match_id"),
+        F.lit(0).alias("prio"),
+        "jaccard",
     )
     best = (
         exact.unionByName(near)

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.barrier import filter_above
 from ..functions.exact import dec9
 from ..registry import Query
 from ..scratch import scratch_dir
@@ -484,8 +485,13 @@ def edge_jaccard_topk(
                 "db",
                 F.size(F.array_intersect("na", "nb")).cast("long").alias("n_common"),
             )
-            .filter(F.col("n_common") > 0)
         )
+        # n_common > 0 above the projection, not in the join condition:
+        # pushed down, the predicate duplicates the array intersection
+        # into the BroadcastHashJoin condition, so every edge pays the
+        # O(da + db) hash intersection twice (functions/barrier.py;
+        # r14 measured on graph_jaccard at sf0.1)
+        scored = filter_above(scored, F.col("n_common") > 0)
     return (
         scored.select(
             F.col("a").alias("u"),
@@ -969,10 +975,13 @@ def kcore(
     # no-op, so the seed degrees come straight off the edge relation
     # (one agg, no joins); and the loop carries (node, deg) so the
     # fixpoint round's degree relation IS the final answer (the closing
-    # "re-derive in-core degrees" pass would recompute it identically)
+    # "re-derive in-core degrees" pass would recompute it identically).
+    # Checkpoints are LAZY here: the convergence count() that follows
+    # each one is the materializing action, so every round schedules ONE
+    # job instead of an eager-checkpoint job plus a count job (r14).
     degrees = directed.groupBy("s").agg(
         F.count("*").alias("deg")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev = degrees.count()
     rounds = 0
     converged = False
@@ -986,7 +995,7 @@ def kcore(
             .groupBy("s")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         cur = new_degrees.count()
         degrees.unpersist()
         degrees = new_degrees
