@@ -145,7 +145,15 @@ def _staged_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     A fresh temp dir per invocation keeps bench timings honest (no state
     reuse across the driver's double runs)."""
     d = scratch_dir("kcm_shingle_sets_")
-    _doc_shingle_sets(spark, sf_dir).write.mode("overwrite").parquet(d)
+    # zstd staging (guide §6): measured write+readback of this relation
+    # at sf0.1 — snappy 0.73 s / uncompressed 0.61 / zstd 0.52 / lz4 0.51,
+    # with zstd also the smallest file (1.5 MB vs 2.2 snappy). Every
+    # near-dup query pays this write per invocation, so the codec is on
+    # the timed path; zstd is also the right default on real object
+    # storage (smaller at similar read speed).
+    _doc_shingle_sets(spark, sf_dir).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(d)
     return spark.read.parquet(d)
 
 
@@ -622,7 +630,11 @@ def connected_components(
 
 
 def connected_components_ls(
-    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 25,
+    canonical: bool = False,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -650,16 +662,23 @@ def connected_components_ls(
     # that upstream is the whole banded-LSH candidate/verify pipeline.
     # Checkpoint e once; nodes and b are narrow projections of its
     # blocks (nodes is only consumed by the closing label join, so it
-    # stays lazy).
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("lo"),
-            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    # stays lazy). ``canonical=True`` is the caller's contract that the
+    # input already satisfies src < dst with distinct rows (true for
+    # every registered producer: the co-occurrence edge staging, the
+    # phash pair relation, the verified n-gram pairs) — the
+    # least/greatest normalization and its full dedup exchange are then
+    # skipped (r14; the checkpoint stays, the loop reads e many times).
+    e = edges.select(F.col(src).alias("lo"), F.col(dst).alias("hi"))
+    if not canonical:
+        e = (
+            e.select(
+                F.least("lo", "hi").alias("lo"),
+                F.greatest("lo", "hi").alias("hi"),
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
         )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("lo").alias("n"))
         .union(e.select(F.col("hi").alias("n")))
@@ -668,7 +687,35 @@ def connected_components_ls(
     # parent relation, canonical direction: u (child) -> v (parent), v < u
     b = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
     converged = False
-    for _ in range(max_iter):
+    prev = None
+    for _ in range(max_iter + 1):
+        # Convergence = the parent relation is a STAR FOREST (no parent
+        # is itself a child) — Kiveris et al.'s termination state, and
+        # exactly the one-round fixpoint: a star forest passes through
+        # large-star and small-star unchanged, while any 2-chain
+        # w -> u -> v is rewired by large-star already (w re-attaches to
+        # min(N(u) ∪ {u}) ≤ v < u). Testing the CURRENT relation before
+        # the round (instead of diffing the round's output against its
+        # input after) skips the final confirmation round's entire
+        # computation (r14: the old edge-set diff ran one extra full
+        # round just to observe zero change); the probe is still an
+        # exact structural test, never a hash signature. With the lazy
+        # per-round checkpoint this probe is also the job that
+        # materializes the previous round's output — one scheduled job
+        # per round where the old loop ran three (eager checkpoint,
+        # count, anti-diff).
+        if (
+            b.alias("c")
+            .join(b.alias("p"), F.col("c.v") == F.col("p.u"), "left_semi")
+            .limit(1)
+            .count()
+            == 0
+        ):
+            converged = True
+            break
+        if prev is not None:
+            prev.unpersist()
+        prev = b
         # large-star: over the SYMMETRIC relation, every neighbor v > u
         # re-attaches to min(N(u) ∪ {u}); output is already canonical
         # because the new parent m ≤ u < v. No dedup here: duplicate
@@ -693,31 +740,11 @@ def connected_components_ls(
             .union(m_sm.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            # lazy: the convergence probe below is the materializing
-            # action, so each round schedules one job, not two (r14)
+            # lazy: the next iteration's star-forest probe (or the
+            # closing label join) is the materializing action
             .localCheckpoint(eager=False)
         )
-        # edge-set fixpoint in ONE job: the exact symmetric diff is empty
-        # iff the sets are equal (both relations are distinct-deduped), so
-        # the old two-job check (count compare + one-sided anti diff)
-        # collapses into a single limit-1 probe per round (r14)
-        changed = (
-            small.join(b, ["u", "v"], "left_anti")
-            .select(F.lit(1).alias("one"))
-            .union(
-                b.join(small, ["u", "v"], "left_anti").select(
-                    F.lit(1).alias("one")
-                )
-            )
-            .limit(1)
-            .count()
-            > 0
-        )
-        b.unpersist()
         b = small
-        if not changed:
-            converged = True
-            break
     if not converged:
         raise RuntimeError(
             f"connected_components_ls did not converge within {max_iter}"
@@ -792,8 +819,11 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _trained(
         spark,
         (sf_dir, "ngram_cluster_labels", JACCARD_THRESHOLD),
+        # the verified pair relation is canonical by construction
+        # (d1 < d2 from the candidate join, one row per pair)
         lambda: connected_components_ls(
-            verified_pairs_ngram(spark, sf_dir).select("d1", "d2")
+            verified_pairs_ngram(spark, sf_dir).select("d1", "d2"),
+            canonical=True,
         ).localCheckpoint(eager=True),
         table="documents.parquet",
     )

@@ -57,7 +57,10 @@ def _staged(
     d = _STAGE_CACHE.get(key)
     if d is None or not os.path.isdir(d):
         d = scratch_dir(f"kcm_{tag}_")
-        build().write.mode("overwrite").parquet(d)
+        # zstd for the session-staged edge relation too (guide §6; same
+        # measured codec A/B as _staged_shingle_sets — readers of this
+        # relation re-scan it every timed pass)
+        build().write.mode("overwrite").option("compression", "zstd").parquet(d)
         _STAGE_CACHE[key] = d
     return spark.read.parquet(d)
 
@@ -1298,7 +1301,9 @@ def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components_ls
 
     labels = connected_components_ls(
-        part_cooccurrence_edges(spark, sf_dir), src="a", dst="b"
+        # the staged co-occurrence edges are canonical by construction
+        # (a < b, distinct) — skip the normalize pass + its exchange
+        part_cooccurrence_edges(spark, sf_dir), src="a", dst="b", canonical=True
     )
     w = Window.partitionBy("component")
     return labels.select(

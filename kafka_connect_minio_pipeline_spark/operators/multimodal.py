@@ -490,7 +490,9 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import connected_components_ls
 
     pairs = q_multimodal_phash_pairs(spark, sf_dir).select("a_id", "b_id")
-    return connected_components_ls(pairs, src="a_id", dst="b_id")
+    # the pair relation is canonical by construction (a_id < b_id in the
+    # band join, one DISTINCT row per pair) — skip the normalize pass
+    return connected_components_ls(pairs, src="a_id", dst="b_id", canonical=True)
 
 
 SQL_MULTIMODAL_PHASH_CLUSTERS = f"""

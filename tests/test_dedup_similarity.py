@@ -390,6 +390,48 @@ def test_connected_components_ls_deep_chain_log_rounds(spark):
     assert got == {i: 1 for i in range(1, 401)}
 
 
+def test_connected_components_ls_canonical_contract(spark):
+    """r14: ``canonical=True`` (caller guarantees src < dst, distinct)
+    must label identically to the normalizing default on a canonical
+    input — same seeded random graph as the reference test, canonicalized
+    up front. Also pins the star-forest convergence probe: an input that
+    is ALREADY a star forest must converge without computing any round
+    (labels == the star's parents) even at max_iter=1, where any
+    round-diff formulation would need at least one full round to observe
+    no change."""
+    import random
+
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        connected_components_ls,
+    )
+
+    rng = random.Random(11)
+    seen = set()
+    for _ in range(220):
+        a, b = rng.randrange(300), rng.randrange(300)
+        if a != b:
+            seen.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(seen), "d1 long, d2 long")
+    got_norm = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components_ls(df).collect()
+    }
+    got_canon = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_ls(df, canonical=True).collect()
+    }
+    assert got_canon == got_norm
+
+    # star forest: 1 -> {2,3,4}, 10 -> {11,12}; already the fixpoint.
+    stars = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11), (10, 12)], "d1 long, d2 long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_ls(stars, canonical=True, max_iter=1).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_containment_finds_quote_missed_by_jaccard(spark, tmp_path):
     """A short passage embedded verbatim in a much longer doc has
     containment 1.0 but tiny Jaccard — the asymmetric operator must find
