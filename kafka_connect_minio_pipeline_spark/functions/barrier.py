@@ -61,6 +61,12 @@ def filter_above(df: DataFrame, cond: Column) -> DataFrame:
     evaluated once instead of being duplicated into the join condition
     below. See the module docstring for the mechanism.
     """
+    if _BARRIER in df.columns:
+        # withColumn would silently REPLACE a caller's column of the
+        # same name and the closing drop would remove it from the output.
+        raise ValueError(
+            f"filter_above: input already has a {_BARRIER!r} column"
+        )
     return (
         df.withColumn(_BARRIER, F.monotonically_increasing_id())
         .filter(cond | (F.col(_BARRIER) < 0))

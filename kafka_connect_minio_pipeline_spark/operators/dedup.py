@@ -689,28 +689,40 @@ def connected_components_ls(
     converged = False
     prev = None
     for _ in range(max_iter + 1):
-        # Convergence = the parent relation is a STAR FOREST (no parent
-        # is itself a child) — Kiveris et al.'s termination state, and
-        # exactly the one-round fixpoint: a star forest passes through
-        # large-star and small-star unchanged, while any 2-chain
-        # w -> u -> v is rewired by large-star already (w re-attaches to
-        # min(N(u) ∪ {u}) ≤ v < u). Testing the CURRENT relation before
-        # the round (instead of diffing the round's output against its
-        # input after) skips the final confirmation round's entire
-        # computation (r14: the old edge-set diff ran one extra full
-        # round just to observe zero change); the probe is still an
-        # exact structural test, never a hash signature. With the lazy
+        # Convergence = the parent relation is a FUNCTIONAL star forest:
+        # (a) no parent is itself a child AND (b) every child has exactly
+        # one parent. Both conditions are required (r15 fix, ADVICE r14):
+        # {(3,1),(3,2)} has no parent-as-child yet is NOT a fixpoint —
+        # the labels join would emit node 3 twice with conflicting
+        # cluster ids, splitting one component in two. A functional star
+        # forest IS the exact one-round fixpoint: it passes through
+        # large-star and small-star unchanged (each child's neighborhood
+        # is its unique parent, each root's min is itself), while any
+        # 2-chain w -> u -> v is rewired by large-star (w re-attaches to
+        # min(N(u) ∪ {u}) ≤ v < u) and any multi-parent child u is
+        # collapsed onto a single min-parent by small-star's m_sm
+        # aggregate — so a state violating either condition always
+        # changes, and the probe never fires early. Testing the CURRENT
+        # relation before the round (instead of diffing the round's
+        # output against its input after) skips the final confirmation
+        # round's entire computation; the probe is still an exact
+        # structural test, never a hash signature. With the lazy
         # per-round checkpoint this probe is also the job that
         # materializes the previous round's output — one scheduled job
         # per round where the old loop ran three (eager checkpoint,
-        # count, anti-diff).
-        if (
+        # count, anti-diff). Both legs run under one CollectLimit job.
+        star_viol = (
             b.alias("c")
             .join(b.alias("p"), F.col("c.v") == F.col("p.u"), "left_semi")
-            .limit(1)
-            .count()
-            == 0
-        ):
+            .select(F.lit(1).alias("viol"))
+        )
+        multi_parent_viol = (
+            b.groupBy("u")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .filter(F.col("mn") != F.col("mx"))
+            .select(F.lit(1).alias("viol"))
+        )
+        if star_viol.union(multi_parent_viol).limit(1).count() == 0:
             converged = True
             break
         if prev is not None:

@@ -405,6 +405,33 @@ def test_connected_components_ls_canonical_contract(spark):
         connected_components_ls,
     )
 
+    def union_find_labels(pairs):
+        """Independent ground truth: plain Python union-find, each node
+        labeled with its component minimum."""
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def run(df, **kw):
+        rows = connected_components_ls(df, **kw).collect()
+        # exactly one label row per node — a premature convergence probe
+        # emits duplicate doc_ids with conflicting cluster_ids (ADVICE
+        # r14); a dict comprehension would silently collapse them.
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids)), f"duplicate doc_id rows: {sorted(ids)}"
+        return {r["doc_id"]: r["cluster_id"] for r in rows}
+
     rng = random.Random(11)
     seen = set()
     for _ in range(220):
@@ -412,24 +439,24 @@ def test_connected_components_ls_canonical_contract(spark):
         if a != b:
             seen.add((min(a, b), max(a, b)))
     df = spark.createDataFrame(sorted(seen), "d1 long, d2 long")
-    got_norm = {
-        r["doc_id"]: r["cluster_id"] for r in connected_components_ls(df).collect()
-    }
-    got_canon = {
-        r["doc_id"]: r["cluster_id"]
-        for r in connected_components_ls(df, canonical=True).collect()
-    }
-    assert got_canon == got_norm
+    truth = union_find_labels(seen)
+    assert run(df) == truth
+    assert run(df, canonical=True) == truth
 
     # star forest: 1 -> {2,3,4}, 10 -> {11,12}; already the fixpoint.
     stars = spark.createDataFrame(
         [(1, 2), (1, 3), (1, 4), (10, 11), (10, 12)], "d1 long, d2 long"
     )
-    got = {
-        r["doc_id"]: r["cluster_id"]
-        for r in connected_components_ls(stars, canonical=True, max_iter=1).collect()
-    }
+    got = run(stars, canonical=True, max_iter=1)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+    # multi-parent child (ADVICE r14 HIGH): {(1,3),(2,3)} has no
+    # parent-as-child, so a star-forest-only probe "converges" before any
+    # round and splits the component {1,2,3}. The fixed probe must also
+    # require every child to have a unique parent.
+    vee = spark.createDataFrame([(1, 3), (2, 3)], "d1 long, d2 long")
+    assert run(vee, canonical=True) == {1: 1, 2: 1, 3: 1}
+    assert run(vee) == {1: 1, 2: 1, 3: 1}
 
 
 def test_containment_finds_quote_missed_by_jaccard(spark, tmp_path):

@@ -1624,3 +1624,45 @@ def test_tokenizer_ab_scan_budget(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_filter_above_barrier_blocks_pushdown(spark):
+    """The optimizer barrier (functions/barrier.py) must keep a
+    threshold filter ABOVE the projection that computes its input: the
+    optimized plan contains exactly ONE array_intersect (a plain filter
+    gets pushed into the join condition and evaluates it 3x). Pins the
+    undocumented Catalyst behavior the barrier relies on so a Spark
+    upgrade that re-enables the pushdown fails loudly (ADVICE r14)."""
+    import pytest
+
+    from kafka_connect_minio_pipeline_spark.functions.barrier import filter_above
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["b", "c", "d"]), (3, ["x", "y"])],
+        "doc_id long, toks array<string>",
+    )
+    pairs = docs.alias("l").join(
+        docs.alias("r"), F.col("l.doc_id") < F.col("r.doc_id")
+    )
+    scored = pairs.select(
+        F.col("l.doc_id").alias("d1"),
+        F.col("r.doc_id").alias("d2"),
+        (
+            F.size(F.array_intersect("l.toks", "r.toks"))
+            / F.size(F.array_union("l.toks", "r.toks"))
+        ).alias("jac"),
+    )
+    plain = scored.filter(F.col("jac") >= 0.5)
+    barred = filter_above(scored, F.col("jac") >= 0.5)
+
+    plain_plan = plain._jdf.queryExecution().optimizedPlan().toString()
+    barred_plan = barred._jdf.queryExecution().optimizedPlan().toString()
+    assert plain_plan.count("array_intersect") > 1, plain_plan  # the disease
+    assert barred_plan.count("array_intersect") == 1, barred_plan  # the cure
+
+    # identical rows either way — the barrier is semantics-free
+    assert sorted(map(tuple, barred.collect())) == sorted(map(tuple, plain.collect()))
+
+    # a pre-existing barrier column must be rejected, not silently clobbered
+    with pytest.raises(ValueError, match="_plan_barrier"):
+        filter_above(scored.withColumn("_plan_barrier", F.lit(1)), F.col("jac") >= 0.5)
