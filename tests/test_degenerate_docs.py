@@ -231,6 +231,8 @@ def test_query_survives_degenerate_events(spark, degen_ev_dir, name):
 
 from oracle_utils import assert_matches_contract_oracle
 
+pytestmark = pytest.mark.slow  # heavy sweep net: opt-in tier (pytest.ini)
+
 _NULL_NAMES = sorted(set(_DOC_NAMES) | set(_EMB_NAMES) | set(_EV_NAMES))
 
 

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy sweep net: opt-in tier (pytest.ini)
+
 from kafka_connect_minio_pipeline_spark.registry import all_queries
 
 _QUERIES = all_queries(strict=False)

@@ -26,6 +26,8 @@ from kafka_connect_minio_pipeline_spark.tables import (
 )
 from oracle_utils import _canon
 
+pytestmark = pytest.mark.slow  # heavy sweep net: opt-in tier (pytest.ini)
+
 SF_SRC = "/root/testdata/sf0.001"
 
 _QUERIES = all_queries()

@@ -24,6 +24,8 @@ from kafka_connect_minio_pipeline_spark.registry import all_queries
 from kafka_connect_minio_pipeline_spark.tables import CONTRACT_SQL_WHERE, TABLE_NAMES
 from oracle_utils import _canon
 
+pytestmark = pytest.mark.slow  # heavy sweep net: opt-in tier (pytest.ini)
+
 SF_SRC = "/root/testdata/sf0.001"
 
 TARGETS = (
