@@ -979,12 +979,19 @@ def kcore(
     # (one agg, no joins); and the loop carries (node, deg) so the
     # fixpoint round's degree relation IS the final answer (the closing
     # "re-derive in-core degrees" pass would recompute it identically).
-    # Checkpoints are LAZY here: the convergence count() that follows
-    # each one is the materializing action, so every round schedules ONE
-    # job instead of an eager-checkpoint job plus a count job (r14).
+    # Checkpoints are EAGER (r15): r14 made them lazy with the
+    # convergence count() as the materializing action (1 scheduled job
+    # per round instead of 2), but the driver's r14 artifact regressed
+    # kcore ×0.67 and a same-session interleaved min-of-8 A/B on a
+    # healthy box confirmed it — eager 2.182 s vs lazy 2.942 s, eager
+    # faster in 8/8 passes (plans/r15/ab_item2.py). The count on an
+    # eagerly checkpointed relation is a near-free job over cached
+    # blocks; the lazy variant makes the materializing count job carry
+    # the full round computation in one scheduler wave, which measures
+    # consistently WORSE here. Reverted per VERDICT r14 item 2.
     degrees = directed.groupBy("s").agg(
         F.count("*").alias("deg")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     prev = degrees.count()
     rounds = 0
     converged = False
@@ -998,7 +1005,7 @@ def kcore(
             .groupBy("s")
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         cur = new_degrees.count()
         degrees.unpersist()
         degrees = new_degrees

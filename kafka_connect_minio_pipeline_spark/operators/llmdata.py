@@ -1463,93 +1463,61 @@ def q_llm_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "isl")
         .agg(F.min("p").alias("s"), F.max("e").alias("e"))
     )
-    # kept segments from ONE window pass (no union): each island emits
-    # its after-gap segment [e+1, next_s-1] (tail when no next island —
-    # ke NULL, resolved to len(text) at the stitch join), and the FIRST
-    # island additionally emits the head segment [1, s-1]. The per-doc
-    # span totals (n_spans, chars_removed) ride the SAME window pass as
-    # unordered partition aggregates and come back through first() at
-    # the stitch groupBy — so the gram→islands subtree has exactly ONE
-    # consumer chain and is evaluated once (a separate spans aggregation
-    # made Spark re-evaluate the whole gram pipeline a second time:
-    # ReuseExchange cannot unify subtrees under different join shapes —
-    # measured 16.5 s → ~4 s at sf0.1). Empty segments are kept as ''
-    # (greatest(len, 0)) rather than filtered, so fully-covered docs
-    # still reach the stitch aggregate with their totals.
-    wd = Window.partitionBy("doc_id")
-    ws = wd.orderBy("s")
-    neighbors = islands.select(
-        "doc_id",
-        "s",
-        "e",
-        F.lag("s").over(ws).alias("prev_s"),
-        F.lead("s").over(ws).alias("next_s"),
-        F.count("*").over(wd).alias("n_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).over(wd).alias("chars_removed"),
+    # Stitch (r15 restructure, VERDICT r14 item 3/4 shape — guide §2.4):
+    # collapse each doc's islands into ONE sorted span array, then
+    # compute the kept-text concatenation, span count and chars_removed
+    # per ROW with a higher-order aggregate over that array. The islands
+    # are disjoint and gap-separated by construction (adjacent runs
+    # merged), so a single left-to-right fold with a running cursor
+    # emits exactly the head segment [1, s1-1], each inter-island gap
+    # [e_i+1, s_{i+1}-1], and the tail [e_n+1, len] — the same segments
+    # the old lead/lag window pass + explode + text join + collect_list
+    # groupBy produced, without any of those operators. Plan effect
+    # (plans/r15/llm_substring_clean_{before,after}.txt): 5 → 4
+    # Exchange, 4 → 2 Window, 4 → 1 Sort, 4 → 3 parquet scans (text is
+    # read in the gram pass and ONCE more at the stitch join — the old
+    # shape read it a third time for the final left join), and the
+    # SortMergeJoin is gone.
+    # Measured min-of-8 interleaved at sf0.1: 2.293 → 1.551 s (×1.48),
+    # rows exact at sf0.01 and sf0.1 (plans/r15/ab_substring.py).
+    # Substring cursor arithmetic stays on the 1-based [ks, ke] bounds
+    # with non-positive lengths yielding '' — fully-covered docs
+    # stitch to '' and no-island docs keep text via the left join.
+    spans_doc = islands.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
     )
-    head = F.when(
-        F.col("prev_s").isNull(),
-        F.struct(F.lit(1).alias("ks"), (F.col("s") - 1).alias("ke")),
-    )
-    after = F.struct(
-        (F.col("e") + 1).alias("ks"), (F.col("next_s") - 1).alias("ke")
-    )
-    segs = (
-        neighbors.select(
-            "doc_id",
-            "n_spans",
-            "chars_removed",
-            F.explode(F.array(head, after)).alias("sg"),
-        )
-        .filter(F.col("sg").isNotNull())
-        .select(
-            "doc_id",
-            "n_spans",
-            "chars_removed",
-            F.col("sg.ks").alias("ks"),
-            F.col("sg.ke").alias("ke"),
-        )
-        .join(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            "n_spans",
-            "chars_removed",
-            "ks",
-            F.coalesce("ke", F.length("text")).alias("ke"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "n_spans",
-            "chars_removed",
-            "ks",
-            F.expr("substring(text, ks, greatest(ke - ks + 1, 0))").alias(
-                "seg"
+    stitch = F.aggregate(
+        F.col("spans"),
+        F.struct(F.lit(1).alias("pos"), F.lit("").alias("acc")),
+        lambda acc, sp: F.struct(
+            (sp["e"] + F.lit(1)).alias("pos"),
+            F.concat(
+                acc["acc"], F.col("text").substr(acc["pos"], sp["s"] - acc["pos"])
+            ).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.col("text").substr(
+                acc["pos"], F.length("text") - acc["pos"] + F.lit(1)
             ),
-        )
+        ),
     )
-    stitched = segs.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ks", "seg"))),
-                lambda st: st["seg"],
-            ),
-            "",
-        ).alias("ctext"),
-        F.first("n_spans").alias("n_spans"),
-        F.first("chars_removed").alias("chars_removed"),
+    removed = F.aggregate(
+        F.col("spans"),
+        F.lit(0).cast("long"),
+        lambda a, sp: a + (sp["e"] - sp["s"] + F.lit(1)).cast("long"),
     )
     return (
         docs.select("doc_id", "text")
-        .join(stitched, "doc_id", "left")
+        .join(spans_doc, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
-            F.coalesce("chars_removed", F.lit(0).cast("long")).alias(
-                "chars_removed"
-            ),
-            F.when(F.col("n_spans").isNull(), F.col("text"))
-            .otherwise(F.coalesce("ctext", F.lit("")))
+            F.coalesce(
+                F.size("spans").cast("long"), F.lit(0).cast("long")
+            ).alias("n_spans"),
+            F.coalesce(removed, F.lit(0).cast("long")).alias("chars_removed"),
+            F.when(F.col("spans").isNull(), F.col("text"))
+            .otherwise(stitch)
             .alias("cleaned_text"),
         )
     )
