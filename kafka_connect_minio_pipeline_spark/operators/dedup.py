@@ -342,7 +342,7 @@ MH_A = [(1_103_515_245 + 12_345 * p) % MH_P for p in range(N_PERM)]
 MH_B = [(12_345 + 1_103 * p) % MH_P for p in range(N_PERM)]
 
 
-def minhash_signatures(sets_: DataFrame) -> DataFrame:
+def minhash_signatures(sets_: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """16 min-hash values per doc, computed NARROW: array_min over affine
     permutations of the per-doc hashed-shingle array — no explode, no
     groupBy, no shuffle. Empty docs are dropped (they have no signature).
@@ -351,12 +351,15 @@ def minhash_signatures(sets_: DataFrame) -> DataFrame:
     boundary (no CSE across higher-order-function lambdas — the 16
     permutation transforms each reference it), then each permutation is
     two integer ops per element. Portable: the oracle recomputes the
-    identical signatures in DuckDB."""
+    identical signatures in DuckDB. ``carry`` columns ride along
+    untouched (the whole derivation is per-row, so a caller-side
+    join-back on doc_id would be a pure waste — r15, guide §2.4)."""
     # NB: the lambda must take exactly one parameter — PySpark binds a
     # second parameter to the array INDEX. transform() evaluates the
     # lambda eagerly, so closing over the loop variable is safe.
     hashed = sets_.filter(F.col("n_sh") > 0).select(
         "doc_id",
+        *carry,
         F.transform(
             "arr",
             lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
@@ -371,7 +374,7 @@ def minhash_signatures(sets_: DataFrame) -> DataFrame:
         ).alias(f"sig{p}")
         for p, (a, b) in enumerate(zip(MH_A, MH_B))
     ]
-    return hashed.select("doc_id", *sigs)
+    return hashed.select("doc_id", *carry, *sigs)
 
 
 def minhash_band_rows(sets_: DataFrame) -> DataFrame:
@@ -1574,21 +1577,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .llmdata import _HASH_SPACE, _portable_hash
 
-    sets_ = _staged_shingle_sets(spark, sf_dir).filter(F.col("n_sh") > 0)
-    flags = sets_.select(
-        "doc_id",
-        (
-            _portable_hash(F.concat(F.lit("incr:"), F.col("doc_id")))
-            < int(INCR_NEW_FRAC * _HASH_SPACE)
-        ).alias("is_new"),
-    )
-    fp = (
-        sets_.join(flags, "doc_id")
-        .select(
-            "doc_id",
+    # is_new is a pure per-row expression on doc_id — computed IN PLACE on
+    # the staged relation instead of the old derive-then-join-back-on-
+    # doc_id shape, which re-scanned the staged parquet and paid a
+    # broadcast join per consumer (r15, guide §2.4 remove shuffles
+    # outright; two joins + two scans dropped, rows identical)
+    sets_ = (
+        _staged_shingle_sets(spark, sf_dir)
+        .filter(F.col("n_sh") > 0)
+        .withColumn(
             "is_new",
-            F.md5(F.concat_ws(" ", F.col("arr"))).alias("fp"),
+            _portable_hash(F.concat(F.lit("incr:"), F.col("doc_id")))
+            < int(INCR_NEW_FRAC * _HASH_SPACE),
         )
+    )
+    fp = sets_.select(
+        "doc_id",
+        "is_new",
+        F.md5(F.concat_ws(" ", F.col("arr"))).alias("fp"),
     )
     exact = (
         fp.filter("is_new")
@@ -1607,7 +1613,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    sigs = minhash_signatures(sets_).join(flags, "doc_id")
+    sigs = minhash_signatures(sets_, carry=("is_new",))
     r = N_PERM // N_BANDS
     bands = F.array(
         *[

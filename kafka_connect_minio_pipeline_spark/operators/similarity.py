@@ -645,7 +645,16 @@ def ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     pass, broadcast centroids, map-side-combined min-struct argmin — the
     corpus never shuffles wider than its pre-combined N rows). At scale
     this relation is what gets written out partitioned BY cell, so a
-    probe reads only its cells' partitions instead of the corpus."""
+    probe reads only its cells' partitions instead of the corpus.
+
+    r15 A/B (guide §4.2, VERDICT r14 item 5): a bit-exact numpy
+    mapInArrow twin was measured (plans/r15/ab_ann.py + ab_focused.py) —
+    kernel 1.23-1.51 s vs relational 1.14-1.15 s min-of-8/10 for
+    ann_ivf. The fixed Python-boundary roundtrip outweighs ONE pass's
+    exchange savings at any per-pass volume this small, so the kernel
+    was adopted only where it collapses TWO passes (ivfpq_index /
+    ivfpq_residual_index, +24-28%); this single-pass assign stays
+    relational."""
     best = (
         e.crossJoin(F.broadcast(_with_cc(cents)))
         .withColumn("score", _cell_score())
@@ -1497,16 +1506,27 @@ def q_similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     The coarse quantizer comes from the train-once cache and the probe
     ranking is computed ONCE to the sweep maximum (row_number ≤ 4);
     each sweep point just tightens the rank filter — no retraining, no
-    re-ranking. Per point: one assignment pass + bounded rerank (the
-    ann_ivf shape); the per-point aggregates collapse to single rows
-    BEFORE the 3-row union, so no corpus-sized union ever forms. At
-    scale the assignment relation is the persisted inverted file and
-    the whole sweep reads it three times with different partition sets."""
+    re-ranking. r15 (guide §1.2 — don't compute things three times):
+    the per-point loop used to re-run the corpus assignment pass, the
+    rerank joins AND the brute-force truth per point; now the candidate
+    relation (with each pair's probe_rank — a vector lives in ONE cell,
+    so a pair has one rank), the scored rerank rows, and the truth set
+    are each computed ONCE per invocation into localCheckpointed
+    relations (all bounded: |cand@4|, ≤ 3·|Q| truth rows) and each
+    sweep point is a rank filter + window + two tiny aggregates. n_cand
+    still counts PRE-rerank candidates (zero vectors included — the
+    cost axis is candidates fetched, not scorable ones). At scale the
+    checkpointed assignment IS the persisted inverted file the sweep
+    reads three times."""
     plain = load(spark, sf_dir, "embeddings").select(
         "vec_id", to_double(F.col("embedding")).alias("v")
     )
     cents = ivf_centroids(spark, sf_dir, plain)
-    truth = q_similarity_topk_batch(spark, sf_dir).select("query_id", "vec_id")
+    truth = (
+        q_similarity_topk_batch(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
     truth_n = truth.agg(F.count("*").alias("n_truth"))
     qd = (
         plain.filter(F.col("vec_id") < N_QUERIES)
@@ -1534,22 +1554,27 @@ def q_similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm_sq"),
         F.col("q_norm"),
     )
+    cand_all = (
+        ivf_assign(_ivf_relation(spark, sf_dir), cents)
+        .join(F.broadcast(probes_all), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "probe_rank")
+        .localCheckpoint()
+    )
+    scored_all = (
+        cand_all.join(em, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id", "vec_id", "probe_rank", F.round(cos, 6).alias("cos_sim")
+        )
+        .localCheckpoint()
+    )
     rows = None
     for p in IVF_SWEEP_PROBES:
-        assigned = ivf_assign(_ivf_relation(spark, sf_dir), cents)
-        cand = (
-            assigned.join(
-                F.broadcast(probes_all.filter(F.col("probe_rank") <= p)),
-                "cell",
-            )
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", "vec_id")
+        cand = cand_all.filter(F.col("probe_rank") <= p).select(
+            "query_id", "vec_id"
         )
-        scored = (
-            cand.join(em, "vec_id")
-            .join(F.broadcast(qn), "query_id")
-            .select("query_id", "vec_id", F.round(cos, 6).alias("cos_sim"))
-        )
+        scored = scored_all.filter(F.col("probe_rank") <= p)
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos_sim").desc(), F.col("vec_id")
         )

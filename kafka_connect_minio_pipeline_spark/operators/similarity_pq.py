@@ -146,7 +146,15 @@ def pq_encode(e: DataFrame, books: DataFrame) -> DataFrame:
     ≤ M·K-row codebook, map-side-combined min-struct argmin — the corpus
     never shuffles wider than its pre-combined N·M code rows, and at
     scale THIS narrow relation (plus the codebook) is what gets stored
-    instead of the raw float embeddings."""
+    instead of the raw float embeddings.
+
+    r15 A/B (guide §4.2, VERDICT r14 item 5): the bit-exact numpy
+    mapInArrow twin measured FLAT for ann_adc (kernel 1.65-1.86 vs
+    relational 1.59-1.73 min-of-8/10, plans/r15/ab_ann.py +
+    ab_focused.py) — below the >15% adoption bar; the kernel pays off
+    only where it collapses the assign AND encode passes into one
+    (ivfpq_index / ivfpq_residual_index), so this single-pass encode
+    stays relational."""
     best = (
         _pq_subs(e)
         .join(F.broadcast(_with_dcc(books)), "sub")
@@ -410,38 +418,15 @@ def ivfpq_index(e: DataFrame, cents: DataFrame, books: DataFrame) -> DataFrame:
     of 4·D — raw floats are touched again only for the bounded rerank.
     This is the non-residual IVFPQ variant (codes quantize the raw
     vector, not the cell residual — FAISS's by_residual=False), so the
-    codebooks are exactly the ones ``embedding_pq`` already audits."""
-    assigned = (
-        e.crossJoin(F.broadcast(_with_cc(cents)))
-        .withColumn("score", _cell_score())
-        .groupBy("vec_id")
-        .agg(
-            F.min(F.struct("score", "k")).alias("b"),
-            F.first("v").alias("v"),
-        )
-        .select("vec_id", F.col("b.k").cast("int").alias("cell"), "v")
-    )
-    subs = assigned.select(
-        "vec_id",
-        "cell",
-        F.posexplode(
-            F.array(
-                *[F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
-            )
-        ).alias("sub", "sv"),
-    )
-    best = (
-        subs.join(F.broadcast(_with_dcc(books)), "sub")
-        .withColumn("score", _code_score())
-        .groupBy("vec_id", "sub")
-        .agg(
-            F.min(F.struct("score", "code")).alias("b"),
-            F.first("cell").alias("cell"),
-        )
-    )
-    return best.select(
-        "vec_id", "cell", "sub", F.col("b.code").cast("int").alias("code")
-    )
+    codebooks are exactly the ones ``embedding_pq`` already audits.
+
+    r15 (guide §4.2): the assign + encode collapse into ONE mapInArrow
+    pass against the collected bounded models — zero exchanges instead
+    of two corpus-wide min-struct aggregations, and no N·M·K-row
+    broadcast-join blow-up. Bit-exact by the annkernels contract."""
+    from ..functions.annkernels import ivfpq_index_arrow
+
+    return ivfpq_index_arrow(e, cents, books, residual=False)
 
 
 def q_similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,25 +704,14 @@ def ivfpq_residual_index(
     e: DataFrame, cents: DataFrame, books: DataFrame
 ) -> DataFrame:
     """(vec_id, cell, sub, code) — the residual IVF-PQ index: assign,
-    subtract the cell centroid, PQ-encode the residual. Same linear
-    one-pass shape as :func:`ivfpq_index` (cell rides the encode group
-    via first()); at scale the relation is written partitioned BY cell."""
-    res = residuals(e, cents)
-    subs = res.select(
-        "vec_id", "cell", F.posexplode(_sub_slices("v")).alias("sub", "sv")
-    )
-    best = (
-        subs.join(F.broadcast(_with_dcc(books)), "sub")
-        .withColumn("score", _code_score())
-        .groupBy("vec_id", "sub")
-        .agg(
-            F.min(F.struct("score", "code")).alias("b"),
-            F.first("cell").alias("cell"),
-        )
-    )
-    return best.select(
-        "vec_id", "cell", "sub", F.col("b.code").cast("int").alias("code")
-    )
+    subtract the cell centroid, PQ-encode the residual. Same ONE-pass
+    mapInArrow shape as :func:`ivfpq_index` (r15, guide §4.2 — the
+    centroid subtraction is the same exact elementwise IEEE op the
+    zip_with performed); at scale the relation is written partitioned
+    BY cell."""
+    from ..functions.annkernels import ivfpq_index_arrow
+
+    return ivfpq_index_arrow(e, cents, books, residual=True)
 
 
 def q_similarity_ann_ivfpq_residual(

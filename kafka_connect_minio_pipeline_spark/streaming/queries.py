@@ -15,24 +15,37 @@ from ..pipeline.profile import TRANSFORM_SQL
 from ..registry import Query
 from . import windows as W
 from .pipeline import streaming_profile_pipeline
-from .runner import run_to_memory
+from .runner import run_to_memory, source_bytes
 from ..scratch import scratch_dir, scratch_dir_keyed
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(W.tumbling_counts(spark, sf_dir))
+    return run_to_memory(
+        W.tumbling_counts(spark, sf_dir),
+        input_bytes=source_bytes(sf_dir, "events"),
+    )
 
 
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(W.sliding_counts(spark, sf_dir))
+    return run_to_memory(
+        W.sliding_counts(spark, sf_dir),
+        input_bytes=source_bytes(sf_dir, "events"),
+    )
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(W.session_counts(spark, sf_dir))
+    return run_to_memory(
+        W.session_counts(spark, sf_dir),
+        input_bytes=source_bytes(sf_dir, "events"),
+    )
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(W.dedup_within_watermark(spark, sf_dir), output_mode="append")
+    return run_to_memory(
+        W.dedup_within_watermark(spark, sf_dir),
+        output_mode="append",
+        input_bytes=source_bytes(sf_dir, "events"),
+    )
 
 
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,6 +58,11 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip through the state store is exact)."""
     from pyspark.sql import functions as F
 
+    # NOT on the data-derived state-partition rule: applyInPandasWithState
+    # ships every row to Python, so partitions here are Python COMPUTE
+    # parallelism, not just state-store count — the scaled count measured
+    # slower on mins twice (plans/r15/ab_stream.py 2.13 vs 1.83,
+    # ab_focused.py 1.98 vs 1.75); behavior stays as in r14
     updates = run_to_memory(W.stateful_user_tracker(spark, sf_dir), "update")
     return updates.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -54,11 +72,18 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(W.stream_static_join(spark, sf_dir))
+    return run_to_memory(
+        W.stream_static_join(spark, sf_dir),
+        input_bytes=source_bytes(sf_dir, "events"),
+    )
 
 
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_to_memory(W.stream_stream_join(spark, sf_dir), output_mode="append")
+    return run_to_memory(
+        W.stream_stream_join(spark, sf_dir),
+        output_mode="append",
+        input_bytes=source_bytes(sf_dir, "events"),
+    )
 
 
 def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +152,11 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("k")
     )
-    regs = run_to_memory(_hll_register_ranks(ev, "k"), "complete")
+    regs = run_to_memory(
+        _hll_register_ranks(ev, "k"),
+        "complete",
+        input_bytes=source_bytes(sf_dir, "events"),
+    )
     return hll_estimate_from_registers(regs, "events.user_id")
 
 
@@ -167,7 +196,10 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.timeseries import ohlc
     from ..sources.files import stream_table
 
-    return run_to_memory(ohlc(stream_table(spark, sf_dir, "events")))
+    return run_to_memory(
+        ohlc(stream_table(spark, sf_dir, "events")),
+        input_bytes=source_bytes(sf_dir, "events"),
+    )
 
 
 def _sql_stream_ohlc() -> str:
@@ -188,7 +220,8 @@ def q_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load
 
     sketch = run_to_memory(
-        cms_sketch(cms_hashed(stream_table(spark, sf_dir, "events")))
+        cms_sketch(cms_hashed(stream_table(spark, sf_dir, "events"))),
+        input_bytes=source_bytes(sf_dir, "events"),
     )
     return cms_finish(sketch, cms_hashed(load(spark, sf_dir, "events")))
 
@@ -323,6 +356,7 @@ def q_stream_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = run_to_memory(
         ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n")),
         "complete",
+        input_bytes=source_bytes(sf_dir, "events"),
     )
     return entropy_close(counts, "user_id")
 
@@ -352,7 +386,10 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |windows|·|types| pre-aggregated rows, never raw events."""
     from pyspark.sql import Window
 
-    counts = run_to_memory(W.tumbling_counts(spark, sf_dir))
+    counts = run_to_memory(
+        W.tumbling_counts(spark, sf_dir),
+        input_bytes=source_bytes(sf_dir, "events"),
+    )
     w = Window.partitionBy("w_start").orderBy(
         F.col("n_events").desc(), F.col("event_type")
     )
@@ -406,7 +443,8 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     minima = run_to_memory(
         claims.groupBy("band_idx", "band_val").agg(
             F.min("doc_id").alias("first_doc")
-        )
+        ),
+        input_bytes=source_bytes(sf_dir, "documents"),
     )
     batch_claims = minhash_band_rows(_doc_shingle_sets(spark, sf_dir))
     return (
@@ -484,7 +522,8 @@ def q_stream_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sentinel j = -1 keeps zero-token docs in the aggregation state
     sentinel = src.select("doc_id", F.lit(-1).cast("int").alias("j"))
     sink = run_to_memory(
-        exploded.unionByName(sentinel).groupBy("doc_id", "j").count()
+        exploded.unionByName(sentinel).groupBy("doc_id", "j").count(),
+        input_bytes=source_bytes(sf_dir, "documents"),
     )
     # stage the converged counts to scratch parquet: the finisher reads
     # the relation twice (per-doc totals + the grid join) and a
@@ -596,7 +635,8 @@ def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = run_to_memory(
         staged.join(F.broadcast(bench_grams), "s")
         .groupBy("doc_id")
-        .count()
+        .count(),
+        input_bytes=source_bytes(sf_dir, "documents"),
     )
     return (
         batch_docs.filter(~is_bench)

@@ -10,6 +10,7 @@ one session (the driver runs every query twice for hashing) never collide.
 from __future__ import annotations
 
 import itertools
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,6 +18,79 @@ from pyspark.sql import DataFrame, SparkSession
 from ..scratch import scratch_dir
 
 _counter = itertools.count()
+
+# --- data-volume-derived state partitioning (r15, VERDICT r14 item 6) ---
+#
+# Structured Streaming disables AQE for stateful plans and allocates ONE
+# state-store instance per shuffle partition, with per-instance fixed
+# costs every micro-batch (provider init, commit, WAL entry, task
+# launch). Batch plans get their post-shuffle sizing from AQE; stateful
+# streams get NOTHING unless the partition count is chosen — and the
+# session default (executor thread count) is a machine property, not a
+# data property: a 2 MB availableNow trigger on local[32] pays 32 state
+# stores for a few thousand rows, and the same code on a 1000-core
+# cluster would pay 1000. The scale-correct rule is one state partition
+# per ~TARGET bytes of per-trigger source input (the same sizing logic
+# AQE applies to batch exchanges, guide §2.2 "fewer, larger reduce
+# partitions"), floored for minimum parallelism. Keys per partition —
+# the thing state-store memory actually bounds — track input volume, so
+# the rule holds from sf0.001 to a 100 TB/day topic (production numbers
+# in SCALING.md §streaming). Overridable for A/Bs via env.
+STATE_PARTITION_TARGET_BYTES = 32 * 1024 * 1024
+STATE_PARTITIONS_MIN = 4
+
+
+def source_bytes(sf_dir: str, *names: str) -> int:
+    """On-disk bytes of the given source tables (file or directory-of-
+    parts) — the availableNow trigger's input volume."""
+    total = 0
+    for name in names:
+        p = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(p):
+            total += sum(
+                os.path.getsize(f"{p}/{f}")
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        else:
+            total += os.path.getsize(p)
+    return total
+
+
+def state_partitions(input_bytes: int) -> int:
+    """max(MIN, ceil(input_bytes / TARGET)) — documented above."""
+    override = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if override:
+        return int(override)
+    return max(
+        STATE_PARTITIONS_MIN,
+        -(-input_bytes // STATE_PARTITION_TARGET_BYTES),
+    )
+
+
+@contextmanager
+def _scaled_state_partitions(spark: SparkSession, input_bytes: int | None):
+    """Scope spark.sql.shuffle.partitions to the data-derived count for
+    the duration of one streaming query (the conf is read at query
+    START, so the scope need only cover .start()..awaitTermination).
+    Restores the session value after — batch plans keep their AQE-
+    coalesced sizing either way."""
+    if input_bytes is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, str(state_partitions(input_bytes)))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _ckpt_dir() -> str:
@@ -73,18 +147,24 @@ def run_to_memory(
     sdf: DataFrame,
     output_mode: str = "complete",
     timeout_s: int = 300,
+    input_bytes: int | None = None,
 ) -> DataFrame:
+    """``input_bytes`` (the trigger's source volume, from
+    :func:`source_bytes`) opts a STATEFUL query into the data-derived
+    state-partition count above; stateless streams leave it None (no
+    state stores — the conf would be inert)."""
     name = f"kcm_stream_{next(_counter)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", _ckpt_dir())
-        .trigger(availableNow=True)
-        .start()
-    )
-    _await_or_raise(q, timeout_s)
     spark: SparkSession = sdf.sparkSession
+    with _scaled_state_partitions(spark, input_bytes):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _ckpt_dir())
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_or_raise(q, timeout_s)
     return spark.table(name)
 
 
