@@ -128,22 +128,53 @@ def shingle_sets_of(docs: DataFrame) -> DataFrame:
     )
 
 
+# Staging-write file sizing (r15, guide §6 "small files hurt twice"):
+# one staged file per ~32 MB of source input, floored at 8. The staging
+# write used to inherit spread()'s defaultParallelism partitioning — a
+# MACHINE property — and on local[32] wrote 32 ~50 KB files whose
+# per-file/task overhead was the single biggest phase of every near-dup
+# query (r15 profile: 1.75 s of a 3.9 s containment run). The floor
+# keeps the narrow shingle compute (which runs inside the coalesced
+# stage) multi-way; the byte-derived term keeps files near the
+# 32 MB-input (~100 MB output) range at any scale.
+STAGE_TARGET_INPUT_BYTES = 32 * 1024 * 1024
+STAGE_FILES_MIN = 8
+
+
+def _stage_files(sf_dir: str, name: str) -> int:
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(p):
+        bytes_ = sum(
+            os.path.getsize(f"{p}/{f}")
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    else:
+        bytes_ = os.path.getsize(p)
+    return max(STAGE_FILES_MIN, -(-bytes_ // STAGE_TARGET_INPUT_BYTES))
+
+
 def _staged_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize :func:`_doc_shingle_sets` ONCE per query invocation as
     a temp parquet relation and hand back the read-back DataFrame.
 
     The sets relation is consumed 3× per near-dup query (prefix/signature
     derivation + both verify sides). Round 1 measured ``persist()`` 3×
-    slower cold (the cache boundary blocks and hides stats from AQE), but
-    plain parquet staging measured ~15-20% FASTER than the 3× narrow
-    recompute at sf0.1 (minhash 2.70→2.23 s, jaccard 3.25→2.72 s,
-    min-of-2): the read-back scans cost less than re-tokenizing and
-    re-shingling, and every consumer gets real file stats + column
-    pruning (the candidate derivation never reads ``arr``). At cluster
-    scale this is a job-scoped staging table; the write is embarrassingly
-    parallel (no shuffle — sets is a narrow projection of the scan).
-    A fresh temp dir per invocation keeps bench timings honest (no state
-    reuse across the driver's double runs)."""
+    slower cold (the cache boundary blocks and hides stats from AQE);
+    the r15 three-arm A/B (plans/r15/ab_staging.py, min-of-6, healthy
+    control 0.77) re-confirmed staging over the 3× narrow recompute AND
+    found the write's file count was the real cost: staged-32-files vs
+    coalesced-8 vs no-staging read (jaccard 2.47 / 2.08 / 2.95,
+    containment 2.84 / 2.50 / 3.13, minhash 1.35 / 1.27 / 1.77,
+    incremental 2.01 / 1.66 / 2.47 s). The file count is now derived
+    from the source volume (:func:`_stage_files`), not the core count.
+    Every consumer gets real file stats + column pruning (the candidate
+    derivation never reads ``arr``). At cluster scale this is a
+    job-scoped staging table. A fresh temp dir per invocation keeps
+    bench timings honest (no state reuse across the driver's double
+    runs)."""
     d = scratch_dir("kcm_shingle_sets_")
     # zstd staging (guide §6): measured write+readback of this relation
     # at sf0.1 — snappy 0.73 s / uncompressed 0.61 / zstd 0.52 / lz4 0.51,
@@ -151,9 +182,9 @@ def _staged_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup query pays this write per invocation, so the codec is on
     # the timed path; zstd is also the right default on real object
     # storage (smaller at similar read speed).
-    _doc_shingle_sets(spark, sf_dir).write.mode("overwrite").option(
-        "compression", "zstd"
-    ).parquet(d)
+    _doc_shingle_sets(spark, sf_dir).coalesce(
+        _stage_files(sf_dir, "documents")
+    ).write.mode("overwrite").option("compression", "zstd").parquet(d)
     return spark.read.parquet(d)
 
 
