@@ -395,7 +395,9 @@ def compute_phash(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(run, schema=PHASH_SCHEMA)
 
 
-def phash_near_dup_pairs(ph: DataFrame, ham_t: int = PHASH_HAM_T) -> DataFrame:
+def phash_near_dup_pairs(
+    ph: DataFrame, ham_t: int = PHASH_HAM_T, ordered: bool = True
+) -> DataFrame:
     """Near-dup pairs from banded perceptual hashes.
 
     Standard LSH shape: two hashes within hamming distance t must agree
@@ -404,7 +406,15 @@ def phash_near_dup_pairs(ph: DataFrame, ham_t: int = PHASH_HAM_T) -> DataFrame:
     all-pairs scan, then an exact bit_count(xor) verify. Band value
     space is 2^15 per band, so bucket sizes stay tiny and the join is
     sub-quadratic at any corpus size (same scale argument as the
-    MinHash/SimHash band joins)."""
+    MinHash/SimHash band joins).
+
+    ``ordered=False`` skips the closing output-determinism sort (guide
+    §2.4 — "an orderBy used only to make output deterministic"): the
+    registered pair QUERIES keep it (their row order is the contract),
+    but a consumer that only needs the pair SET — the connected-
+    components clusters — would otherwise pay a full range exchange +
+    global sort inside its edge checkpoint for an order the label
+    algebra never reads."""
     bands = ph.select(
         "doc_id",
         "phash",
@@ -440,7 +450,7 @@ def phash_near_dup_pairs(ph: DataFrame, ham_t: int = PHASH_HAM_T) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= ham_t)
     )
-    return pairs.orderBy("a_id", "b_id")
+    return pairs.orderBy("a_id", "b_id") if ordered else pairs
 
 
 def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,7 +499,13 @@ def q_multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``llm_dedup_keep_best`` does for text."""
     from .dedup import connected_components_ls
 
-    pairs = q_multimodal_phash_pairs(spark, sf_dir).select("a_id", "b_id")
+    # unordered pair SET (r15): the registered pair query's closing
+    # orderBy is output determinism only — checkpointing it here paid a
+    # range exchange + global sort of every pair per invocation that the
+    # component labels never depend on (guide §2.4)
+    pairs = phash_near_dup_pairs(
+        compute_phash(binary_table(spark, sf_dir)), ordered=False
+    ).select("a_id", "b_id")
     # the pair relation is canonical by construction (a_id < b_id in the
     # band join, one DISTINCT row per pair) — skip the normalize pass
     return connected_components_ls(pairs, src="a_id", dst="b_id", canonical=True)
