@@ -198,8 +198,20 @@ def wedge_triangles(edges: DataFrame) -> DataFrame:
     each triangle produced exactly once. Shared by triangle counts,
     neighborhood-Jaccard, and Adamic-Adar (one enumeration to maintain:
     the degree-orientation refinement for power-law graphs lands HERE
-    once, not in three copies)."""
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    once, not in three copies).
+
+    The closing edge join is hinted SHUFFLE_HASH (r15): the probe side
+    is the WEDGE relation — |wedges| = Σ_y deg_lo(y)·deg_hi(y), 493M
+    rows on the 10x-replicated scaling dataset vs 12M edges — and the
+    default sort-merge plan sorted every wedge row before closing.
+    Hashing the (small, equi-keyed) edge side leaves the wedge rows
+    unsorted; at sf1 this halved the wedge-mode Jaccard on top of the
+    single-enumeration fix below (39.0 → 19.2 s min-of-3, identical
+    rows — plans/r15/ab_wedge_common.py). The build side is the edge
+    relation itself, whose per-partition hash table shrinks with the
+    shuffle partition count at any scale."""
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    e3 = edges.alias("e3").hint("shuffle_hash")
     return (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
         .join(
@@ -294,21 +306,36 @@ def _edge_common_neighbors(edges: DataFrame) -> DataFrame:
     corner as witness; exactly the relation the broadcast scorers
     derive via array_intersect, shuffle-only and hub-safe (the wedge
     fanout is bounded by the canonical orientation, and at 100 TB by
-    degree orientation — see :func:`triangle_counts`)."""
+    degree orientation — see :func:`triangle_counts`).
+
+    One explode over ONE tri subtree (r15): the previous spelling
+    unionAll'd three projections of ``wedge_triangles(edges)``, and
+    because each union branch projects different columns no
+    ReusedExchange unifies them — the sf1 scaling plan contained THREE
+    full copies of the triangle enumeration, each re-running the wedge
+    join and exchanging+sorting its 493M wedge rows (the mechanism
+    behind graph_jaccard's 3.05 s → 108.7 s superlinear step once
+    |E| = 11.96M left the adjacency broadcast budget and the scorer
+    degraded to this path). Exploding each triangle into its three
+    (edge, witness) rows keeps a single subtree: 68.4 → 39.0 s at sf1
+    before the closing-join hint, identical rows
+    (plans/r15/ab_wedge_common.py)."""
     tri = wedge_triangles(edges)
-    return (
-        tri.select(F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c"))
-        .unionAll(
-            tri.select(
-                F.col("y").alias("a"), F.col("z").alias("b"), F.col("x").alias("c")
+    return tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
+                ),
+                F.struct(
+                    F.col("y").alias("a"), F.col("z").alias("b"), F.col("x").alias("c")
+                ),
+                F.struct(
+                    F.col("x").alias("a"), F.col("z").alias("b"), F.col("y").alias("c")
+                ),
             )
-        )
-        .unionAll(
-            tri.select(
-                F.col("x").alias("a"), F.col("z").alias("b"), F.col("y").alias("c")
-            )
-        )
-    )
+        ).alias("e")
+    ).select("e.a", "e.b", "e.c")
 
 
 def sym_degrees(edges: DataFrame) -> DataFrame:
