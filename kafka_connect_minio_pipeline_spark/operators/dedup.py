@@ -669,6 +669,7 @@ def connected_components_ls(
     dst: str = "d2",
     max_iter: int = 25,
     canonical: bool = False,
+    rounds_per_probe: int = 2,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -721,8 +722,9 @@ def connected_components_ls(
     # parent relation, canonical direction: u (child) -> v (parent), v < u
     b = e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
     converged = False
-    prev = None
-    for _ in range(max_iter + 1):
+    pending: list[DataFrame] = []
+    rounds = 0
+    while True:
         # Convergence = the parent relation is a FUNCTIONAL star forest:
         # (a) no parent is itself a child AND (b) every child has exactly
         # one parent. Both conditions are required (r15 fix, ADVICE r14):
@@ -742,9 +744,25 @@ def connected_components_ls(
         # round's entire computation; the probe is still an exact
         # structural test, never a hash signature. With the lazy
         # per-round checkpoint this probe is also the job that
-        # materializes the previous round's output — one scheduled job
-        # per round where the old loop ran three (eager checkpoint,
-        # count, anti-diff). Both legs run under one CollectLimit job.
+        # materializes every not-yet-probed round — one scheduled job
+        # per PROBE where the old loop ran three per round (eager
+        # checkpoint, count, anti-diff). Both legs run under one
+        # CollectLimit job.
+        #
+        # ``rounds_per_probe`` (r15, session 2): probe every K rounds,
+        # not every round — Kiveris-style batched convergence checking.
+        # Running large-star/small-star on an already-converged
+        # functional star forest returns it UNCHANGED (the fixpoint
+        # argument above), so batching can never corrupt the labels;
+        # the only cost is up to K−1 no-op rounds when convergence
+        # lands inside a block. The probe's own cost is about half a
+        # round (a groupBy min/max plus a semi-join over the parent
+        # relation), so K=2 saves ~rounds/2 probe executions for at
+        # most one cheap no-op round — positive at bench scale (the
+        # loop is sequential-job-launch-bound: measured 0.4-0.8 s per
+        # probe on sf0.1's 1.2k-edge phash graph, 5 probes for 4
+        # rounds) and at cluster scale (probe work saved grows with
+        # the edge relation exactly like the wasted round does).
         star_viol = (
             b.alias("c")
             .join(b.alias("p"), F.col("c.v") == F.col("p.u"), "left_semi")
@@ -759,38 +777,45 @@ def connected_components_ls(
         if star_viol.union(multi_parent_viol).limit(1).count() == 0:
             converged = True
             break
-        if prev is not None:
-            prev.unpersist()
-        prev = b
-        # large-star: over the SYMMETRIC relation, every neighbor v > u
-        # re-attaches to min(N(u) ∪ {u}); output is already canonical
-        # because the new parent m ≤ u < v. No dedup here: duplicate
-        # (u, m) rows cannot change the next min-aggregate and small's
-        # closing distinct removes them — dropping the intermediate
-        # .distinct() removes one full exchange per round (r14; the
-        # duplicate volume is bounded by |sym| = 2|b|).
-        sym = b.union(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m_lg = sym.groupBy("u").agg(F.min("v").alias("mn"))
-        m_lg = m_lg.select("u", F.least("mn", F.col("u")).alias("m"))
-        large = (
-            sym.join(m_lg, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # small-star: parents and children of each u collapse onto the
-        # minimum parent; roots emit their own (u, m) link
-        m_sm = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            large.join(m_sm, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m_sm.select(F.col("u"), F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            # lazy: the next iteration's star-forest probe (or the
-            # closing label join) is the materializing action
-            .localCheckpoint(eager=False)
-        )
-        b = small
+        if rounds >= max_iter:
+            break
+        # the probe job above materialized every round in b's lineage —
+        # the older rounds' checkpointed blocks are now droppable
+        for old in pending:
+            old.unpersist()
+        pending = []
+        for _ in range(max(1, min(rounds_per_probe, max_iter - rounds))):
+            # large-star: over the SYMMETRIC relation, every neighbor
+            # v > u re-attaches to min(N(u) ∪ {u}); output is already
+            # canonical because the new parent m ≤ u < v. No dedup
+            # here: duplicate (u, m) rows cannot change the next
+            # min-aggregate and small's closing distinct removes them —
+            # dropping the intermediate .distinct() removes one full
+            # exchange per round (r14; duplicates bounded by |sym|).
+            sym = b.union(b.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            m_lg = sym.groupBy("u").agg(F.min("v").alias("mn"))
+            m_lg = m_lg.select("u", F.least("mn", F.col("u")).alias("m"))
+            large = (
+                sym.join(m_lg, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            # small-star: parents and children of each u collapse onto
+            # the minimum parent; roots emit their own (u, m) link
+            m_sm = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(m_sm, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(m_sm.select(F.col("u"), F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                # lazy: the next probe (or the closing label join) is
+                # the materializing action for the whole round block
+                .localCheckpoint(eager=False)
+            )
+            pending.append(b)
+            b = small
+            rounds += 1
     if not converged:
         raise RuntimeError(
             f"connected_components_ls did not converge within {max_iter}"

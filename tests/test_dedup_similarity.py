@@ -459,6 +459,43 @@ def test_connected_components_ls_canonical_contract(spark):
     assert run(vee) == {1: 1, 2: 1, 3: 1}
 
 
+def test_connected_components_ls_probe_batching(spark):
+    """r15 session 2: ``rounds_per_probe`` batches K large/small-star
+    rounds between convergence probes. Labels must be IDENTICAL for any
+    K (a converged functional star forest passes a round unchanged, so
+    batching only ever adds no-op rounds), the one-row-per-node
+    invariant must hold, and a pre-converged star forest must still
+    converge before any round at every K. Covers a deep chain (many
+    rounds — convergence can land mid-block) and the multi-parent vee."""
+    from kafka_connect_minio_pipeline_spark.operators.dedup import (
+        connected_components_ls,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 120)], "d1 long, d2 long"
+    )
+    vee = spark.createDataFrame([(1, 3), (2, 3)], "d1 long, d2 long")
+    stars = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11), (10, 12)], "d1 long, d2 long"
+    )
+
+    def labels(df, **kw):
+        rows = connected_components_ls(df, **kw).collect()
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids)), "duplicate doc_id rows"
+        return {r["doc_id"]: r["cluster_id"] for r in rows}
+
+    chain_want = {i: 1 for i in range(1, 121)}
+    vee_want = {1: 1, 2: 1, 3: 1}
+    for k in (1, 2, 3):
+        assert labels(chain, canonical=True, rounds_per_probe=k) == chain_want
+        assert labels(vee, canonical=True, rounds_per_probe=k) == vee_want
+        # zero-round convergence is independent of the batch size
+        assert labels(stars, canonical=True, max_iter=1, rounds_per_probe=k) == {
+            1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+        }
+
+
 def test_containment_finds_quote_missed_by_jaccard(spark, tmp_path):
     """A short passage embedded verbatim in a much longer doc has
     containment 1.0 but tiny Jaccard — the asymmetric operator must find
